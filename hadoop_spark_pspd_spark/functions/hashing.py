@@ -1,0 +1,73 @@
+"""Hash-based sketch expressions: MinHash signatures, SimHash, band keys.
+
+MinHash (SURVEY §7.1 step 6): per permutation i, h_i(shingle) =
+xxhash64(i, shingle); the signature component is min over the document's
+shingle set. Implemented as explode -> groupBy(doc).agg(min(h_i) for i) —
+a single shuffle, map-side partial min, no UDF, no driver materialization,
+so it scales linearly with corpus size.
+
+SimHash: 64-bit fingerprint where bit b = sign of sum over tokens of
+(+1 if bit b of xxhash64(token) else -1). Expressed with bitwise ops +
+grouped sums — again one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def minhash_components(shingle: Column, num_perm: int) -> list[Column]:
+    """h_i(shingle) for i in 0..num_perm-1 (seeded via a prepended literal)."""
+    return [
+        F.xxhash64(F.lit(i), shingle).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+
+
+def minhash_signature(
+    exploded: DataFrame, doc_col: str, shingle_col: str, num_perm: int
+) -> DataFrame:
+    """doc_col -> one row with columns mh0..mh{num_perm-1} (the signature)."""
+    hcols = [
+        F.min(F.xxhash64(F.lit(i), F.col(shingle_col))).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    return exploded.groupBy(doc_col).agg(*hcols)
+
+
+def band_keys(sig_prefix: str, num_perm: int, bands: int) -> list[Column]:
+    """Hash each band (contiguous rows of the signature) to one bucket key."""
+    rows_per_band = num_perm // bands
+    keys = []
+    for b in range(bands):
+        cols = [
+            F.col(f"{sig_prefix}{b * rows_per_band + r}")
+            for r in range(rows_per_band)
+        ]
+        keys.append(F.xxhash64(F.lit(b), *cols).alias(f"band{b}"))
+    return keys
+
+
+def simhash64(exploded: DataFrame, doc_col: str, token_col: str) -> DataFrame:
+    """doc_col -> simhash (long): per-bit sign of summed +/-1 votes."""
+    h = F.xxhash64(F.col(token_col))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = exploded.groupBy(doc_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(F.col(doc_col), sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR — via bit_count (Spark >= 3.3)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,50 @@
+"""Text column expressions: tokenization, shingles, normalization.
+
+Tokenizer parity note (SURVEY.md §7.3): the reference's batch WordCount uses
+Java StringTokenizer (whitespace-delimited, never emits empty tokens —
+cluster/tools/run_fault_tests.py:26-30 invokes the stock Hadoop example);
+the streaming pipeline splits + uppercases (docs/README.md:257). We pin the
+engine rule to: split on ``\\s+``, drop empty tokens. The DuckDB oracle uses
+``string_split_regex(text, '\\s+')`` + the same empty filter, which matches
+this rule exactly on leading/trailing whitespace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE_RE = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens with empties removed (StringTokenizer semantics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, WHITESPACE_RE), lambda t: t != F.lit(""))
+
+
+def words_exploded(col: Column | str, alias: str = "word") -> Column:
+    """One row per token — the engine's UDTF-shaped op (SURVEY §2.3 F1)."""
+    return F.explode(tokens(col)).alias(alias)
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token array.
+
+    Built entirely from higher-order functions (JVM-side, no UDF):
+    transform over a 0..len-n index sequence, slice, join with spaces.
+    Documents shorter than n words produce an empty array.
+    """
+    count = F.size(toks) - F.lit(n - 1)
+    seq = F.when(count > 0, F.sequence(F.lit(0), count - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(seq, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for exact-dup fingerprinting: lower, trim, collapse ws."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), WHITESPACE_RE, " ")

@@ -1,0 +1,220 @@
+"""Deduplication operators over ``documents`` (north-star surface, SURVEY §7.1-6).
+
+Four tiers, all shuffle-friendly (no driver-side materialization):
+
+  * exact        — hash-groupBy on content fingerprint; one shuffle.
+  * ngram-jaccard — exact word-3-gram Jaccard via inverted-index self-join
+                    (explode shingles, join on shingle, count common per pair).
+                    Exact but O(sum of per-shingle df^2); the correctness
+                    anchor for the approximate tiers.
+  * minhash-lsh  — 64-perm MinHash signature (one shuffle), 16x4 banding,
+                    bucket join for candidates, exact-Jaccard verification of
+                    candidates only. The 100 TB scale path: candidate count
+                    is ~linear for near-dup-sparse corpora. At the 0.8
+                    threshold, band recall is 1-(1-j^4)^16 (>1-1e-17 for the
+                    j≈0.98 planted dups), so its output equals the exact
+                    query's — which is exactly what the shared oracle checks.
+  * simhash      — 64-bit fingerprint, hamming<=3 pairs found via 4x16-bit
+                    chunk banding (pigeonhole). Hash-dependent -> rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..functions.hashing import band_keys, hamming64, minhash_signature, simhash64
+from ..functions.text import normalized_text, tokens, word_shingles
+from ..registry import register
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.8
+NUM_PERM = 64
+BANDS = 16
+
+_JACCARD_ORACLE = f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(w) - {SHINGLE_N - 1}, 0) + 1),
+                       i -> array_to_string(w[i:i+{SHINGLE_N - 1}], ' '))) AS s
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '') AS w
+                  FROM documents))
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), pair_common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(c / (sa.n + sb.n - c), 6) AS jaccard
+    FROM pair_common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+def shingles_exploded(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): one row per distinct word-3-gram shingle per document."""
+    return docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
+    )
+
+
+def _exact_jaccard_pairs(
+    exploded: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Jaccard for all co-shingled pairs, or only for given (doc_a, doc_b)."""
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    if pairs is not None:
+        common = common.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on normalized-content fingerprint; "
+        "keep lowest doc_id.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            F.md5(normalized_text("text")).alias("fp"), "doc_id"
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.8) via "
+        "inverted-index self-join.",
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return _exact_jaccard_pairs(shingles_exploded(t.documents))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_ORACLE,
+    doc="MinHash(64)+LSH(16x4) candidate generation, exact-Jaccard verified. "
+        "Shares the exact oracle: at threshold 0.8 band recall is ~1 "
+        "(miss prob (1-j^4)^16 <= 2e-4 even at j=0.8).",
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    exploded = shingles_exploded(t.documents)
+    sig = minhash_signature(exploded, "doc_id", "s", NUM_PERM)
+    banded = sig.select("doc_id", *band_keys("mh", NUM_PERM, BANDS))
+    # melt band columns -> (doc_id, band_idx, bh), then bucket self-join
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(BANDS))
+    melted = banded.selectExpr(
+        "doc_id", f"stack({BANDS}, {stack_expr}) AS (band_idx, bh)"
+    )
+    a = melted.alias("a")
+    b = melted.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _exact_jaccard_pairs(exploded, pairs=candidates)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-derived fingerprints aren't SQL-portable
+    doc="SimHash-64 near-dup pairs at hamming<=3, candidates via 4x16-bit "
+        "chunk banding (pigeonhole guarantees recall).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    sim = simhash64(toks, "doc_id", "tok")
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+            for c in range(4)
+        ],
+    )
+    cand = None
+    for c in range(4):
+        a = chunks.alias("a")
+        b = chunks.alias("b")
+        pairs = a.join(
+            b,
+            (F.col(f"a.c{c}") == F.col(f"b.c{c}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        cand = pairs if cand is None else cand.unionAll(pairs)
+    return (
+        cand.distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming64(F.col("sh_a"), F.col("sh_b")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )

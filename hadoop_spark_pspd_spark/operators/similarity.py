@@ -1,0 +1,212 @@
+"""Similarity search over ``embeddings`` (north-star surface).
+
+Brute-force cosine top-k is the correctness baseline: broadcast the (small)
+query set against the full corpus — at 100 TB the corpus side stays
+partitioned and never shuffles; only the query set moves. The LSH-bucketed
+variant (random-hyperplane signatures, seeded/deterministic) is the scale
+path: candidates come from bucket-equality joins instead of the full cross
+product, then get exact-cosine reranked.
+
+All vector math is JVM-side (zip_with/aggregate in DOUBLE, sequential
+accumulation) — no Python UDF; the DuckDB oracle replicates the same
+order of operations (list_transform + list_sum), and scores are rounded to
+6 decimals BEFORE ranking so top-k tie-breaks (by candidate_id) agree
+cross-engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..functions.vectors import cosine
+from ..registry import register
+
+N_QUERIES = 10
+TOP_K = 5
+DIM = 64
+# multi-table LSH: L tables of b hyperplane bits each. b controls bucket
+# selectivity (2^b buckets/table), L controls recall (union of candidates).
+LSH_TABLES = 4
+LSH_BITS = 8
+_PLANES_SEED = 42
+
+_COSINE_SQL = """
+    round(
+        list_sum(list_transform(range(1, {dim} + 1),
+            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, {dim} + 1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, {dim} + 1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
+        6)
+""".format(dim=DIM)
+
+
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (self excluded)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("candidate_id"),
+        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("candidate_id"))
+    return (
+        scored.select(
+            "*", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= k)
+    )
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ), pairs AS (
+            SELECT q.query_id, c.vec_id AS candidate_id, {_COSINE_SQL} AS sim
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, candidate_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, candidate_id
+                   ) AS rk
+            FROM pairs
+        )
+        SELECT query_id, candidate_id, sim, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+    doc="Exact brute-force cosine top-5 for the first 10 vectors as queries.",
+    bench=True,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+    return cosine_topk(queries, t.embeddings, TOP_K)
+
+
+def _hyperplanes() -> np.ndarray:
+    """Seeded random hyperplanes — deterministic across runs/executors."""
+    rng = np.random.default_rng(_PLANES_SEED)
+    return rng.standard_normal((LSH_TABLES, LSH_BITS, DIM))
+
+
+def lsh_buckets(emb_col: F.Column) -> list[F.Column]:
+    """One bucket key per hash table: bit p = (dot(e, plane_p) > 0)."""
+    planes = _hyperplanes()
+    keys = []
+    for t in range(LSH_TABLES):
+        bucket = F.lit(0).cast("long")
+        for p in range(LSH_BITS):
+            plane = F.array(*[F.lit(float(v)) for v in planes[t, p]])
+            d = F.aggregate(
+                F.zip_with(emb_col, plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket.bitwiseOR(
+                F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+            )
+        keys.append(bucket.alias(f"bucket{t}"))
+    return keys
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=None,  # approximate by construction; driver does rows-only check
+    doc="ANN via 16-bit random-hyperplane LSH buckets + exact cosine rerank "
+        "within bucket. The 100 TB path: bucket-equality join instead of "
+        "cross product.",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", "embedding", *lsh_buckets(F.col("embedding"))
+    )
+    # melt to (vec_id, tbl, bucket) so candidate lookup is a single
+    # hash-joinable equi-join on (tbl, bucket) — an OR of per-table matches
+    # would force a nested-loop scan and defeat the index at scale.
+    stack_expr = ", ".join(f"{i}, bucket{i}" for i in range(LSH_TABLES))
+    melted = emb.selectExpr(
+        "vec_id", f"stack({LSH_TABLES}, {stack_expr}) AS (tbl, bucket)"
+    )
+    q_melted = (
+        melted.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "tbl", "bucket")
+    )
+    cand_ids = (
+        melted.join(F.broadcast(q_melted), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("candidate_id"))
+        .distinct()
+    )
+    q_vecs = t.embeddings.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        cand_ids.join(
+            t.embeddings.select(
+                F.col("vec_id").alias("candidate_id"), "embedding"
+            ),
+            "candidate_id",
+        )
+        .join(F.broadcast(q_vecs), "query_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("candidate_id"))
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+@register(
+    "sim_embedding_neardup",
+    oracle=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(
+                   list_sum(list_transform(range(1, {DIM} + 1),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(range(1, {DIM} + 1),
+                          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(range(1, {DIM} + 1),
+                          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+               , 6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, {DIM} + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(range(1, {DIM} + 1),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(range(1, {DIM} + 1),
+                     i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= 0.95
+    """,
+    doc="Embedding-cosine near-dup pairs (sim >= 0.95), exact all-pairs at "
+        "test scale; production path is the LSH bucket prefilter.",
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    a = t.embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = t.embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= 0.95)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
+    )

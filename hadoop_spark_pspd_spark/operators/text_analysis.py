@@ -1,0 +1,173 @@
+"""Text-analysis operators over ``documents`` (north-star surface).
+
+All built-in higher-order functions (JVM-side, codegen'd) — no UDFs:
+token counting, quality scoring (length/stopword ratios), n-gram-heuristic
+language ID, and content fingerprinting (md5 over normalized text — portable
+across engines, unlike xxhash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..functions.text import normalized_text, tokens
+from ..registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+# marker tokens per language for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "la", "les", "et"),
+    "de": ("der", "die", "das", "und"),
+}
+
+_SQL_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+def _hits(toks: Column, words: tuple[str, ...]) -> Column:
+    lst = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(lst, x)))
+
+
+def _sql_hits(words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(w, x -> x IN ({in_list})))"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w)
+                   AS avg_token_len
+        FROM (SELECT doc_id, text, {_SQL_TOKENS} AS w FROM documents)
+        WHERE len(w) > 0
+    """,
+    doc="Token counting + average token length per document.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint")
+    return (
+        t.documents.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            n_chars.alias("n_chars_nospace"),
+            (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+        SELECT doc_id, n_tokens, stop_hits,
+               CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+               (n_tokens BETWEEN 10 AND 1000
+                AND CAST(stop_hits AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6)
+                   AS is_quality
+        FROM (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST({_sql_hits(STOPWORDS)} AS BIGINT) AS stop_hits
+            FROM (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+        )
+        WHERE n_tokens > 0
+    """,
+    doc="Quality scoring: length bounds + stopword-ratio bounds "
+        "(the C4/Gopher-style rule shape).",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = t.documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        _hits(toks, STOPWORDS).cast("bigint").alias("stop_hits"),
+    ).filter(F.col("n_tokens") > 0)
+    ratio = F.col("stop_hits").cast("double") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "stop_hits",
+        ratio.alias("stopword_ratio"),
+        (
+            F.col("n_tokens").between(10, 1000) & ratio.between(0.01, 0.6)
+        ).alias("is_quality"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+        SELECT doc_id,
+               en_hits, es_hits, fr_hits, de_hits,
+               CASE
+                   WHEN greatest(en_hits, es_hits, fr_hits, de_hits) = 0 THEN 'und'
+                   WHEN en_hits >= greatest(es_hits, fr_hits, de_hits) THEN 'en'
+                   WHEN es_hits >= greatest(fr_hits, de_hits) THEN 'es'
+                   WHEN fr_hits >= de_hits THEN 'fr'
+                   ELSE 'de'
+               END AS predicted_lang
+        FROM (
+            SELECT doc_id,
+                   CAST({_sql_hits(LANG_MARKERS['en'])} AS BIGINT) AS en_hits,
+                   CAST({_sql_hits(LANG_MARKERS['es'])} AS BIGINT) AS es_hits,
+                   CAST({_sql_hits(LANG_MARKERS['fr'])} AS BIGINT) AS fr_hits,
+                   CAST({_sql_hits(LANG_MARKERS['de'])} AS BIGINT) AS de_hits
+            FROM (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+        )
+    """,
+    doc="Marker-token language-ID heuristic with deterministic tie order "
+        "en > es > fr > de.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = t.documents.select(
+        "doc_id",
+        *[
+            _hits(toks, LANG_MARKERS[lang]).cast("bigint").alias(f"{lang}_hits")
+            for lang in ("en", "es", "fr", "de")
+        ],
+    )
+    en, es, fr, de = (F.col(f"{l}_hits") for l in ("en", "es", "fr", "de"))
+    predicted = (
+        F.when(F.greatest(en, es, fr, de) == 0, "und")
+        .when(en >= F.greatest(es, fr, de), "en")
+        .when(es >= F.greatest(fr, de), "es")
+        .when(fr >= de, "fr")
+        .otherwise("de")
+    )
+    return base.select("*", predicted.alias("predicted_lang"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS content_fp,
+               md5(array_to_string(
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                   ' ')) AS token_fp
+        FROM documents
+    """,
+    doc="Document fingerprinting: md5 over normalized text and over the "
+        "canonical token stream (portable content hashes).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.md5(normalized_text("text")).alias("content_fp"),
+        F.md5(F.concat_ws(" ", tokens(F.col("text")))).alias("token_fp"),
+    )

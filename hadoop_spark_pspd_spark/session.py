@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Mirrors the resource envelope the reference ran under (2 workers x 2 vcores,
+YARN — cluster/config/yarn-site.xml:41-56) only in spirit: the engine is
+cluster-agnostic and tuned for local[N] in tests while keeping every knob
+that matters at 1000-executor scale (AQE, skew join handling, shuffle
+partition sizing, Arrow for the Python boundary).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "hadoop_spark_pspd_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    UTC session timezone is load-bearing: the DuckDB oracle compares
+    timestamp-derived values as naive UTC.
+    """
+    cpus = default_parallelism()
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session_conf(spark: SparkSession) -> SparkSession:
+    """Pin the runtime confs the engine's oracle parity depends on.
+
+    The driver may hand us a session it built itself; these are all
+    runtime-settable and idempotent.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.parquet stores ts as TIMESTAMP(NANOS) which Spark has no type
+    # for; read as long and floor-truncate to micros (catalog.Tables.events),
+    # matching DuckDB's truncating ns->us read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

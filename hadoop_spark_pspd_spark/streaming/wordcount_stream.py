@@ -1,0 +1,102 @@
+"""The reference's streaming pipeline, source/sink-agnostic.
+
+Reference semantics (docs/README.md:255-257,265 + PSPD_LabHadoopSpark.pdf
+p.2 B2): consume Kafka topic ``canalinput`` -> cast value to string ->
+split into words -> explode to rows -> uppercase -> event-time windowed
+count with late-data handling -> to_json(struct(word, count, window)) ->
+Kafka topic ``canaloutput``.
+
+The transform core is pure DataFrame -> DataFrame so tests drive it with
+file/rate/memory sources; Kafka wiring is isolated in kafka_source/
+kafka_sink (no broker in the dev env — SURVEY §7.3).
+Window kind: tumbling is canonical (the report says only "janelas de
+tempo"); pass slide_duration for the sliding variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import words_exploded
+
+INPUT_TOPIC = "canalinput"
+OUTPUT_TOPIC = "canaloutput"
+
+
+def windowed_wordcount(
+    df: DataFrame,
+    ts_col: str = "timestamp",
+    text_col: str = "value",
+    window_duration: str = "1 minute",
+    slide_duration: str | None = None,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """split -> explode -> upper -> window groupBy count (+ watermark).
+
+    Returns columns (window: struct<start,end>, word, cnt) — the reference's
+    only nested output type (SURVEY §1.1).
+    """
+    if watermark_delay:
+        df = df.withWatermark(ts_col, watermark_delay)
+    words = df.select(
+        F.col(ts_col).alias("__ts"), words_exploded(text_col)
+    ).select("__ts", F.upper("word").alias("word"))
+    win = (
+        F.window("__ts", window_duration, slide_duration)
+        if slide_duration
+        else F.window("__ts", window_duration)
+    )
+    return words.groupBy(win.alias("window"), "word").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def to_kafka_json(df: DataFrame) -> DataFrame:
+    """Format (window, word, cnt) as the reference's JSON output records
+    (docs/README.md:257,265: '(palavra, contagem e janela de tempo) ...
+    formatados em JSON')."""
+    return df.select(
+        F.to_json(
+            F.struct(
+                F.col("word"),
+                F.col("cnt").alias("count"),
+                F.col("window"),
+            )
+        ).alias("value")
+    )
+
+
+def kafka_source(spark, bootstrap: str, topic: str = INPUT_TOPIC) -> DataFrame:
+    """Reference S3: subscribe to canalinput. Requires the Kafka connector
+    jar on the classpath (not in the dev image — gated here)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load()
+        .select(
+            F.col("value").cast("string").alias("value"),
+            F.col("timestamp").alias("timestamp"),
+        )
+    )
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap: str,
+    topic: str = OUTPUT_TOPIC,
+    checkpoint: str = "/tmp/pspd_stream_ckpt",
+    output_mode: str = "update",
+):
+    """Reference S4: JSON records to canaloutput with checkpointed state
+    (Spark's WAL+checkpoint replaces the reference's YARN retry story)."""
+    return (
+        to_kafka_json(df)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )

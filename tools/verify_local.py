@@ -1,0 +1,139 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every registered query at a given sf_dir through Spark AND its DuckDB
+oracle, then compares row count, sorted column names, and the order-
+insensitive multiset of values (exact for ints/strings/timestamps; floats
+must match to 1e-9 relative — our determinism conventions should make them
+bit-identical, so any drift is flagged loudly).
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from hadoop_spark_pspd_spark.catalog import TABLES  # noqa: E402
+from hadoop_spark_pspd_spark.registry import load_all  # noqa: E402
+from hadoop_spark_pspd_spark.session import get_spark  # noqa: E402
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _key(row):
+    out = []
+    for v in row:
+        v = _norm(v)
+        if isinstance(v, float):
+            out.append(f"{v:.9g}")
+        else:
+            out.append(repr(v))
+    return tuple(out)
+
+
+def _values_equal(a, b) -> bool:
+    a, b = _norm(a), _norm(b)
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    return a == b
+
+
+def compare(spark_rows, spark_cols, duck_rows, duck_cols):
+    problems = []
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"row count {len(spark_rows)} vs {len(duck_rows)}")
+    if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
+        problems.append(f"columns {sorted(spark_cols)} vs {sorted(duck_cols)}")
+        return problems
+    # align column order by name
+    s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i].lower())
+    d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i].lower())
+    s_sorted = sorted(
+        [tuple(r[i] for i in s_order) for r in spark_rows], key=_key
+    )
+    d_sorted = sorted(
+        [tuple(r[i] for i in d_order) for r in duck_rows], key=_key
+    )
+    exact = 0
+    for i, (sr, dr) in enumerate(zip(s_sorted, d_sorted)):
+        row_ok = all(_values_equal(a, b) for a, b in zip(sr, dr))
+        bit_ok = all(_norm(a) == _norm(b) for a, b in zip(sr, dr))
+        exact += bit_ok
+        if not row_ok and len(problems) < 4:
+            problems.append(f"row {i}: {sr} vs {dr}")
+    if not problems and exact != len(s_sorted):
+        problems.append(
+            f"NOT BIT-IDENTICAL: {len(s_sorted) - exact}/{len(s_sorted)} rows "
+            "differ at float ulp level (would likely fail a strict hash)"
+        )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    reg = load_all()
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.execute(
+            f"CREATE VIEW {tname} AS "
+            f"SELECT * FROM '{sf_dir}/{tname}.parquet'"
+        )
+    n_pass = n_fail = n_weak = 0
+    for name, q in sorted(reg.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(
+                f"weak  {name}: rows-only ({len(spark_rows)} rows, "
+                f"{time.time()-t0:.1f}s)"
+            )
+            n_weak += 1
+            continue
+        try:
+            rel = con.sql(q.oracle)
+            duck_cols = rel.columns
+            duck_rows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(spark_rows, spark_cols, duck_rows, duck_cols)
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(str(p) for p in problems))
+            n_fail += 1
+        else:
+            print(
+                f"pass  {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)"
+            )
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
