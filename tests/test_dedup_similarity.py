@@ -1,0 +1,108 @@
+"""Property tests for the dedup + similarity operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_spark_pspd_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from hadoop_spark_pspd_spark.operators.similarity import (
+    cosine_topk,
+    sim_topk_bruteforce,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_minhash_matches_exact_jaccard(spark):
+    """LSH recall at the 0.8 threshold must be total on this corpus —
+    the minhash pipeline and the exact inverted-index join agree."""
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    assert exact == lsh
+    assert all(j >= JACCARD_THRESHOLD for _, _, j in exact)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    dup_docs = spark.createDataFrame(
+        [(10, "a b c"), (3, "a b c"), (7, "x  y"), (8, "x y")],
+        "doc_id long, text string",
+    )
+    from hadoop_spark_pspd_spark.functions.text import normalized_text
+
+    res = {
+        r["keep_id"]: r["n_copies"]
+        for r in dup_docs.select(
+            F.md5(normalized_text("text")).alias("fp"), "doc_id"
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .collect()
+    }
+    # whitespace-normalized: "x  y" == "x y"
+    assert res == {3: 2, 7: 2}
+
+
+def test_dedup_exact_no_dups_in_corpus(spark):
+    res = dedup_exact(spark, SF_SMOKE)
+    assert res.filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_simhash_finds_planted_near_dups(spark):
+    """SimHash measures token-distribution similarity, shingle-Jaccard
+    measures phrase similarity — different notions, so we assert substantial
+    (not total) agreement on the planted near-dups: the majority of exact
+    shingle near-dups collide at hamming<=3, and vice versa."""
+    sim_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_simhash(spark, SF_SMOKE).collect()
+    }
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    }
+    assert sim_pairs, "expected planted near-dups to collide"
+    inter = len(sim_pairs & exact_pairs)
+    assert inter >= len(exact_pairs) * 0.6
+    assert inter >= len(sim_pairs) * 0.6
+
+
+def test_cosine_topk_self_excluded_and_k(spark):
+    res = sim_topk_bruteforce(spark, SF_SMOKE).collect()
+    by_query: dict[int, list] = {}
+    for r in res:
+        assert r["candidate_id"] != r["query_id"]
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == set(range(10))
+    for rows in by_query.values():
+        assert len(rows) == 5
+        sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rk"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_cosine_topk_identical_vector_is_top1(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.7, 0.7, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    res = cosine_topk(emb.filter("vec_id = 0"), emb, k=2).collect()
+    top = sorted(res, key=lambda r: r["rk"])
+    assert top[0]["candidate_id"] == 1 and top[0]["sim"] == 1.0
+    assert top[1]["candidate_id"] == 3

@@ -1,0 +1,50 @@
+"""Physical-plan assertions: the plans we designed for must materialize
+(pushdown, broadcast, partial agg / map-side combine, codegen)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_spark_pspd_spark.catalog import Tables
+from hadoop_spark_pspd_spark.operators.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+)
+from hadoop_spark_pspd_spark.operators.wordcount import wc_words
+from hadoop_spark_pspd_spark.plans.checks import (
+    formatted_plan,
+    has_broadcast_join,
+    has_partial_aggregate,
+    has_pushed_filters,
+    has_wholestage_codegen,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    t = Tables(spark, SF_SMOKE)
+    df = t.lineitem.filter(F.col("l_quantity") > 30).select("l_orderkey")
+    assert has_pushed_filters(df)
+    plan = formatted_plan(df)
+    # column pruning: scan must read only the 2 needed columns
+    assert "l_extendedprice" not in plan
+
+
+def test_q1_partial_aggregate_and_codegen(spark):
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    assert has_partial_aggregate(df)  # the reference's combiner analog
+    assert has_wholestage_codegen(df)
+    assert has_pushed_filters(df)  # shipdate filter reaches the scan
+
+
+def test_join_queries_broadcast_dims(spark):
+    assert has_broadcast_join(q3_shipping_priority(spark, SF_SMOKE))
+    assert has_broadcast_join(q5_local_supplier_volume(spark, SF_SMOKE))
+
+
+def test_wordcount_is_partial_final_agg(spark):
+    df = wc_words(spark, SF_SMOKE)
+    assert has_partial_aggregate(df)
+    assert has_wholestage_codegen(df)

@@ -1,0 +1,111 @@
+"""Streaming semantics tests (SURVEY §5.2-3): windowed count over replayed
+data, watermark late-row handling, update/append modes — mirroring the
+reference pipeline docs/README.md:257."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from hadoop_spark_pspd_spark.operators.streaming_queries import run_bounded_stream
+from hadoop_spark_pspd_spark.streaming.wordcount_stream import (
+    to_kafka_json,
+    windowed_wordcount,
+)
+
+
+def _write_jsonl(path, rows):
+    path.mkdir(parents=True, exist_ok=True)
+    f = path / "batch0.json"
+    f.write_text("\n".join(json.dumps(r) for r in rows))
+    return str(path)
+
+
+def test_windowed_wordcount_tumbling(spark, tmp_path):
+    rows = [
+        {"timestamp": "2024-01-01T00:00:10", "value": "ola mundo ola"},
+        {"timestamp": "2024-01-01T00:00:50", "value": "mundo"},
+        {"timestamp": "2024-01-01T00:01:10", "value": "ola"},
+    ]
+    src_dir = _write_jsonl(tmp_path / "src", rows)
+    schema = "timestamp timestamp, value string"
+    source = spark.readStream.schema(schema).json(src_dir)
+    result = run_bounded_stream(
+        spark,
+        source,
+        lambda df: windowed_wordcount(df, "timestamp", "value", "1 minute"),
+        "complete",
+    )
+    got = {
+        (r["window"]["start"].isoformat(), r["word"]): r["cnt"]
+        for r in result.collect()
+    }
+    assert got == {
+        ("2024-01-01T00:00:00", "OLA"): 2,
+        ("2024-01-01T00:00:00", "MUNDO"): 2,
+        ("2024-01-01T00:01:00", "OLA"): 1,
+    }
+
+
+def test_windowed_wordcount_sliding(spark, tmp_path):
+    rows = [{"timestamp": "2024-01-01T00:00:30", "value": "w"}]
+    source = spark.readStream.schema("timestamp timestamp, value string").json(
+        _write_jsonl(tmp_path / "src2", rows)
+    )
+    result = run_bounded_stream(
+        spark,
+        source,
+        lambda df: windowed_wordcount(
+            df, "timestamp", "value", "1 minute", slide_duration="30 seconds"
+        ),
+        "complete",
+    )
+    starts = sorted(r["window"]["start"].isoformat() for r in result.collect())
+    # a row at 00:00:30 belongs to two sliding windows
+    assert starts == ["2024-01-01T00:00:00", "2024-01-01T00:00:30"]
+
+
+def test_watermark_appends_only_closed_windows(spark, tmp_path):
+    """Append mode + watermark: windows still open at end-of-stream are
+    withheld — the late-data contract (reference T2)."""
+    rows = [
+        {"timestamp": "2024-01-01T00:00:10", "value": "a"},
+        {"timestamp": "2024-01-01T00:05:00", "value": "b"},  # advances watermark
+    ]
+    source = spark.readStream.schema("timestamp timestamp, value string").json(
+        _write_jsonl(tmp_path / "src3", rows)
+    )
+    result = run_bounded_stream(
+        spark,
+        source,
+        lambda df: windowed_wordcount(
+            df, "timestamp", "value", "1 minute", watermark_delay="2 minutes"
+        ),
+        "append",
+    )
+    words = sorted(r["word"] for r in result.collect())
+    # watermark reached 00:03 -> window [00:00,00:01) closed and emitted;
+    # window [00:05,00:06) still open -> withheld
+    assert words == ["A"]
+
+
+def test_kafka_json_output_shape(spark, tmp_path):
+    """Reference output contract (docs/README.md:265): JSON records with
+    palavra/contagem/janela."""
+    rows = [{"timestamp": "2024-01-01T00:00:10", "value": "ola"}]
+    source = spark.readStream.schema("timestamp timestamp, value string").json(
+        _write_jsonl(tmp_path / "src4", rows)
+    )
+    result = run_bounded_stream(
+        spark,
+        source,
+        lambda df: to_kafka_json(
+            windowed_wordcount(df, "timestamp", "value", "1 minute")
+        ),
+        "complete",
+    )
+    rec = json.loads(result.collect()[0]["value"])
+    assert rec["word"] == "OLA"
+    assert rec["count"] == 1
+    assert set(rec["window"]) == {"start", "end"}
