@@ -1,0 +1,417 @@
+"""Advanced relational operators: as-of join, range join, session windows,
+subqueries, grouping sets, exact percentiles.
+
+None exist in the reference (SURVEY §2.5-2.6: its workloads are single-input
+group-bys) — these are engine-surface operators the north star requires,
+with 100 TB-honest physical strategies:
+
+  * as-of join — Spark has no native one. Two implementations sharing one
+    oracle: (a) equi-join on the partition key + max_by(struct) aggregation
+    (one shuffle, map-side combinable); (b) applyInPandas merge_asof per
+    key group (Arrow-batched, the per-group-imperative escape hatch).
+  * range join — bucketize the range key, equi-join on (key, bucket),
+    filter the exact range: turns an inequality join (nested loop) into a
+    hash join with bounded bucket fanout.
+  * session window — built-in session_window() in batch mode; the oracle
+    recomputes sessions via lag/cumsum (the SQL-standard formulation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..registry import register
+
+_ASOF_ORACLE = """
+    SELECT event_id, user_id, ts, last_orderkey, last_orderdate
+    FROM (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey AS last_orderkey,
+               o.o_orderdate AS last_orderdate,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e
+        JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+"""
+
+
+@register(
+    "q_asof_join",
+    oracle=_ASOF_ORACLE,
+    doc="As-of join (latest order at-or-before each event, per user) via "
+        "equi-join + max_by(struct) — one shuffle, partial-aggregatable. "
+        "Ties broken by (o_orderdate, o_orderkey) DESC, deterministically.",
+    bench=True,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    joined = t.events.join(
+        t.orders,
+        (F.col("o_custkey") == F.col("user_id"))
+        & (F.col("o_orderdate") <= F.col("ts")),
+    )
+    # max_by over a struct: lexicographic (o_orderdate, o_orderkey) max ==
+    # the deterministic "last row at-or-before"
+    pick = F.max_by(
+        F.struct(
+            F.col("o_orderkey").alias("k"), F.col("o_orderdate").alias("d")
+        ),
+        F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
+    )
+    return (
+        joined.groupBy("event_id", "user_id", "ts")
+        .agg(pick.alias("best"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("best.k").alias("last_orderkey"),
+            F.col("best.d").alias("last_orderdate"),
+        )
+    )
+
+
+_ASOF_SCHEMA = (
+    "event_id bigint, user_id bigint, ts timestamp, "
+    "last_orderkey bigint, last_orderdate timestamp"
+)
+
+
+@register(
+    "q_asof_join_pandas",
+    oracle=_ASOF_ORACLE,
+    doc="Same as-of join via applyInPandas + pd.merge_asof per user group — "
+        "the Arrow-batched escape hatch for operators DataFrame algebra "
+        "can't express. Shares the max_by variant's oracle.",
+)
+def q_asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    events = t.events.select("event_id", "user_id", "ts")
+    orders = t.orders.select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
+    )
+    # one shuffle each, co-partitioned by user_id, then per-group merge_asof
+    cogrouped = events.groupBy("user_id").cogroup(orders.groupBy("user_id"))
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                columns=[
+                    "event_id", "user_id", "ts",
+                    "last_orderkey", "last_orderdate",
+                ]
+            )
+        # sort so merge_asof's "last match wins" == max(o_orderdate, o_orderkey)
+        right = right.sort_values(["o_orderdate", "o_orderkey"])
+        left = left.sort_values("ts")
+        out = pd.merge_asof(
+            left,
+            right.rename(
+                columns={
+                    "o_orderkey": "last_orderkey",
+                    "o_orderdate": "last_orderdate",
+                }
+            )[["last_orderdate", "last_orderkey"]],
+            left_on="ts",
+            right_on="last_orderdate",
+            direction="backward",
+        )
+        out = out.dropna(subset=["last_orderkey"])
+        out["last_orderkey"] = out["last_orderkey"].astype("int64")
+        return out[["event_id", "user_id", "ts", "last_orderkey", "last_orderdate"]]
+
+    return cogrouped.applyInPandas(merge, schema=_ASOF_SCHEMA)
+
+
+@register(
+    "q_range_join",
+    oracle="""
+        SELECT e.event_id, count(f.event_id) AS n_following
+        FROM events e
+        LEFT JOIN events f
+          ON f.user_id = e.user_id
+         AND f.ts > e.ts
+         AND f.ts <= e.ts + INTERVAL 1 HOUR
+        GROUP BY e.event_id
+    """,
+    doc="Range (interval) self-join: events per user within the next hour. "
+        "Bucketized to epoch-hour so the physical plan is a hash join on "
+        "(user_id, bucket) with fanout 2, not a nested-loop inequality join.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "ts")
+    bucket = (F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)).cast("long")
+    left = ev.select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        bucket.alias("b"),
+    )
+    # candidate buckets for the (e_ts, e_ts+1h] window are b and b+1
+    probe = left.select(
+        "e_id", "e_user", "e_ts", F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("b")
+    )
+    right = ev.select(
+        F.col("event_id").alias("f_id"),
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"),
+        bucket.alias("b"),
+    )
+    matches = probe.join(
+        right,
+        (F.col("e_user") == F.col("f_user"))
+        & (probe["b"] == right["b"])
+        & (F.col("f_ts") > F.col("e_ts"))
+        & (
+            F.unix_micros(F.col("f_ts"))
+            <= F.unix_micros(F.col("e_ts")) + 3_600_000_000
+        ),
+    ).select("e_id", "f_id")
+    return (
+        left.select("e_id")
+        .join(matches, "e_id", "left")
+        .groupBy("e_id")
+        .agg(F.count("f_id").alias("n_following"))
+        .select(F.col("e_id").alias("event_id"), "n_following")
+    )
+
+
+@register(
+    "q_session_window",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTES AS session_end,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    doc="Built-in session_window() (30-min gap) in batch mode; the oracle "
+        "recomputes sessions via the lag/cumsum SQL formulation. "
+        "session_window end == last event + gap.",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+        SELECT r_name, c_mktsegment,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+    """,
+    doc="Explicit GROUPING SETS (SURVEY A5) via the SQL API.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.register_views(prefix="pspd_")
+    return spark.sql("""
+        SELECT r_name, c_mktsegment,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS revenue
+        FROM pspd_region
+        JOIN pspd_nation   ON n_regionkey = r_regionkey
+        JOIN pspd_customer ON c_nationkey = n_nationkey
+        JOIN pspd_orders   ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+    """)
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer)
+    """,
+    doc="Uncorrelated scalar subquery in a predicate.",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.register_views(prefix="pspd_")
+    return spark.sql("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM pspd_customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM pspd_customer)
+    """)
+
+
+@register(
+    "q_correlated_exists",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+        )
+    """,
+    doc="Correlated EXISTS subquery (decorrelated by Catalyst to a "
+        "semi-join).",
+)
+def q_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.register_views(prefix="pspd_")
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM pspd_orders o
+        WHERE EXISTS (
+            SELECT 1 FROM pspd_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49
+        )
+    """)
+
+
+@register(
+    "q_in_subquery",
+    oracle="""
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_partkey IN (
+            SELECT l_partkey FROM lineitem WHERE l_discount > 0.09
+        )
+    """,
+    doc="IN subquery -> semi-join.",
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.register_views(prefix="pspd_")
+    return spark.sql("""
+        SELECT p_partkey, p_name, p_retailprice
+        FROM pspd_part
+        WHERE p_partkey IN (
+            SELECT l_partkey FROM pspd_lineitem WHERE l_discount > 0.09
+        )
+    """)
+
+
+@register(
+    "q_having",
+    oracle="""
+        SELECT l_suppkey, count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_qty
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING count(*) > 600
+    """,
+    doc="HAVING post-aggregation filter.",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    from .relational import dsum
+
+    return (
+        t.lineitem.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("n") > 600)
+    )
+
+
+@register(
+    "q_case_coalesce",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice >= 30000 THEN 'high'
+                    WHEN o_totalprice >= 10000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+               greatest(o_totalprice, 15000.0) AS floor_price,
+               least(CAST(o_orderkey % 7 AS BIGINT),
+                     CAST(o_custkey % 5 AS BIGINT)) AS least_mod
+        FROM orders
+    """,
+    doc="CASE/COALESCE/NULLIF/GREATEST/LEAST conditional family.",
+)
+def q_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 30000, "high")
+        .when(F.col("o_totalprice") >= 10000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING"))
+        .alias("status_norm"),
+        F.greatest(F.col("o_totalprice"), F.lit(15000.0)).alias("floor_price"),
+        F.least(
+            (F.col("o_orderkey") % 7).cast("bigint"),
+            (F.col("o_custkey") % 5).cast("bigint"),
+        ).alias("least_mod"),
+    )
+
+
+@register(
+    "q_union_all_by_name",
+    oracle="""
+        SELECT kind, key_id, amount FROM (
+            SELECT 'order' AS kind, o_orderkey AS key_id,
+                   o_totalprice AS amount
+            FROM orders WHERE o_totalprice > 48000
+            UNION ALL
+            SELECT 'lineitem' AS kind, l_orderkey AS key_id,
+                   l_extendedprice AS amount
+            FROM lineitem WHERE l_extendedprice > 9900
+        )
+    """,
+    doc="UNION ALL with schema alignment (unionByName).",
+)
+def q_union_all_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    a = t.orders.filter(F.col("o_totalprice") > 48000).select(
+        F.lit("order").alias("kind"),
+        F.col("o_orderkey").alias("key_id"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    b = t.lineitem.filter(F.col("l_extendedprice") > 9900).select(
+        F.col("l_orderkey").alias("key_id"),
+        F.lit("lineitem").alias("kind"),
+        F.col("l_extendedprice").alias("amount"),
+    )
+    return a.unionByName(b)

@@ -61,7 +61,9 @@ def register(
 def load_all() -> dict[str, EngineQuery]:
     """Import every operator module (side effect: registration)."""
     from .operators import (  # noqa: F401
+        advanced,
         dedup,
+        inference,
         multimodal,
         relational,
         similarity,

@@ -1,0 +1,163 @@
+"""Observability + fault-tolerance parity (SURVEY §5.2-4, reference §2.12).
+
+The reference validates behavior under faults with a JSONL time series +
+summary; here: (a) the engine's JSONL records carry the reference's sample/
+event schema; (b) Spark re-executes failed tasks and still produces the
+correct result — the lineage analog of YARN container retry
+(docs/README.md:197,215-216)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import textwrap
+import time
+
+from pyspark.sql import functions as F
+
+from hadoop_spark_pspd_spark.operators.wordcount import wordcount_df
+from hadoop_spark_pspd_spark.streaming.listeners import (
+    BatchMonitor,
+    JsonlSink,
+    StreamObservabilityListener,
+    write_run_summary,
+)
+
+# keys of the reference's sample record (run_fault_tests.py:250-261)
+REF_SAMPLE_KEYS = {
+    "type", "timestamp", "elapsed_s", "progress", "state",
+    "am_host", "live_nodes", "node_states",
+}
+
+
+def test_batch_monitor_emits_reference_schema(spark, tmp_path):
+    sink = JsonlSink(tmp_path / "run.jsonl")
+    with BatchMonitor(spark, sink, poll_s=0.2):
+        corpus = spark.range(200_000).select(
+            F.concat_ws(" ", F.lit("a b c"), (F.col("id") % 97).cast("string"))
+            .alias("value")
+        )
+        assert wordcount_df(corpus).count() == 100
+        time.sleep(0.5)  # guarantee at least one mid-run sample
+    records = [
+        json.loads(line)
+        for line in (tmp_path / "run.jsonl").read_text().splitlines()
+    ]
+    samples = [r for r in records if r["type"] == "sample"]
+    events = [r for r in records if r["type"] == "event"]
+    assert samples, "expected at least one sample"
+    assert set(samples[0]) == REF_SAMPLE_KEYS
+    assert events[-1]["action"] == "run_finished"
+    assert events[-1]["final_state"] == "FINISHED"
+    assert all(s["live_nodes"] >= 1 for s in samples)
+
+    summary = tmp_path / "summary.json"
+    write_run_summary(
+        summary, spark.sparkContext.applicationId, "FINISHED", 1.23, events
+    )
+    s = json.loads(summary.read_text())
+    assert {"app_id", "state", "final_state", "duration_seconds", "events"} <= set(s)
+
+
+def test_stream_listener_emits_samples(spark, tmp_path):
+    sink = JsonlSink(tmp_path / "stream.jsonl")
+    listener = StreamObservabilityListener(sink)
+    spark.streams.addListener(listener)
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "a.json").write_text(
+            '{"timestamp":"2024-01-01T00:00:10","value":"x y"}\n'
+        )
+        q = (
+            spark.readStream.schema("timestamp timestamp, value string")
+            .json(str(src))
+            .groupBy("value")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("obs_test_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # terminated event is delivered asynchronously
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            lines = (tmp_path / "stream.jsonl").read_text().splitlines()
+            recs = [json.loads(x) for x in lines]
+            if any(
+                r.get("action") == "query_terminated"
+                and r.get("final_state") == "FINISHED"
+                for r in recs
+            ):
+                break
+            time.sleep(0.2)
+        recs = [
+            json.loads(x)
+            for x in (tmp_path / "stream.jsonl").read_text().splitlines()
+        ]
+        assert any(r["type"] == "sample" for r in recs)
+        assert any(r.get("action") == "query_started" for r in recs)
+        assert any(
+            r.get("action") == "query_terminated"
+            and r.get("final_state") == "FINISHED"
+            for r in recs
+        )
+        sample = next(r for r in recs if r["type"] == "sample")
+        assert set(sample) == REF_SAMPLE_KEYS
+    finally:
+        spark.streams.removeListener(listener)
+
+
+_CHAOS_SCRIPT = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import SparkSession, functions as F
+
+    # local[4,2]: 4 threads, maxFailures=2 -> task retry enabled, the
+    # lineage analog of the reference's YARN re-execution
+    spark = (
+        SparkSession.builder.master("local[4,2]").appName("chaos")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def flaky(batches):
+        from pyspark import TaskContext
+        ctx = TaskContext.get()
+        # first attempt of partition 0 dies mid-flight (the injected fault)
+        if ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+            raise RuntimeError("injected fault: node down")
+        yield from batches
+
+    df = (
+        spark.range(0, 1000, 1, 4)
+        .mapInPandas(flaky, schema="id long")
+        .groupBy((F.col("id") % 10).alias("k"))
+        .count()
+        .orderBy("k")
+    )
+    rows = df.collect()
+    assert len(rows) == 10 and all(r["count"] == 100 for r in rows), rows
+    print("CHAOS_OK")
+    """
+)
+
+
+def test_task_retry_recovers_injected_fault(tmp_path):
+    """Injected task failure -> Spark retries the task -> correct result.
+    Runs in a subprocess because task retries need a local[N,F] master."""
+    script = tmp_path / "chaos.py"
+    script.write_text(_CHAOS_SCRIPT)
+    res = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "CHAOS_OK" in res.stdout, f"stdout={res.stdout}\nstderr={res.stderr[-2000:]}"
