@@ -1,0 +1,224 @@
+"""Scalar/aggregate function-family coverage (SURVEY §2.9 + A4).
+
+One query per family, each oracle-checked: array/map/JSON-struct handling,
+extended datetime, exact-safe math (only IEEE-deterministic functions —
+sqrt/abs/floor/ceil/round/mod/sign; transcendentals are libm-dependent and
+excluded from hash-matched queries), exact percentiles, ordered collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..registry import register
+from .relational import dsum
+
+
+@register(
+    "q_array_functions",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(w) AS INTEGER) AS n_tokens,
+               w[1] AS first_token,
+               w[-1] AS last_token,
+               array_to_string(list_sort(list_distinct(w)), ',')
+                   AS sorted_vocab,
+               list_contains(w, 'spark') AS has_spark,
+               CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                       AS w
+            FROM documents
+        )
+        WHERE len(w) > 0
+    """,
+    doc="Array family: size, element access, sort, distinct, contains "
+        "(SURVEY §2.9 Array/Map).",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    from ..functions.text import tokens
+
+    w = tokens(F.col("text"))
+    return (
+        t.documents.select("doc_id", w.alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id",
+            F.size("w").alias("n_tokens"),
+            F.col("w").getItem(0).alias("first_token"),
+            F.element_at("w", -1).alias("last_token"),
+            F.concat_ws(",", F.sort_array(F.array_distinct("w")))
+            .alias("sorted_vocab"),
+            F.array_contains("w", "spark").alias("has_spark"),
+            F.size(F.array_distinct("w")).alias("n_distinct"),
+        )
+    )
+
+
+@register(
+    "q_map_json_struct",
+    oracle="""
+        SELECT k, count(*) AS n,
+               CAST(min(event_id) AS BIGINT) AS min_event,
+               CAST(max(event_id) AS BIGINT) AS max_event
+        FROM (
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        )
+        GROUP BY k
+    """,
+    doc="JSON->struct parsing via from_json with an explicit schema "
+        "(vs get_json_object in q_json_events), then map-style access.",
+)
+def q_map_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    parsed = t.events.select(
+        "event_id",
+        F.from_json(F.col("props"), "k int").alias("p"),
+    )
+    return (
+        parsed.select("event_id", F.col("p.k").alias("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
+
+
+@register(
+    "q_datetime_extended",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(dayofweek(o_orderdate) AS INTEGER) + 1 AS dow,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+               CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+               CAST(o_orderdate + INTERVAL 3 MONTHS AS TIMESTAMP)
+                   AS plus_3m,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        FROM orders
+    """,
+    doc="Extended datetime family: quarter/dow/doy/weekofyear/last_day/"
+        "add_months/unix seconds. DuckDB dayofweek is 0-based Sunday; "
+        "Spark's is 1-based Sunday — oracle adds 1.",
+)
+def q_datetime_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3m"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "q_math_exact",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice, 1) AS price_r1,
+               floor(l_extendedprice) AS price_floor,
+               ceil(l_extendedprice) AS price_ceil,
+               abs(l_discount - 0.05) AS disc_dev,
+               sqrt(l_quantity) AS qty_sqrt,
+               CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+               CAST(l_orderkey % 97 AS BIGINT) AS key_mod
+        FROM lineitem
+    """,
+    doc="IEEE-deterministic math family (round/floor/ceil/abs/sqrt/sign/"
+        "mod) — transcendentals excluded by design (libm-dependent).",
+)
+def q_math_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        (F.col("l_orderkey") % 97).cast("bigint").alias("key_mod"),
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90,
+               median(o_totalprice) AS med
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (Spark percentile == DuckDB "
+        "quantile_cont, verified bit-identical).",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+    )
+
+
+@register(
+    "q_collect_ordered",
+    oracle="""
+        SELECT n_name,
+               array_to_string(list_sort(list(c_mktsegment)), '|')
+                   AS segments_sorted,
+               array_to_string(list_sort(list_distinct(list(c_mktsegment))),
+                               '|') AS segment_set
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    doc="collect_list/collect_set with explicit sort for deterministic "
+        "output (unordered collect is never hash-stable).",
+)
+def q_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_list("c_mktsegment")))
+            .alias("segments_sorted"),
+            F.concat_ws(
+                "|", F.sort_array(F.array_distinct(F.collect_list("c_mktsegment")))
+            ).alias("segment_set"),
+        )
+    )
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    doc="approx_count_distinct (HyperLogLog++) per group — the at-scale "
+        "substitute for exact countDistinct's full shuffle.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )

@@ -63,6 +63,7 @@ def load_all() -> dict[str, EngineQuery]:
     from .operators import (  # noqa: F401
         advanced,
         dedup,
+        functions_coverage,
         inference,
         multimodal,
         relational,

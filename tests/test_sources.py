@@ -1,0 +1,68 @@
+"""Source/sink coverage (SURVEY §2.1): synthetic generator invariants,
+CSV/JSONL/parquet round-trips, partitioned writes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_spark_pspd_spark.operators.wordcount import wordcount_df
+from hadoop_spark_pspd_spark.sources.generators import (
+    expected_corpus_stats,
+    synthetic_wordcount_corpus,
+)
+from hadoop_spark_pspd_spark.sources.readers import read_csv, read_jsonl
+from hadoop_spark_pspd_spark.sources.writers import write_jsonl, write_parquet
+
+
+def test_synthetic_generator_matches_reference_invariants(spark):
+    """The generator must reproduce the reference's counter structure
+    (Σcounts == tokens, distinct == vocab + files + lines)."""
+    files, lines = 4, 100
+    corpus = synthetic_wordcount_corpus(spark, files, lines)
+    stats = expected_corpus_stats(files, lines)
+    assert corpus.count() == stats["lines"]
+    wc = wordcount_df(corpus).agg(
+        F.sum("cnt").alias("tokens"), F.count("*").alias("distinct")
+    ).collect()[0]
+    assert wc["tokens"] == stats["tokens"]
+    assert wc["distinct"] == stats["distinct_words"]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25)], "id long, s string, v double"
+    )
+    out = str(tmp_path / "csv")
+    df.write.mode("overwrite").option("header", "true").csv(out)
+    back = read_csv(spark, out, schema="id long, s string, v double", header=True)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, {"a": "x"}), (2, {"b": "y"})], "id long, m map<string,string>"
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, schema="id long, m map<string,string>")
+    assert back.count() == 2
+    assert dict(back.filter("id = 1").collect()[0]["m"]) == {"a": "x"}
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(100)],
+        "id long, parity string",
+    )
+    out = str(tmp_path / "pq")
+    write_parquet(df, out, partition_by=["parity"])
+    assert (tmp_path / "pq" / "parity=even").exists()
+    back = spark.read.parquet(out).filter(F.col("parity") == "even")
+    assert back.count() == 50
+    # partition pruning: only the parity=even directory is scanned
+    plan = back._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan

@@ -71,7 +71,8 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols):
     exact = 0
     for i, (sr, dr) in enumerate(zip(s_sorted, d_sorted)):
         row_ok = all(_values_equal(a, b) for a, b in zip(sr, dr))
-        bit_ok = all(_norm(a) == _norm(b) for a, b in zip(sr, dr))
+        # repr-strict: catches int-vs-float type drift a driver hash would
+        bit_ok = all(repr(_norm(a)) == repr(_norm(b)) for a, b in zip(sr, dr))
         exact += bit_ok
         if not row_ok and len(problems) < 4:
             problems.append(f"row {i}: {sr} vs {dr}")
