@@ -70,6 +70,7 @@ def load_all() -> dict[str, EngineQuery]:
         similarity,
         streaming_queries,
         text_analysis,
+        tpch_like,
         wordcount,
     )
 

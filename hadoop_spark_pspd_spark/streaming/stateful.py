@@ -1,0 +1,69 @@
+"""Custom stateful streaming operator via applyInPandasWithState (T4).
+
+The reference's streaming surface is a built-in windowed count
+(docs/README.md:257); this is the engine's escape hatch for operators the
+built-ins can't express: arbitrary per-key state evolved across
+micro-batches. Demonstrated with a per-user running profile (event count,
+value sum, max gap between events) that survives batch boundaries — the
+state-store-backed analog of the reference's continuously-updating count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, max_gap_s double"
+)
+STATE_SCHEMA = "n bigint, total double, last_us bigint, max_gap_us bigint"
+
+
+def _update_user_profile(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's rows for one user into running state and
+    emit the updated profile."""
+    if state.exists:
+        n, total, last_us, max_gap_us = state.get
+    else:
+        n, total, last_us, max_gap_us = 0, 0.0, None, 0
+
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts_us, value in zip(
+            pdf["ts"].astype("int64") // 1000, pdf["value"]
+        ):
+            if last_us is not None:
+                max_gap_us = max(max_gap_us, ts_us - last_us)
+            last_us = int(ts_us)
+            n += 1
+            total += float(value)
+
+    state.update((n, total, last_us, max_gap_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "max_gap_s": [max_gap_us / 1e6],
+        }
+    )
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """events(user_id, ts, value) -> continuously-updated per-user profile."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_profile,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
