@@ -68,6 +68,7 @@ def load_all() -> dict[str, EngineQuery]:
         multimodal,
         relational,
         similarity,
+        streaming_enrich,
         streaming_queries,
         text_analysis,
         tpch_like,
