@@ -26,7 +26,67 @@ from hadoop_spark_pspd_spark.session import get_spark  # noqa: E402
 _SELF_MATERIALIZING = ("stream_hourly_counts", "stream_windowed_wordcount")
 
 
+def reference_wordcount(files: int = 12, lines_per_file: int = 3_000_000) -> None:
+    """Apples-to-apples vs BASELINE.md: materialize the reference's corpus
+    shape (generate_wordcount_data.sh defaults -> ~4.3 GB of text), then
+    run the full disk-scan WordCount the reference measured at ~551 s on
+    2x2 vcores (~7.9 MB/s). Prints one JSON line with bytes, seconds and
+    MB/s. Usage: python bench.py --reference-wordcount [files lines]"""
+    import shutil
+
+    from hadoop_spark_pspd_spark.operators.wordcount import (
+        wordcount_df,
+        wordcount_text_dir,
+    )
+    from hadoop_spark_pspd_spark.sources.generators import (
+        expected_corpus_stats,
+        synthetic_wordcount_corpus,
+    )
+
+    spark = get_spark("pspd_bench_refwc")
+    corpus_dir = "/tmp/pspd_refwc_corpus"
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    t0 = time.time()
+    synthetic_wordcount_corpus(spark, files, lines_per_file).write.mode(
+        "overwrite"
+    ).text(corpus_dir)
+    gen_s = time.time() - t0
+    n_bytes = sum(p.stat().st_size for p in Path(corpus_dir).glob("part-*"))
+
+    t0 = time.time()
+    wc = wordcount_text_dir(spark, corpus_dir)
+    agg = wc.agg(
+        {"cnt": "sum", "word": "count"}
+    ).collect()[0]
+    run_s = time.time() - t0
+    exp = expected_corpus_stats(files, lines_per_file)
+    assert agg[1] == exp["distinct_words"], (agg, exp)
+    assert agg[0] == exp["tokens"], (agg, exp)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "reference_scale_wordcount",
+                "value": round(run_s, 3),
+                "unit": "sec",
+                "input_bytes": n_bytes,
+                "mb_per_sec": round(n_bytes / run_s / 1e6, 1),
+                "distinct_words": agg[1],
+                "tokens": agg[0],
+                "generate_sec": round(gen_s, 3),
+                "baseline_sec": 551,
+                "baseline_mb_per_sec": 7.9,
+            }
+        )
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--reference-wordcount":
+        files = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+        lines = int(sys.argv[3]) if len(sys.argv) > 3 else 3_000_000
+        reference_wordcount(files, lines)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
     reg = load_all()

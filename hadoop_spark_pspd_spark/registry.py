@@ -71,6 +71,7 @@ def load_all() -> dict[str, EngineQuery]:
         streaming_enrich,
         streaming_queries,
         text_analysis,
+        timeseries,
         tpch_like,
         wordcount,
     )

@@ -31,9 +31,14 @@ def get_spark(
     """
     cpus = default_parallelism()
     master = master or f"local[{cpus}]"
+    # local mode = one JVM: driver memory is the only memory knob that
+    # matters (reference envelope was 2 GB/worker; this box has 128 GiB —
+    # the 1 GB Spark default OOMs a 4 GB WordCount shuffle)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
