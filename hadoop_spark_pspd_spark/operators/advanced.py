@@ -237,7 +237,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT r_name, c_mktsegment,
                count(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                    AS revenue
         FROM region
         JOIN nation   ON n_regionkey = r_regionkey
@@ -335,7 +335,7 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_having",
     oracle="""
         SELECT l_suppkey, count(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                    AS total_qty
         FROM lineitem
         GROUP BY l_suppkey

@@ -89,17 +89,43 @@ def _exact_jaccard_pairs(
     scale is that this semi-join shrinks the quadratic stage to the
     near-dup-dense sliver of the corpus.
     """
-    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n"))
-    verify_exploded = exploded
     if pairs is not None:
+        # Candidate-verification path: cut the shingle table down to
+        # candidate docs, collect each doc's shingle set once, and compute
+        # intersections per candidate pair with array_intersect — two
+        # joins on the (tiny) pair list instead of a shingle x shingle
+        # self-join. Counts are integers, so jaccard stays exact.
         cand_docs = (
             pairs.select(F.col("doc_a").alias("doc_id"))
             .union(pairs.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        verify_exploded = exploded.join(cand_docs, "doc_id", "left_semi")
-    a = verify_exploded.alias("a")
-    b = verify_exploded.alias("b")
+        doc_sets = (
+            exploded.join(cand_docs, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("s").alias("sh"))
+        )
+        joined = pairs.join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_a",
+        ).join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        c = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = c / (F.size("sh_a") + F.size("sh_b") - c)
+        return (
+            joined.filter(jac >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        )
+
+    sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
     common = (
         a.join(
             b,
@@ -112,8 +138,6 @@ def _exact_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
-    if pairs is not None:
-        common = common.join(pairs, ["doc_a", "doc_b"], "left_semi")
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
         common.join(

@@ -48,15 +48,15 @@ def dsum(c: Column | str) -> Column:
     "q1_pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -91,7 +91,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority,
                count(DISTINCT o_custkey) AS n_cust,
                count(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -110,7 +110,7 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup_revenue",
     oracle="""
         SELECT r_name, n_name,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
                count(*) AS n_orders
         FROM region
         JOIN nation   ON n_regionkey = r_regionkey
@@ -138,7 +138,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
@@ -161,8 +161,8 @@ def q_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
         SELECT l_orderkey,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
                o_orderdate, o_orderpriority
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -201,8 +201,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
         SELECT n_name,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -248,7 +248,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_top_customers",
     oracle="""
         SELECT c_custkey, c_name,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_spent,
                count(*) AS n_orders
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name
@@ -382,11 +382,11 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders GROUP BY 1, 2
         )
         SELECT o_orderpriority, day,
-               CAST(d AS DOUBLE) AS day_total,
-               CAST(SUM(d) OVER (
+               CAST(CAST(d AS VARCHAR) AS DOUBLE) AS day_total,
+               CAST(CAST(SUM(d) OVER (
                    PARTITION BY o_orderpriority ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) AS running_total
+               ) AS VARCHAR) AS DOUBLE) AS running_total
         FROM daily
     """,
     doc="Running total per group (window SUM over exact decimal).",
@@ -599,7 +599,7 @@ def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
                count(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1
     """,
@@ -647,7 +647,7 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
                count(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2
     """,

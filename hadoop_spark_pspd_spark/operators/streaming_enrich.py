@@ -57,7 +57,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_name, metric, CAST(value AS DOUBLE) AS value
         FROM (
             SELECT n_name,
-                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                        AS total_bal,
                    CAST(count(*) AS DOUBLE) AS n_cust,
                    CAST(max(c_acctbal) AS DOUBLE) AS max_bal

@@ -28,7 +28,7 @@ from ..registry import register
                    CAST(coalesce(minute, hour, day) AS TIMESTAMP) AS bucket,
                    event_type,
                    count(*) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                        AS sum_value
             FROM (
                 SELECT event_type, value,

@@ -20,8 +20,8 @@ from .relational import dec, dsum
 @register(
     "q6_forecast_revenue",
     oracle="""
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                    AS revenue,
                count(*) AS n
         FROM lineitem
@@ -122,12 +122,12 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_effect",
     oracle="""
-        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+        SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                              THEN CAST(l_extendedprice AS DECIMAL(18,4))
                                   * CAST(1 - l_discount AS DECIMAL(18,4))
-                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                          * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                    AS promo_ratio
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-06-01'
@@ -160,7 +160,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
         SELECT c_custkey, c_name, o_orderkey, o_totalprice,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                    AS total_qty
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -199,8 +199,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive",
     oracle="""
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                    AS revenue,
                count(*) AS n
         FROM lineitem JOIN part ON p_partkey = l_partkey

@@ -32,9 +32,10 @@ def get_spark(
     cpus = default_parallelism()
     master = master or f"local[{cpus}]"
     # local mode = one JVM: driver memory is the only memory knob that
-    # matters (reference envelope was 2 GB/worker; this box has 128 GiB —
-    # the 1 GB Spark default OOMs a 4 GB WordCount shuffle)
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g")
+    # matters. The 1 GB Spark default OOMs a 4 GB WordCount shuffle, but
+    # oversizing hurts too (64g measured ~+30% wall on small queries from
+    # GC behavior) — 16g handles the reference-scale corpus with headroom.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
