@@ -1,0 +1,77 @@
+"""Remaining string-function family + multiset set operations."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..registry import register
+
+
+@register(
+    "q_string_extras",
+    oracle="""
+        SELECT c_custkey,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+               split_part(c_name, '#', 1) AS name_prefix,
+               reverse(c_mktsegment) AS seg_rev,
+               repeat(substr(c_mktsegment, 1, 1), 3) AS initials,
+               CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+               starts_with(c_mktsegment, 'A') AS seg_a,
+               regexp_replace(c_name, '[0-9]+', 'N', 'g') AS name_masked,
+               left(c_mktsegment, 4) AS seg_head,
+               right(c_mktsegment, 2) AS seg_tail
+        FROM customer
+    """,
+    doc="String family extras: lpad/split_part/reverse/repeat/instr/"
+        "startswith/regexp_replace/left/right.",
+)
+def q_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.customer.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_prefix"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("initials"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.startswith(F.col("c_mktsegment"), F.lit("A")).alias("seg_a"),
+        F.regexp_replace("c_name", "[0-9]+", "N").alias("name_masked"),
+        F.substring("c_mktsegment", 1, 4).alias("seg_head"),
+        F.col("c_mktsegment").substr(
+            F.length("c_mktsegment") - 1, F.lit(2)
+        ).alias("seg_tail"),
+    )
+
+
+@register(
+    "q_multiset_ops",
+    oracle="""
+        WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45),
+             b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.08)
+        SELECT 'intersect_all' AS op, count(*) AS n
+            FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        UNION ALL
+        SELECT 'except_all' AS op, count(*) AS n
+            FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    """,
+    doc="Multiset INTERSECT ALL / EXCEPT ALL (bag semantics, not distinct).",
+)
+def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    a = t.lineitem.filter(F.col("l_quantity") > 45).select(
+        F.col("l_suppkey").alias("k")
+    )
+    b = t.lineitem.filter(F.col("l_discount") > 0.08).select(
+        F.col("l_suppkey").alias("k")
+    )
+
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(tag).alias("op"), F.col("n")
+        )
+
+    return tagged(a.intersectAll(b), "intersect_all").unionAll(
+        tagged(a.exceptAll(b), "except_all")
+    )

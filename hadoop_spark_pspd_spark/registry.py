@@ -70,6 +70,7 @@ def load_all() -> dict[str, EngineQuery]:
         similarity,
         streaming_enrich,
         streaming_queries,
+        strings_setops,
         text_analysis,
         timeseries,
         tpch_like,
