@@ -111,6 +111,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        # drop caches a query may have built (dedup pipelines cache the
+        # shingle table) so their GC doesn't land on the next query's clock
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
