@@ -1,12 +1,15 @@
 """Text column expressions: tokenization, shingles, normalization.
 
 Tokenizer parity note (SURVEY.md §7.3): the reference's batch WordCount uses
-Java StringTokenizer (whitespace-delimited, never emits empty tokens —
+Java StringTokenizer (delimiters " \\t\\n\\r\\f", never emits empty tokens —
 cluster/tools/run_fault_tests.py:26-30 invokes the stock Hadoop example);
-the streaming pipeline splits + uppercases (docs/README.md:257). We pin the
-engine rule to: split on ``\\s+``, drop empty tokens. The DuckDB oracle uses
-``string_split_regex(text, '\\s+')`` + the same empty filter, which matches
-this rule exactly on leading/trailing whitespace.
+the streaming pipeline splits + uppercases (docs/README.md:257). The engine
+rule is the EXPLICIT class ``[ \\t\\n\\r\\f]+`` + empty-token filter, not
+``\\s+``: Java regex ``\\s`` includes vertical tab (\\x0b) while DuckDB's
+RE2 ``\\s`` and StringTokenizer's delimiter set don't — found by the
+hypothesis property test. The explicit class means Spark, the DuckDB
+oracle (``string_split_regex(text, '[ \\t\\n\\r\\f]+')``) and the reference
+tokenizer agree on every input.
 """
 
 from __future__ import annotations
@@ -14,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-WHITESPACE_RE = r"\s+"
+WHITESPACE_RE = r"[ \t\n\r\f]+"
 
 
 def tokens(col: Column | str) -> Column:

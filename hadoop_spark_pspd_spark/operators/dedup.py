@@ -44,7 +44,7 @@ _JACCARD_ORACLE = f"""
                        range(1, greatest(len(w) - {SHINGLE_N - 1}, 0) + 1),
                        i -> array_to_string(w[i:i+{SHINGLE_N - 1}], ' '))) AS s
             FROM (SELECT doc_id,
-                         list_filter(string_split_regex(text, '\\s+'),
+                         list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
                                      x -> x <> '') AS w
                   FROM documents))
     ), sizes AS (
@@ -156,7 +156,7 @@ def _exact_jaccard_pairs(
 @register(
     "dedup_exact",
     oracle="""
-        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+        SELECT md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS fp,
                min(doc_id) AS keep_id,
                count(*) AS n_copies
         FROM documents

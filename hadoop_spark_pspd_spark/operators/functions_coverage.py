@@ -29,7 +29,7 @@ from .relational import dsum
                CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct
         FROM (
             SELECT doc_id,
-                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                   list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')
                        AS w
             FROM documents
         )

@@ -21,7 +21,7 @@ from ..registry import register
 POSITIVE = ("fast", "big", "value")
 NEGATIVE = ("slow", "small", "filter")
 
-_SQL_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_SQL_TOKENS = "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')"
 
 
 def _sql_hits(words: tuple[str, ...]) -> str:

@@ -98,7 +98,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                w[i] AS token
         FROM (
             SELECT doc_id,
-                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                   list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')
                        AS w
             FROM documents
         ), UNNEST(range(1, len(w) + 1)) AS t(i)

@@ -24,7 +24,7 @@ LANG_MARKERS = {
     "de": ("der", "die", "das", "und"),
 }
 
-_SQL_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_SQL_TOKENS = "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')"
 
 
 def _hits(toks: Column, words: tuple[str, ...]) -> Column:
@@ -154,10 +154,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
         SELECT doc_id,
-               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f]+', ' ', 'g'))
                    AS content_fp,
                md5(array_to_string(
-                   list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                   list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> ''),
                    ' ')) AS token_fp
         FROM documents
     """,

@@ -49,7 +49,7 @@ def write_tsv(df: DataFrame, out: str) -> None:
     "wc_words",
     oracle="""
         SELECT w AS word, count(*) AS cnt
-        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+        FROM (SELECT unnest(string_split_regex(text, '[ \\t\\n\\r\\f]+')) AS w
               FROM documents)
         WHERE w <> ''
         GROUP BY w
@@ -66,7 +66,7 @@ def wc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wc_top20",
     oracle="""
         SELECT w AS word, count(*) AS cnt
-        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+        FROM (SELECT unnest(string_split_regex(text, '[ \\t\\n\\r\\f]+')) AS w
               FROM documents)
         WHERE w <> ''
         GROUP BY w
@@ -88,7 +88,7 @@ def wc_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wc_upper_words",
     oracle="""
         SELECT upper(w) AS word, count(*) AS cnt
-        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w
+        FROM (SELECT unnest(string_split_regex(text, '[ \\t\\n\\r\\f]+')) AS w
               FROM documents)
         WHERE w <> ''
         GROUP BY upper(w)
