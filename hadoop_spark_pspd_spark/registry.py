@@ -68,6 +68,7 @@ def load_all() -> dict[str, EngineQuery]:
         multimodal,
         relational,
         similarity,
+        stats,
         streaming_enrich,
         streaming_queries,
         strings_setops,
