@@ -63,6 +63,14 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # a foreign session usually carries Spark's 200-partition default —
+    # wrong at both ends (overhead at test scale, undersized at 100 TB);
+    # size to the actual core count (streaming state ops don't get AQE
+    # coalescing, so this matters beyond cosmetics)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
     # events.parquet stores ts as TIMESTAMP(NANOS) which Spark has no type
     # for; read as long and floor-truncate to micros (catalog.Tables.events),
     # matching DuckDB's truncating ns->us read.
