@@ -99,6 +99,14 @@ def main() -> None:
     # query doesn't absorb session startup; total still reflects real work
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # higher-order-function lambdas (filter/transform) lazily load a chunk
+    # of Catalyst on first use (~2 s) — warm that path too
+    from pyspark.sql import functions as F
+
+    spark.range(1).select(
+        F.filter(F.array(F.lit("a")), lambda x: x != F.lit("")),
+        F.transform(F.sequence(F.lit(0), F.lit(1)), lambda i: i + 1),
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -2,9 +2,9 @@
 
 MinHash (SURVEY §7.1 step 6): per permutation i, h_i(shingle) =
 xxhash64(i, shingle); the signature component is min over the document's
-shingle set. Implemented as explode -> groupBy(doc).agg(min(h_i) for i) —
-a single shuffle, map-side partial min, no UDF, no driver materialization,
-so it scales linearly with corpus size.
+shingle set. Computed as array_min(transform(...)) over the per-doc
+collected shingle set — map-side, no UDF, no driver materialization, no
+shuffle beyond the collect_set the caller already needs.
 
 SimHash: 64-bit fingerprint where bit b = sign of sum over tokens of
 (+1 if bit b of xxhash64(token) else -1). Expressed with bitwise ops +
@@ -25,15 +25,23 @@ def minhash_components(shingle: Column, num_perm: int) -> list[Column]:
     ]
 
 
-def minhash_signature(
-    exploded: DataFrame, doc_col: str, shingle_col: str, num_perm: int
-) -> DataFrame:
-    """doc_col -> one row with columns mh0..mh{num_perm-1} (the signature)."""
-    hcols = [
-        F.min(F.xxhash64(F.lit(i), F.col(shingle_col))).alias(f"mh{i}")
+def minhash_components_from_set(
+    shingle_set: Column, num_perm: int, prefix: str = "mh"
+) -> list[Column]:
+    """Signature columns computed map-side from a per-doc shingle array.
+
+    Same sketch as the classic explode->groupBy(min) formulation
+    (h_i = xxhash64(i, s), component = min over the doc's set) but taking
+    the already-collected shingle array, so it adds NO shuffle: the LSH
+    verify step needs ``collect_set(shingle)`` anyway, and the signature
+    becomes a projection over that relation.
+    """
+    return [
+        F.array_min(
+            F.transform(shingle_set, lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"{prefix}{i}")
         for i in range(num_perm)
     ]
-    return exploded.groupBy(doc_col).agg(*hcols)
 
 
 def band_keys(sig_prefix: str, num_perm: int, bands: int) -> list[Column]:

