@@ -5,10 +5,13 @@ None exist in the reference (SURVEY §2.5-2.6: its workloads are single-input
 group-bys) — these are engine-surface operators the north star requires,
 with 100 TB-honest physical strategies:
 
-  * as-of join — Spark has no native one. Two implementations sharing one
-    oracle: (a) equi-join on the partition key + max_by(struct) aggregation
-    (one shuffle, map-side combinable); (b) applyInPandas merge_asof per
-    key group (Arrow-batched, the per-group-imperative escape hatch).
+  * as-of join — Spark has no native one. Three implementations sharing one
+    oracle: (a) union both tables + per-key window last(ignorenulls) — one
+    shuffle, NO join fanout (an event never pairs with more than its one
+    answer), the 100 TB default; (b) equi-join on the partition key +
+    max_by(struct) aggregation (one shuffle but event x prior-orders
+    fanout — kept as the comparison point); (c) applyInPandas merge_asof
+    per key group (Arrow-batched, the per-group-imperative escape hatch).
   * range join — bucketize the range key, equi-join on (key, bucket),
     filter the exact range: turns an inequality join (nested loop) into a
     hash join with bounded bucket fanout.
@@ -21,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
@@ -48,11 +51,72 @@ _ASOF_ORACLE = """
     "q_asof_join",
     oracle=_ASOF_ORACLE,
     doc="As-of join (latest order at-or-before each event, per user) via "
-        "equi-join + max_by(struct) — one shuffle, partial-aggregatable. "
-        "Ties broken by (o_orderdate, o_orderkey) DESC, deterministically.",
+        "union + per-user window last(ignorenulls): both inputs shuffle "
+        "once on user_id, a single sort resolves every event — no "
+        "event x prior-orders fanout, so cost is O(n log n) per user "
+        "regardless of order history length. Ties broken by "
+        "(o_orderdate, o_orderkey) DESC, deterministically.",
     bench=True,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    od = t.orders.select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_event"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    # at equal ts an order still qualifies (<=), so orders sort before
+    # events (is_event 0 < 1); among same-date orders ascending o_orderkey
+    # makes last() pick the max — the deterministic tie-break the oracle
+    # encodes with row_number() DESC
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event", "o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    best = F.last(
+        F.when(
+            F.col("is_event") == 0,
+            F.struct(
+                F.col("o_orderkey").alias("k"), F.col("o_orderdate").alias("d")
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.unionByName(od)
+        .withColumn("best", best)
+        .filter((F.col("is_event") == 1) & F.col("best").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("best.k").alias("last_orderkey"),
+            F.col("best.d").alias("last_orderdate"),
+        )
+    )
+
+
+@register(
+    "q_asof_join_maxby",
+    oracle=_ASOF_ORACLE,
+    doc="Same as-of join via equi-join + max_by(struct) aggregation — one "
+        "shuffle and partial-aggregatable, but with event x prior-orders "
+        "join fanout; kept as the physical-strategy comparison point for "
+        "q_asof_join (3x slower at sf0.1).",
+)
+def q_asof_join_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     joined = t.events.join(
         t.orders,
