@@ -236,3 +236,286 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM (
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4)) AS vol
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s_nationkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation nc ON nc.n_nationkey = c_nationkey
+            WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-pair trade volume by year — "
+        "fact-fact join with two broadcast dim chains (supplier->nation, "
+        "customer->nation) and a disjunctive cross-side predicate.",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ns = t.nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nc = t.nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nkey") == F.col("s_nationkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("c_nkey") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec(1 - F.col("l_discount")))
+            .cast("double").alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+        SELECT o_year,
+               CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   ns.n_name AS supp_nation,
+                   CAST(l_extendedprice AS DECIMAL(18,4))
+                       * CAST(1 - l_discount AS DECIMAL(18,4)) AS vol
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s_nationkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation nc ON nc.n_nationkey = c_nationkey
+            JOIN region   ON r_regionkey = nc.n_regionkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        )
+        GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: one nation's market share of a region's PROMO-part "
+        "purchases per year — conditional-sum ratio over a 7-table join "
+        "(all dims broadcast, facts shuffle once on orderkey).",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ns = t.nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nc = t.nation.select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_regionkey").alias("c_rkey"),
+    )
+    vol = dec("l_extendedprice") * dec(1 - F.col("l_discount"))
+    national = F.when(
+        F.col("supp_nation") == "NATION_5", vol
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.filter(F.col("p_type") == "PROMO")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nkey") == F.col("s_nationkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("c_nkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("c_rkey"),
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(national).cast("double") / F.sum(vol).cast("double"))
+            .alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+                   AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by returned-item revenue in a "
+        "quarter — date-sliced fact-fact join + broadcast dims + ranked "
+        "limit with unique tie-break.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * dec(1 - F.col("l_discount")))
+            .cast("double").alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q13_count_distribution",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: customer order-count histogram — outer join with "
+        "a join-side-only predicate, then two stacked aggregations.",
+)
+def q13_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t.customer.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                             * CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR)
+                        AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: supplier(s) with max quarterly revenue — grouped "
+        "revenue view + scalar-max subquery. Revenue doubles come from "
+        "exact decimal sums, so the equality is deterministic cross-engine.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * dec(1 - F.col("l_discount")))
+            .cast("double").alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS numcust,
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+                   AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+                SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR)
+                            AS DOUBLE) / count(*)
+                FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1997-01-01')
+        GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no recent "
+        "(1997+) orders, per segment — scalar-avg subquery (exact decimal "
+        "sum / count, one deterministic FP division) + anti join.",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    thr = (
+        t.customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (dsum("c_acctbal") / F.count("*")).alias("avg_bal")
+        )
+    )
+    return (
+        t.customer.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            t.orders.filter(
+                F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+            ).select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
