@@ -48,3 +48,43 @@ def test_wordcount_is_partial_final_agg(spark):
     df = wc_words(spark, SF_SMOKE)
     assert has_partial_aggregate(df)
     assert has_wholestage_codegen(df)
+
+
+def test_tpch_shapes_broadcast_all_dims(spark):
+    from hadoop_spark_pspd_spark.operators.tpch_like import (
+        q7_nation_volume,
+        q8_market_share,
+        q10_returned_items,
+        q15_top_supplier,
+        q22_idle_customers,
+    )
+
+    for q in (
+        q7_nation_volume,
+        q8_market_share,
+        q10_returned_items,
+        q15_top_supplier,
+        q22_idle_customers,
+    ):
+        df = q(spark, SF_SMOKE)
+        assert has_broadcast_join(df), q.__name__
+        # dims broadcast => the only SortMergeJoin allowed is fact-fact
+        plan = formatted_plan(df)
+        assert plan.count("SortMergeJoin") <= 1, q.__name__
+
+
+def test_q10_date_filter_pushdown(spark):
+    from hadoop_spark_pspd_spark.operators.tpch_like import q10_returned_items
+
+    assert has_pushed_filters(q10_returned_items(spark, SF_SMOKE))
+
+
+def test_asof_join_is_joinless_single_window(spark):
+    """The union+window as-of strategy must not plan a join at all — the
+    whole point is resolving each event without fanout."""
+    from hadoop_spark_pspd_spark.operators.advanced import q_asof_join
+
+    plan = formatted_plan(q_asof_join(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "Union" in plan
