@@ -260,3 +260,69 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_CLUSTER_ORACLE,
+    doc="Near-dup cluster assignment: connected components over the "
+        "verified Jaccard>=0.8 pair graph via iterative min-label "
+        "propagation (each round: label <- min(label, neighbors' labels); "
+        "converges in graph-diameter rounds — near-dup components are "
+        "quasi-cliques, so 2-3 rounds in practice). Per-round lineage is "
+        "truncated with localCheckpoint so the plan stays bounded. Oracle: "
+        "DuckDB recursive-CTE reachability closure. The keep-list for a "
+        "dedup pipeline is then doc_id == cluster_id.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("u", "v").cache()
+    labels = (
+        edges.select(F.col("u").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["u"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
