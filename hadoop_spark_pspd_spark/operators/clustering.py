@@ -1,0 +1,131 @@
+"""Embedding clustering: distributed Lloyd's k-means over ``embeddings``.
+
+A training-data-pipeline staple (cluster-then-sample curation, semantic
+sharding) the reference lacks entirely (its only iterative behavior is
+YARN's retry loop, run_fault_tests.py:229-297). Spark-first design:
+
+  * points never leave executors — per-iteration state is the k x dim
+    centroid table, which broadcasts;
+  * assignment = argmin over a broadcast cross join, computed with
+    zip_with/aggregate fold (JVM codegen, no UDF);
+  * centroid update = posexplode to (cluster, dim, coord), exact
+    DECIMAL(27,14) sums per (cluster, dim) -> deterministic means
+    regardless of partial-agg order, re-packed with sorted collect_list;
+  * fixed iteration count + lowest-vec_id init => bit-reproducible runs
+    (validated by tests/test_clustering.py); rows-only at the driver gate
+    because multi-round FP argmin isn't expressible as one SQL query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..registry import register
+
+K = 10
+ITERATIONS = 3
+_DEC = "decimal(27,14)"
+
+
+def _sq_dist(a, b):
+    """Sum of squared coordinate differences, folded left-to-right (a
+    fixed association order, so both engines of a rerun agree bitwise)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_points(pts: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id, dist): nearest centroid per point, ties to the
+    lowest cluster_id via lexicographic struct-min."""
+    scored = pts.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "emb",
+        F.struct(
+            _sq_dist(F.col("emb"), F.col("centroid")).alias("dist"),
+            F.col("cluster_id"),
+        ).alias("cand"),
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min("cand").alias("best"), F.first("emb").alias("emb"))
+        .select(
+            "vec_id",
+            "emb",
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.dist").alias("dist"),
+        )
+    )
+    return best
+
+
+def update_centroids(assigned: DataFrame) -> DataFrame:
+    """Element-wise mean per cluster: exact decimal sums per (cluster, dim),
+    one deterministic double division, repacked in dim order."""
+    per_dim = (
+        assigned.select(
+            "cluster_id", F.posexplode("emb").alias("dim", "coord")
+        )
+        .groupBy("cluster_id", "dim")
+        .agg(
+            (
+                F.sum(F.col("coord").cast(_DEC)).cast("double")
+                / F.count("*")
+            ).alias("mean")
+        )
+    )
+    return (
+        per_dim.groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("mean")))
+                ),
+                lambda s: s["mean"],
+            ).alias("centroid")
+        )
+    )
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=None,  # iterative FP argmin: not one SQL query; see module doc
+    doc="Lloyd's k-means (k=10, 3 iterations, lowest-vec_id init) over the "
+        "embedding vectors; returns (vec_id, cluster_id, dist). Broadcast "
+        "centroids, zip_with/aggregate distances, exact-decimal means — "
+        "no UDF, no driver-side point materialization.",
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_assignments(spark, sf_dir, ITERATIONS)
+
+
+def kmeans_assignments(
+    spark: SparkSession, sf_dir: str, iterations: int
+) -> DataFrame:
+    """Run Lloyd's for ``iterations`` rounds; see kmeans_embeddings."""
+    t = Tables(spark, sf_dir)
+    pts = t.embeddings.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    ).cache()
+    centroids = (
+        pts.orderBy("vec_id")
+        .limit(K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .alias("cluster_id"),
+            F.col("emb").alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        assigned = assign_points(pts, centroids)
+        centroids = update_centroids(assigned).localCheckpoint()
+    final = assign_points(pts, centroids)
+    return final.select(
+        "vec_id", "cluster_id", F.round("dist", 6).alias("dist")
+    )

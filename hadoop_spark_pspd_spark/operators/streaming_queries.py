@@ -114,3 +114,28 @@ def stream_windowed_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         F.col("cnt"),
     )
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming exact dedup via dropDuplicatesWithinWatermark on "
+        "(user_id, event_type) over the bounded events replay — the "
+        "streaming analog of dedup_exact: state holds one entry per key, "
+        "watermark bounds state lifetime on unbounded streams. Only the "
+        "key columns are emitted (which physical row survives is "
+        "arrival-order dependent; the key set is deterministic).",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    source = _events_stream(spark, sf_dir)
+
+    def transform(df: DataFrame) -> DataFrame:
+        return (
+            df.select("user_id", "event_type", "ts")
+            .withWatermark("ts", "365 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        )
+
+    result = run_bounded_stream(spark, source, transform, "append")
+    return result.select("user_id", "event_type")

@@ -62,6 +62,7 @@ def load_all() -> dict[str, EngineQuery]:
     """Import every operator module (side effect: registration)."""
     from .operators import (  # noqa: F401
         advanced,
+        clustering,
         dedup,
         functions_coverage,
         inference,
