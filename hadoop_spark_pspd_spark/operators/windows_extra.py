@@ -1,0 +1,136 @@
+"""Window-frame and aggregate-family extensions (SURVEY §2.6 / A4 depth).
+
+Covers the window surface the base queries don't: value-based RANGE
+frames (time-windowed running aggregates — the batch analog of the
+streaming sliding window), the rank-distribution family (ntile,
+percent_rank, cume_dist, nth_value), and the extended aggregate family
+(count_if, bool_and/bool_or, min_by/max_by, median). All oracle-checked;
+determinism via unique ORDER BY keys and exact-decimal sums throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..registry import register
+from .relational import dec
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+               ) AS VARCHAR) AS DOUBLE) AS weekly_spend
+        FROM orders
+    """,
+    doc="Value-based RANGE window frame: per-customer 7-day trailing spend. "
+        "Spark orders by unix_date with rangeBetween(-6, 0) — a logical "
+        "frame over day values, identical to the oracle's interval RANGE "
+        "because order dates are midnight-aligned. Peers share a frame, so "
+        "no tie-break is needed for determinism.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.to_date("o_orderdate")))
+        .rangeBetween(-6, 0)
+    )
+    return t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double")
+        .alias("weekly_spend"),
+    )
+
+
+@register(
+    "q_window_rank_family",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               nth_value(c_custkey, 2) OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_richest
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="Rank-distribution window family: ntile/percent_rank/cume_dist/"
+        "nth_value per market segment. The (c_acctbal, c_custkey) ORDER BY "
+        "is a total order, so every rank value is deterministic; "
+        "percent_rank and cume_dist are integer-ratio doubles (exact).",
+)
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("c_custkey", 2).over(wfull).alias("second_richest"),
+    )
+
+
+@register(
+    "q_agg_extras",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag, l_orderkey, l_quantity, l_discount, l_tax,
+                   l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey DESC
+                   ) AS rn_max,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice ASC, l_orderkey ASC
+                   ) AS rn_min
+        FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+               bool_and(l_discount <= 0.1) AS all_low_disc,
+               bool_or(l_tax > 0.07) AS any_high_tax,
+               max(CASE WHEN rn_max = 1 THEN l_orderkey END)
+                   AS priciest_order,
+               max(CASE WHEN rn_min = 1 THEN l_orderkey END)
+                   AS cheapest_order,
+               CAST(median(l_quantity) AS DOUBLE) AS median_qty
+        FROM ranked
+        GROUP BY l_returnflag
+    """,
+    doc="Extended aggregate family per return flag: count_if, bool_and/"
+        "bool_or, max_by/min_by with a unique (l_extendedprice, l_orderkey) "
+        "ordering struct (the oracle states the same pick as a row_number "
+        "argmax), and median over an int column (midpoint interpolation of "
+        "integers is FP-exact).",
+)
+def q_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    by_max = F.struct(F.col("l_extendedprice"), F.col("l_orderkey"))
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+            F.bool_and(F.col("l_discount") <= 0.1).alias("all_low_disc"),
+            F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+            F.max_by("l_orderkey", by_max).alias("priciest_order"),
+            F.min_by("l_orderkey", by_max).alias("cheapest_order"),
+            F.median("l_quantity").cast("double").alias("median_qty"),
+        )
+    )

@@ -77,6 +77,7 @@ def load_all() -> dict[str, EngineQuery]:
         text_pipeline,
         timeseries,
         tpch_like,
+        windows_extra,
         wordcount,
     )
 
