@@ -1,0 +1,116 @@
+"""Incremental-maintenance + semi-structured (Variant) operators.
+
+A 100 TB corpus is never rebuilt from scratch — it's upserted. The
+reference has no notion of updates (its outputs are overwrite-only,
+run_fault_tests.py:120), so this is engine surface for the north-star
+pipeline: MERGE expressed as pure join algebra (what Delta/Iceberg MERGE
+INTO lowers to when no transaction log is present), plus Spark 4 VARIANT
+ingestion for schema-on-read JSON — the scale-honest way to keep
+semi-structured event payloads queryable without a fixed schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..registry import register
+from .relational import dec
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+        WITH source AS (
+            SELECT o_orderkey AS key, 'U' AS status,
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                        * CAST(1.1 AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE)
+                       AS totalprice
+            FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_orderkey + 100000000 AS key, 'N' AS status,
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR)
+                        AS DOUBLE) AS totalprice
+            FROM orders WHERE o_orderkey % 7 = 3
+        ), target AS (
+            SELECT o_orderkey AS key, o_orderstatus AS status,
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR)
+                        AS DOUBLE) AS totalprice
+            FROM orders
+        )
+        SELECT COALESCE(t.key, s.key) AS key,
+               COALESCE(s.status, t.status) AS status,
+               COALESCE(s.totalprice, t.totalprice) AS totalprice,
+               CASE WHEN t.key IS NULL THEN 'insert'
+                    WHEN s.key IS NULL THEN 'keep'
+                    ELSE 'update' END AS action
+        FROM target t FULL OUTER JOIN source s ON t.key = s.key
+    """,
+    doc="MERGE/upsert as join algebra: a deterministic change set (updates "
+        "for key%5=0, inserts for key%7=3 at shifted keys) merged into "
+        "orders via full outer join + coalesce — matched rows update, "
+        "unmatched source rows insert, the rest keep. One shuffle on the "
+        "merge key; at scale the change set is typically small enough to "
+        "broadcast, making MERGE a map-side operation.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    target = t.orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        dec("o_totalprice").cast("double").alias("totalprice"),
+    )
+    updates = t.orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("U").alias("status"),
+        (dec("o_totalprice") * dec(F.lit(1.1))).cast("double")
+        .alias("totalprice"),
+    )
+    inserts = t.orders.filter(F.col("o_orderkey") % 7 == 3).select(
+        (F.col("o_orderkey") + 100000000).alias("key"),
+        F.lit("N").alias("status"),
+        dec("o_totalprice").cast("double").alias("totalprice"),
+    )
+    source = updates.unionByName(inserts)
+    tt = target.alias("t")
+    ss = source.alias("s")
+    return tt.join(ss, F.col("t.key") == F.col("s.key"), "full_outer").select(
+        F.coalesce(F.col("t.key"), F.col("s.key")).alias("key"),
+        F.coalesce(F.col("s.status"), F.col("t.status")).alias("status"),
+        F.coalesce(F.col("s.totalprice"), F.col("t.totalprice"))
+        .alias("totalprice"),
+        F.when(F.col("t.key").isNull(), "insert")
+        .when(F.col("s.key").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+@register(
+    "q_variant_events",
+    oracle="""
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k_bucket,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Spark 4 VARIANT ingestion: parse_json(props) once into a variant "
+        "column, then typed variant_get extraction — schema-on-read for "
+        "semi-structured payloads with the binary-encoded variant staying "
+        "columnar (no per-query JSON re-parse at scale).",
+)
+def q_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    v = t.events.select(
+        "event_type", F.parse_json("props").alias("pv")
+    )
+    return (
+        v.select(
+            "event_type",
+            F.variant_get("pv", "$.k", "int").alias("k_bucket"),
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count("*").alias("n"))
+    )

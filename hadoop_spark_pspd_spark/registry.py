@@ -65,6 +65,7 @@ def load_all() -> dict[str, EngineQuery]:
         clustering,
         dedup,
         functions_coverage,
+        incremental,
         inference,
         multimodal,
         relational,
