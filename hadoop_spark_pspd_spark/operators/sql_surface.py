@@ -1,0 +1,100 @@
+"""SQL-API surface: LATERAL correlated subqueries and Python UDTFs.
+
+Most engine queries declare plans through the DataFrame API; these two
+exercise the other entry points a reference user would reach for:
+ANSI LATERAL (Catalyst's DecorrelateInnerQuery path) and Spark 4 Python
+UDTFs (the sanctioned generator-UDF shape — Arrow-batched rows in,
+iterator of rows out). The UDTF is deliberately a slow-path demo: the
+engine's production tokenization stays in JVM higher-order functions
+(functions/text.py); parity between the two is exactly what the shared
+oracle checks.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import udtf
+
+from ..catalog import Tables
+from ..functions.text import WHITESPACE_RE
+from ..registry import register
+
+
+@register(
+    "q_sql_lateral",
+    oracle="""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) top_orders
+    """,
+    doc="ANSI LATERAL: top-2 orders per customer via a correlated ordered-"
+        "limit subquery — Catalyst decorrelates it into a ranked join "
+        "(one shuffle), the SQL-standard spelling of topk-per-group.",
+)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.register_views(prefix="pspd_")
+    return spark.sql("""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM pspd_customer,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM pspd_orders
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) top_orders
+    """)
+
+
+@udtf(returnType="bigram string")
+class _BigramUdtf:
+    """Word-bigram generator over one document's text.
+
+    Tokenizer rule matches functions/text.py (explicit class, no empties)
+    so the DuckDB oracle and the JVM tokenization agree on every input.
+    """
+
+    def eval(self, text: str):  # noqa: D102 - UDTF contract
+        toks = [w for w in re.split(WHITESPACE_RE, text or "") if w]
+        for a, b in zip(toks, toks[1:]):
+            yield (f"{a} {b}",)
+
+
+@register(
+    "q_udtf_bigrams",
+    oracle="""
+        SELECT bigram, count(*) AS n
+        FROM (
+            SELECT unnest(list_transform(
+                       range(1, greatest(len(w), 1)),
+                       i -> w[i] || ' ' || w[i+1])) AS bigram
+            FROM (SELECT list_filter(
+                             string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                             x -> x <> '') AS w
+                  FROM documents)
+        )
+        GROUP BY bigram
+    """,
+    doc="Python UDTF (Spark 4): per-document word-bigram generation via a "
+        "lateral UDTF call, then grouped counts. API-surface demo — the "
+        "equivalent JVM expression is transform+slice as in dedup "
+        "shingling, which is what production paths use.",
+)
+def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.register_views(prefix="pspd_")
+    spark.udtf.register("pspd_bigrams", _BigramUdtf)
+    return spark.sql("""
+        SELECT bigram, count(*) AS n
+        FROM pspd_documents, LATERAL pspd_bigrams(text)
+        GROUP BY bigram
+    """)

@@ -70,6 +70,7 @@ def load_all() -> dict[str, EngineQuery]:
         multimodal,
         relational,
         similarity,
+        sql_surface,
         stats,
         streaming_enrich,
         streaming_queries,
