@@ -1,0 +1,213 @@
+"""The composed training-data curation pipeline (north-star flagship).
+
+Chains the engine's curation stages over ``documents`` exactly the way a
+100 TB pretraining-data job would, each stage shuffle-bounded:
+
+  1. quality gate   — length + stopword-ratio bounds (text_analysis.py);
+     map-only.
+  2. exact dedup    — keep the lowest doc_id per normalized-content
+     fingerprint; one shuffle on the fingerprint.
+  3. near-dup dedup — MinHash-LSH candidates + exact-Jaccard verification
+     + connected components among the survivors (dedup.py machinery);
+     keep each component's lowest doc_id.
+
+Output is the curated keep-list (doc_id, n_tokens). The whole composition
+is DuckDB-oracled in ONE SQL statement (recursive CTE for the component
+step), so stage ordering — dedup only among quality survivors, clustering
+only among exact-dedup survivors — is pinned cross-engine, not just each
+stage in isolation. examples/training_data_pipeline.py extends the
+composition with chunking + sampling + a partitioned parquet sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..functions.hashing import band_keys, minhash_components_from_set
+from ..functions.text import normalized_text, tokens, word_shingles
+from ..registry import register
+from .dedup import BANDS, JACCARD_THRESHOLD, NUM_PERM, SHINGLE_N
+from .text_analysis import STOPWORDS, _hits, _sql_hits
+
+_PIPELINE_ORACLE = f"""
+    WITH RECURSIVE
+    tok AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, text, w, len(w) AS n_tokens
+        FROM tok
+        WHERE len(w) BETWEEN 10 AND 1000
+          AND CAST({_sql_hits(STOPWORDS)} AS DOUBLE) / len(w)
+              BETWEEN 0.01 AND 0.6
+    ),
+    exact_keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM quality
+        GROUP BY md5(regexp_replace(lower(trim(text)),
+                                    '[ \\t\\n\\r\\f]+', ' ', 'g'))
+    ),
+    surv AS (SELECT q.* FROM quality q JOIN exact_keep USING (doc_id)),
+    sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(w) - {SHINGLE_N - 1}, 0) + 1),
+                       i -> array_to_string(w[i:i+{SHINGLE_N - 1}], ' ')))
+                       AS s
+            FROM surv)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair_common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM pair_common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    dropped AS (
+        SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> min(v)
+    )
+    SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens
+    FROM surv s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, text): the curated corpus after all three gates."""
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = t.documents.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        _hits(toks, STOPWORDS).cast("bigint").alias("stop_hits"),
+    )
+    ratio = F.col("stop_hits").cast("double") / F.col("n_tokens")
+    quality = base.filter(
+        F.col("n_tokens").between(10, 1000) & ratio.between(0.01, 0.6)
+    )
+    # exact dedup: lowest doc_id per normalized-content fingerprint
+    fp_rank = Window.partitionBy(F.md5(normalized_text("text"))).orderBy(
+        "doc_id"
+    )
+    surv = (
+        quality.withColumn("rn", F.row_number().over(fp_rank))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "stop_hits")
+        .cache()
+    )
+    # near-dup components among survivors (single-shuffle LSH, dedup.py)
+    doc_sets = (
+        surv.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(word_shingles(tokens(F.col("text")), SHINGLE_N))
+            .alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("sh"))
+        .cache()
+    )
+    sig = doc_sets.select(
+        "doc_id", *minhash_components_from_set(F.col("sh"), NUM_PERM)
+    )
+    banded = sig.select("doc_id", *band_keys("mh", NUM_PERM, BANDS))
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(BANDS))
+    melted = banded.selectExpr(
+        "doc_id", f"stack({BANDS}, {stack_expr}) AS (band_idx, bh)"
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    joined = cand.join(
+        doc_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        doc_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
+    c = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = c / (F.size("sh_a") + F.size("sh_b") - c)
+    pairs = joined.filter(jac >= JACCARD_THRESHOLD).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("u", "v").cache()
+    labels = (
+        edges.select(F.col("u").alias("doc_id")).distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["u"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    dropped = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return surv.join(dropped, "doc_id", "left_anti")
+
+
+@register(
+    "pipeline_curate",
+    oracle=_PIPELINE_ORACLE,
+    doc="Composed curation pipeline: quality gate -> exact dedup -> "
+        "MinHash-LSH near-dup components, keeping each component's lowest "
+        "doc_id. One SQL statement (recursive CTE) oracles the WHOLE "
+        "composition, pinning stage ordering cross-engine.",
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curated_documents(spark, sf_dir).select("doc_id", "n_tokens")

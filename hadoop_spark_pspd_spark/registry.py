@@ -68,6 +68,7 @@ def load_all() -> dict[str, EngineQuery]:
         incremental,
         inference,
         multimodal,
+        pipeline,
         relational,
         similarity,
         sql_surface,
