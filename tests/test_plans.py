@@ -88,3 +88,51 @@ def test_asof_join_is_joinless_single_window(spark):
     assert "Window" in plan
     assert "Join" not in plan
     assert "Union" in plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A dim-filtered star join on a fact's partition column must prune
+    fact partitions at runtime (the 100 TB path: scan only joined shards)."""
+    t = Tables(spark, SF_SMOKE)
+    fact_dir = str(tmp_path / "orders_by_status")
+    t.orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+        fact_dir
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("O", 1), ("F", 0)], "status string, flag int"
+    ).filter(F.col("flag") == 1)
+    df = fact.join(dim, fact["o_orderstatus"] == dim["status"])
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runtime_bloom_filter_join(spark):
+    """With a selective creation side and a shuffle join, the runtime
+    bloom-filter rule pushes might_contain into the probe side. The
+    probe-side scan-size threshold (10GB default — sized for real
+    clusters) is lowered so test-scale data qualifies."""
+    t = Tables(spark, SF_SMOKE)
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sel_orders = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        df = (
+            t.lineitem.join(
+                sel_orders, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = formatted_plan(df)
+        assert "might_contain" in plan, plan[:3000]
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
