@@ -88,3 +88,84 @@ def test_decimal_sum_cross_engine_exact(spark, values):
     ).fetchone()[0]
     con.close()
     assert repr(s_val) == repr(d_val), (s_val, d_val)
+
+
+# --- as-of join: three physical strategies must agree on tie-heavy data ---
+
+_SMALL_INT = st.integers(min_value=0, max_value=3)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(
+        st.tuples(_SMALL_INT, _SMALL_INT), min_size=1, max_size=12
+    ),
+    orders=st.lists(
+        st.tuples(_SMALL_INT, _SMALL_INT), min_size=1, max_size=12
+    ),
+)
+def test_asof_join_strategies_agree(spark, tmp_path_factory, events, orders):
+    """union+window, join+max_by and cogrouped merge_asof are three
+    independent implementations of one operator; generated keys/timestamps
+    collide on purpose so the (o_orderdate, o_orderkey) tie-break is
+    actually exercised (the testdata tables have no such ties)."""
+    import pandas as pd
+
+    from hadoop_spark_pspd_spark.operators.advanced import (
+        q_asof_join,
+        q_asof_join_maxby,
+        q_asof_join_pandas,
+    )
+
+    sf = str(tmp_path_factory.mktemp("asof"))
+    ev = pd.DataFrame(
+        {
+            "event_id": range(len(events)),
+            "user_id": [u for u, _ in events],
+            "ts": pd.to_datetime([d for _, d in events], unit="D", utc=False),
+            "event_type": "x",
+            "value": 0.0,
+            "props": "{}",
+        }
+    )
+    # match the real events table's TIMESTAMP(NANOS) physical type so
+    # catalog.normalize_event_ts applies the same nanosAsLong read path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pandas(ev)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        pa.field("ts", pa.timestamp("ns")),
+        tbl["ts"].cast(pa.timestamp("ns")),
+    )
+    pq.write_table(tbl, f"{sf}/events.parquet", use_deprecated_int96_timestamps=False)
+    od = pd.DataFrame(
+        {
+            "o_orderkey": range(len(orders)),
+            "o_custkey": [u for u, _ in orders],
+            "o_orderstatus": "O",
+            "o_totalprice": 1.0,
+            "o_orderdate": pd.to_datetime(
+                [d for _, d in orders], unit="D", utc=False
+            ),
+            "o_orderpriority": "1-URGENT",
+        }
+    )
+    # microsecond precision: the engine session reads ns-typed parquet
+    # columns as long (nanosAsLong, events-specific), so orders must carry
+    # the us timestamps the real table has
+    od.to_parquet(
+        f"{sf}/orders.parquet", coerce_timestamps="us", engine="pyarrow"
+    )
+
+    a = q_asof_join(spark, sf).collect()
+    b = q_asof_join_maxby(spark, sf).collect()
+    c = q_asof_join_pandas(spark, sf).collect()
+    key = lambda r: (r.event_id, r.user_id, r.ts)  # noqa: E731
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sorted(map(tuple, a)) == sorted(map(tuple, c))
