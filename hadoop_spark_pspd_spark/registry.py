@@ -80,6 +80,7 @@ def load_all() -> dict[str, EngineQuery]:
         text_pipeline,
         timeseries,
         tpch_like,
+        tpch_like2,
         windows_extra,
         wordcount,
     )
