@@ -187,16 +187,22 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t.lineitem.join(
         F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey")
     )
+    # ONE fact scan: the global total is the sum of the per-part decimal
+    # sums (exact decimal addition is associative, unlike double), so it
+    # re-aggregates the small grouped result instead of re-scanning lineitem.
     per_part = base.groupBy("l_partkey").agg(
-        dsum("l_extendedprice").alias("part_value")
+        F.sum(dec("l_extendedprice")).alias("v_dec")
     )
-    total = base.agg(
-        (dsum("l_extendedprice") * F.lit(0.0001)).alias("threshold")
+    total = per_part.agg(
+        (F.sum("v_dec").cast("double") * F.lit(0.0001)).alias("threshold")
     )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("threshold"))
-        .select(F.col("l_partkey").alias("partkey"), "part_value")
+        .filter(F.col("v_dec").cast("double") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("v_dec").cast("double").alias("part_value"),
+        )
         .orderBy(F.desc("part_value"), F.asc("partkey"))
     )
 
@@ -270,14 +276,14 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t.lineitem.join(
         F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
     )
-    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (
-            F.lit(0.2)
-            * (F.sum(dec("l_quantity")).cast("double") / F.count("*"))
-        ).alias("qty_threshold")
+    # decorrelate with a window instead of agg+self-join: ONE scan of the
+    # fact and one shuffle on partkey, vs two scans in the naive plan
+    w = Window.partitionBy("l_partkey")
+    thr = F.lit(0.2) * (
+        F.sum(dec("l_quantity")).over(w).cast("double") / F.count("*").over(w)
     )
     return (
-        li.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
+        li.withColumn("qty_threshold", thr)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
@@ -333,7 +339,9 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
             F.col("r_regionkey") == F.col("n_regionkey"),
         )
-        .join(movers, "s_suppkey", "left_semi")
+        # movers <= |supplier| rows (grouped by suppkey): dimension-sized,
+        # safe to broadcast at any fact scale
+        .join(F.broadcast(movers), "s_suppkey", "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy(F.asc("s_name"), F.asc("s_suppkey"))
     )

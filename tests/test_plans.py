@@ -136,3 +136,60 @@ def test_runtime_bloom_filter_join(spark):
             ".applicationSideScanSizeThreshold"
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_tpch2_shapes_broadcast_all_dims(spark):
+    """Part-2 TPC-H family: every dim join broadcasts; at most the one
+    fact-fact join may sort-merge."""
+    from hadoop_spark_pspd_spark.operators.tpch_like2 import (
+        q2_min_cost_supplier,
+        q9_product_profit,
+        q11_important_parts,
+        q16_supplier_cnt,
+        q20_promo_suppliers,
+    )
+
+    for q in (
+        q2_min_cost_supplier,
+        q9_product_profit,
+        q11_important_parts,
+        q16_supplier_cnt,
+        q20_promo_suppliers,
+    ):
+        df = q(spark, SF_SMOKE)
+        assert has_broadcast_join(df), q.__name__
+        plan = formatted_plan(df)
+        assert plan.count("SortMergeJoin") <= 1, q.__name__
+
+
+def _shuffle_exchanges(plan: str) -> int:
+    """Unique shuffle-Exchange operators (details section lists each op
+    once as '(N) Exchange'; BroadcastExchange doesn't match)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange$", plan, flags=re.M))
+
+
+def test_q21_single_fact_shuffle(spark):
+    """Q21's EXISTS/NOT-EXISTS collapse: both window distinct-counts and
+    the order join share ONE orderkey shuffle; only the tiny final
+    per-supplier agg adds another."""
+    from hadoop_spark_pspd_spark.operators.tpch_like2 import (
+        q21_waiting_suppliers,
+    )
+
+    plan = formatted_plan(q21_waiting_suppliers(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert _shuffle_exchanges(plan) <= 2, plan[:2000]
+
+
+def test_q17_single_scan_window_decorrelation(spark):
+    """Q17's correlated-avg threshold is a window, not an agg+self-join:
+    exactly one lineitem scan in the plan."""
+    from hadoop_spark_pspd_spark.operators.tpch_like2 import (
+        q17_small_qty_revenue,
+    )
+
+    plan = formatted_plan(q17_small_qty_revenue(spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") <= 1, plan[:2000]
+    assert "Window" in plan
