@@ -139,3 +139,91 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     result = run_bounded_stream(spark, source, transform, "append")
     return result.select("user_id", "event_type")
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > 1800 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTES AS session_end,
+               count(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    doc="Streaming session_window() (30-min gap, reference T4 surface) "
+        "over the bounded events replay, complete output mode — the "
+        "incremental state-store path computes the same sessions the "
+        "batch q_session_window and the lag/cumsum oracle produce.",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    source = _events_stream(spark, sf_dir)
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        ).agg(F.count("*").alias("n_events"))
+
+    result = run_bounded_stream(spark, source, transform, "complete")
+    return result.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+        WITH g AS (
+            SELECT make_timestamp((epoch_us(ts) // (1800 * 1000000))
+                                  * (1800 * 1000000)) AS w0,
+                   event_type
+            FROM events
+        )
+        SELECT window_start, event_type, count(*) AS n
+        FROM (
+            SELECT w0 AS window_start, event_type FROM g
+            UNION ALL
+            SELECT w0 - INTERVAL 30 MINUTES AS window_start, event_type FROM g
+        )
+        GROUP BY window_start, event_type
+    """,
+    doc="Streaming SLIDING-window count (1 h window, 30 min slide — the "
+        "reference T1's optional sliding reading): every event lands in "
+        "exactly two epoch-aligned windows, which the oracle reproduces "
+        "as a two-way shifted-truncation UNION ALL.",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    source = _events_stream(spark, sf_dir)
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.window("ts", "1 hour", "30 minutes"), "event_type"
+        ).count()
+
+    result = run_bounded_stream(spark, source, transform, "complete")
+    return result.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        F.col("count").alias("n"),
+    )

@@ -109,3 +109,55 @@ def test_kafka_json_output_shape(spark, tmp_path):
     assert rec["word"] == "OLA"
     assert rec["count"] == 1
     assert set(rec["window"]) == {"start", "end"}
+
+
+def test_foreachbatch_idempotent_sink_exactly_once(spark, tmp_path):
+    """foreachBatch + overwrite-by-batchId = the exactly-once sink pattern
+    for stores without transactional streaming sinks: replaying a batch
+    (checkpoint restart) rewrites the same partition instead of
+    duplicating it. We simulate the replay by invoking the writer twice
+    with the same batch_id."""
+    rows = [
+        {"timestamp": "2024-01-01T00:00:10", "value": "a b"},
+        {"timestamp": "2024-01-01T00:01:10", "value": "b"},
+    ]
+    src_dir = _write_jsonl(tmp_path / "src", rows)
+    out_dir = str(tmp_path / "out")
+    schema = "timestamp timestamp, value string"
+    source = spark.readStream.schema(schema).json(src_dir)
+
+    seen = []
+
+    def write_batch(batch_df, batch_id):
+        seen.append(batch_id)
+        # dynamic partition overwrite: replace exactly this batch's
+        # partition, leave others intact
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    counted = source.select(
+        F.explode(F.split("value", r"\s+")).alias("word")
+    )
+    q = (
+        counted.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(out_dir)
+    n_first = first.count()
+    assert n_first == 3  # a, b, b
+
+    # simulate the post-failure replay of the SAME micro-batch
+    replay_df = spark.createDataFrame(
+        [("a",), ("b",), ("b",)], "word string"
+    )
+    write_batch(replay_df, seen[0])
+    again = spark.read.parquet(out_dir)
+    assert again.count() == n_first  # no duplication
