@@ -94,3 +94,129 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return binary_features(payloads)
+
+
+FRAME_SIZE = 64
+FRAME_STRIDE = 2  # sample every 2nd frame
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_md5 string"
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: treat each payload as a fixed-size frame
+    sequence ('video'), emit every FRAME_STRIDE-th frame's digest."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) + FRAME_SIZE - 1) // FRAME_SIZE
+            for i in range(0, n_frames, FRAME_STRIDE):
+                frame = payload[i * FRAME_SIZE : (i + 1) * FRAME_SIZE]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_len"].append(len(frame))
+                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "frame_len": pd.Series(out["frame_len"], dtype="int32"),
+                "frame_md5": pd.Series(out["frame_md5"], dtype="object"),
+            }
+        )
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """(doc_id, payload: binary) -> one row per sampled frame."""
+    return df.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(g AS INTEGER) AS frame_idx,
+               CAST(length(substring(text, g * {FRAME_SIZE} + 1,
+                                     {FRAME_SIZE})) AS INTEGER) AS frame_len,
+               md5(substring(text, g * {FRAME_SIZE} + 1, {FRAME_SIZE}))
+                   AS frame_md5
+        FROM documents, generate_series(0, 1000, {FRAME_STRIDE}) t(g)
+        WHERE g * {FRAME_SIZE} < length(text)
+    """,
+    doc="Frame sampling over an opaque binary 'video' column: mapInPandas "
+        "slices each payload into 64-byte frames and keeps every 2nd one. "
+        "documents.text is pure ASCII at every sf, so the SQL oracle's "
+        "char-substring equals the Python byte slicing. The 0..1000 "
+        "constant series stands in for a lateral generate_series (DuckDB "
+        "lacks lateral table-function args); the WHERE prunes it per doc.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    payloads = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return sample_frames(payloads)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, in_w int, in_h int, out_w int, out_h int"
+)
+RESIZE_TARGET_W = 64
+
+
+def _resize_dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fake-decode dims, then aspect-preserving
+    fit-to-width-64 resize (the geometry a real PIL thumbnail would use;
+    actual pixel resampling is behind the decode stub)."""
+    import math
+
+    for pdf in batches:
+        rows = {"doc_id": [], "in_w": [], "in_h": [], "out_w": [], "out_h": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            d = decode_media(payload, fake=True)
+            w, h = d["width"], d["height"]
+            out_h = int(math.floor(h * float(RESIZE_TARGET_W) / max(w, 1)))
+            rows["doc_id"].append(doc_id)
+            rows["in_w"].append(w)
+            rows["in_h"].append(h)
+            rows["out_w"].append(RESIZE_TARGET_W)
+            rows["out_h"].append(out_h)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "in_w": pd.Series(rows["in_w"], dtype="int32"),
+                "in_h": pd.Series(rows["in_h"], dtype="int32"),
+                "out_w": pd.Series(rows["out_w"], dtype="int32"),
+                "out_h": pd.Series(rows["out_h"], dtype="int32"),
+            }
+        )
+
+
+def resize_dims(df: DataFrame) -> DataFrame:
+    """(doc_id, payload: binary) -> input + fit-to-width-64 output dims."""
+    return df.mapInPandas(_resize_dims, schema=RESIZE_SCHEMA)
+
+
+@register(
+    "mm_resize",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 640 AS INTEGER) AS in_w,
+               CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS in_h,
+               CAST({RESIZE_TARGET_W} AS INTEGER) AS out_w,
+               CAST(floor(((octet_length(encode(text)) * 7) % 480)
+                          * {RESIZE_TARGET_W}.0
+                          / greatest(octet_length(encode(text)) % 640, 1))
+                    AS INTEGER) AS out_h
+        FROM documents
+    """,
+    doc="Aspect-preserving resize geometry over the fake-decoded dims via "
+        "mapInPandas — h*64.0/max(w,1) is one exact int-product double "
+        "division, floor'd, identical in numpy-free Python and SQL. The "
+        "pixel resampling itself sits behind the decode stub.",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    payloads = t.documents.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return resize_dims(payloads)

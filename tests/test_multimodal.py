@@ -33,3 +33,42 @@ def test_binary_features_roundtrip(spark):
     import hashlib
 
     assert rows[1]["payload_md5"] == hashlib.md5(b"hello").hexdigest()
+
+
+def test_frame_sampler_stride_and_partial_tail(spark):
+    from hadoop_spark_pspd_spark.operators.multimodal import (
+        FRAME_SIZE,
+        sample_frames,
+    )
+
+    # 2.5 frames -> frame idxs 0,1,2 exist; stride 2 keeps 0 and 2;
+    # frame 2 is the 32-byte partial tail
+    payload = "a" * (FRAME_SIZE * 2 + 32)
+    df = spark.createDataFrame(
+        [(1, payload), (2, "")], "doc_id long, text string"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    rows = sample_frames(df).collect()
+    by_key = {(r["doc_id"], r["frame_idx"]): r for r in rows}
+    assert set(by_key) == {(1, 0), (1, 2)}  # empty payload -> no frames
+    assert by_key[(1, 0)]["frame_len"] == FRAME_SIZE
+    assert by_key[(1, 2)]["frame_len"] == 32
+    import hashlib
+
+    assert (
+        by_key[(1, 2)]["frame_md5"]
+        == hashlib.md5(b"a" * 32).hexdigest()
+    )
+
+
+def test_resize_zero_width_guard(spark):
+    from hadoop_spark_pspd_spark.operators.multimodal import resize_dims
+
+    # len 640 -> fake width 640 % 640 == 0: the max(w,1) guard must keep
+    # the scale finite
+    df = spark.createDataFrame(
+        [(1, "x" * 640)], "doc_id long, text string"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    r = resize_dims(df).collect()[0]
+    assert r["in_w"] == 0
+    assert r["out_w"] == 64
+    assert r["out_h"] == (640 * 7 % 480) * 64  # /max(0,1)==1
