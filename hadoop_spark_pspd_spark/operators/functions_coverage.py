@@ -222,3 +222,45 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
     )
+
+
+@register(
+    "q_try_functions",
+    oracle="""
+        SELECT o_orderkey,
+               o_totalprice / NULLIF(o_orderkey % 5, 0) AS per_bucket,
+               TRY_CAST(string_split(o_orderpriority, '-')[1] AS INTEGER)
+                   AS prio_num,
+               TRY_CAST(o_orderpriority AS INTEGER) AS not_a_number,
+               string_split(o_orderpriority, '-')[3] AS missing_elem,
+               TRY_CAST(o_orderstatus AS BIGINT) AS status_num
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 500
+    """,
+    doc="Spark 4 error-safe function family (ANSI mode's escape hatches): "
+        "try_divide NULLs division-by-zero, try_cast NULLs bad parses, "
+        "try_element_at NULLs out-of-range access — mirrored in DuckDB by "
+        "NULLIF-guarded division, TRY_CAST, and its NULL-on-out-of-range "
+        "list indexing. per_bucket: double/int exact-input division, "
+        "deterministic cross-engine.",
+)
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    parts = F.split(F.col("o_orderpriority"), "-")
+    return (
+        t.orders.select(
+            "o_orderkey",
+            F.try_divide(
+                F.col("o_totalprice"), F.col("o_orderkey") % 5
+            ).alias("per_bucket"),
+            F.try_element_at(parts, F.lit(1))
+            .try_cast("int")
+            .alias("prio_num"),
+            F.col("o_orderpriority").try_cast("int").alias("not_a_number"),
+            F.try_element_at(parts, F.lit(3)).alias("missing_elem"),
+            F.col("o_orderstatus").try_cast("bigint").alias("status_num"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )

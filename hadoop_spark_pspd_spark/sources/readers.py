@@ -52,3 +52,8 @@ def rate_source(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
         .option("rowsPerSecond", rows_per_second)
         .load()
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan: same pushdown/pruning contract as parquet."""
+    return spark.read.orc(path)

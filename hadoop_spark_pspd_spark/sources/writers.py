@@ -26,3 +26,9 @@ def write_parquet(
 def write_jsonl(df: DataFrame, path: str) -> None:
     """Reference S5: one JSON object per line (run_fault_tests.py:235,261)."""
     df.write.mode("overwrite").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — the other columnar format large Hadoop-era estates hold;
+    zlib default, schema preserved like parquet."""
+    df.write.mode("overwrite").orc(path)

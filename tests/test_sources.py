@@ -13,6 +13,8 @@ from hadoop_spark_pspd_spark.sources.generators import (
 from hadoop_spark_pspd_spark.sources.readers import read_csv, read_jsonl
 from hadoop_spark_pspd_spark.sources.writers import write_jsonl, write_parquet
 
+from conftest import SF_SMOKE
+
 
 def test_synthetic_generator_matches_reference_invariants(spark):
     """The generator must reproduce the reference's counter structure
@@ -66,3 +68,21 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
         back._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC: schema-preserving roundtrip AND the same predicate-pushdown
+    contract as parquet (PushedFilters reaches the ORC scan)."""
+    from hadoop_spark_pspd_spark.plans.checks import formatted_plan
+    from hadoop_spark_pspd_spark.sources.readers import read_orc
+    from hadoop_spark_pspd_spark.sources.writers import write_orc
+
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    filtered = back.filter(F.col("o_orderkey") == 7).select("o_orderkey")
+    plan = formatted_plan(filtered)
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
