@@ -704,3 +704,40 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "q_skew_salted_join",
+    oracle="""
+        SELECT s_name,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+                    AS DOUBLE) AS total_qty,
+               count(*) AS n_items
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY s_name
+    """,
+    doc="Skew-resistant equi-join: the big side carries a deterministic "
+        "per-row salt (xxhash64 of the row, mod 8 — no rand(), so task "
+        "retries recompute identically), the small side is exploded 8x, "
+        "and the join key becomes (key, salt) — spreading one hot key "
+        "over 8 reducers. Results must equal the plain join, which is "
+        "exactly what the oracle computes.",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    t = Tables(spark, sf_dir)
+    big = t.lineitem.select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    small = t.supplier.select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    return (
+        salted_join(big, small, "suppkey", salt_n=8)
+        .groupBy("s_name")
+        .agg(
+            dsum("l_quantity").alias("total_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )

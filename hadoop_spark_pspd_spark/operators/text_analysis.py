@@ -171,3 +171,54 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalized_text("text")).alias("content_fp"),
         F.md5(F.concat_ws(" ", tokens(F.col("text")))).alias("token_fp"),
     )
+
+
+# GPT-2-style pre-tokenizer, lookahead-free so Java regex (Spark) and RE2
+# (DuckDB) agree: contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs. Leftmost-first alternation in both engines.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
+
+
+@register(
+    "text_bpe_tokens",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(bpe) AS INTEGER) AS n_bpe,
+               CAST(len(ws) AS INTEGER) AS n_ws,
+               len(bpe) / len(ws) AS bpe_per_ws,
+               bpe[1] AS first_tok,
+               bpe[-1] AS last_tok
+        FROM (
+            SELECT doc_id,
+                   regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+')
+                       AS bpe,
+                   list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        )
+        WHERE len(ws) > 0 AND len(bpe) > 0
+    """,
+    doc="BPE-ish token counting (north-star text pipeline): a GPT-2-style "
+        "pre-tokenizer regex kept lookahead-free so Spark's Java regex and "
+        "DuckDB's RE2 produce identical token streams; reported next to "
+        "whitespace token counts (tokens-per-word ratio = int/int, one "
+        "deterministic FP divide).",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    from ..functions.text import tokens
+
+    d = t.documents.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0).alias("bpe"),
+        tokens(F.col("text")).alias("ws"),
+    ).filter((F.size("ws") > 0) & (F.size("bpe") > 0))
+    return d.select(
+        "doc_id",
+        F.size("bpe").alias("n_bpe"),
+        F.size("ws").alias("n_ws"),
+        (F.size("bpe") / F.size("ws")).alias("bpe_per_ws"),
+        F.col("bpe").getItem(0).alias("first_tok"),
+        F.element_at("bpe", -1).alias("last_tok"),
+    )
