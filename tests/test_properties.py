@@ -169,3 +169,81 @@ def test_asof_join_strategies_agree(spark, tmp_path_factory, events, orders):
     key = lambda r: (r.event_id, r.user_id, r.ts)  # noqa: E731
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert sorted(map(tuple, a)) == sorted(map(tuple, c))
+
+
+# q21-shape equivalence: the windowed single-pass collapse must equal the
+# textbook EXISTS/NOT-EXISTS double self-join on adversarial order shapes
+# (single-supplier orders, all-late orders, ties where one supplier is
+# late twice in the same order).
+_li_row = st.tuples(
+    st.integers(min_value=1, max_value=6),   # orderkey
+    st.integers(min_value=1, max_value=4),   # suppkey
+    st.integers(min_value=0, max_value=120), # ship lag days
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(_li_row, min_size=1, max_size=30))
+def test_q21_window_collapse_equals_exists_formulation(spark, rows):
+    from pyspark.sql import Window
+
+    li = spark.createDataFrame(
+        [
+            (ok, sk, f"2024-01-{1 + lag % 28:02d}", lag > 60)
+            for ok, sk, lag in rows
+        ],
+        "l_orderkey long, l_suppkey long, ship string, is_late boolean",
+    )
+
+    # formulation A: window distinct-counts (the engine's plan)
+    w = Window.partitionBy("l_orderkey")
+    a = (
+        li.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            F.col("is_late")
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
+        .groupBy("l_suppkey")
+        .count()
+    )
+
+    # formulation B: textbook EXISTS (semi) + NOT EXISTS (anti) self-joins
+    other = li.select(
+        F.col("l_orderkey").alias("ok2"),
+        F.col("l_suppkey").alias("sk2"),
+        F.col("is_late").alias("late2"),
+    )
+    b = (
+        li.filter("is_late")
+        .join(
+            other,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            other.filter("late2"),
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_anti",
+        )
+        .groupBy("l_suppkey")
+        .count()
+    )
+
+    got = sorted(map(tuple, a.collect()))
+    exp = sorted(map(tuple, b.collect()))
+    assert got == exp
