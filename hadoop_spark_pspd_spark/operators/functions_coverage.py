@@ -264,3 +264,52 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(500)
     )
+
+
+@register(
+    "q_higher_order_funcs",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)
+                   AS n_pos,
+               len(list_filter(embedding, x -> x > 0.9)) > 0 AS any_big,
+               len(list_filter(embedding, x -> NOT (abs(x) < 10))) = 0
+                   AS all_small,
+               round(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(embedding,
+                           x -> greatest(least(CAST(x AS DOUBLE), 0.25),
+                                         -0.25))),
+                   (acc, v) -> acc + v), 6) AS clipped_sum,
+               CAST(embedding[1] AS DOUBLE) + CAST(embedding[-1] AS DOUBLE)
+                   AS ends_sum
+        FROM embeddings
+    """,
+    doc="Higher-order array functions stay JVM-side (SURVEY §2.9 Array "
+        "family, the Catalyst lambda path the vector ops build on): "
+        "filter/exists/forall/transform/aggregate vs DuckDB's "
+        "list_filter/list_reduce. clipped_sum accumulates doubles "
+        "left-to-right in BOTH engines (F.aggregate == list_reduce over a "
+        "0.0-prepended list), rounded to 6 per the similarity convention.",
+)
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e = F.col("embedding")
+    clip = lambda x: F.greatest(  # noqa: E731
+        F.least(x.cast("double"), F.lit(0.25)), F.lit(-0.25)
+    )
+    return t.embeddings.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.exists(e, lambda x: x > 0.9).alias("any_big"),
+        F.forall(e, lambda x: F.abs(x) < 10).alias("all_small"),
+        F.round(
+            F.aggregate(
+                F.transform(e, clip), F.lit(0.0), lambda acc, v: acc + v
+            ),
+            6,
+        ).alias("clipped_sum"),
+        (
+            e.getItem(0).cast("double") + F.element_at(e, -1).cast("double")
+        ).alias("ends_sum"),
+    )
