@@ -129,3 +129,46 @@ def kmeans_assignments(
     return final.select(
         "vec_id", "cluster_id", F.round("dist", 6).alias("dist")
     )
+
+
+@register(
+    "q_label_centroids",
+    oracle="""
+        SELECT label, dim,
+               CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,14)))
+                         AS VARCHAR) AS DOUBLE) / count(*) AS centroid_val,
+               count(*) AS n_vecs
+        FROM (
+            SELECT label,
+                   unnest(embedding) AS x,
+                   unnest(range(len(embedding))) AS dim
+            FROM embeddings
+        )
+        GROUP BY label, dim
+    """,
+    doc="Per-label mean embedding (the supervised-centroid / class-prototype "
+        "op a curation pipeline uses for label-conditioned filtering): "
+        "posexplode to (label, dim, coord), exact decimal sums, one final "
+        "double divide. NEW determinism rule proved here: float->decimal "
+        "must hop through the SHORTEST STRING REPR (.cast('string') / "
+        "CAST(x AS VARCHAR)) — both engines' direct float->decimal casts "
+        "disagree, but both print the same shortest-roundtrip decimal and "
+        "parse it identically. DuckDB's zipped unnest(range(len)) "
+        "reproduces posexplode's 0-based dim index.",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.embeddings.select(
+            "label", F.posexplode("embedding").alias("dim", "x")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("string").cast("decimal(27,14)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("centroid_val"),
+            F.count("*").alias("n_vecs"),
+        )
+    )

@@ -12,6 +12,11 @@ Cross-engine determinism conventions (this is why the oracle hash-matches):
     by an integer count — one deterministic double op;
   * similarity scores (sqrt involved, decimal impossible) are rounded to 6
     decimals on values of magnitude ~1 (ulp noise ~1e-14 << 5e-7 boundary);
+  * FLOAT columns entering decimal aggregation hop through the shortest
+    string repr (Spark .cast("string").cast("decimal"), DuckDB
+    CAST(CAST(x AS VARCHAR) AS DECIMAL)) — the engines' direct
+    float->decimal casts disagree, but both print and parse the same
+    shortest-roundtrip decimal (proved over every sf0.1 embedding value);
   * every top-k ORDER BY carries a unique tie-break column;
   * all computed columns are aliased identically in Spark and SQL.
 """
