@@ -296,3 +296,82 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(sim >= 0.4)
         .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
     )
+
+
+@register(
+    "sim_label_knn",
+    oracle=f"""
+        WITH cent AS (
+            SELECT label, dim,
+                   CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,14)))
+                             AS VARCHAR) AS DOUBLE) / count(*) AS cv
+            FROM (SELECT label, unnest(embedding) AS x,
+                         unnest(range(len(embedding))) AS dim
+                  FROM embeddings)
+            GROUP BY label, dim
+        ), cvec AS (
+            SELECT label, list(cv ORDER BY dim) AS centroid
+            FROM cent GROUP BY label
+        ), pairs AS (
+            SELECT cvec.label, e.vec_id,
+                   round(
+                       list_sum(list_transform(range(1, {DIM} + 1),
+                           i -> centroid[i] * CAST(e.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, {DIM} + 1),
+                              i -> centroid[i] * centroid[i])))
+                          * sqrt(list_sum(list_transform(range(1, {DIM} + 1),
+                              i -> CAST(e.embedding[i] AS DOUBLE)
+                                   * CAST(e.embedding[i] AS DOUBLE))))),
+                       6) AS sim
+            FROM cvec JOIN embeddings e ON TRUE
+        ), ranked AS (
+            SELECT label, vec_id, sim,
+                   row_number() OVER (
+                       PARTITION BY label ORDER BY sim DESC, vec_id
+                   ) AS rk
+            FROM pairs
+        )
+        SELECT label, vec_id, sim, rk FROM ranked WHERE rk <= {TOP_K}
+    """,
+    doc="Class-prototype kNN (hard-example mining): per-label centroid "
+        "(exact decimal means via the float->string->decimal hop), then "
+        "top-5 nearest embeddings by cosine to each centroid. Centroids "
+        "are dimension-sized -> broadcast; the corpus is scanned once. "
+        "Ordered collect (array_sort over (dim, value) structs) rebuilds "
+        "the centroid vector deterministically.",
+)
+def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cent = (
+        t.embeddings.select(
+            "label", F.posexplode("embedding").alias("dim", "x")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("string").cast("decimal(27,14)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("cv")
+        )
+    )
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+            lambda s: s.cv,
+        ).alias("centroid")
+    )
+    pairs = t.embeddings.select("vec_id", "embedding").crossJoin(
+        F.broadcast(cvec)
+    )
+    scored = pairs.select(
+        "label",
+        "vec_id",
+        F.round(cosine(F.col("centroid"), F.col("embedding")), 6).alias("sim"),
+    )
+    w = W.partitionBy("label").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("label", "vec_id", "sim", "rk")
+    )
