@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
@@ -74,4 +74,46 @@ def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return tagged(a.intersectAll(b), "intersect_all").unionAll(
         tagged(a.exceptAll(b), "except_all")
+    )
+
+
+@register(
+    "q_fuzzy_nearest_name",
+    oracle="""
+        WITH q AS (
+            SELECT c_custkey AS qk, c_name AS qn
+            FROM customer WHERE c_custkey < 100
+        ), pairs AS (
+            SELECT qk, c_custkey AS ck, levenshtein(qn, c_name) AS d
+            FROM q JOIN customer ON c_custkey <> qk
+        ), ranked AS (
+            SELECT qk, ck, d,
+                   row_number() OVER (PARTITION BY qk ORDER BY d, ck) AS rk
+            FROM pairs
+        )
+        SELECT qk, ck, d FROM ranked WHERE rk = 1
+    """,
+    doc="Entity-resolution primitive: nearest other customer name by "
+        "levenshtein edit distance for a query slice (unit costs in both "
+        "engines; integer distances, custkey tie-break). The slice "
+        "broadcasts; the corpus is scanned once - the same shape LSH "
+        "blocking would feed at 100 TB.",
+)
+def q_fuzzy_nearest_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    q = t.customer.filter(F.col("c_custkey") < 100).select(
+        F.col("c_custkey").alias("qk"), F.col("c_name").alias("qn")
+    )
+    pairs = t.customer.join(
+        F.broadcast(q), F.col("c_custkey") != F.col("qk")
+    ).select(
+        "qk",
+        F.col("c_custkey").alias("ck"),
+        F.levenshtein("qn", "c_name").alias("d"),
+    )
+    w = Window.partitionBy("qk").orderBy(F.asc("d"), F.asc("ck"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("qk", "ck", "d")
     )

@@ -86,3 +86,31 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     filtered = back.filter(F.col("o_orderkey") == 7).select("o_orderkey")
     plan = formatted_plan(filtered)
     assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def test_csv_malformed_row_handling(spark, tmp_path):
+    """Reader robustness on dirty input: PERMISSIVE nulls bad columns and
+    captures the raw line; DROPMALFORMED removes the row entirely."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    schema = "id int, qty int, _corrupt string"
+
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(p))
+    )
+    rows = {r["id"]: r for r in permissive.collect()}
+    assert rows[1]["qty"] == 10 and rows[1]["_corrupt"] is None
+    assert rows[2]["qty"] is None
+    assert rows[2]["_corrupt"] == "2,notanumber"
+
+    dropped = (
+        spark.read.schema("id int, qty int")
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
