@@ -227,3 +227,65 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("count").alias("n"),
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               date_diff('second', c.ts, p.ts) AS secs_to_purchase
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTES
+    """,
+    doc="Watermarked stream-stream equi-join (reference §2.5 engine "
+        "surface; state-store backed): clicks joined to same-user "
+        "purchases within the following 30 minutes, both sides replayed "
+        "from the bounded events source with 1-day watermarks. The time "
+        "bound lets Spark evict join state; the oracle is the plain "
+        "interval self-join.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 day")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    name = f"pspd_stream_sink_{next(_sink_counter)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("c_user").alias("user_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
+        (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+        ).alias("secs_to_purchase"),
+    )
