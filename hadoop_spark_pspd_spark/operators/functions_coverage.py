@@ -313,3 +313,47 @@ def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.getItem(0).cast("double") + F.element_at(e, -1).cast("double")
         ).alias("ends_sum"),
     )
+
+
+@register(
+    "q_map_hof_functions",
+    oracle="""
+        SELECT event_id,
+               'bucket=' || CAST(user_id % 4 AS VARCHAR)
+                   || ',src=EVENTS,type=' || upper(event_type) AS entries,
+               3 AS n_keys,
+               'bucket,src,type' AS keys_sorted
+        FROM events
+    """,
+    doc="Map higher-order family (SURVEY §2.9 Map): map_from_arrays -> "
+        "transform_values (upper) -> map_filter (drop a key) -> "
+        "map_concat (add provenance) -> sorted map_entries rendered as a "
+        "canonical string. The oracle computes the same final rendering "
+        "directly - map-typed columns never cross the comparison boundary "
+        "(entry order is undefined), only their sorted serialization.",
+)
+def q_map_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("status"), F.lit("bucket")),
+        F.array(
+            F.col("event_type"),
+            F.lower(F.col("event_type")),
+            (F.col("user_id") % 4).cast("string"),
+        ),
+    )
+    m = F.transform_values(m, lambda k, v: F.upper(v))
+    m = F.map_filter(m, lambda k, v: k != F.lit("status"))
+    m = F.map_concat(m, F.create_map(F.lit("src"), F.lit("EVENTS")))
+    entries = F.array_sort(F.map_entries(m))
+    return t.events.select(
+        "event_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                entries, lambda e: F.concat(e.key, F.lit("="), e.value)
+            ),
+        ).alias("entries"),
+        F.size(m).alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
+    )
