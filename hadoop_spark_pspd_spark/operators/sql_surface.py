@@ -98,3 +98,37 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pspd_documents, LATERAL pspd_bigrams(text)
         GROUP BY bigram
     """)
+
+
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE chain(root, node, depth) AS (
+        SELECT p_partkey, p_partkey, 0
+        FROM {part} WHERE p_partkey % 2 = 1
+        UNION ALL
+        SELECT c.root, p.p_partkey, c.depth + 1
+        FROM chain c JOIN {part} p ON p.p_partkey = c.node * 2
+    ), per_root AS (
+        SELECT root, CAST(max(depth) AS INTEGER) AS chain_len,
+               count(*) AS n_nodes
+        FROM chain GROUP BY root
+    )
+    SELECT chain_len, count(*) AS n_roots
+    FROM per_root GROUP BY chain_len
+"""
+
+
+@register(
+    "q_recursive_cte",
+    oracle=_RECURSIVE_CHAIN_SQL.format(part="part"),
+    doc="Spark 4 WITH RECURSIVE (iterative in-engine fixpoint, the "
+        "operator family behind graph reachability / BOM explosion): "
+        "doubling chains over part keys (node -> node*2 while present), "
+        "rooted at odd keys, reduced to a chain-length distribution. "
+        "IDENTICAL SQL text runs on both engines - only the view name "
+        "differs. The engine's connected-components dedup (dedup_clusters) "
+        "is the DataFrame-loop analog of the same fixpoint pattern.",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.part.createOrReplaceTempView("part_rcte")
+    return spark.sql(_RECURSIVE_CHAIN_SQL.format(part="part_rcte"))
