@@ -357,3 +357,34 @@ def q_map_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_keys"),
         F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
     )
+
+
+@register(
+    "q_percentile_disc",
+    oracle="""
+        SELECT o_orderpriority,
+               quantile_disc(o_totalprice, 0.25) AS p25d,
+               quantile_disc(o_totalprice, 0.5) AS p50d,
+               quantile_disc(o_totalprice, 0.9) AS p90d,
+               count(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="ANSI PERCENTILE_DISC WITHIN GROUP (Spark 3.4+ syntax) vs DuckDB "
+        "quantile_disc: discrete percentiles return actual data values "
+        "(no interpolation), so parity is exact by construction.",
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p25d"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50d"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p90d"),
+        F.count("*").alias("n"),
+    )

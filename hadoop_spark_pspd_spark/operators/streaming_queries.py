@@ -289,3 +289,33 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
         ).alias("secs_to_purchase"),
     )
+
+
+@register(
+    "stream_topk_words",
+    oracle="""
+        SELECT upper(event_type) AS word, count(*) AS cnt
+        FROM events
+        GROUP BY 1
+        ORDER BY cnt DESC, word
+        LIMIT 3
+    """,
+    doc="The reference's word-cloud top-k (SURVEY O2, spec'd-but-"
+        "unimplemented Kibana step) as a LIVE streaming query: complete "
+        "output mode allows ORDER BY + LIMIT on the continuously-updated "
+        "aggregate; the bounded replay's final frame equals batch top-k.",
+)
+def stream_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    source = _events_stream(spark, sf_dir)
+
+    def transform(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.upper("event_type").alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(3)
+        )
+
+    return run_bounded_stream(spark, source, transform, "complete")
