@@ -388,3 +388,40 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90d"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_listagg_pagination",
+    oracle="""
+        SELECT o_orderpriority,
+               string_agg(o_orderstatus, ',' ORDER BY o_orderstatus,
+                          o_orderkey) AS statuses,
+               count(*) AS n
+        FROM (
+            SELECT o_orderpriority, o_orderstatus, o_orderkey
+            FROM orders
+            ORDER BY o_orderkey
+            LIMIT 50 OFFSET 100
+        )
+        GROUP BY o_orderpriority
+    """,
+    doc="ANSI LISTAGG WITHIN GROUP (Spark 4) == DuckDB string_agg ORDER "
+        "BY, fed by a LIMIT/OFFSET page over a total order - the "
+        "pagination + ordered-string-aggregation pair a reporting layer "
+        "needs. Deterministic: unique orderkey total order, ordered agg.",
+)
+def q_listagg_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    page = (
+        t.orders.select("o_orderpriority", "o_orderstatus", "o_orderkey")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+    return page.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(o_orderstatus, ',') "
+            "WITHIN GROUP (ORDER BY o_orderstatus, o_orderkey)"
+        ).alias("statuses"),
+        F.count("*").alias("n"),
+    )
