@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import normalize_event_ts
@@ -319,3 +319,47 @@ def stream_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_bounded_stream(spark, source, transform, "complete")
+
+
+@register(
+    "stream_user_profiles",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, value,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS gap
+            FROM events
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(value ORDER BY ts)),
+                   (a, b) -> a + b) AS total_value,
+               COALESCE(max(gap), 0) / 1e6 AS max_gap_s
+        FROM seq GROUP BY user_id
+    """,
+    doc="CUSTOM STATEFUL operator (applyInPandasWithState, reference T4 "
+        "surface): per-user running profile folded across micro-batches "
+        "in event-time order. Normally rows-only territory, but the fold "
+        "is deterministic here - (user_id, ts) is unique at every sf, so "
+        "the Python float accumulation order is exactly ts order, which "
+        "the oracle replays with list_reduce over list(value ORDER BY "
+        "ts); gaps are integer microsecond diffs.",
+)
+def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    from ..streaming.stateful import user_profile_stream
+
+    source = _events_stream(spark, sf_dir)
+    result = run_bounded_stream(
+        spark, source, user_profile_stream, "update"
+    )
+    # update-mode memory sink appends one row per user per micro-batch;
+    # the LAST emission per user is the final profile
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        result.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "total_value", "max_gap_s")
+    )
