@@ -67,3 +67,73 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas: the successor API to
+# applyInPandasWithState — typed state handles (ValueState/ListState/
+# MapState), timers, and TTL. Same per-user profile, same determinism
+# argument: (user_id, ts) is unique, so the ts-ordered fold is replayable.
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0; the streaming runner additionally needs protobuf
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    import google.protobuf.descriptor  # noqa: F401
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover - older Spark / no usable protobuf
+    if "StatefulProcessor" not in dir():
+        StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """ValueState-backed fold: (n, total, last_us, max_gap_us) per user."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState(
+            "profile", STATE_SCHEMA
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            n, total, last_us, max_gap_us = self._state.get()
+        else:
+            n, total, last_us, max_gap_us = 0, 0.0, None, 0
+        for pdf in rows:
+            pdf = pdf.sort_values("ts")
+            for ts_us, value in zip(
+                pdf["ts"].astype("int64") // 1000, pdf["value"]
+            ):
+                if last_us is not None:
+                    max_gap_us = max(max_gap_us, ts_us - last_us)
+                last_us = int(ts_us)
+                n += 1
+                total += float(value)
+        self._state.update((n, total, last_us, max_gap_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_gap_s": [max_gap_us / 1e6],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profile_stream_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas flavor of user_profile_stream."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserProfileProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
