@@ -134,3 +134,71 @@ def q_agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.median("l_quantity").cast("double").alias("median_qty"),
         )
     )
+
+
+@register(
+    "q_window_ignore_nulls",
+    oracle="""
+        SELECT event_id, user_id,
+               last_value(purchase_val IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_purchase_val,
+               count(purchase_val) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS purchases_so_far
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'purchase' THEN value END
+                       AS purchase_val
+            FROM events
+        )
+    """,
+    doc="IGNORE NULLS window semantics (the carry-forward / last-"
+        "observation pattern the as-of join builds on): last purchase "
+        "value so far per user - sparse values carried over null gaps; "
+        "running non-null count alongside. Unique (ts, event_id) order.",
+)
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return t.events.select(
+        "event_id",
+        "user_id",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_val"),
+        F.count(pv).over(w).alias("purchases_so_far"),
+    )
+
+
+@register(
+    "q_group_by_all",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(year(l_shipdate) AS INT) AS ship_year,
+               count(*) AS n,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+                    AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+    """,
+    doc="Modern GROUP BY ALL (every non-aggregate select item becomes a "
+        "key) - same clause text in Spark 3.4+ SQL and DuckDB.",
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("lineitem_gba")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(year(l_shipdate) AS INT) AS ship_year,
+               count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem_gba
+        GROUP BY ALL
+    """)
