@@ -134,7 +134,7 @@ def kmeans_assignments(
 @register(
     "q_label_centroids",
     oracle="""
-        SELECT label, dim,
+        SELECT label, CAST(dim AS INTEGER) AS dim,
                CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(27,14)))
                          AS VARCHAR) AS DOUBLE) / count(*) AS centroid_val,
                count(*) AS n_vecs
@@ -144,7 +144,7 @@ def kmeans_assignments(
                    unnest(range(len(embedding))) AS dim
             FROM embeddings
         )
-        GROUP BY label, dim
+        GROUP BY label, CAST(dim AS INTEGER)
     """,
     doc="Per-label mean embedding (the supervised-centroid / class-prototype "
         "op a curation pipeline uses for label-conditioned filtering): "

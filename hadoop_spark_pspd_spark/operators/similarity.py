@@ -371,7 +371,7 @@ def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("label").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
         .select("label", "vec_id", "sim", "rk")
     )

@@ -109,7 +109,7 @@ def q_fuzzy_nearest_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "qk",
         F.col("c_custkey").alias("ck"),
-        F.levenshtein("qn", "c_name").alias("d"),
+        F.levenshtein("qn", "c_name").cast("long").alias("d"),
     )
     w = Window.partitionBy("qk").orderBy(F.asc("d"), F.asc("ck"))
     return (

@@ -79,7 +79,7 @@ def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.customer.select(
         "c_custkey",
         "c_mktsegment",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
         F.nth_value("c_custkey", 2).over(wfull).alias("second_richest"),
