@@ -57,3 +57,15 @@ def rate_source(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan: same pushdown/pruning contract as parquet."""
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Ingest opaque media files as (path, modificationTime, length,
+    content: binary) — the entry point of the multimodal pipeline
+    (operators/multimodal.py consumes the content column)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

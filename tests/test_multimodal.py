@@ -72,3 +72,30 @@ def test_resize_zero_width_guard(spark):
     assert r["in_w"] == 0
     assert r["out_w"] == 64
     assert r["out_h"] == (640 * 7 % 480) * 64  # /max(0,1)==1
+
+
+def test_binaryfile_ingestion_feeds_feature_extraction(spark, tmp_path):
+    """End-to-end multimodal ingestion: opaque files on disk -> binaryFile
+    source -> mapInPandas feature extraction. Closes the loop the
+    documents-table payloads only simulate."""
+    import hashlib
+
+    from hadoop_spark_pspd_spark.sources.readers import read_binary_files
+
+    blobs = {"a.img": b"\x89PNG-ish" * 10, "b.img": b"\x00\x01\x02"}
+    for fn, b in blobs.items():
+        (tmp_path / fn).write_bytes(b)
+    (tmp_path / "ignore.txt").write_text("not media")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.img")
+    assert df.count() == 2
+    feats = binary_features(
+        df.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("content").alias("payload"),
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+        ).select("doc_id", "payload")
+    )
+    got = sorted(r["payload_md5"] for r in feats.collect())
+    want = sorted(hashlib.md5(b).hexdigest() for b in blobs.values())
+    assert got == want
