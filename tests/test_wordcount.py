@@ -78,3 +78,32 @@ def test_text_dir_scan_and_tsv_sink(spark, tmp_path):
     # overwrite semantics (reference crashed without pre-delete —
     # reports/fault_test_20251115-181827.job.log:2; ours must not)
     write_tsv(wc, str(out))
+
+
+def test_cli_wordcount_roundtrip(spark, tmp_path):
+    """python -m hadoop_spark_pspd_spark wordcount: the reference's batch
+    entry point as an engine CLI (in-process to reuse the session)."""
+    import json
+
+    from hadoop_spark_pspd_spark.__main__ import main
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.txt").write_text("ola mundo\nola spark\n")
+    out = tmp_path / "out"
+    rc = main(["wordcount", str(src), str(out)])
+    assert rc == 0
+    lines = sorted(
+        line.split("\t")
+        for f in out.glob("part-*.csv")
+        for line in f.read_text().splitlines()
+    )
+    assert lines == [["mundo", "1"], ["ola", "2"], ["spark", "1"]]
+
+
+def test_cli_list_and_unknown(capsys):
+    from hadoop_spark_pspd_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "wc_words" in out and "[oracled]" in out
