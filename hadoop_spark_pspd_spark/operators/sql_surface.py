@@ -132,3 +132,44 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     t.part.createOrReplaceTempView("part_rcte")
     return spark.sql(_RECURSIVE_CHAIN_SQL.format(part="part_rcte"))
+
+
+@register(
+    "q_sql_udf",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))
+                             * CAST(0.9 AS DECIMAL(18,4))) AS VARCHAR)
+                    AS DOUBLE) AS discounted_total
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Spark 4 SQL-defined UDFs (CREATE FUNCTION ... RETURN expr): "
+        "declarative scalar functions that Catalyst INLINES into the plan "
+        "(no serialization boundary, full codegen - unlike Python UDFs). "
+        "The oracle inlines the same expressions by hand, proving the "
+        "UDF layer adds nothing semantically.",
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pspd_is_urgent(s STRING) "
+        "RETURNS BOOLEAN RETURN s IN ('1-URGENT', '2-HIGH')"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pspd_discounted(p DOUBLE) "
+        "RETURNS DECIMAL(38,8) "
+        "RETURN CAST(p AS DECIMAL(18,4)) * CAST(0.9 AS DECIMAL(18,4))"
+    )
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN pspd_is_urgent(o_orderpriority)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+               CAST(SUM(pspd_discounted(o_totalprice)) AS DOUBLE)
+                   AS discounted_total
+        FROM orders_sqludf
+        GROUP BY o_orderpriority
+    """)
