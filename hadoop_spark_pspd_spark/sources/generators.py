@@ -48,3 +48,54 @@ def expected_corpus_stats(files: int, lines_per_file: int) -> dict:
         "tokens": total_lines * (vocab_n + 2),
         "distinct_words": vocab_n + files + lines_per_file,
     }
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource: the same corpus as a NATIVE pluggable source —
+# `spark.read.format("pspd_corpus").option("files", 12).load()`. One input
+# partition per reference file (the reference's 12-file layout is the
+# partitioning), rows generated in-executor, no disk staging.
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _CorpusReader(DataSourceReader):
+        def __init__(self, options):
+            self.files = int(options.get("files", 12))
+            self.lines = int(options.get("lines_per_file", 1000))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.files)]
+
+        def read(self, partition):
+            f = partition.value
+            for line in range(self.lines):
+                yield (f"{FIXED_VOCAB} idx{f:02d} linha{line}",)
+
+    class CorpusDataSource(DataSource):
+        """format('pspd_corpus'): generate_wordcount_data.sh as a source."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pspd_corpus"
+
+        def schema(self) -> str:
+            return "value string"
+
+        def reader(self, schema):
+            return _CorpusReader(self.options)
+
+    HAS_PY_DATASOURCE = True
+except ImportError:  # pragma: no cover - Spark < 4
+    HAS_PY_DATASOURCE = False
+
+
+def register_corpus_source(spark: SparkSession) -> None:
+    """Idempotently register the pspd_corpus format on the session."""
+    if HAS_PY_DATASOURCE:
+        spark.dataSource.register(CorpusDataSource)

@@ -114,3 +114,31 @@ def test_csv_malformed_row_handling(spark, tmp_path):
         .csv(str(p))
     )
     assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+
+def test_python_datasource_corpus(spark):
+    """Spark 4 Python DataSource API: the reference corpus as a pluggable
+    format - per-file input partitions, in-executor generation, and the
+    same counter invariants as the shell generator."""
+    from hadoop_spark_pspd_spark.sources.generators import (
+        HAS_PY_DATASOURCE,
+        register_corpus_source,
+    )
+
+    if not HAS_PY_DATASOURCE:
+        import pytest as _pytest
+
+        _pytest.skip("Python DataSource API needs Spark >= 4")
+    register_corpus_source(spark)
+    df = (
+        spark.read.format("pspd_corpus")
+        .option("files", 3)
+        .option("lines_per_file", 50)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    stats = expected_corpus_stats(3, 50)
+    counts = wordcount_df(df)
+    total_tokens = counts.agg(F.sum("cnt")).collect()[0][0]
+    assert counts.count() == stats["distinct_words"]
+    assert total_tokens == stats["tokens"]
