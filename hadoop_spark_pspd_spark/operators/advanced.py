@@ -479,3 +479,76 @@ def q_union_all_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("amount"),
     )
     return a.unionByName(b)
+
+
+@register(
+    "q_asof_join_forward",
+    oracle="""
+        SELECT c.event_id, c.user_id, c.ts,
+               p.event_id AS next_purchase_id,
+               p.ts AS next_purchase_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN LATERAL (
+            SELECT event_id, ts
+            FROM events
+            WHERE user_id = c.user_id AND event_type = 'purchase'
+              AND ts >= c.ts
+            ORDER BY ts, event_id
+            LIMIT 1
+        ) p ON TRUE
+    """,
+    doc="FORWARD as-of join (funnel metric: each click's NEXT purchase "
+        "per user) - the mirror of q_asof_join's union+window strategy "
+        "run over an unbounded-FOLLOWING frame with first(ignorenulls). "
+        "Same single-shuffle cost regardless of how many purchases "
+        "follow; ties broken by (ts, event_id) ASC, matching the "
+        "LATERAL-limit-1 oracle.",
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("is_needle"),
+        F.lit(None).cast("bigint").alias("p_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_needle"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    # at equal ts the purchase still qualifies (>=): needles sort BEFORE
+    # same-ts purchases looking forward, so is_needle DESC; among same-ts
+    # purchases ascending p_id makes first() pick the min - the LATERAL
+    # ORDER BY ... LIMIT 1 tie-break
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.asc("ts"), F.desc("is_needle"),
+            F.asc("p_ts"), F.asc("p_id"),
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    best = F.first(
+        F.when(
+            F.col("is_needle") == 0,
+            F.struct(F.col("p_id").alias("k"), F.col("p_ts").alias("d")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("best", best)
+        .filter((F.col("is_needle") == 1) & F.col("best").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("best.k").alias("next_purchase_id"),
+            F.col("best.d").alias("next_purchase_ts"),
+        )
+    )

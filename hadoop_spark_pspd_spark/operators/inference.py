@@ -17,6 +17,7 @@ from pyspark.sql.types import DoubleType
 
 from ..catalog import Tables
 from ..registry import register
+from .relational import dec
 
 POSITIVE = ("fast", "big", "value")
 NEGATIVE = ("slow", "small", "filter")
@@ -76,3 +77,62 @@ def infer_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("neutral")
     )
     return scored.select("doc_id", "score", label.alias("label"))
+
+
+@register(
+    "q_cogroup_profile",
+    oracle="""
+        SELECT user_id,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               COALESCE(o.total_spend, 0.0) AS total_spend,
+               COALESCE(e.n_events, 0) AS n_events
+        FROM (SELECT DISTINCT user_id FROM (
+                  SELECT o_custkey AS user_id FROM orders
+                  UNION ALL SELECT user_id FROM events))
+        LEFT JOIN (
+            SELECT o_custkey AS user_id, count(*) AS n_orders,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                             AS VARCHAR) AS DOUBLE) AS total_spend
+            FROM orders GROUP BY 1) o USING (user_id)
+        LEFT JOIN (
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY 1) e USING (user_id)
+    """,
+    doc="Grouped COGROUP over two tables (SURVEY §2.11, the remaining "
+        "pandas-API surface): orders and events cogrouped per customer "
+        "key into one Arrow-batched pandas function that sees BOTH "
+        "groups side by side - the per-key merge pattern (feature "
+        "assembly, reconciliation) that a join + two aggs can't express "
+        "when the merge logic is imperative. Here the merge IS two aggs, "
+        "so the full-outer-join SQL oracles it exactly (decimal spend, "
+        "int counts).",
+)
+def q_cogroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    orders = t.orders.select(
+        F.col("o_custkey").alias("user_id"),
+        dec("o_totalprice").alias("price_dec"),
+    )
+    events = t.events.select("user_id")
+
+    def merge(key: tuple, odf: pd.DataFrame, edf: pd.DataFrame):
+        # decimal objects survive Arrow -> exact sum; cast to float once
+        total = float(sum(odf["price_dec"], 0)) if len(odf) else 0.0
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_orders": [len(odf)],
+                "total_spend": [total],
+                "n_events": [len(edf)],
+            }
+        )
+
+    return (
+        orders.groupBy("user_id")
+        .cogroup(events.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id bigint, n_orders bigint, total_spend double, "
+                   "n_events bigint",
+        )
+    )
