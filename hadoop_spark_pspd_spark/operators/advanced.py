@@ -552,3 +552,89 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.d").alias("next_purchase_ts"),
         )
     )
+
+
+@register(
+    "q_asof_join_nearest",
+    oracle="""
+        SELECT c.event_id, c.user_id, c.ts,
+               p.event_id AS nearest_purchase_id,
+               p.ts AS nearest_purchase_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN LATERAL (
+            SELECT event_id, ts
+            FROM events
+            WHERE user_id = c.user_id AND event_type = 'purchase'
+            ORDER BY abs(epoch_us(ts) - epoch_us(c.ts)), ts, event_id
+            LIMIT 1
+        ) p ON TRUE
+    """,
+    doc="NEAREST as-of join (minimum absolute time distance, either "
+        "direction) - completes the backward/forward family: one union, "
+        "one user_id shuffle, a backward and a forward window, then an "
+        "integer-microsecond distance compare picks the nearer side "
+        "(ties to the earlier purchase, which the oracle's ORDER BY "
+        "abs, ts encodes; (user_id, ts) uniqueness makes it total).",
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(1).alias("is_needle"),
+        F.lit(None).cast("bigint").alias("p_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_needle"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    u = clicks.unionByName(purchases)
+    p_struct = F.when(
+        F.col("is_needle") == 0,
+        F.struct(F.col("p_id").alias("k"), F.col("p_ts").alias("d")),
+    )
+    # backward: purchases at-or-before (needle sorts AFTER same-ts
+    # purchases: is_needle 0 < 1 asc)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("is_needle"), F.asc("p_ts"), F.asc("p_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: purchases at-or-after (needle sorts BEFORE same-ts purchases)
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_needle"), F.asc("p_ts"), F.asc("p_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    bwd = F.last(p_struct, ignorenulls=True).over(wb)
+    fwd = F.first(p_struct, ignorenulls=True).over(wf)
+    us = lambda c: F.unix_micros(c)  # noqa: E731
+    with_best = (
+        u.withColumn("bwd", bwd)
+        .withColumn("fwd", fwd)
+        .filter(F.col("is_needle") == 1)
+        .withColumn(
+            "best",
+            F.when(F.col("bwd").isNull(), F.col("fwd"))
+            .when(F.col("fwd").isNull(), F.col("bwd"))
+            .when(
+                us(F.col("ts")) - us(F.col("bwd.d"))
+                <= us(F.col("fwd.d")) - us(F.col("ts")),
+                F.col("bwd"),
+            )
+            .otherwise(F.col("fwd")),
+        )
+        .filter(F.col("best").isNotNull())
+    )
+    return with_best.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("best.k").alias("nearest_purchase_id"),
+        F.col("best.d").alias("nearest_purchase_ts"),
+    )
