@@ -332,9 +332,15 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey, c_name, c_acctbal
         FROM customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer)
+        WHERE c_acctbal > (
+            SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR)
+                        AS DOUBLE) / count(*) * 1.5
+            FROM customer)
     """,
-    doc="Uncorrelated scalar subquery in a predicate.",
+    doc="Uncorrelated scalar subquery in a predicate. The avg threshold is "
+        "computed via the exact-decimal path (sum DECIMAL(18,4) -> double / "
+        "count) so partial-aggregation summation order can't flip membership "
+        "of a boundary row between engines.",
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
@@ -342,7 +348,10 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT c_custkey, c_name, c_acctbal
         FROM pspd_customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM pspd_customer)
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                   / count(*) * 1.5
+            FROM pspd_customer)
     """)
 
 

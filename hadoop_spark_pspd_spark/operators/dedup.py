@@ -145,8 +145,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
     doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.8) via "
-        "inverted-index self-join.",
-    bench=True,
+        "inverted-index self-join. Correctness anchor only: join volume is "
+        "O(sum df^2), so the benched exact path is dedup_allpairs_prefix.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
@@ -341,6 +341,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cached full sets (same as the LSH tier). Same oracle as the "
         "naive inverted-index query - the point is identical output "
         "from a plan whose self-join input is ~5x smaller.",
+    bench=True,
 )
 def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)

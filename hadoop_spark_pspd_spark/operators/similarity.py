@@ -177,25 +177,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_ann_ivf",
-    oracle=None,  # approximate by construction; rows-only check
-    doc="ANN via IVF (inverted-file index): seeded k-means centroids as the "
-        "coarse quantizer, cells assigned by max dot product, queries probe "
-        "their nprobe=2 nearest cells, exact cosine rerank within probed "
-        "cells. The alternative scale path to hyperplane LSH: cell "
-        "assignment is one broadcast map-side pass, candidate lookup a "
-        "hash-joinable equi-join on cell id.",
-)
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    # coarse quantizer: seeded, deterministic, trained driver-side on a
-    # bounded sample (k*dim floats — tiny), then broadcast via literals
-    k_cells, nprobe, iters = 16, 2, 5
+def _train_coarse_quantizer(
+    emb: DataFrame, k_cells: int, iters: int = 5
+) -> np.ndarray:
+    """Seeded k-means coarse quantizer, trained driver-side on a bounded
+    sample (256 x DIM floats — tiny, documented Catalyst-OOM workaround)."""
     sample = np.array(
         [
             r[0]
-            for r in t.embeddings.select("embedding")
+            for r in emb.select("embedding")
             .orderBy("vec_id")
             .limit(256)
             .collect()
@@ -211,6 +201,23 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             members = sample[assign == c]
             if len(members):
                 centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=None,  # approximate by construction; rows-only check
+    doc="ANN via IVF (inverted-file index): seeded k-means centroids as the "
+        "coarse quantizer, cells assigned by max dot product, queries probe "
+        "their nprobe=2 nearest cells, exact cosine rerank within probed "
+        "cells. The alternative scale path to hyperplane LSH: cell "
+        "assignment is one broadcast map-side pass, candidate lookup a "
+        "hash-joinable equi-join on cell id.",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    k_cells, nprobe = 16, 2
+    centroids = _train_coarse_quantizer(t.embeddings, k_cells)
 
     # cell assignment via Arrow-batched numpy matmul — k*dim literal
     # expression trees would blow up Catalyst (observed driver OOM);
@@ -279,10 +286,104 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * sqrt(list_sum(list_transform(range(1, {DIM} + 1),
                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= 0.4
     """,
-    doc="Embedding-cosine near-dup pairs (sim >= 0.4), exact all-pairs at "
-        "test scale; production path is the LSH bucket prefilter.",
+    doc="Embedding-cosine near-dup pairs (sim >= 0.4) via a PROVABLY "
+        "COMPLETE cell-pair prefilter: assign every vector to its nearest "
+        "(max-cosine) coarse-quantizer centroid, track per-cell max angular "
+        "residual r_i, and only compare cell pairs (i,j) where the spherical "
+        "triangle inequality theta(ci,cj) <= theta_t + r_i + r_j can't rule "
+        "the pair out — so recall is 1 by construction (no LSH miss "
+        "probability) and candidates are exact-cosine verified. The plan is "
+        "a hash equi-join on cell ids, never an all-pairs theta-join; on "
+        "clustered real-world embeddings most cell pairs prune away, and on "
+        "an adversarially uniform corpus it degrades to block-partitioned "
+        "exact comparison, still shuffle-parallel. k_cells scales ~sqrt(n) "
+        "at 100 TB.",
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    threshold = 0.4
+    k_cells = 16
+    centroids = _train_coarse_quantizer(t.embeddings, k_cells)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def _assign(embs):
+        mat = np.stack(embs.values).astype(np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = unit @ cn.T
+        cell = cos.argmax(axis=1)
+        theta = np.arccos(
+            np.clip(cos[np.arange(len(cell)), cell], -1.0, 1.0)
+        )
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "theta": theta}
+        )
+
+    _assign.__annotations__ = {"embs": pd.Series, "return": pd.DataFrame}
+    assign_udf = F.pandas_udf(_assign, "cell int, theta double")
+
+    assigned = (
+        t.embeddings.select(
+            "vec_id", "embedding", assign_udf(F.col("embedding")).alias("a")
+        )
+        .select("vec_id", "embedding", "a.cell", "a.theta")
+        .cache()
+    )
+    # per-cell max residual angle: k_cells rows — bounded driver collect
+    radii = {
+        r["cell"]: r["r"]
+        for r in assigned.groupBy("cell")
+        .agg(F.max("theta").alias("r"))
+        .collect()
+    }
+    theta_t = math.acos(threshold)
+    cc = np.clip(cn @ cn.T, -1.0, 1.0)
+    cand_pairs = [
+        (i, j)
+        for i in sorted(radii)
+        for j in sorted(radii)
+        if i <= j
+        and math.acos(cc[i, j]) <= theta_t + radii[i] + radii[j] + 1e-6
+    ]
+    pair_df = spark.createDataFrame(cand_pairs, "ci int, cj int")
+    a = assigned.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("cell").alias("ci"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("cell").alias("cj"),
+    )
+    cand = (
+        a.join(F.broadcast(pair_df), "ci")
+        .join(b, "cj")
+        # same-cell blocks enumerate both orders — keep one; cross-cell
+        # blocks (ci < cj) enumerate each unordered pair exactly once
+        .filter((F.col("ci") < F.col("cj")) | (F.col("ida") < F.col("idb")))
+    )
+    # zip_with/aggregate cosine is numerically symmetric (per-index products
+    # commute, accumulation order is index order), so least/greatest
+    # reordering can't drift the rounded score vs the oracle's a<b layout
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return cand.filter(sim >= threshold).select(
+        F.least("ida", "idb").alias("vec_a"),
+        F.greatest("ida", "idb").alias("vec_b"),
+        F.round(sim, 6).alias("sim"),
+    )
+
+
+def neardup_allpairs_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-only exact all-pairs anchor for sim_embedding_neardup.
+
+    O(n^2) theta-join — correct at test scale, never registered/benched;
+    the registered query must equal this output exactly (recall-1 check in
+    tests/test_dedup_similarity.py).
+    """
     t = Tables(spark, sf_dir)
     a = t.embeddings.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")

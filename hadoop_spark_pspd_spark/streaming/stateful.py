@@ -76,13 +76,13 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
 # argument: (user_id, ts) is unique, so the ts-ordered fold is replayable.
 # ---------------------------------------------------------------------------
 
+from ._protobuf_compat import ensure_protobuf
+
 try:  # Spark >= 4.0; the streaming runner additionally needs protobuf
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
-    import google.protobuf.descriptor  # noqa: F401
-
-    _HAS_TWS = True
-except ImportError:  # pragma: no cover - older Spark / no usable protobuf
+    _HAS_TWS = ensure_protobuf()
+except ImportError:  # pragma: no cover - older Spark
     if "StatefulProcessor" not in dir():
         StatefulProcessor = object  # type: ignore[assignment,misc]
     _HAS_TWS = False
@@ -126,7 +126,20 @@ class UserProfileProcessor(StatefulProcessor):
 
 
 def user_profile_stream_tws(events: DataFrame) -> DataFrame:
-    """transformWithStateInPandas flavor of user_profile_stream."""
+    """transformWithStateInPandas flavor of user_profile_stream.
+
+    TWS state lives in named column families, which only the RocksDB
+    state store provider supports (HDFSBackedStateStoreProvider throws
+    STATE_STORE_MULTIPLE_COLUMN_FAMILIES) — pin it for the session; it is
+    also the at-scale backend (bounded state memory, changelog
+    checkpointing), and test_stateful_query_on_rocksdb_state_store pins
+    result parity with the default provider.
+    """
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state"
+        ".RocksDBStateStoreProvider",
+    )
     return (
         events.select("user_id", "ts", "value")
         .groupBy("user_id")

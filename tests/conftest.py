@@ -8,6 +8,12 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from hadoop_spark_pspd_spark.session import get_spark
+from hadoop_spark_pspd_spark.streaming._protobuf_compat import ensure_protobuf
+
+# must run BEFORE the JVM starts: extends PYTHONPATH so Spark's Python
+# workers inherit the protobuf shim (tools/pyshim/sitecustomize.py) that
+# transformWithStateInPandas needs on this image
+ensure_protobuf()
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_GATE = "/root/testdata/sf0.01"

@@ -106,3 +106,33 @@ def test_cosine_topk_identical_vector_is_top1(spark):
     top = sorted(res, key=lambda r: r["rk"])
     assert top[0]["candidate_id"] == 1 and top[0]["sim"] == 1.0
     assert top[1]["candidate_id"] == 3
+
+
+def test_neardup_bucketed_equals_allpairs_anchor(spark):
+    """Registered cell-pair-prefiltered near-dup must equal the exact
+    O(n^2) anchor — recall 1 by the spherical triangle inequality."""
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        neardup_allpairs_anchor,
+        sim_embedding_neardup,
+    )
+
+    got = {
+        (r["vec_a"], r["vec_b"], r["sim"])
+        for r in sim_embedding_neardup(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (r["vec_a"], r["vec_b"], r["sim"])
+        for r in neardup_allpairs_anchor(spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_neardup_plan_has_no_nested_loop_join(spark):
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        sim_embedding_neardup,
+    )
+    from hadoop_spark_pspd_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(sim_embedding_neardup(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

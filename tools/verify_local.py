@@ -108,6 +108,10 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # queries cache() intermediates; a 129-query session would
+            # accumulate them all without a per-query clear (ADVICE r01)
+            spark.catalog.clearCache()
         if q.oracle is None:
             print(
                 f"weak  {name}: rows-only ({len(spark_rows)} rows, "
