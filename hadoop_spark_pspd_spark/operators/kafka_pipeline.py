@@ -1,0 +1,122 @@
+"""The reference's Kafka pipeline (S3/S4), executed end-to-end over a live
+broker socket.
+
+Reference docs/README.md:255-257,265: Kafka topic ``canalinput`` -> Spark
+Structured Streaming windowed word count -> JSON records to ``canaloutput``.
+This query runs that loop for real against the in-process wire-protocol
+broker (sources/kafka_wire.py — the dev image has no Kafka distribution):
+
+  1. batch-produce the events table (value=event_type, event timestamp)
+     to ``canalinput`` from the executors,
+  2. stream-consume ``canalinput`` with offset-tracked micro-batches,
+     apply the reference's windowed wordcount (1-hour tumbling windows,
+     watermarked), and produce the JSON records to ``canaloutput``,
+  3. batch-consume ``canaloutput``, parse the JSON, and return
+     (word, window_start, window_end, cnt).
+
+The DuckDB oracle recomputes the same hourly count straight from the
+events table, so the hash gate checks the whole loop: producer wire
+encoding, broker log, consumer offsets, event-time windowing, JSON
+round-trip. Millisecond message timestamps can't drift an hour window
+(floor-to-ms never crosses an hour boundary downward).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..registry import register
+from ..sources.kafka_datasource import register_kafka_wire_source
+from ..sources.kafka_wire import KafkaWireBroker
+from ..streaming.wordcount_stream import (
+    INPUT_TOPIC,
+    OUTPUT_TOPIC,
+    kafka_wire_sink,
+    kafka_wire_source,
+    windowed_wordcount,
+)
+
+# one live broker per process; replaced per invocation so reruns start
+# from empty logs (the previous invocation's lazy result DataFrames die
+# with its broker, like rerun-scoped memory-sink names elsewhere)
+_BROKER: KafkaWireBroker | None = None
+
+
+def _fresh_broker() -> KafkaWireBroker:
+    global _BROKER
+    if _BROKER is not None:
+        _BROKER.shutdown()
+    _BROKER = KafkaWireBroker(n_partitions=2)
+    return _BROKER
+
+
+@register(
+    "stream_kafka_roundtrip",
+    oracle="""
+        SELECT upper(event_type) AS word,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP)
+                   AS window_end,
+               count(*) AS cnt
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    doc="Reference Kafka pipeline S3/S4 end-to-end over a live broker "
+        "socket: produce events to canalinput, stream windowed wordcount, "
+        "JSON to canaloutput, consume + parse back. Oracle recomputes the "
+        "hourly counts from the source table, hash-checking the full loop.",
+)
+def stream_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    register_kafka_wire_source(spark)
+    broker = _fresh_broker()
+
+    # 1. producer side: executors push (event_type, event-time ts) messages
+    (
+        t.events.select(
+            F.col("event_type").alias("value"), F.col("ts").alias("timestamp")
+        )
+        .write.format("kafkawire")
+        .mode("append")
+        .option("bootstrap", broker.bootstrap)
+        .option("topic", INPUT_TOPIC)
+        .save()
+    )
+
+    # 2. the reference pipeline: stream consume -> windowed count -> JSON
+    src = kafka_wire_source(spark, broker.bootstrap, INPUT_TOPIC)
+    agg = windowed_wordcount(
+        src, window_duration="1 hour", watermark_delay="1 hour"
+    )
+    query = kafka_wire_sink(
+        agg,
+        broker.bootstrap,
+        OUTPUT_TOPIC,
+        checkpoint=tempfile.mkdtemp(prefix="pspd_kafka_rt_"),
+    )
+    query.awaitTermination()
+
+    # 3. consumer side: parse the JSON records back into columns
+    out_schema = (
+        "word string, count bigint, "
+        "window struct<start:timestamp,end:timestamp>"
+    )
+    return (
+        spark.read.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("subscribe", OUTPUT_TOPIC)
+        .load()
+        .select(
+            F.from_json(F.col("value").cast("string"), out_schema).alias("j")
+        )
+        .select(
+            F.col("j.word").alias("word"),
+            F.col("j.window.start").alias("window_start"),
+            F.col("j.window.end").alias("window_end"),
+            F.col("j.count").alias("cnt"),
+        )
+    )

@@ -72,6 +72,7 @@ def load_all() -> dict[str, EngineQuery]:
         functions_coverage,
         incremental,
         inference,
+        kafka_pipeline,
         multimodal,
         pipeline,
         relational,

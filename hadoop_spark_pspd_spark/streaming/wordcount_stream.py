@@ -100,3 +100,53 @@ def kafka_sink(
         .outputMode(output_mode)
         .start()
     )
+
+
+def kafka_wire_source(spark, bootstrap: str, topic: str = INPUT_TOPIC) -> DataFrame:
+    """S3 over the engine's wire-protocol source (sources/kafka_datasource):
+    same subscribe semantics and output shape as kafka_source, no connector
+    jar needed — offset-tracked micro-batches from a live broker socket."""
+    from ..sources.kafka_datasource import register_kafka_wire_source
+
+    register_kafka_wire_source(spark)
+    return (
+        spark.readStream.format("kafkawire")
+        .option("bootstrap", bootstrap)
+        .option("subscribe", topic)
+        .load()
+        .select(
+            F.col("value").cast("string").alias("value"),
+            F.col("timestamp").alias("timestamp"),
+        )
+    )
+
+
+def kafka_wire_sink(
+    df: DataFrame,
+    bootstrap: str,
+    topic: str = OUTPUT_TOPIC,
+    checkpoint: str = "/tmp/pspd_stream_wire_ckpt",
+    output_mode: str = "update",
+):
+    """S4 over the wire-protocol sink. Python DataSource stream writers
+    only take append/complete, so update mode goes through foreachBatch ->
+    batch producer (still executor-side, per-partition) — the standard
+    Structured Streaming pattern for sinks without native update support."""
+    json_df = to_kafka_json(df)
+
+    def _produce(batch_df: DataFrame, _epoch: int) -> None:
+        (
+            batch_df.write.format("kafkawire")
+            .mode("append")
+            .option("bootstrap", bootstrap)
+            .option("topic", topic)
+            .save()
+        )
+
+    return (
+        json_df.writeStream.foreachBatch(_produce)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
