@@ -67,6 +67,7 @@ def load_all() -> dict[str, EngineQuery]:
     """Import every operator module (side effect: registration)."""
     from .operators import (  # noqa: F401
         advanced,
+        bucketing,
         clustering,
         dedup,
         functions_coverage,

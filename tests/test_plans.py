@@ -193,3 +193,22 @@ def test_q17_single_scan_window_decorrelation(spark):
     plan = formatted_plan(q17_small_qty_revenue(spark, SF_SMOKE))
     assert plan.count("lineitem.parquet") <= 1, plan[:2000]
     assert "Window" in plan
+
+
+def test_bucketed_fact_join_zero_exchange(spark):
+    """Bucket co-location must eliminate the join shuffle entirely; the
+    registered aggregate on top keeps SMJ with no Exchange below it."""
+    from hadoop_spark_pspd_spark.operators.bucketing import (
+        bucketed_fact_join,
+        q_bucketed_join,
+    )
+
+    join_plan = formatted_plan(bucketed_fact_join(spark, SF_SMOKE))
+    assert "SortMergeJoin" in join_plan
+    assert "Exchange" not in join_plan, "bucketed join must not shuffle"
+
+    full_plan = formatted_plan(q_bucketed_join(spark, SF_SMOKE))
+    assert "SortMergeJoin" in full_plan
+    # exactly one shuffle: the final small aggregate, above the join
+    assert full_plan.count(") Exchange") == 1
+    assert "hashpartitioning(o_orderpriority" in full_plan
