@@ -31,6 +31,16 @@ def words_exploded(col: Column | str, alias: str = "word") -> Column:
     return F.explode(tokens(col)).alias(alias)
 
 
+def word_ngrams(toks: Column, n: int = 2) -> Column:
+    """ALL word n-grams in order (repeats kept — repetition metrics need
+    the raw multiset, unlike the distinct shingle set below)."""
+    count = F.size(toks) - F.lit(n - 1)
+    seq = F.when(count > 0, F.sequence(F.lit(0), count - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(seq, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a token array.
 

@@ -84,6 +84,7 @@ def load_all() -> dict[str, EngineQuery]:
         streaming_queries,
         strings_setops,
         text_analysis,
+        text_curation,
         text_pipeline,
         timeseries,
         tpch_like,

@@ -1,0 +1,165 @@
+"""Simulated-sf1 scale bench + AQE skew-join demonstration.
+
+Answers the 100 TB question empirically at the largest scale this box
+holds: replicate every sf0.1 table 10x with disjoint key spaces (each
+copy's ids get a +k*10M offset, so per-copy referential integrity and
+join selectivity are preserved — ~600k orders / 2.4M lineitem / 50k
+docs), run the full headline bench suite on both scales, and report the
+wall-clock growth ratio per query. A plan whose wall grows ~linearly
+(ratio ~<=10x on 10x data, modulo fixed floors) has no hidden
+quadratic/shuffle blow-up; known exceptions are documented in
+BENCH_NOTES.md (near-dup pair OUTPUT is quadratic in the duplication
+factor by data semantics).
+
+Also runs a deliberately skewed fact-fact join (90% of a 1M-row fact on
+ONE key) with AQE skew-join splitting on vs off, printing wall times and
+whether the plan reports skew=true partitions split.
+
+Usage: python tools/scale_bench.py [--skew-only|--scale-only]
+Writes one JSON line; human summary to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hadoop_spark_pspd_spark.catalog import TABLES  # noqa: E402
+from hadoop_spark_pspd_spark.registry import load_all  # noqa: E402
+from hadoop_spark_pspd_spark.session import get_spark  # noqa: E402
+
+SF_BASE = "/root/testdata/sf0.1"
+SIM_DIR = "/tmp/pspd_sim_sf1"
+COPIES = 10
+OFFSET = 10_000_000
+
+# id columns to shift per copy so each replica is a disjoint consistent
+# universe (joins match within a copy, never across)
+KEY_COLS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build_sim_sf1(spark) -> None:
+    shutil.rmtree(SIM_DIR, ignore_errors=True)
+    Path(SIM_DIR).mkdir(parents=True)
+    # events.ts is TIMESTAMP(NANOS): read as long (engine convention,
+    # catalog.normalize_event_ts); the replica stores plain INT64 nanos
+    # which the same read path handles identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for table in TABLES:
+        src = spark.read.parquet(f"{SF_BASE}/{table}.parquet")
+        copies = []
+        for k in range(COPIES):
+            c = src
+            for col in KEY_COLS[table]:
+                c = c.withColumn(col, F.col(col) + F.lit(k * OFFSET))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionAll(c)
+        out.write.mode("overwrite").parquet(f"{SIM_DIR}/{table}.parquet")
+    print(f"# built {SIM_DIR} ({COPIES}x {SF_BASE})", file=sys.stderr)
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    reg = load_all()
+    names = [n for n, q in sorted(reg.items()) if q.bench]
+    # same warmup as bench.py: file index + HOF-lambda Catalyst classes,
+    # so the alphabetically-first query doesn't absorb session cold cost
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    spark.range(1).select(
+        F.filter(F.array(F.lit("a")), lambda x: x != F.lit("")),
+        F.transform(F.sequence(F.lit(0), F.lit(1)), lambda i: i + 1),
+    ).collect()
+    timings = {}
+    for name in names:
+        t0 = time.time()
+        df = reg[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        print(f"# {sf_dir} {name}: {timings[name]}s", file=sys.stderr)
+    return timings
+
+
+def skew_demo(spark) -> dict:
+    """20M-row fact with 90% of rows on one key joined to a 100k-row dim:
+    AQE skew-join must split the hot partition; measure on vs off."""
+    fact = spark.range(0, 20_000_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id"))
+        .alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+    dim = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("name")
+    )
+    results = {}
+    for skew_on in (True, False):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
+        # keep the join a shuffle join (skew handling targets SMJ/SHJ)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # force the skewed side over the split thresholds at this scale
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        t0 = time.time()
+        joined = fact.join(dim, "k").groupBy().agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv")
+        )
+        row = joined.collect()[0]
+        wall = round(time.time() - t0, 2)
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            joined._jdf.queryExecution(), "formatted"
+        )
+        results["skew_on" if skew_on else "skew_off"] = {
+            "wall_sec": wall,
+            "skew_split_in_plan": "skew=true" in plan,
+            "rows": int(row["n"]),
+        }
+        print(f"# skewJoin={skew_on}: {wall}s skew_split="
+              f"{'skew=true' in plan}", file=sys.stderr)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    return results
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    spark = get_spark("pspd_scale_bench")
+    out: dict = {"metric": "scale_bench"}
+    if mode != "--skew-only":
+        build_sim_sf1(spark)
+        base = run_suite(spark, SF_BASE)
+        sim = run_suite(spark, SIM_DIR)
+        out["sf0_1"] = base
+        out["sim_sf1"] = sim
+        out["ratio"] = {
+            n: round(sim[n] / base[n], 1) if base[n] else None for n in base
+        }
+    if mode != "--scale-only":
+        out["skew"] = skew_demo(spark)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
