@@ -350,22 +350,33 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no materialized rank needed
     df_tbl = exploded.groupBy("s").agg(F.count("*").alias("df"))
     with_df = exploded.join(df_tbl, "s")
+    # cached: consumed 4x below (both prefix sides + both doc_set sides);
+    # without it the whole explode->df-join->collect_list chain re-runs
+    # per consumer. Session-scoped; verify/bench clear the cache per query.
     doc_sorted = with_df.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("df", "s"))).alias("sorted_sh")
-    )
+    ).cache()
     n = F.size("sorted_sh")
     prefix_len = (n - F.ceil(F.lit(JACCARD_THRESHOLD) * n) + 1).cast("int")
     prefixes = doc_sorted.select(
         "doc_id",
+        n.alias("n"),
         F.explode(F.slice("sorted_sh", F.lit(1), prefix_len)).alias("p"),
-    ).select("doc_id", F.col("p.s").alias("s"))
+    ).select("doc_id", "n", F.col("p.s").alias("s"))
     a = prefixes.alias("a")
     b = prefixes.alias("b")
+    # length filter (PPJoin): J(A,B) >= t forces t*max(|A|,|B|) <= min –
+    # a cheap residual predicate on the hash join that drops candidates
+    # whose sizes alone rule them out, before the distinct + verify join.
+    len_ok = F.least(F.col("a.n"), F.col("b.n")) >= F.ceil(
+        F.lit(JACCARD_THRESHOLD) * F.greatest(F.col("a.n"), F.col("b.n"))
+    )
     candidates = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & len_ok,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
