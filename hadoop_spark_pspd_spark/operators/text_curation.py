@@ -25,6 +25,14 @@ DUP_THRESHOLD = 0.5  # keep docs with duplicate-2-gram fraction <= 0.5
 DECON_N = 4  # word-4-grams for decontamination overlap
 BENCH_DOCS = 40  # doc_id < 40 plays the held-out benchmark set
 
+# weighted-mixture targets: per-language keep rate as a 2-hex-digit md5
+# prefix threshold (fraction = int(threshold,16)/256) — string compare of
+# lowercase hex is numeric compare, identical in Spark and DuckDB
+MIXTURE_RATES = {"en": "80", "de": "40", "es": "40", "fr": "40", "zh": "20"}
+MIXTURE_DEFAULT = "10"
+SHARD_BUDGET = 2000  # tokens per training shard
+SHARD_BUCKET_W = 100  # doc_ids per prefix-sum bucket
+
 _SHINGLE_SQL = """
     SELECT doc_id,
            unnest(list_transform(
@@ -133,4 +141,154 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("h"), F.lit(0)).alias("n_hits"),
         (F.coalesce(F.col("h"), F.lit(0)) == 0).alias("keep"),
+    )
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN '{thr}'" for lang, thr in MIXTURE_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE '{MIXTURE_DEFAULT}' END"
+
+
+@register(
+    "text_mixture_sample",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+              < ({_rate_case_sql()})
+    """,
+    doc="Weighted dataset mixture: deterministic per-language Bernoulli "
+        "sampling via an md5(doc_id) 2-hex-digit threshold (en 50%, "
+        "de/es/fr 25%, zh 12.5%, default 6.25%). A pure map-side filter "
+        "— no shuffle, no RNG state, reproducible across engines and "
+        "cluster sizes; the standard way to re-weight corpus sources "
+        "for a training mix at 100 TB.",
+)
+def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    rate = F.lit(MIXTURE_DEFAULT)
+    for lang, thr in MIXTURE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(thr)).otherwise(rate)
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return t.documents.filter(key < rate).select("doc_id", "lang", "source")
+
+
+@register(
+    "text_pack_shards",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               CAST((CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)
+                   // {SHARD_BUDGET} AS BIGINT) AS shard
+        FROM tok
+    """,
+    doc=f"Token-budget shard packing: assign docs (in doc_id order) to "
+        f"{SHARD_BUDGET}-token training shards by running token count. "
+        "The global prefix sum is computed scalably in two levels: a "
+        "window WITHIN each doc_id bucket plus broadcast per-bucket "
+        "offsets (one tiny single-partition window over n_buckets rows) "
+        "— no global single-partition window over the corpus, the "
+        "classic parallel prefix-sum shape. Oracle states the same "
+        "result as one global window; integer arithmetic, bit-exact.",
+)
+def text_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") / SHARD_BUCKET_W).cast("bigint").alias("bucket"),
+    )
+    within = F.sum("n_tokens").over(
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = tok.withColumn("within_cum", within)
+    offsets = (
+        tok.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("btot"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("btot").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    cum = (F.col("offset") + F.col("within_cum")).alias("cum_tokens")
+    return (
+        per_doc.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            cum,
+            F.expr(f"(offset + within_cum - n_tokens) div {SHARD_BUDGET}")
+            .alias("shard"),
+        )
+    )
+
+
+@register(
+    "text_source_profile",
+    oracle="""
+        WITH fp AS (
+            SELECT source, lang, doc_id,
+                   md5(regexp_replace(lower(trim(text)),
+                       '[ \\t\\n\\r\\f]+', ' ', 'g')) AS f,
+                   CAST(len(list_filter(
+                       string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) / count(*) AS avg_tokens,
+               (count(*) - count(DISTINCT f)) / count(*) AS dup_rate
+        FROM fp GROUP BY source
+    """,
+    doc="Per-source corpus profile (the 'corpus card' a curation run "
+        "publishes per ingest source): doc count, language spread, "
+        "token volume, and exact-dup rate from the normalized-content "
+        "fingerprint — one shuffle on source after a map-side "
+        "fingerprint+count projection. Ratios are exact-int/int "
+        "divisions per the cross-engine determinism convention.",
+)
+def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalized_text
+
+    t = Tables(spark, sf_dir)
+    fp = t.documents.select(
+        "source",
+        "lang",
+        F.md5(normalized_text("text")).alias("f"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens") / F.count("*")).alias("avg_tokens"),
+        (
+            (F.count("*") - F.countDistinct("f")) / F.count("*")
+        ).alias("dup_rate"),
     )
