@@ -291,41 +291,15 @@ _CLUSTER_ORACLE = f"""
         "dedup pipeline is then doc_id == cluster_id.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import min_label_components
+
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("u", "v").cache()
-    labels = (
-        edges.select(F.col("u").alias("doc_id")).distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+    return min_label_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
-    while True:
-        nbr = (
-            edges.join(labels, edges["v"] == labels["doc_id"])
-            .groupBy("u")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, labels["doc_id"] == nbr["u"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
 
 
 @register(

@@ -266,9 +266,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_embedding_neardup",
-    oracle=f"""
+_NEARDUP_PAIRS_SQL = f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(
                    list_sum(list_transform(range(1, {DIM} + 1),
@@ -285,7 +283,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
                  * sqrt(list_sum(list_transform(range(1, {DIM} + 1),
                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= 0.4
-    """,
+"""
+
+
+@register(
+    "sim_embedding_neardup",
+    oracle=_NEARDUP_PAIRS_SQL,
     doc="Embedding-cosine near-dup pairs (sim >= 0.4) via a PROVABLY "
         "COMPLETE cell-pair prefilter: assign every vector to its nearest "
         "(max-cosine) coarse-quantizer centroid, track per-cell max angular "
@@ -374,6 +377,60 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("ida", "idb").alias("vec_a"),
         F.greatest("ida", "idb").alias("vec_b"),
         F.round(sim, 6).alias("sim"),
+    )
+
+
+@register(
+    "sim_semantic_dedup",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_NEARDUP_PAIRS_SQL}),
+        edges AS (
+            SELECT vec_a AS u, vec_b AS v FROM pairs
+            UNION ALL
+            SELECT vec_b AS u, vec_a AS v FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        lab AS (SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        SELECT e.vec_id,
+               CAST(coalesce(l.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+               coalesce(l.cluster_id, e.vec_id) = e.vec_id AS keep
+        FROM embeddings e LEFT JOIN lab l ON e.vec_id = l.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup over embeddings: cosine near-dup "
+        "pairs (the provably-complete cell-pair prefilter above) -> "
+        "connected components via distributed min-label propagation -> "
+        "keep one representative (min vec_id) per semantic cluster. "
+        "Singleton vectors are their own clusters, so the output is a "
+        "full keep/drop list over the corpus — the composed operator a "
+        "curation pipeline actually runs. Oracle: recursive-CTE "
+        "reachability closure over the identical pair SQL.",
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import min_label_components
+
+    t = Tables(spark, sf_dir)
+    pairs = sim_embedding_neardup(spark, sf_dir).select("vec_a", "vec_b").cache()
+    edges = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    ).toDF("u", "v").cache()
+    labels = min_label_components(edges).select(
+        F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
+    )
+    return (
+        t.embeddings.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster_id"), F.col("vec_id")).alias("cluster_id"),
+            (
+                F.coalesce(F.col("cluster_id"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("keep"),
+        )
     )
 
 
