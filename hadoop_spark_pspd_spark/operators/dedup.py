@@ -262,6 +262,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)),
+                       '[ \\t\\n\\r\\f]+', ' ', 'g')) AS f,
+                   doc_id % 5 = 4 AS is_new
+            FROM documents
+        ),
+        existing AS (SELECT DISTINCT f FROM fp WHERE NOT is_new),
+        batch AS (
+            SELECT doc_id, f,
+                   min(doc_id) OVER (PARTITION BY f) AS first_in_batch
+            FROM fp WHERE is_new
+        )
+        SELECT b.doc_id, b.f AS fp,
+               e.f IS NOT NULL AS dup_of_existing,
+               e.f IS NULL AND b.doc_id = b.first_in_batch AS keep
+        FROM batch b LEFT JOIN existing e ON b.f = e.f
+    """,
+    doc="Incremental-ingest exact dedup: a new batch (docs with "
+        "doc_id %% 5 == 4 stand in for the day's arrivals) is deduped "
+        "against the existing corpus by content fingerprint AND within "
+        "itself (first batch doc per fingerprint wins). The existing "
+        "side reduces to distinct fingerprints before the join — at "
+        "100 TB that is the fingerprint index you keep between ingest "
+        "runs, not a rescan; here both sides derive from the same table "
+        "so one oracle covers the composition.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    fp = t.documents.select(
+        "doc_id",
+        F.md5(normalized_text("text")).alias("f"),
+        (F.col("doc_id") % 5 == 4).alias("is_new"),
+    )
+    existing = fp.filter(~F.col("is_new")).select("f").distinct()
+    batch = fp.filter(F.col("is_new")).withColumn(
+        "first_in_batch", F.min("doc_id").over(Window.partitionBy("f"))
+    )
+    return batch.join(
+        existing.withColumnRenamed("f", "ef"),
+        batch["f"] == F.col("ef"),
+        "left",
+    ).select(
+        "doc_id",
+        F.col("f").alias("fp"),
+        F.col("ef").isNotNull().alias("dup_of_existing"),
+        (F.col("ef").isNull() & (F.col("doc_id") == F.col("first_in_batch")))
+        .alias("keep"),
+    )
+
+
 _CLUSTER_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
     edges AS (
