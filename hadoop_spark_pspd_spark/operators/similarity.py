@@ -434,6 +434,65 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_quantize_int8",
+    oracle=f"""
+        WITH d AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), mm AS (
+            SELECT vec_id, e,
+                   list_min(e) AS vmin, list_max(e) AS vmax
+            FROM d
+        )
+        SELECT vec_id, vmin, vmax,
+               CAST(list_sum(list_transform(e,
+                   x -> CAST(least(255, floor((x - vmin) / (vmax - vmin)
+                        * 256)) AS BIGINT))) AS BIGINT) AS codes_sum,
+               CAST(list_count(list_filter(range(1, {DIM} + 1),
+                   i -> floor((e[i] - vmin) / (vmax - vmin) * 256)
+                        >= 256)) AS BIGINT) AS n_clipped
+        FROM mm
+    """,
+    doc="Per-vector int8 scalar quantization summary (the embedding-"
+        "compression step before an ANN index ships to object storage): "
+        "code = min(255, floor((x - vmin)/(vmax - vmin) * 256)). All "
+        "math is element-wise IEEE double with identical op order in "
+        "both engines and floor (not round) avoids half-way rounding-"
+        "mode drift, so the code stream is bit-deterministic; the query "
+        "surfaces per-vector range, code checksum, and clip count. "
+        "Map-side only — no shuffle.",
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = t.embeddings.select("vec_id", e.alias("e"))
+    mm = d.select(
+        "vec_id",
+        "e",
+        F.array_min("e").alias("vmin"),
+        F.array_max("e").alias("vmax"),
+    )
+    raw = lambda x: F.floor(  # noqa: E731
+        (x - F.col("vmin")) / (F.col("vmax") - F.col("vmin")) * 256
+    )
+    codes = F.transform(
+        F.col("e"), lambda x: F.least(F.lit(255).cast("bigint"), raw(x))
+    )
+    return mm.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        F.aggregate(
+            codes, F.lit(0).cast("bigint"), lambda acc, c: acc + c
+        ).alias("codes_sum"),
+        F.size(F.filter(F.col("e"), lambda x: raw(x) >= 256))
+        .cast("bigint")
+        .alias("n_clipped"),
+    )
+
+
 def neardup_allpairs_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-only exact all-pairs anchor for sim_embedding_neardup.
 

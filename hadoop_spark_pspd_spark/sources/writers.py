@@ -32,3 +32,39 @@ def write_orc(df: DataFrame, path: str) -> None:
     """ORC sink — the other columnar format large Hadoop-era estates hold;
     zlib default, schema preserved like parquet."""
     df.write.mode("overwrite").orc(path)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> int:
+    """Small-files maintenance: rewrite a parquet directory into
+    ~target-sized files (streaming sinks and over-parallel writers leave
+    thousands of tiny files; at 100 TB the NameNode/listing cost and
+    per-file open overhead dominate scans — periodic compaction is the
+    standard fix). File count comes from the actual on-disk byte size;
+    with ``sort_col`` the rewrite range-partitions on it so each output
+    file covers a disjoint key range (min/max footer stats then prune
+    scans — the poor man's clustering). Returns the output file count.
+
+    No reference analog (its corpus is static HDFS files); this is
+    engine-side data-layout tooling for the S6/S9 managed-storage path.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(conf)
+    n_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(n_bytes / target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_col:
+        out = df.repartitionByRange(n_files, sort_col)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    return n_files

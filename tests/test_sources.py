@@ -142,3 +142,65 @@ def test_python_datasource_corpus(spark):
     total_tokens = counts.agg(F.sum("cnt")).collect()[0][0]
     assert counts.count() == stats["distinct_words"]
     assert total_tokens == stats["tokens"]
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """compact_parquet rewrites a fragmented directory into byte-sized
+    file counts; with sort_col the output files cover disjoint key
+    ranges (footer min/max then prune scans)."""
+    from hadoop_spark_pspd_spark.sources.writers import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    n_src = len(list((tmp_path / "frag").glob("part-*")))
+    assert n_src == 64
+
+    n_bytes = sum(p.stat().st_size for p in (tmp_path / "frag").glob("part-*"))
+    target = max(1, n_bytes // 4)  # force ~4-5 output files
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=target,
+                            sort_col="id")
+    files = sorted((tmp_path / "compact").glob("part-*"))
+    assert len(files) == n_out < n_src
+
+    back = spark.read.parquet(dst)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(20_000))
+    # range partitioning: per-file id ranges are disjoint
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(str(f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo
+
+
+def test_rate_source_streams(spark, tmp_path):
+    """S10: the rate source yields the (timestamp, value) schema and
+    monotonically increasing values through one processAllAvailable."""
+    from hadoop_spark_pspd_spark.sources.readers import rate_source
+
+    stream = rate_source(spark, rows_per_second=100)
+    assert [f.name for f in stream.schema.fields] == ["timestamp", "value"]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT value FROM rate_smoke ORDER BY value").collect()
+    vals = [r.value for r in rows]
+    assert vals == sorted(set(vals))  # strictly increasing, no dupes
+    q.stop()
