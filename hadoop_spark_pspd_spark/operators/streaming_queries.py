@@ -292,6 +292,84 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_left_join",
+    oracle="""
+        WITH c AS (
+            SELECT user_id cu, event_id cid, ts cts FROM events
+            WHERE event_type = 'click'
+        ), p AS (
+            SELECT user_id pu, event_id pid, ts pts FROM events
+            WHERE event_type = 'purchase'
+        ), j AS (
+            SELECT cu, cid, pid, cts, pts
+            FROM c LEFT JOIN p
+              ON pu = cu AND pts >= cts
+             AND pts <= cts + INTERVAL 30 MINUTES
+        ), wm AS (
+            SELECT least((SELECT max(cts) FROM c),
+                         (SELECT max(pts) FROM p))
+                   - INTERVAL 1 MINUTE AS w
+        )
+        SELECT cu AS user_id, cid AS click_id, pid AS purchase_id,
+               date_diff('second', cts, pts) AS secs_to_purchase
+        FROM j
+        WHERE pid IS NOT NULL
+           OR cts + INTERVAL 30 MINUTES < (SELECT w FROM wm)
+    """,
+    doc="LEFT-OUTER watermarked stream-stream join: every click pairs "
+        "with same-user purchases in the following 30 minutes, and "
+        "clicks with no such purchase surface with NULLs once the "
+        "watermark closes their join window. The oracle restates Spark's "
+        "eviction rule exactly: the final watermark is min over both "
+        "sides of (max event time - 1 minute delay), and an unmatched "
+        "click emits iff click_ts + 30 min < watermark (clicks whose "
+        "window is still open at end-of-stream stay in state and do NOT "
+        "emit — verified row-for-row against the incremental run).",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            _events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 minute")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    name = f"pspd_stream_sink_{next(_sink_counter)}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("c_user").alias("user_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
+        (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+        ).alias("secs_to_purchase"),
+    )
+
+
+@register(
     "stream_topk_words",
     oracle="""
         SELECT upper(event_type) AS word, count(*) AS cnt
