@@ -114,3 +114,108 @@ def q_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "k_bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+        SELECT o_custkey AS custkey,
+               o_orderkey AS version_key,
+               o_totalprice_d AS totalprice,
+               eff_from,
+               coalesce(CAST(eff_to AS VARCHAR), 'current') AS eff_to,
+               eff_to IS NULL AS is_current
+        FROM (
+            SELECT o_custkey, o_orderkey,
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR)
+                        AS DOUBLE) AS o_totalprice_d,
+                   o_orderdate AS eff_from,
+                   lead(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS eff_to
+            FROM orders
+        )
+    """,
+    doc="SCD Type-2 history build: each customer's orders become "
+        "versioned dimension rows with [eff_from, eff_to) validity "
+        "derived from lead() over the change sequence; the open-ended "
+        "latest version is flagged current. One shuffle on the dimension "
+        "key; (date, orderkey) is the deterministic change order. "
+        "eff_to surfaces as VARCHAR with a 'current' sentinel so the "
+        "nullable-date column hashes identically cross-engine.",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = t.orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("version_key"),
+        dec("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_orderdate").alias("eff_from"),
+        F.lead("o_orderdate").over(w).alias("eff_to_raw"),
+    )
+    return h.select(
+        "custkey",
+        "version_key",
+        "totalprice",
+        "eff_from",
+        F.coalesce(F.col("eff_to_raw").cast("string"), F.lit("current"))
+        .alias("eff_to"),
+        F.col("eff_to_raw").isNull().alias("is_current"),
+    )
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+        WITH log AS (
+            SELECT o_orderkey AS key,
+                   o_orderdate AS change_ts,
+                   o_orderkey % 7 = 3 AS is_delete,
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR)
+                        AS DOUBLE) AS val,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn,
+                   o_custkey AS entity
+            FROM orders
+        )
+        SELECT entity, key AS last_key, change_ts AS last_change, val
+        FROM log
+        WHERE rn = 1 AND NOT is_delete
+    """,
+    doc="CDC changelog apply: a change log (orders stand in; every 7th "
+        "key a tombstone) collapses to current state by latest-change-"
+        "wins per entity, then tombstoned entities drop out. One shuffle "
+        "on the entity key, window + filter — the standard "
+        "materialize-current-state pass over a Debezium-shaped feed; "
+        "deletes fold in the same pass instead of a separate anti-join.",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    log = t.orders.select(
+        F.col("o_custkey").alias("entity"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderdate").alias("change_ts"),
+        (F.col("o_orderkey") % 7 == 3).alias("is_delete"),
+        dec("o_totalprice").cast("double").alias("val"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        log.filter((F.col("rn") == 1) & (~F.col("is_delete")))
+        .select(
+            "entity",
+            F.col("key").alias("last_key"),
+            F.col("change_ts").alias("last_change"),
+            "val",
+        )
+    )
