@@ -16,6 +16,14 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def count_exchanges(plan: str) -> int:
+    """Shuffle Exchange nodes in a formatted plan (broadcast exchanges
+    excluded — they are `BroadcastExchange`)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+
+
 def has_pushed_filters(df: DataFrame) -> bool:
     plan = formatted_plan(df)
     return "PushedFilters: [" in plan and "PushedFilters: []" not in plan

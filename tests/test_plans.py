@@ -212,3 +212,46 @@ def test_bucketed_fact_join_zero_exchange(spark):
     # exactly one shuffle: the final small aggregate, above the join
     assert full_plan.count(") Exchange") == 1
     assert "hashpartitioning(o_orderpriority" in full_plan
+
+
+def test_pack_shards_no_global_window_over_corpus(spark):
+    """The two-level prefix sum must not plan a corpus-sized
+    single-partition window: the per-doc window is partitioned by
+    bucket; only the per-bucket offsets (n_buckets rows) may run
+    unpartitioned."""
+    from hadoop_spark_pspd_spark.operators.text_curation import (
+        text_pack_shards,
+    )
+
+    plan = formatted_plan(text_pack_shards(spark, SF_SMOKE))
+    import re
+
+    # every Window's partition spec: the doc-level window carries
+    # the bucket partition key; offsets window is the only bare one
+    specs = re.findall(r"Arguments: \[[^\]]*\], \[([^\]]*)\]", plan)
+    windows = plan.count("Window")
+    assert windows >= 2
+    assert any("bucket" in s for s in specs if s)
+    # the offsets aggregate (per-bucket totals) feeds the unpartitioned
+    # window, so it sits above a HashAggregate, never above the scan
+    assert "HashAggregate" in plan
+
+
+def test_quantize_int8_is_map_side_only(spark):
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        sim_quantize_int8,
+    )
+    from hadoop_spark_pspd_spark.plans.checks import count_exchanges
+
+    df = sim_quantize_int8(spark, SF_SMOKE)
+    assert count_exchanges(formatted_plan(df)) == 0
+
+
+def test_mixture_sample_no_shuffle(spark):
+    from hadoop_spark_pspd_spark.operators.text_curation import (
+        text_mixture_sample,
+    )
+    from hadoop_spark_pspd_spark.plans.checks import count_exchanges
+
+    df = text_mixture_sample(spark, SF_SMOKE)
+    assert count_exchanges(formatted_plan(df)) == 0
