@@ -13,12 +13,23 @@ from .session import pin_session_conf
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it arrives as
-    a long of epoch nanos. Floor-truncate to micros with *integer* division
-    (epoch-ns exceeds double's 2^53 mantissa — float division would corrupt
-    it), matching DuckDB's truncating ns->us read."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Normalize events.ts to session-tz TIMESTAMP whatever the parquet
+    writer emitted:
+
+    * TIMESTAMP(NANOS) + nanosAsLong -> a long of epoch nanos.
+      Floor-truncate to micros with *integer* division (epoch-ns exceeds
+      double's 2^53 mantissa — float division would corrupt it), matching
+      DuckDB's truncating ns->us read.
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) -> TIMESTAMP_NTZ. Cast to
+      TIMESTAMP: the session timezone is pinned to UTC (session.py), so the
+      wall-clock reinterpretation is the identity on epoch values and
+      unix_micros/watermarks (which reject NTZ) work downstream.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 TABLES = (
