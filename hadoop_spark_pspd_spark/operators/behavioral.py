@@ -1,0 +1,187 @@
+"""Behavioral / product analytics over the events stream-as-table.
+
+Funnel progression, retention cohorts, and ordered-sequence detection —
+the event-log query family every clickstream warehouse runs. The reference
+corpus (events table, SURVEY §2 A2/T1 shapes) stops at windowed counts;
+these extend the family to multi-stage per-user analysis.
+
+Scale notes (100 TB events):
+  * every stage keys on ``user_id`` — one hash partitioning reused across
+    the per-user aggregations (AQE coalesces the re-use; no broadcast of
+    anything user-cardinality-sized);
+  * the funnel avoids per-user event sorting entirely: each stage is a
+    conditional min() aggregation, so the plan is partial-agg -> shuffle ->
+    final-agg per stage, never a giant window sort;
+  * sequence detection (strictly ordered triple) genuinely needs the
+    per-user ordering, so it uses one window sort — the minimum possible;
+  * all outputs are integer counts / exact timestamps: hash-stable
+    cross-engine with no float conventions needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import Tables
+from ..registry import register
+
+
+@register(
+    "q_funnel_stages",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT stage, users FROM (
+            SELECT 1 AS stage, count(*) AS users FROM s1
+            UNION ALL SELECT 2, count(*) FROM s2
+            UNION ALL SELECT 3, count(*) FROM s3
+        )
+    """,
+    doc="Three-stage ordered funnel (view -> click -> purchase): a user "
+        "advances to stage N only with an event strictly after their "
+        "stage-N-1 timestamp. Each stage is a conditional-min aggregation "
+        "keyed on user_id (no window sort); the three shuffles share one "
+        "hash partitioning.",
+    tags=("behavioral",),
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    one = (
+        s1.agg(F.count("*").alias("users"))
+        .select(F.lit(1).alias("stage"), "users")
+    )
+    two = (
+        s2.agg(F.count("*").alias("users"))
+        .select(F.lit(2).alias("stage"), "users")
+    )
+    three = (
+        s3.agg(F.count("*").alias("users"))
+        .select(F.lit(3).alias("stage"), "users")
+    )
+    return one.unionAll(two).unionAll(three)
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+               CAST(date_diff('day', cohort_day,
+                              CAST(date_trunc('day', e.ts) AS DATE)) AS INT)
+                   AS day_offset,
+               count(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    doc="Classic retention triangle: cohort = first-activity day per user; "
+        "for each (cohort, day-offset) count distinct users active that "
+        "day. Integer/date arithmetic only — hash-stable by construction. "
+        "Both shuffles key on user_id before the final small (cohort, "
+        "offset) aggregation.",
+    tags=("behavioral",),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", F.to_date("ts").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "q_sequence_triples",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3,
+                   lead(ts, 2) OVER w AS ts3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, count(*) AS n_patterns,
+               min(ts) AS first_match_ts
+        FROM ordered
+        WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+              -- 48h in micros as one literal: DuckDB evaluates
+              -- 3600 * 1000000 in INT32 and overflows
+              AND epoch_us(ts3) - epoch_us(ts) <= 172800000000
+        GROUP BY user_id
+    """,
+    doc="MATCH_RECOGNIZE-style strict-sequence detection: three "
+        "consecutive events per user forming view->click->purchase within "
+        "48 hours (sized to the corpus's ~10h per-user event cadence). One "
+        "per-user window sort (the minimum for ordered patterns), then a "
+        "plain aggregation.",
+    tags=("behavioral",),
+)
+def q_sequence_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = t.events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("ts", 2).over(w).alias("ts3"),
+    )
+    match = ordered.where(
+        (F.col("event_type") == "view")
+        & (F.col("e2") == "click")
+        & (F.col("e3") == "purchase")
+        & (
+            F.unix_micros("ts3") - F.unix_micros("ts")
+            <= 172_800 * 1_000_000
+        )
+    )
+    return match.groupBy("user_id").agg(
+        F.count("*").alias("n_patterns"),
+        F.min("ts").alias("first_match_ts"),
+    )

@@ -67,10 +67,12 @@ def load_all() -> dict[str, EngineQuery]:
     """Import every operator module (side effect: registration)."""
     from .operators import (  # noqa: F401
         advanced,
+        behavioral,
         bucketing,
         clustering,
         dedup,
         functions_coverage,
+        graph,
         incremental,
         inference,
         kafka_pipeline,
@@ -78,6 +80,7 @@ def load_all() -> dict[str, EngineQuery]:
         pipeline,
         relational,
         similarity,
+        sketches,
         sql_surface,
         stats,
         streaming_enrich,

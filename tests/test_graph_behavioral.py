@@ -1,0 +1,107 @@
+"""Semantics + plan-shape tests for the behavioral, sketch, and graph
+operator families (beyond the registry-wide oracle parity sweep)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_spark_pspd_spark.operators.behavioral import q_funnel_stages
+from hadoop_spark_pspd_spark.operators.graph import (
+    TOP_K,
+    cooccurrence_edges,
+    graph_pagerank,
+)
+from hadoop_spark_pspd_spark.operators.sketches import (
+    q_heavy_hitters,
+    q_runtime_filter_join,
+)
+from hadoop_spark_pspd_spark.plans.checks import formatted_plan
+
+from conftest import SF_SMOKE
+
+
+def test_funnel_is_monotone(spark):
+    rows = {
+        r["stage"]: r["users"]
+        for r in q_funnel_stages(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    # each stage requires the previous one strictly earlier
+    assert rows[1] >= rows[2] >= rows[3]
+    assert rows[1] > 0
+
+
+def test_heavy_hitter_candidate_prune_is_complete(spark):
+    """The pruned two-phase plan must equal the direct GROUP BY/HAVING."""
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.functions.text import words_exploded
+    from hadoop_spark_pspd_spark.operators.sketches import HH_K
+
+    got = {
+        (r["word"], r["n"])
+        for r in q_heavy_hitters(spark, SF_SMOKE).collect()
+    }
+    toks = Tables(spark, SF_SMOKE).documents.select(
+        words_exploded(F.lower("text"))
+    )
+    total = toks.count()
+    direct = {
+        (r["word"], r["n"])
+        for r in toks.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") * HH_K >= F.lit(total))
+        .collect()
+    }
+    assert got == direct and got
+
+
+def test_runtime_bloom_filter_is_injected(spark):
+    """InjectRuntimeFilter only rewrites joins it can't broadcast-by-size
+    (a broadcast already prunes the probe side). At test SFs every build
+    side fits the 10MB broadcast threshold, so disable size-broadcasting
+    here to reproduce the at-scale shuffle-join plan and assert the bloom
+    filter lands on the probe side."""
+    default = {
+        (r["l_returnflag"], r["n_items"], r["revenue"])
+        for r in q_runtime_filter_join(spark, SF_SMOKE).collect()
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_runtime_filter_join(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in plan or "bloomfilter" in plan
+        shuffled = {
+            (r["l_returnflag"], r["n_items"], r["revenue"])
+            for r in df.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert shuffled == default  # the runtime filter never changes semantics
+
+
+def test_mutual_topk_bounds_degree(spark):
+    edges = cooccurrence_edges(spark, SF_SMOKE)
+    nodes = edges.select(F.col("s1").alias("node")).unionAll(
+        edges.select(F.col("s2").alias("node"))
+    )
+    max_deg = (
+        nodes.groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .agg(F.max("d").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_deg <= TOP_K
+
+
+def test_pagerank_is_a_probability_distribution(spark):
+    # top-20 ranks on the sf0.001 graph (10 suppliers -> all nodes present)
+    rows = graph_pagerank(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["rank"] > 0 for r in rows)
+    total = sum(r["rank"] for r in rows)
+    # 10-node graph: the 20-row limit covers every node, so ranks sum to ~1
+    assert abs(total - 1.0) < 1e-3
+    # deterministic across runs (localCheckpoint + exact replay)
+    again = graph_pagerank(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
