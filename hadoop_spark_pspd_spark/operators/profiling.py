@@ -1,0 +1,221 @@
+"""Data-quality profiling and exact-arithmetic statistics.
+
+The operators a curation pipeline runs before trusting a new 100 TB drop:
+per-column completeness/cardinality profiling, z-score outlier detection,
+and per-group trend fitting — each expressed so both engines compute
+bit-identical results (the exact-decimal-moments technique of
+operators/stats.py extended to joins-back and closed-form regression).
+
+Scale notes:
+  * the column profile is ONE pass over the table (a single aggregate row
+    of per-column counters, unpivoted driver-free afterwards) — never one
+    scan per column;
+  * outlier detection broadcasts the 5-row per-type moment table back onto
+    the events scan — no second shuffle of the fact side;
+  * the regression is two cascaded aggregations (day, then group) with the
+    closed-form slope from exact integer/decimal sums — no iterative
+    fitting, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..registry import register
+
+_DEC = "decimal(18,4)"
+
+
+@register(
+    "q_column_profile",
+    oracle="""
+        SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               count(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice) FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority) FROM orders
+    """,
+    doc="Deequ-style completeness/cardinality profile of every orders "
+        "column in ONE table scan: a single aggregate computes all "
+        "per-column counters, then an unpivot emits the long-format "
+        "profile. The UNION-ALL oracle rescans per column — fine for an "
+        "oracle, wrong for the engine.",
+    tags=("profile",),
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls")
+        )
+        aggs.append(F.count_distinct(c).alias(f"{c}__distinct"))
+    one_row = t.orders.agg(*aggs)
+    stacked = one_row.select(
+        F.expr(
+            "stack({n}, {args}) AS (column_name, n_nulls, n_distinct)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', {c}__nulls, {c}__distinct" for c in cols
+                ),
+            )
+        ),
+        "n_rows",
+    )
+    return stacked.select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@register(
+    "q_zscore_outliers",
+    oracle="""
+        WITH moments AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                             AS VARCHAR) AS DOUBLE) AS s,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(30,4))
+                                 * CAST(value AS DECIMAL(18,4)))
+                             AS VARCHAR) AS DOUBLE) AS sq
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT event_id, e.event_type, value,
+               (value - s / n)
+                   / sqrt((sq - s * s / n) / (n - 1)) AS z
+        FROM events e JOIN moments m ON e.event_type = m.event_type
+        WHERE abs((value - s / n)
+                  / sqrt((sq - s * s / n) / (n - 1))) > 3
+    """,
+    doc="Per-type z-score outliers over events.value (|z| > 3). Moments "
+        "come from exact decimal sums (stats.py convention), so mean/std "
+        "are the same doubles in both engines and the z computation — one "
+        "deterministic double expression per row — is hash-stable "
+        "unrounded. The 5-row moment table broadcasts back onto the scan.",
+    tags=("profile", "stats"),
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "event_type", "value")
+    moments = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("s"),
+        F.sum(
+            F.col("value").cast("decimal(30,4)")
+            * F.col("value").cast(_DEC)
+        ).cast("double").alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt(
+        (F.col("sq") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    z = (F.col("value") - mean) / std
+    return (
+        ev.join(F.broadcast(moments), "event_type")
+        .where(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )
+
+
+@register(
+    "q_linreg_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT n_name,
+                   date_diff('day', DATE '1995-01-01',
+                             CAST(o_orderdate AS DATE)) AS x,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        AS DECIMAL(18,4)) AS rev
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        ),
+        sums AS (
+            SELECT n_name,
+                   count(*) AS n,
+                   SUM(x) AS sx,
+                   SUM(x * x) AS sxx,
+                   CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(8,0)) * rev)
+                             AS VARCHAR) AS DOUBLE) AS sxy
+            FROM daily
+            GROUP BY n_name
+        )
+        SELECT n_name,
+               n AS n_days,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS intercept
+        FROM sums
+    """,
+    doc="Per-nation linear trend of daily order revenue (closed-form OLS "
+        "over day index x = days since 1995-01-01). Every sum entering the "
+        "slope is exact (bigint x-moments, decimal revenue moments; the "
+        "per-day revenue is re-narrowed to DECIMAL(18,4) so the x*rev "
+        "product stays inside both engines' 38-digit cap), then one "
+        "deterministic double expression — regression without ulp drift.",
+    tags=("profile", "stats"),
+)
+def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.orders.join(
+            F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            "n_name",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .cast(_DEC)
+            .alias("rev")
+        )
+    )
+    sums = daily.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("rev").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(8,0)") * F.col("rev"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return sums.select(
+        "n_name",
+        F.col("n").alias("n_days"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )

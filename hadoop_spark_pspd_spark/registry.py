@@ -78,6 +78,7 @@ def load_all() -> dict[str, EngineQuery]:
         kafka_pipeline,
         multimodal,
         pipeline,
+        profiling,
         relational,
         similarity,
         sketches,
