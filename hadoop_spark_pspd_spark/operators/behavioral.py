@@ -185,3 +185,85 @@ def q_sequence_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_patterns"),
         F.min("ts").alias("first_match_ts"),
     )
+
+
+@register(
+    "q_funnel_latency",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, s1.t1, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id, s1.t1
+        ),
+        s3 AS (
+            SELECT e.user_id, s2.t2, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id, s2.t2
+        ),
+        gaps AS (
+            SELECT 2 AS stage, epoch_us(t2) - epoch_us(t1) AS gap_us FROM s2
+            UNION ALL
+            SELECT 3, epoch_us(t3) - epoch_us(t2) FROM s3
+        )
+        SELECT stage,
+               count(*) AS n_converted,
+               quantile_disc(gap_us, 0.5) AS p50_us,
+               quantile_disc(gap_us, 0.9) AS p90_us
+        FROM gaps
+        GROUP BY stage
+    """,
+    doc="Time-to-convert distribution per funnel stage: the exact integer "
+        "microsecond gap between a user's stage-(N-1) and stage-N "
+        "timestamps, summarized with discrete percentiles (actual data "
+        "values — exact cross-engine, per q_percentile_disc).",
+    tags=("behavioral",),
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t2")
+        .agg(F.min("ts").alias("t3"))
+    )
+    gaps = s2.select(
+        F.lit(2).alias("stage"),
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("gap_us"),
+    ).unionAll(
+        s3.select(
+            F.lit(3).alias("stage"),
+            (F.unix_micros("t3") - F.unix_micros("t2")).alias("gap_us"),
+        )
+    )
+    return gaps.groupBy("stage").agg(
+        F.count("*").alias("n_converted"),
+        # Spark's percentile_disc returns DOUBLE even over bigint; the
+        # values are exact micro gaps << 2^53, so the round-trip is lossless
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+        .cast("bigint")
+        .alias("p50_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)")
+        .cast("bigint")
+        .alias("p90_us"),
+    )

@@ -77,6 +77,7 @@ def load_all() -> dict[str, EngineQuery]:
         inference,
         kafka_pipeline,
         multimodal,
+        pareto,
         pipeline,
         profiling,
         relational,
