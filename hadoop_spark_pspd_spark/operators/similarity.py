@@ -592,3 +592,96 @@ def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("label", "vec_id", "sim", "rk")
     )
+
+
+_DOT_SQL = """
+    round(
+        list_sum(list_transform(range(1, {dim} + 1),
+            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        6)
+""".format(dim=DIM)
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ), pairs AS (
+            SELECT q.query_id, c.vec_id AS candidate_id,
+                   {_COSINE_SQL} AS cos_sim,
+                   {_DOT_SQL} AS dot_sim
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, candidate_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, candidate_id) AS r_cos,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY dot_sim DESC, candidate_id) AS r_dot
+            FROM pairs
+        ), fused AS (
+            SELECT query_id, candidate_id, r_cos, r_dot,
+                   1.0 / (60 + r_cos) + 1.0 / (60 + r_dot) AS rrf
+            FROM ranked
+        )
+        SELECT query_id, candidate_id, r_cos, r_dot, rrf FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf DESC, candidate_id) AS rk
+            FROM fused
+        ) WHERE rk <= {TOP_K}
+    """,
+    doc="Reciprocal-rank fusion of two retrieval rankings (cosine and raw "
+        "dot product) per query: rrf = 1/(60+r1) + 1/(60+r2), the standard "
+        "k=60 fusion. Ranks are integers and the fusion is one fixed "
+        "two-term double expression, so the fused ordering is hash-stable. "
+        "One pair materialization feeds both rankings — the corpus is "
+        "scanned once, never shuffled (queries broadcast).",
+    tags=("similarity",),
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import dot
+
+    t = Tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        t.embeddings.select(
+            F.col("vec_id").alias("candidate_id"), "embedding"
+        )
+        .crossJoin(F.broadcast(queries))
+        .where(F.col("candidate_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6)
+            .alias("cos_sim"),
+            F.round(dot(F.col("qe"), F.col("embedding")), 6)
+            .alias("dot_sim"),
+        )
+    )
+    w_cos = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("candidate_id")
+    )
+    w_dot = W.partitionBy("query_id").orderBy(
+        F.desc("dot_sim"), F.asc("candidate_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        "candidate_id",
+        F.row_number().over(w_cos).cast("long").alias("r_cos"),
+        F.row_number().over(w_dot).cast("long").alias("r_dot"),
+    )
+    rrf = 1.0 / (F.lit(60) + F.col("r_cos")) + 1.0 / (
+        F.lit(60) + F.col("r_dot")
+    )
+    fused = ranked.withColumn("rrf", rrf)
+    pick = W.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("candidate_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "candidate_id", "r_cos", "r_dot", "rrf")
+    )

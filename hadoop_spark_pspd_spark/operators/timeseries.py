@@ -116,3 +116,74 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(actual, "day", "left").select(
         "day", F.coalesce(F.col("cnt"), F.lit(0)).alias("n")
     )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+        WITH moments AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                             AS VARCHAR) AS DOUBLE) AS s
+            FROM events GROUP BY event_type
+        ),
+        cum AS (
+            SELECT e.event_type, ts, event_id,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w
+                             AS VARCHAR) AS DOUBLE)
+                       - row_number() OVER w * (s / n) AS drift
+            FROM events e JOIN moments m ON e.event_type = m.event_type
+            WINDOW w AS (PARTITION BY e.event_type
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_type, ts AS change_ts, drift AS peak_drift FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(drift) DESC, ts, event_id) AS rk
+            FROM cum
+        ) WHERE rk = 1
+    """,
+    doc="CUSUM changepoint per event type: the cumulative deviation from "
+        "the series mean, peak = the candidate changepoint. The cumulative "
+        "sum is an EXACT decimal window aggregate and the mean is the "
+        "exact-decimal global mean, so the per-row drift is one "
+        "deterministic double expression — a drift detector with "
+        "hash-stable output (stats.py moments technique applied to a "
+        "running window).",
+    tags=("timeseries", "stats"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type", "ts", "event_id", "value")
+    moments = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ordw = W.partitionBy("event_type").orderBy("ts", "event_id")
+    drift = (
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+        - F.row_number().over(ordw) * (F.col("s") / F.col("n"))
+    )
+    cum = ev.join(F.broadcast(moments), "event_type").select(
+        "event_type", "ts", "event_id", drift.alias("drift")
+    )
+    pick = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("drift")).desc(), "ts", "event_id"
+    )
+    return (
+        cum.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("change_ts"),
+            F.col("drift").alias("peak_drift"),
+        )
+    )

@@ -78,9 +78,10 @@ def build_sim_sf1(spark) -> None:
     print(f"# built {SIM_DIR} ({COPIES}x {SF_BASE})", file=sys.stderr)
 
 
-def run_suite(spark, sf_dir: str) -> dict[str, float]:
+def run_suite(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     reg = load_all()
-    names = [n for n, q in sorted(reg.items()) if q.bench]
+    if names is None:
+        names = [n for n, q in sorted(reg.items()) if q.bench]
     # same warmup as bench.py: file index + HOF-lambda Catalyst classes,
     # so the alphabetically-first query doesn't absorb session cold cost
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -145,12 +146,19 @@ def skew_demo(spark) -> dict:
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    # --queries a,b,c : scale-check an explicit query list instead of the
+    # bench=True headline set (e.g. newly added heavy operators)
+    names = None
+    if "--queries" in sys.argv:
+        names = sys.argv[sys.argv.index("--queries") + 1].split(",")
+        mode = "--scale-only"
     spark = get_spark("pspd_scale_bench")
     out: dict = {"metric": "scale_bench"}
     if mode != "--skew-only":
-        build_sim_sf1(spark)
-        base = run_suite(spark, SF_BASE)
-        sim = run_suite(spark, SIM_DIR)
+        if not Path(f"{SIM_DIR}/lineitem.parquet").exists() or names is None:
+            build_sim_sf1(spark)
+        base = run_suite(spark, SF_BASE, names)
+        sim = run_suite(spark, SIM_DIR, names)
         out["sf0_1"] = base
         out["sim_sf1"] = sim
         out["ratio"] = {
