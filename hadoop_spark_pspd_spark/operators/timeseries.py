@@ -146,34 +146,72 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="CUSUM changepoint per event type: the cumulative deviation from "
         "the series mean, peak = the candidate changepoint. The cumulative "
-        "sum is an EXACT decimal window aggregate and the mean is the "
+        "sum is an EXACT decimal running sum and the mean is the "
         "exact-decimal global mean, so the per-row drift is one "
         "deterministic double expression — a drift detector with "
-        "hash-stable output (stats.py moments technique applied to a "
-        "running window).",
+        "hash-stable output. The oracle states the running sum as one "
+        "global window per type; the engine computes it as a two-level "
+        "prefix sum (within-day window + broadcast per-day decimal "
+        "offsets, the text_pack_shards pattern) so no event type becomes "
+        "a single serial window partition at scale.",
     tags=("timeseries", "stats"),
 )
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = Tables(spark, sf_dir)
-    ev = t.events.select("event_type", "ts", "event_id", "value")
+    dec_v = F.col("value").cast("decimal(18,4)")
+    ev = t.events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.to_date("ts").alias("day"),
+    )
     moments = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("s"),
+        F.sum(dec_v).cast("double").alias("s"),
     )
-    w = (
-        W.partitionBy("event_type")
+    within_w = (
+        W.partitionBy("event_type", "day")
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    ordw = W.partitionBy("event_type").orderBy("ts", "event_id")
-    drift = (
-        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
-        - F.row_number().over(ordw) * (F.col("s") / F.col("n"))
+    ord_w = W.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    per_row = ev.select(
+        "event_type",
+        "day",
+        "ts",
+        "event_id",
+        F.sum(dec_v).over(within_w).alias("within_sum"),
+        F.row_number().over(ord_w).cast("bigint").alias("within_k"),
     )
-    cum = ev.join(F.broadcast(moments), "event_type").select(
-        "event_type", "ts", "event_id", drift.alias("drift")
+    day_w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        ev.groupBy("event_type", "day")
+        .agg(F.sum(dec_v).alias("dsum"), F.count("*").alias("dcnt"))
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(
+                F.sum("dsum").over(day_w),
+                F.lit(0).cast("decimal(18,4)"),
+            ).alias("off_sum"),
+            F.coalesce(F.sum("dcnt").over(day_w), F.lit(0)).alias("off_k"),
+        )
+    )
+    drift = (
+        (F.col("off_sum") + F.col("within_sum")).cast("double")
+        - (F.col("off_k") + F.col("within_k")) * (F.col("s") / F.col("n"))
+    )
+    cum = (
+        per_row.join(F.broadcast(offsets), ["event_type", "day"])
+        .join(F.broadcast(moments), "event_type")
+        .select("event_type", "ts", "event_id", drift.alias("drift"))
     )
     pick = W.partitionBy("event_type").orderBy(
         F.abs(F.col("drift")).desc(), "ts", "event_id"
