@@ -59,6 +59,7 @@ from ..registry import register
         "stage-N-1 timestamp. Each stage is a conditional-min aggregation "
         "keyed on user_id (no window sort); the three shuffles share one "
         "hash partitioning.",
+    bench=True,
     tags=("behavioral",),
 )
 def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:

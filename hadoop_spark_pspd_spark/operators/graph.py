@@ -123,6 +123,7 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(ordered-wedge enumeration: s1<s2<s3 via two joins on the "
         "degree-bounded edge list). Sparsification caps the join volume at "
         "V*64 wedges regardless of how dense co-occurrence gets.",
+    bench=True,
     tags=("graph",),
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:

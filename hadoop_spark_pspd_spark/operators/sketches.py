@@ -77,6 +77,7 @@ def _hh_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         "prune (pigeonhole-complete, mapInPandas), then exact counting of "
         "candidates only — the words shuffled are O(candidates), never "
         "O(vocabulary). Oracle is the direct GROUP BY / HAVING.",
+    bench=True,
     tags=("sketch", "text"),
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
