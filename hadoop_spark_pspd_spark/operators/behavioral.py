@@ -268,3 +268,47 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_us"),
     )
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               count(*) AS n,
+               CAST(count(*) AS DOUBLE)
+                   / sum(count(*)) OVER (PARTITION BY prev_type) AS p
+        FROM ordered
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    doc="First-order Markov transition matrix of the per-user event "
+        "journey: lag over (user_id, ts) then a (prev, next) count; the "
+        "transition probability is one integer/integer double division "
+        "(hash-stable). The 25-cell matrix is the user-flow profile "
+        "product analytics derives sankeys from.",
+    tags=("behavioral",),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = t.events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    counts = (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = W.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(row_tot)).alias("p"),
+    )

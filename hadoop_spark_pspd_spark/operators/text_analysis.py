@@ -222,3 +222,111 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bpe").getItem(0).alias("first_tok"),
         F.element_at("bpe", -1).alias("last_tok"),
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+        WITH posting AS (
+            SELECT DISTINCT word, doc_id FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text),
+                           '[ \t\n\r\f]+'), x -> x <> '')) AS word
+                FROM documents
+            )
+        )
+        SELECT word,
+               count(*) AS df,
+               list_aggr(list_sort(list(doc_id))[1:8],
+                         'string_agg', ',') AS head_postings
+        FROM posting
+        GROUP BY word
+    """,
+    doc="Search-index build: word -> document-frequency + the first 8 "
+        "doc_ids of the sorted posting list (serialized to a CSV string "
+        "so the comparison is order-exact). distinct (word, doc) then one "
+        "groupBy — posting lists shuffle once, pre-deduped map-side.",
+    tags=("text",),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    posting = (
+        t.documents.select(
+            "doc_id",
+            F.explode(tokens(F.lower("text"))).alias("word"),
+        )
+        .distinct()
+    )
+    return posting.groupBy("word").agg(
+        F.count("*").alias("df"),
+        F.concat_ws(
+            ",",
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 8),
+        ).alias("head_postings"),
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+        WITH tf AS (
+            SELECT word, doc_id, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text),
+                           '[ \t\n\r\f]+'), x -> x <> '')) AS word
+                FROM documents
+            ) GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT word, count(*) AS df FROM tf GROUP BY word
+        ),
+        scored AS (
+            SELECT t.word, t.doc_id, t.tf, d.df,
+                   CAST(t.tf * (SELECT count(*) FROM documents) AS DOUBLE)
+                       / d.df AS score
+            FROM tf t JOIN df d ON t.word = d.word
+        )
+        SELECT word, doc_id, tf, df, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY word
+                       ORDER BY score DESC, doc_id) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """,
+    doc="Log-free TF-IDF ranking: score = tf * N / df (the rational idf "
+        "N/df replaces log(N/df) — same ordering per word, no "
+        "transcendental so the hash is exact). Top-3 documents per word "
+        "with doc_id tie-break; df table broadcasts back onto tf.",
+    tags=("text",),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    tf = (
+        t.documents.select(
+            "doc_id", F.explode(tokens(F.lower("text"))).alias("word")
+        )
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = t.documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(F.broadcast(n_docs))
+        .select(
+            "word",
+            "doc_id",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("word").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("word", "doc_id", "tf", "df", "score")
+    )
