@@ -105,3 +105,171 @@ def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", matches).alias("words"),
         F.size(matches).alias("n_words"),
     )
+
+
+@register(
+    "q_ab_test",
+    oracle="""
+        WITH arms AS (
+            SELECT user_id % 2 AS variant,
+                   count(*) AS n_users,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_converted,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END) AS DOUBLE) / count(*) AS rate
+            FROM events GROUP BY 1
+        )
+        SELECT a.n_users AS n_a, a.n_converted AS conv_a, a.rate AS rate_a,
+               b.n_users AS n_b, b.n_converted AS conv_b, b.rate AS rate_b,
+               (a.rate - b.rate)
+                   / sqrt(
+                       (CAST(a.n_converted + b.n_converted AS DOUBLE)
+                        / (a.n_users + b.n_users))
+                       * (1 - CAST(a.n_converted + b.n_converted AS DOUBLE)
+                              / (a.n_users + b.n_users))
+                       * (1.0 / a.n_users + 1.0 / b.n_users)) AS z_stat
+        FROM arms a JOIN arms b ON a.variant = 0 AND b.variant = 1
+    """,
+    doc="Two-proportion z-test for an A/B experiment (variant = "
+        "user_id % 2, conversion = an event being a purchase — event-level "
+        "so the pooled rate stays strictly interior at every SF): "
+        "pooled-rate z-statistic from integer counts and exact "
+        "integer-ratio doubles (sqrt is IEEE-correctly-rounded, so the "
+        "statistic is hash-stable). One aggregation, one 2-row arm table.",
+    tags=("stats",),
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    is_purchase = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    arms = t.events.groupBy(
+        (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum(is_purchase).cast("bigint").alias("n_converted"),
+        (F.sum(is_purchase).cast("double") / F.count("*")).alias("rate"),
+    )
+    a = arms.where(F.col("variant") == 0).alias("a")
+    b = arms.where(F.col("variant") == 1).alias("b")
+    pooled = (
+        F.col("a.n_converted") + F.col("b.n_converted")
+    ).cast("double") / (F.col("a.n_users") + F.col("b.n_users"))
+    z = (F.col("a.rate") - F.col("b.rate")) / F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (1.0 / F.col("a.n_users") + 1.0 / F.col("b.n_users"))
+    )
+    return a.crossJoin(b).select(
+        F.col("a.n_users").alias("n_a"),
+        F.col("a.n_converted").alias("conv_a"),
+        F.col("a.rate").alias("rate_a"),
+        F.col("b.n_users").alias("n_b"),
+        F.col("b.n_converted").alias("conv_b"),
+        F.col("b.rate").alias("rate_b"),
+        z.alias("z_stat"),
+    )
+
+
+@register(
+    "q_equidepth_deciles",
+    oracle="""
+        SELECT ((rk - 1) * 10) // (SELECT count(*) FROM orders) + 1
+                   AS decile,
+               count(*) AS n,
+               min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM (
+            SELECT o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS rk
+            FROM orders
+        )
+        GROUP BY 1
+    """,
+    doc="Equi-depth decile histogram of order totals: decile = "
+        "((rank-1)*10) div N + 1 over the uniquely tie-broken (price, "
+        "orderkey) ordering — stated in the oracle as one global "
+        "row_number window, computed in the engine as a two-level prefix "
+        "rank (within-price-range windows + broadcast per-range count "
+        "offsets, the text_pack_shards pattern) so no global "
+        "single-partition sort exists in the plan. Complements the "
+        "fixed-width q_histogram_bins.",
+    tags=("stats", "profile"),
+)
+def q_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    base = t.orders.select(
+        "o_totalprice",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 25000).alias("rng"),
+    )
+    within_w = W.partitionBy("rng").orderBy("o_totalprice", "o_orderkey")
+    per_row = base.withColumn(
+        "within_rk", F.row_number().over(within_w).cast("bigint")
+    )
+    off_w = W.orderBy("rng").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("rng")
+        .agg(F.count("*").alias("rcnt"))
+        .select(
+            "rng",
+            F.coalesce(F.sum("rcnt").over(off_w), F.lit(0)).alias("off"),
+        )
+    )
+    n_total = t.orders.agg(F.count("*").alias("n_total"))
+    ranked = (
+        per_row.join(F.broadcast(offsets), "rng")
+        .join(F.broadcast(n_total))
+        .select(
+            "o_totalprice",
+            F.expr("(off + within_rk - 1) * 10 div n_total + 1")
+            .alias("decile"),
+        )
+    )
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "q_mad_robust",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS median
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               m.median,
+               quantile_disc(abs(value - m.median), 0.5) AS mad,
+               count(*) AS n
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type, m.median
+    """,
+    doc="Median absolute deviation per event type — the robust spread "
+        "metric outlier pipelines prefer over stddev. Both medians are "
+        "discrete percentiles (actual data values / exact double "
+        "differences), so no accumulation-order noise exists anywhere. "
+        "The 5-row median table broadcasts back onto the scan.",
+    tags=("stats",),
+)
+def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .alias("median")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "median")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP "
+                "(ORDER BY abs(value - median))"
+            ).alias("mad"),
+            F.count("*").alias("n"),
+        )
+    )
