@@ -18,6 +18,8 @@ DuckDB oracle.
 
 from __future__ import annotations
 
+import collections
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,20 +47,31 @@ _TOKS_ORACLE = """
 """
 
 
+_WS_RE = re.compile(r"[ \t\n\r\f]+")  # functions/text.WHITESPACE_RE
+
+
 def _hh_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per-partition exact counts; emit words with local share >= 1/HH_K.
 
-    The dict is bounded by the partition's distinct-word count. For
-    vocabularies that outgrow executor heap, swap the dict for a
-    Misra-Gries summary of k >> HH_K counters — the emit rule below is
-    unchanged because MG undercounts by at most N_p/k.
+    Receives (pre-lowered) DOCUMENTS, not exploded tokens: tokenizing
+    inside the worker means Arrow ships one row per document instead of
+    one per token — a 5-7x batch-transfer cut that is the difference at
+    100 TB. The split is the same explicit char class as
+    functions/text.tokens, and lowercasing stays JVM-side so both phases
+    see byte-identical strings.
+
+    The counter is bounded by the partition's distinct-word count. For
+    vocabularies that outgrow executor heap, swap it for a Misra-Gries
+    summary of k >> HH_K counters — the emit rule below is unchanged
+    because MG undercounts by at most N_p/k.
     """
-    counts: dict[str, int] = {}
+    counts: collections.Counter[str] = collections.Counter()
     total = 0
     for pdf in batches:
-        total += len(pdf)
-        for w, c in pdf["word"].value_counts().items():
-            counts[w] = counts.get(w, 0) + int(c)
+        for txt in pdf["text"]:
+            toks = [t for t in _WS_RE.split(txt) if t]
+            total += len(toks)
+            counts.update(toks)
     cands = [w for w, c in counts.items() if c * HH_K >= total]
     yield pd.DataFrame({"word": pd.Series(cands, dtype="object")})
 
@@ -83,8 +96,9 @@ def _hh_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     toks = t.documents.select(words_exploded(F.lower("text")))
+    lowered = t.documents.select(F.lower("text").alias("text"))
     cands = (
-        toks.mapInPandas(_hh_candidates, schema="word string")
+        lowered.mapInPandas(_hh_candidates, schema="word string")
         .distinct()
     )
     total = toks.agg(F.count("*").alias("grand_total"))
