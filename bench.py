@@ -1,7 +1,17 @@
 """Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "runs": {...}, "sf": ...}
+
+Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) in
+round-robin suite passes — the whole suite runs, then runs again — so
+one-time session costs (codegen class loading, file-index build,
+ObjectHashAggregate paths) land in pass 1 and the per-query MEDIAN
+reported in "queries" reflects steady state. Ambient run-to-run variance
+on this box is ±25% (BENCH_NOTES.md), which single-shot timings cannot
+distinguish from real regressions; the per-pass raw walls are kept in
+"runs" so any reader can see the spread. "value" is the sum of medians.
 
 Materialization uses the noop sink (full execution, no collect-to-driver,
 no write amplification) — the honest analog of the reference's
@@ -108,21 +118,29 @@ def main() -> None:
         F.transform(F.sequence(F.lit(0), F.lit(1)), lambda i: i + 1),
     ).collect()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        q = reg[name]
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        if name in _SELF_MATERIALIZING:
-            df.count()
-        else:
-            df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
-        # drop caches a query may have built (dedup pipelines cache the
-        # shingle table) so their GC doesn't land on the next query's clock
-        spark.catalog.clearCache()
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs: dict[str, list[float]] = {name: [] for name in names}
+    for pass_no in range(n_runs):
+        for name in names:
+            q = reg[name]
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            if name in _SELF_MATERIALIZING:
+                df.count()
+            else:
+                df.write.format("noop").mode("overwrite").save()
+            wall = round(time.time() - t0, 3)
+            runs[name].append(wall)
+            print(f"# pass {pass_no + 1}/{n_runs} {name}: {wall}s",
+                  file=sys.stderr)
+            # drop caches a query may have built (dedup pipelines cache
+            # the shingle table) so their GC doesn't land on the next
+            # query's clock
+            spark.catalog.clearCache()
 
+    timings = {
+        name: sorted(rs)[len(rs) // 2] for name, rs in runs.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -131,6 +149,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
             }
         )

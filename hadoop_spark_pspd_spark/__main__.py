@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> int:
             if args.tag and args.tag not in q.tags:
                 continue
             kind = "oracled" if q.oracle else "rows-only"
+            if "anchor" in q.tags:
+                # correctness anchors kept for strategy comparison — a
+                # faster registered equivalent is the path to use
+                kind += ",ANCHOR-ONLY"
             doc = (q.doc or "").strip().split("\n")[0][:70]
             print(f"{name:32s} [{kind}] {doc}")
         return 0

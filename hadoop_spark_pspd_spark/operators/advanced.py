@@ -111,10 +111,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_asof_join_maxby",
     oracle=_ASOF_ORACLE,
-    doc="Same as-of join via equi-join + max_by(struct) aggregation — one "
-        "shuffle and partial-aggregatable, but with event x prior-orders "
-        "join fanout; kept as the physical-strategy comparison point for "
-        "q_asof_join (3x slower at sf0.1).",
+    doc="ANCHOR ONLY — do not use as the scale path; use q_asof_join "
+        "(union + window, one shuffle, zero joins). Same as-of join via "
+        "equi-join + max_by(struct) aggregation — partial-aggregatable "
+        "but with event x prior-orders join fanout (3x slower at sf0.1, "
+        "worse with per-key history depth); kept as the physical-strategy "
+        "comparison point.",
+    tags=("anchor", "join"),
 )
 def q_asof_join_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)

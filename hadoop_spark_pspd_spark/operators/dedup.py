@@ -144,9 +144,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=_JACCARD_ORACLE,
-    doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.8) via "
-        "inverted-index self-join. Correctness anchor only: join volume is "
-        "O(sum df^2), so the benched exact path is dedup_allpairs_prefix.",
+    doc="ANCHOR ONLY — do not use as the scale path; use "
+        "dedup_allpairs_prefix. Exact word-3-gram Jaccard near-dup pairs "
+        "(threshold 0.8) via inverted-index self-join: join volume is "
+        "O(sum df^2), which degrades on high-df shingles at corpus scale.",
+    tags=("anchor", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)

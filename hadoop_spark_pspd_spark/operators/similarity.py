@@ -303,13 +303,35 @@ _NEARDUP_PAIRS_SQL = f"""
         "at 100 TB.",
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    threshold = 0.4
+    cand = neardup_candidates(spark, sf_dir, threshold)
+    # zip_with/aggregate cosine is numerically symmetric (per-index products
+    # commute, accumulation order is index order), so least/greatest
+    # reordering can't drift the rounded score vs the oracle's a<b layout
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return cand.filter(sim >= threshold).select(
+        F.least("ida", "idb").alias("vec_a"),
+        F.greatest("ida", "idb").alias("vec_b"),
+        F.round(sim, 6).alias("sim"),
+    )
+
+
+def neardup_candidates(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4,
+    k_cells: int = 16,
+) -> DataFrame:
+    """Candidate pair stream (ida, ea, idb, eb) from the cell-pair
+    prefilter — the complete-by-construction half of
+    sim_embedding_neardup, exposed separately so tests can measure the
+    candidate volume against the block-partition bound C(n,2) on an
+    adversarially uniform corpus (where no cell pair prunes and the plan
+    must degrade to block-partitioned exact comparison, each unordered
+    pair enumerated exactly once, still a hash equi-join)."""
     import math
 
     import pandas as pd
 
     t = Tables(spark, sf_dir)
-    threshold = 0.4
-    k_cells = 16
     centroids = _train_coarse_quantizer(t.embeddings, k_cells)
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
@@ -362,21 +384,12 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("cell").alias("cj"),
     )
-    cand = (
+    return (
         a.join(F.broadcast(pair_df), "ci")
         .join(b, "cj")
         # same-cell blocks enumerate both orders — keep one; cross-cell
         # blocks (ci < cj) enumerate each unordered pair exactly once
         .filter((F.col("ci") < F.col("cj")) | (F.col("ida") < F.col("idb")))
-    )
-    # zip_with/aggregate cosine is numerically symmetric (per-index products
-    # commute, accumulation order is index order), so least/greatest
-    # reordering can't drift the rounded score vs the oracle's a<b layout
-    sim = cosine(F.col("ea"), F.col("eb"))
-    return cand.filter(sim >= threshold).select(
-        F.least("ida", "idb").alias("vec_a"),
-        F.greatest("ida", "idb").alias("vec_b"),
-        F.round(sim, 6).alias("sim"),
     )
 
 

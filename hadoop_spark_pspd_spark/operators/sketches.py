@@ -18,12 +18,6 @@ DuckDB oracle.
 
 from __future__ import annotations
 
-import collections
-import re
-from collections.abc import Iterator
-
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,35 +41,6 @@ _TOKS_ORACLE = """
 """
 
 
-_WS_RE = re.compile(r"[ \t\n\r\f]+")  # functions/text.WHITESPACE_RE
-
-
-def _hh_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-partition exact counts; emit words with local share >= 1/HH_K.
-
-    Receives (pre-lowered) DOCUMENTS, not exploded tokens: tokenizing
-    inside the worker means Arrow ships one row per document instead of
-    one per token — a 5-7x batch-transfer cut that is the difference at
-    100 TB. The split is the same explicit char class as
-    functions/text.tokens, and lowercasing stays JVM-side so both phases
-    see byte-identical strings.
-
-    The counter is bounded by the partition's distinct-word count. For
-    vocabularies that outgrow executor heap, swap it for a Misra-Gries
-    summary of k >> HH_K counters — the emit rule below is unchanged
-    because MG undercounts by at most N_p/k.
-    """
-    counts: collections.Counter[str] = collections.Counter()
-    total = 0
-    for pdf in batches:
-        for txt in pdf["text"]:
-            toks = [t for t in _WS_RE.split(txt) if t]
-            total += len(toks)
-            counts.update(toks)
-    cands = [w for w, c in counts.items() if c * HH_K >= total]
-    yield pd.DataFrame({"word": pd.Series(cands, dtype="object")})
-
-
 @register(
     "q_heavy_hitters",
     oracle=f"""
@@ -86,19 +51,37 @@ def _hh_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         HAVING count(*) * {HH_K} >= (SELECT count(*) FROM toks)
     """,
     doc="Frequent items (share >= 1/30 of all tokens) via the two-phase "
-        "distributed heavy-hitter algorithm: partition-local candidate "
-        "prune (pigeonhole-complete, mapInPandas), then exact counting of "
-        "candidates only — the words shuffled are O(candidates), never "
-        "O(vocabulary). Oracle is the direct GROUP BY / HAVING.",
+        "distributed heavy-hitter algorithm, entirely in JVM built-ins: "
+        "phase 1 groups exploded tokens by (spark_partition_id, word) — "
+        "pid is constant within a partition, so the map-side partial "
+        "aggregation reduces each partition to its exact local counts "
+        "before anything moves — and keeps words with local share >= "
+        "1/K (pigeonhole-complete candidate superset). Phase 2 exact-"
+        "counts candidates only. No Python in the hot path: tokenization "
+        "stays in whole-stage codegen instead of shipping every document "
+        "through Arrow. For vocabularies that outgrow memory, phase 1's "
+        "exact per-partition counts can be swapped for a Misra-Gries "
+        "summary of k >> HH_K counters (the emit rule is unchanged since "
+        "MG undercounts by at most N_p/k). Oracle is the direct "
+        "GROUP BY / HAVING.",
     bench=True,
     tags=("sketch", "text"),
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     toks = t.documents.select(words_exploded(F.lower("text")))
-    lowered = t.documents.select(F.lower("text").alias("text"))
+    toks_pid = t.documents.select(
+        F.spark_partition_id().alias("pid"),
+        words_exploded(F.lower("text")),
+    )
+    local = toks_pid.groupBy("pid", "word").agg(F.count("*").alias("c"))
+    # per-partition token totals N_p, recovered from the local counts
+    # themselves (no second scan); #partitions rows — broadcast.
+    ptot = local.groupBy("pid").agg(F.sum("c").alias("np"))
     cands = (
-        lowered.mapInPandas(_hh_candidates, schema="word string")
+        local.join(F.broadcast(ptot), "pid")
+        .where(F.col("c") * HH_K >= F.col("np"))
+        .select("word")
         .distinct()
     )
     total = toks.agg(F.count("*").alias("grand_total"))
@@ -133,18 +116,25 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sketch", "join"),
 )
 def q_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    # lower the local-mode thresholds so the rule actually fires at test SFs
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
-    )
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "0",
-    )
+    # The bloom-filter confs are session-wide; leaving them set (notably
+    # applicationSideScanSizeThreshold=0) would inject runtime filters into
+    # every later query's shuffle joins and make harness timings
+    # order-dependent. Set them, bake this query's optimized plan (the
+    # QueryExecution caches its optimizedPlan, so the injected filter
+    # survives the restore — InjectRuntimeFilter is a logical-optimizer
+    # rule and AQE's runtime re-planning never strips it), then restore.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # lower the local-mode thresholds so the rule fires at test SFs
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
     t = Tables(spark, sf_dir)
     urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT")
-    return (
+    df = (
         t.lineitem.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(
@@ -152,6 +142,17 @@ def q_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("revenue"),
         )
     )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df._jdf.queryExecution().optimizedPlan()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df
 
 
 @register(

@@ -112,30 +112,33 @@ def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH arms AS (
             SELECT user_id % 2 AS variant,
-                   count(*) AS n_users,
+                   count(*) AS n_events,
                    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
-                                 ELSE 0 END) AS BIGINT) AS n_converted,
+                                 ELSE 0 END) AS BIGINT) AS n_purchases,
                    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
                                  ELSE 0 END) AS DOUBLE) / count(*) AS rate
             FROM events GROUP BY 1
         )
-        SELECT a.n_users AS n_a, a.n_converted AS conv_a, a.rate AS rate_a,
-               b.n_users AS n_b, b.n_converted AS conv_b, b.rate AS rate_b,
+        SELECT a.n_events AS n_a, a.n_purchases AS conv_a, a.rate AS rate_a,
+               b.n_events AS n_b, b.n_purchases AS conv_b, b.rate AS rate_b,
                (a.rate - b.rate)
                    / sqrt(
-                       (CAST(a.n_converted + b.n_converted AS DOUBLE)
-                        / (a.n_users + b.n_users))
-                       * (1 - CAST(a.n_converted + b.n_converted AS DOUBLE)
-                              / (a.n_users + b.n_users))
-                       * (1.0 / a.n_users + 1.0 / b.n_users)) AS z_stat
+                       (CAST(a.n_purchases + b.n_purchases AS DOUBLE)
+                        / (a.n_events + b.n_events))
+                       * (1 - CAST(a.n_purchases + b.n_purchases AS DOUBLE)
+                              / (a.n_events + b.n_events))
+                       * (1.0 / a.n_events + 1.0 / b.n_events)) AS z_stat
         FROM arms a JOIN arms b ON a.variant = 0 AND b.variant = 1
     """,
-    doc="Two-proportion z-test for an A/B experiment (variant = "
-        "user_id % 2, conversion = an event being a purchase — event-level "
-        "so the pooled rate stays strictly interior at every SF): "
-        "pooled-rate z-statistic from integer counts and exact "
-        "integer-ratio doubles (sqrt is IEEE-correctly-rounded, so the "
-        "statistic is hash-stable). One aggregation, one 2-row arm table.",
+    doc="Two-proportion z-test for an A/B experiment over EVENT-level "
+        "trials (variant = user_id % 2; a trial is one event, success = "
+        "that event being a purchase — deliberately event-level, not "
+        "per-user, so the pooled rate stays strictly interior at every "
+        "SF; the trials are therefore not independent across a user's "
+        "events, which the column names now state honestly): pooled-rate "
+        "z-statistic from integer counts and exact integer-ratio doubles "
+        "(sqrt is IEEE-correctly-rounded, so the statistic is "
+        "hash-stable). One aggregation, one 2-row arm table.",
     tags=("stats",),
 )
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,26 +147,26 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms = t.events.groupBy(
         (F.col("user_id") % 2).alias("variant")
     ).agg(
-        F.count("*").alias("n_users"),
-        F.sum(is_purchase).cast("bigint").alias("n_converted"),
+        F.count("*").alias("n_events"),
+        F.sum(is_purchase).cast("bigint").alias("n_purchases"),
         (F.sum(is_purchase).cast("double") / F.count("*")).alias("rate"),
     )
     a = arms.where(F.col("variant") == 0).alias("a")
     b = arms.where(F.col("variant") == 1).alias("b")
     pooled = (
-        F.col("a.n_converted") + F.col("b.n_converted")
-    ).cast("double") / (F.col("a.n_users") + F.col("b.n_users"))
+        F.col("a.n_purchases") + F.col("b.n_purchases")
+    ).cast("double") / (F.col("a.n_events") + F.col("b.n_events"))
     z = (F.col("a.rate") - F.col("b.rate")) / F.sqrt(
         pooled
         * (1 - pooled)
-        * (1.0 / F.col("a.n_users") + 1.0 / F.col("b.n_users"))
+        * (1.0 / F.col("a.n_events") + 1.0 / F.col("b.n_events"))
     )
     return a.crossJoin(b).select(
-        F.col("a.n_users").alias("n_a"),
-        F.col("a.n_converted").alias("conv_a"),
+        F.col("a.n_events").alias("n_a"),
+        F.col("a.n_purchases").alias("conv_a"),
         F.col("a.rate").alias("rate_a"),
-        F.col("b.n_users").alias("n_b"),
-        F.col("b.n_converted").alias("conv_b"),
+        F.col("b.n_events").alias("n_b"),
+        F.col("b.n_purchases").alias("conv_b"),
         F.col("b.rate").alias("rate_b"),
         z.alias("z_stat"),
     )

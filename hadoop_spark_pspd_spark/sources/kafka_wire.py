@@ -16,6 +16,15 @@ protocol spec (https://kafka.apache.org/protocol):
     with auto-topic-creation — the single-node stand-in for the
     reference's broker container.
 
+Boundary (stated, not hidden): this stack speaks message-format v1
+(magic=1, MessageSet framing) ONLY. A modern client that negotiates the
+v2 record-batch format (magic=2, introduced in Kafka 0.11 — varint
+headers, batch-level CRC32C) cannot talk to this broker, and the broker
+never up/down-converts. That is exactly the 0.10.x-era protocol surface
+and no more; the spark-sql-kafka connector path against a real cluster is
+the production route (streaming/wordcount_stream.py kafka_source/
+kafka_sink, whose option wiring is pinned by the no-jar contract test).
+
 Production path unchanged: ``streaming/wordcount_stream.py``'s
 kafka_source/kafka_sink use the spark-sql-kafka connector against a real
 cluster. This module exists so the canalinput -> windowed count ->

@@ -67,18 +67,49 @@ def to_kafka_json(df: DataFrame) -> DataFrame:
     )
 
 
+def kafka_source_contract(bootstrap: str, topic: str = INPUT_TOPIC) -> dict:
+    """The exact readStream wiring for reference S3 (docs/README.md:257:
+    subscribe ``canalinput``), as data — the single source of truth
+    kafka_source drives, and what the no-connector-jar contract test
+    asserts against."""
+    return {
+        "format": "kafka",
+        "options": {
+            "kafka.bootstrap.servers": bootstrap,
+            "subscribe": topic,
+        },
+    }
+
+
+def kafka_sink_contract(
+    bootstrap: str,
+    topic: str = OUTPUT_TOPIC,
+    checkpoint: str = "/tmp/pspd_stream_ckpt",
+    output_mode: str = "update",
+) -> dict:
+    """writeStream wiring for reference S4 (JSON records to ``canaloutput``
+    with checkpointed state), as data — see kafka_source_contract."""
+    return {
+        "format": "kafka",
+        "options": {
+            "kafka.bootstrap.servers": bootstrap,
+            "topic": topic,
+            "checkpointLocation": checkpoint,
+        },
+        "output_mode": output_mode,
+    }
+
+
 def kafka_source(spark, bootstrap: str, topic: str = INPUT_TOPIC) -> DataFrame:
     """Reference S3: subscribe to canalinput. Requires the Kafka connector
     jar on the classpath (not in the dev image — gated here)."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .load()
-        .select(
-            F.col("value").cast("string").alias("value"),
-            F.col("timestamp").alias("timestamp"),
-        )
+    c = kafka_source_contract(bootstrap, topic)
+    reader = spark.readStream.format(c["format"])
+    for k, v in c["options"].items():
+        reader = reader.option(k, v)
+    return reader.load().select(
+        F.col("value").cast("string").alias("value"),
+        F.col("timestamp").alias("timestamp"),
     )
 
 
@@ -91,15 +122,11 @@ def kafka_sink(
 ):
     """Reference S4: JSON records to canaloutput with checkpointed state
     (Spark's WAL+checkpoint replaces the reference's YARN retry story)."""
-    return (
-        to_kafka_json(df)
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
-        .outputMode(output_mode)
-        .start()
-    )
+    c = kafka_sink_contract(bootstrap, topic, checkpoint, output_mode)
+    writer = to_kafka_json(df).writeStream.format(c["format"])
+    for k, v in c["options"].items():
+        writer = writer.option(k, v)
+    return writer.outputMode(c["output_mode"]).start()
 
 
 def kafka_wire_source(spark, bootstrap: str, topic: str = INPUT_TOPIC) -> DataFrame:

@@ -136,3 +136,64 @@ def test_neardup_plan_has_no_nested_loop_join(spark):
     plan = formatted_plan(sim_embedding_neardup(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_adversarial_uniform_corpus(spark, tmp_path):
+    """Adversarially uniform embedding corpus: cell radii are all large,
+    so the triangle-inequality cell-pair prefilter cannot prune and the
+    plan degrades to block-partitioned exact comparison
+    (similarity.py documents this). Asserts (a) output correctness —
+    recall 1 vs a numpy float64 brute force, planted near-dups found;
+    (b) candidate volume stays within the block-partition bound C(n,2)
+    (each unordered pair enumerated at most once); (c) the degraded plan
+    is still hash equi-joins, never a nested-loop/cartesian product."""
+    import numpy as np
+
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        DIM,
+        neardup_candidates,
+        sim_embedding_neardup,
+    )
+    from hadoop_spark_pspd_spark.plans.checks import formatted_plan
+
+    rng = np.random.default_rng(7)
+    n = 120
+    base = rng.standard_normal((n, DIM))
+    # plant 8 noisy near-dup pairs (cosine ~0.93) on the uniform cloud
+    for k in range(8):
+        base[100 + k] = base[k] + 0.05 * rng.standard_normal(DIM)
+    unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+    emb = unit.astype(np.float32)
+    rows = [(i, [float(x) for x in emb[i]], 0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf_dir = str(tmp_path / "adv")
+    df.coalesce(4).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    m = emb.astype(np.float64)
+    mu = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mu @ mu.T
+    want = {
+        (i, j): cos[i, j]
+        for i in range(n)
+        for j in range(i + 1, n)
+        if cos[i, j] >= 0.4
+    }
+
+    got = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in sim_embedding_neardup(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    assert got  # the planted pairs are present
+    for key, sim in got.items():
+        assert abs(sim - want[key]) < 2e-6, (key, sim, want[key])
+
+    cand = neardup_candidates(spark, sf_dir)
+    n_cand = cand.count()
+    assert n_cand <= n * (n - 1) // 2
+    plan = formatted_plan(cand)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()

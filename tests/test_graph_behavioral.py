@@ -55,6 +55,44 @@ def test_heavy_hitter_candidate_prune_is_complete(spark):
     assert got == direct and got
 
 
+def test_heavy_hitter_plan_has_no_python_stage(spark):
+    """Phase 1 is JVM built-ins: the plan must ship nothing through the
+    Python worker (no mapInPandas / Arrow eval stage)."""
+    plan = formatted_plan(q_heavy_hitters(spark, SF_SMOKE)).lower()
+    assert "mapinpandas" not in plan
+    assert "arrowevalpython" not in plan
+    assert "batchevalpython" not in plan
+
+
+def test_runtime_filter_join_restores_session_confs(spark):
+    """q_runtime_filter_join bakes its bloom confs into its own plan and
+    must not leak them into the session (leaked
+    applicationSideScanSizeThreshold=0 would inject bloom filters into
+    every later query and make bench timings order-dependent)."""
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+    ]
+    before = [spark.conf.get(k, None) for k in keys]
+    df = q_runtime_filter_join(spark, SF_SMOKE)
+    after = [spark.conf.get(k, None) for k in keys]
+    assert before == after
+    # and the baked plan still carries the runtime filter under the
+    # restored (default-threshold) session confs when broadcast is off
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df2 = q_runtime_filter_join(spark, SF_SMOKE)
+        plan = df2._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in plan or "bloomfilter" in plan
+        assert [spark.conf.get(k, None) for k in keys] == before
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    del df
+
+
 def test_runtime_bloom_filter_is_injected(spark):
     """InjectRuntimeFilter only rewrites joins it can't broadcast-by-size
     (a broadcast already prunes the probe side). At test SFs every build

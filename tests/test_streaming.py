@@ -161,3 +161,51 @@ def test_foreachbatch_idempotent_sink_exactly_once(spark, tmp_path):
     write_batch(replay_df, seen[0])
     again = spark.read.parquet(out_dir)
     assert again.count() == n_first  # no duplication
+
+
+def test_kafka_connector_option_contract():
+    """The real-cluster path (spark-sql-kafka connector) can't execute on
+    this image (no jar), but its wiring is a contract worth pinning: the
+    reference subscribes ``canalinput`` and produces JSON to
+    ``canaloutput`` (reference docs/README.md:257,265), and the sink must
+    checkpoint. kafka_source/kafka_sink are driven by these dicts
+    verbatim, so asserting the dicts pins the wiring without a broker."""
+    from hadoop_spark_pspd_spark.streaming.wordcount_stream import (
+        INPUT_TOPIC,
+        OUTPUT_TOPIC,
+        kafka_sink_contract,
+        kafka_source_contract,
+    )
+
+    src = kafka_source_contract("broker1:9092,broker2:9092")
+    assert src["format"] == "kafka"
+    assert src["options"]["kafka.bootstrap.servers"] == (
+        "broker1:9092,broker2:9092"
+    )
+    assert src["options"]["subscribe"] == INPUT_TOPIC == "canalinput"
+
+    sink = kafka_sink_contract("b:9092", checkpoint="/ckpt/x")
+    assert sink["format"] == "kafka"
+    assert sink["options"]["kafka.bootstrap.servers"] == "b:9092"
+    assert sink["options"]["topic"] == OUTPUT_TOPIC == "canaloutput"
+    assert sink["options"]["checkpointLocation"] == "/ckpt/x"
+    # update mode: re-emit a window's count when late data revises it
+    assert sink["output_mode"] == "update"
+
+
+def test_kafka_connector_absent_is_a_clean_boundary(spark):
+    """Without the spark-sql-kafka jar, kafka_source must fail with the
+    connector-missing error (not a silent wrong plan). If a jar IS on the
+    classpath, the source builds and this test instead asserts its
+    streaming schema."""
+    from hadoop_spark_pspd_spark.streaming.wordcount_stream import (
+        kafka_source,
+    )
+
+    try:
+        df = kafka_source(spark, "localhost:9092")
+    except Exception as e:  # noqa: BLE001 - asserting the failure mode
+        assert "kafka" in str(e).lower()
+    else:
+        assert [f.name for f in df.schema.fields] == ["value", "timestamp"]
+        assert df.isStreaming

@@ -16,6 +16,9 @@ ONE key) with AQE skew-join splitting on vs off, printing wall times and
 whether the plan reports skew=true partitions split.
 
 Usage: python tools/scale_bench.py [--skew-only|--scale-only]
+                                   [--queries a,b,c] [--rebuild]
+The simulated-sf1 dir carries a _MARKER.json (source mtimes/sizes +
+replication settings); it is rebuilt automatically when stale.
 Writes one JSON line; human summary to stderr.
 """
 
@@ -56,6 +59,23 @@ KEY_COLS = {
 }
 
 
+def _sim_signature() -> str:
+    """Fingerprint of what SIM_DIR should have been built from: source
+    table mtimes+sizes plus the replication settings. A pre-existing
+    SIM_DIR built from different testdata (or a different COPIES/OFFSET)
+    would silently produce wrong 10x ratios — the marker forces a rebuild
+    instead."""
+    mt = {}
+    for t in TABLES:
+        p = Path(f"{SF_BASE}/{t}.parquet")
+        st = p.stat()
+        mt[t] = [int(st.st_mtime), st.st_size]
+    return json.dumps(
+        {"copies": COPIES, "offset": OFFSET, "base": SF_BASE, "src": mt},
+        sort_keys=True,
+    )
+
+
 def build_sim_sf1(spark) -> None:
     shutil.rmtree(SIM_DIR, ignore_errors=True)
     Path(SIM_DIR).mkdir(parents=True)
@@ -75,6 +95,7 @@ def build_sim_sf1(spark) -> None:
         for c in copies[1:]:
             out = out.unionAll(c)
         out.write.mode("overwrite").parquet(f"{SIM_DIR}/{table}.parquet")
+    (Path(SIM_DIR) / "_MARKER.json").write_text(_sim_signature())
     print(f"# built {SIM_DIR} ({COPIES}x {SF_BASE})", file=sys.stderr)
 
 
@@ -155,7 +176,13 @@ def main() -> None:
     spark = get_spark("pspd_scale_bench")
     out: dict = {"metric": "scale_bench"}
     if mode != "--skew-only":
-        if not Path(f"{SIM_DIR}/lineitem.parquet").exists() or names is None:
+        marker = Path(SIM_DIR) / "_MARKER.json"
+        stale = (
+            "--rebuild" in sys.argv
+            or not marker.exists()
+            or marker.read_text() != _sim_signature()
+        )
+        if stale:
             build_sim_sf1(spark)
         base = run_suite(spark, SF_BASE, names)
         sim = run_suite(spark, SIM_DIR, names)

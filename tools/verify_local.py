@@ -6,14 +6,21 @@ insensitive multiset of values (exact for ints/strings/timestamps; floats
 must match to 1e-9 relative — our determinism conventions should make them
 bit-identical, so any drift is flagged loudly).
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes the per-query result record (name -> rows/schema/hash
+matches, row counts, err, wall seconds) in the driver's
+CORRECTNESS_r{N}.json shape — the committed full-sweep evidence artifact
+(SWEEP_r{N}.json).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
+from datetime import datetime, timezone
 from decimal import Decimal
 from pathlib import Path
 
@@ -85,8 +92,14 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     reg = load_all()
     spark = get_spark("verify_local")
     con = duckdb.connect()
@@ -96,16 +109,26 @@ def main() -> int:
             f"SELECT * FROM '{sf_dir}/{tname}.parquet'"
         )
     n_pass = n_fail = n_weak = 0
+    results: dict[str, dict] = {}
     for name, q in sorted(reg.items()):
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+            "wall_sec": None,
+        }
+        results[name] = rec
         try:
             sdf = q.fn(spark, sf_dir)
             spark_cols = sdf.columns
             spark_rows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(spark_rows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            rec["err"] = f"spark: {e}"[:300]
+            rec["wall_sec"] = round(time.time() - t0, 2)
             n_fail += 1
             continue
         finally:
@@ -113,6 +136,9 @@ def main() -> int:
             # accumulate them all without a per-query clear (ADVICE r01)
             spark.catalog.clearCache()
         if q.oracle is None:
+            rec["err"] = "no_oracle"
+            rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
+            rec["wall_sec"] = round(time.time() - t0, 2)
             print(
                 f"weak  {name}: rows-only ({len(spark_rows)} rows, "
                 f"{time.time()-t0:.1f}s)"
@@ -123,13 +149,23 @@ def main() -> int:
             rel = con.sql(q.oracle)
             duck_cols = rel.columns
             duck_rows = rel.fetchall()
+            rec["oracle_rows"] = len(duck_rows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb: {e}"[:300]
+            rec["wall_sec"] = round(time.time() - t0, 2)
             n_fail += 1
             continue
         problems = compare(spark_rows, spark_cols, duck_rows, duck_cols)
+        rec["rows_match"] = len(spark_rows) == len(duck_rows)
+        rec["schema_match"] = sorted(c.lower() for c in spark_cols) == sorted(
+            c.lower() for c in duck_cols
+        )
+        rec["hash_match"] = not problems
+        rec["wall_sec"] = round(time.time() - t0, 2)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(str(p) for p in problems))
+            rec["err"] = "; ".join(str(p) for p in problems)[:300]
             n_fail += 1
         else:
             print(
@@ -137,6 +173,22 @@ def main() -> int:
             )
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only")
+    if json_path:
+        Path(json_path).write_text(json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "generated_utc": datetime.now(timezone.utc).isoformat(
+                    timespec="seconds"
+                ),
+                "summary": {
+                    "pass": n_pass, "fail": n_fail, "rows_only": n_weak,
+                    "total": n_pass + n_fail + n_weak,
+                },
+                "queries": results,
+            },
+            indent=1,
+        ) + "\n")
+        print(f"# wrote {json_path}")
     return 1 if n_fail else 0
 
 
