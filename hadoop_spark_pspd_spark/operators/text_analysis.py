@@ -330,3 +330,94 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("word", "doc_id", "tf", "df", "score")
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+        WITH tf AS (
+            SELECT word, doc_id, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text),
+                           '[ \t\n\r\f]+'), x -> x <> '')) AS word
+                FROM documents
+            ) GROUP BY 1, 2
+        ),
+        dl AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        ),
+        stats AS (
+            SELECT CAST(SUM(dl) AS BIGINT) AS tot_toks,
+                   count(*) AS n_docs
+            FROM dl
+        ),
+        df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        scored AS (
+            SELECT t.word, t.doc_id, t.tf, d.df, l.dl,
+                   ((CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+                   * ((CAST(t.tf AS DOUBLE) * 2.2)
+                      / (t.tf + 1.2 * (0.25 + 0.75
+                         * (l.dl / (CAST(s.tot_toks AS DOUBLE) / s.n_docs)))))
+                       AS score
+            FROM tf t
+            JOIN df d ON t.word = d.word
+            JOIN dl l ON t.doc_id = l.doc_id
+            CROSS JOIN stats s
+        )
+        SELECT word, doc_id, tf, df, dl, score FROM (
+            SELECT *, row_number() OVER (PARTITION BY word
+                       ORDER BY score DESC, doc_id) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """,
+    doc="Okapi BM25 ranking (k1=1.2, b=0.75), top-3 documents per word: "
+        "the tf-saturation term tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) is "
+        "full BM25; the idf factor uses the rational odds "
+        "(N-df+0.5)/(df+0.5) — the argument of BM25's log — instead of "
+        "the log itself (repo convention: no transcendentals in hashed "
+        "outputs; log is monotone, so per-word rankings are identical "
+        "and only the absolute scale differs). Every arithmetic step is "
+        "a correctly-rounded IEEE op evaluated in the same order in both "
+        "engines, so scores are bit-identical without rounding. Plan: "
+        "tf one shuffle; df and dl broadcast back; window top-3 "
+        "partitioned by word with doc_id tie-break.",
+    tags=("text",),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    tf = (
+        t.documents.select(
+            "doc_id", F.explode(tokens(F.lower("text"))).alias("word")
+        )
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("long").alias("tot_toks"),
+        F.count("*").alias("n_docs"),
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    avgdl = F.col("tot_toks").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    sat = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(F.broadcast(dl), "doc_id")
+        .join(F.broadcast(stats))
+        .select("word", "doc_id", "tf", "df", "dl", (idf * sat).alias("score"))
+    )
+    w = W.partitionBy("word").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("word", "doc_id", "tf", "df", "dl", "score")
+    )

@@ -71,6 +71,7 @@ def load_all() -> dict[str, EngineQuery]:
         bucketing,
         clustering,
         dedup,
+        embeddings_linalg,
         functions_coverage,
         graph,
         incremental,

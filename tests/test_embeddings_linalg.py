@@ -1,0 +1,80 @@
+"""Invariant tests for the distributed Gram / PCA operators
+(embeddings_linalg.py) — the oracle sweep pins sim_gram_matrix and the
+rows-only sim_pca_project is pinned here instead."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hadoop_spark_pspd_spark.catalog import Tables
+from hadoop_spark_pspd_spark.operators.embeddings_linalg import (
+    _FP_SCALE,
+    DIM,
+    N_COMPONENTS,
+    sim_gram_matrix,
+    sim_pca_project,
+)
+
+from conftest import SF_SMOKE
+
+
+def _embedding_matrix(spark) -> np.ndarray:
+    rows = (
+        Tables(spark, SF_SMOKE)
+        .embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return np.array([r["embedding"] for r in rows], dtype=np.float32).astype(
+        np.float64
+    )
+
+
+def test_gram_matrix_matches_numpy_fixed_point(spark):
+    """The distributed integer sums must equal a single-machine replay of
+    the same quantization: floor(x_i*x_j * 2^20) per vector, summed
+    exactly — proving the aggregate is order-free, not just close."""
+    m = _embedding_matrix(spark)
+    per_vec = np.floor(
+        np.einsum("ni,nj->nij", m, m) * float(_FP_SCALE)
+    ).astype(np.int64)
+    expect = per_vec.sum(axis=0, dtype=np.int64)
+    got = {}
+    for r in sim_gram_matrix(spark, SF_SMOKE).collect():
+        got[(r["i"], r["j"])] = r["s_fixed"]
+    assert len(got) == DIM * (DIM + 1) // 2
+    for i in range(DIM):
+        for j in range(i, DIM):
+            assert got[(i, j)] == expect[i, j], (i, j)
+    # diagonal entries are sums of floors of squares: never negative
+    assert all(v >= 0 for (i, j), v in got.items() if i == j)
+
+
+def test_pca_projection_invariants(spark):
+    res = (
+        sim_pca_project(spark, SF_SMOKE)
+        .orderBy("vec_id")
+        .collect()
+    )
+    comps = np.array([r["components"] for r in res])
+    n = len(_embedding_matrix(spark))
+    assert comps.shape == (n, N_COMPONENTS)
+    # centered projection: per-axis mean ~0 (fixed-point mean + round-6
+    # tolerance)
+    assert np.abs(comps.mean(axis=0)).max() < 1e-3
+    # principal axes are variance-ordered
+    var = comps.var(axis=0)
+    assert all(var[k] + 1e-9 >= var[k + 1] for k in range(len(var) - 1))
+    assert var[0] > 0
+    # decorrelated: off-diagonal covariance is quantization-level noise
+    cov = np.cov(comps.T)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-2 * cov.diagonal().max()
+    # deterministic across reruns (fixed-point stats + sign-fixed axes)
+    again = np.array(
+        [
+            r["components"]
+            for r in sim_pca_project(spark, SF_SMOKE).orderBy("vec_id").collect()
+        ]
+    )
+    assert np.array_equal(comps, again)
