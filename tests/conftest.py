@@ -28,3 +28,17 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_caches_between_modules():
+    """Operators mark shared intermediates with .cache(); the
+    verify/bench harnesses clear per query. Mirror that per test module
+    so direct operator calls don't accumulate cached DataFrames in
+    executor memory across the suite."""
+    yield
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.catalog.clearCache()

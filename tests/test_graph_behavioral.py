@@ -1,5 +1,12 @@
 """Semantics + plan-shape tests for the behavioral, sketch, and graph
-operator families (beyond the registry-wide oracle parity sweep)."""
+operator families (beyond the registry-wide oracle parity sweep).
+
+Cache convention: q_triangle_count marks its shared edge list with
+.cache(); the verify/bench harnesses release it with a per-query
+spark.catalog.clearCache(). Tests (and any other caller invoking
+operators directly) should do the same after collecting, or repeated
+calls accumulate cached edge DataFrames in executor memory — the
+session-level conftest fixture clears caches between modules."""
 
 from __future__ import annotations
 
