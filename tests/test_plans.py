@@ -255,3 +255,36 @@ def test_mixture_sample_no_shuffle(spark):
 
     df = text_mixture_sample(spark, SF_SMOKE)
     assert count_exchanges(formatted_plan(df)) == 0
+
+
+def test_gram_matrix_single_shuffle_of_partials(spark):
+    """sim_gram_matrix: each task pre-reduces to 2080 int64 partials, so
+    the plan has exactly one Exchange (the 2080-key partial shuffle) and
+    a partial+final aggregate around it."""
+    import re
+
+    from hadoop_spark_pspd_spark.operators.embeddings_linalg import (
+        sim_gram_matrix,
+    )
+
+    df = sim_gram_matrix(spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+    assert n_exchanges == 1, plan[:2000]
+    assert has_partial_aggregate(df)
+
+
+def test_bm25_broadcasts_df_and_dl(spark):
+    """text_bm25_topk: the df/dl/stats side tables must come back onto
+    the tf stream as broadcasts, never sort-merge joins."""
+    import re
+
+    from hadoop_spark_pspd_spark.operators.text_analysis import (
+        text_bm25_topk,
+    )
+
+    plan = formatted_plan(text_bm25_topk(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    n_bcast = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin",
+                             plan))
+    assert n_bcast >= 3, plan[:2000]
