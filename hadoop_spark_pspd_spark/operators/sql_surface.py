@@ -1,11 +1,14 @@
-"""SQL-API surface: LATERAL correlated subqueries and Python UDTFs.
+"""SQL-API surface: LATERAL, Python UDTFs, recursive CTEs, SQL UDFs,
+pipe syntax, collations.
 
-Most engine queries declare plans through the DataFrame API; these two
-exercise the other entry points a reference user would reach for:
-ANSI LATERAL (Catalyst's DecorrelateInnerQuery path) and Spark 4 Python
+Most engine queries declare plans through the DataFrame API; this module
+exercises the other entry points a reference user would reach for:
+ANSI LATERAL (Catalyst's DecorrelateInnerQuery path), Spark 4 Python
 UDTFs (the sanctioned generator-UDF shape — Arrow-batched rows in,
-iterator of rows out). The UDTF is deliberately a slow-path demo: the
-engine's production tokenization stays in JVM higher-order functions
+iterator of rows out), WITH RECURSIVE, CREATE FUNCTION ... RETURN
+(Catalyst-inlined SQL UDFs), the |> pipe-syntax query spelling, and
+UTF8_LCASE collated grouping. The UDTF is deliberately a slow-path demo:
+the engine's production tokenization stays in JVM higher-order functions
 (functions/text.py); parity between the two is exactly what the shared
 oracle checks.
 """
@@ -173,3 +176,67 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_sqludf
         GROUP BY o_orderpriority
     """)
+
+
+@register(
+    "q_sql_pipe_syntax",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                         AS VARCHAR) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+    """,
+    doc="Spark 4 SQL pipe syntax (FROM ... |> WHERE ... |> AGGREGATE): "
+        "the linear query spelling compiles to the identical logical plan "
+        "as the classic SELECT — which is exactly what the plain-SQL "
+        "oracle runs. Same decimal-sum determinism conventions.",
+    tags=("sql",),
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders_pipe")
+    return spark.sql("""
+        FROM orders_pipe
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE) AS revenue
+           GROUP BY o_orderpriority
+    """)
+
+
+@register(
+    "q_collated_group",
+    oracle="""
+        SELECT lower(CASE WHEN user_id % 2 = 0 THEN upper(event_type)
+                          ELSE event_type END) AS event_type_ci,
+               count(*) AS n
+        FROM events
+        GROUP BY 1
+    """,
+    doc="Spark 4 collation support: grouping on a UTF8_LCASE-collated "
+        "column folds case variants in the aggregate itself (no lower() "
+        "rewrite in the engine plan — the collation travels with the "
+        "type). A collated GROUP BY surfaces an arbitrary case "
+        "representative, so the output key is lower()ed for determinism; "
+        "the oracle states the equivalent lower() grouping. Case "
+        "variance is synthesized (even user_ids uppercase their "
+        "event_type) since the testdata is single-case.",
+    tags=("sql",),
+)
+def q_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    t = Tables(spark, sf_dir)
+    mixed = F.when(
+        F.col("user_id") % 2 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    return (
+        t.events.select(F.collate(mixed, "UTF8_LCASE").alias("et"))
+        .groupBy("et")
+        .agg(F.count("*").alias("n"))
+        .select(F.lower("et").alias("event_type_ci"), "n")
+    )
