@@ -13,9 +13,11 @@ operators/dedup.py) — together: components, triangles/clustering
 structure, and PageRank centrality.
 
 Scale notes (100 TB):
-  * the co-occurrence count is one groupBy on (s1, s2) after a per-order
-    self-join; order size is bounded (~7 lineitems), so the pair explosion
-    is a constant factor of lineitem, not quadratic in it;
+  * the co-occurrence count gathers each order's supplier list with ONE
+    fact-scale groupBy and expands within-order pairs map-side (HOF
+    product over the bounded ~7-lineitem order) — same multiplicity
+    semantics as the oracle's lineitem self-join, one less fact shuffle;
+    the pair explosion is a constant factor of lineitem, not quadratic;
   * top-k per node is one window over the edge list; the mutual filter is
     a self-join on the k-bounded survivor set — tiny;
   * PageRank iterations are join + groupBy on the sparsified edges with
@@ -65,24 +67,43 @@ _EDGES_ORACLE = f"""
 """
 
 
-def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual-top-8 sparsified supplier co-occurrence edges (s1 < s2)."""
+def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted co-occurrence pairs (s1 < s2, w = lineitem-pair count).
+
+    One groupBy(orderkey) gathers each order's supplier list (order size
+    is bounded ~7), then the within-order pair expansion runs map-side as
+    a higher-order-function product — strictly-less value comparison
+    reproduces the a.suppkey < b.suppkey lineitem self-join exactly,
+    including multiplicity (m_x * m_y per distinct supplier pair). This
+    replaces the fact-scale self-join of the oracle's formulation: the
+    only fact-sized shuffle left is the collect_list groupBy; the pair
+    stream then reduces into the (s1, s2) aggregate."""
     t = Tables(spark, sf_dir)
-    li = t.lineitem.select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    per_order = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("l_suppkey").alias("ss"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x: F.transform(
+                F.filter(F.col("ss"), lambda y: x < y),
+                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+            ),
         )
-        .groupBy(
-            F.col("a.l_suppkey").alias("s1"),
-            F.col("b.l_suppkey").alias("s2"),
-        )
+    )
+    return (
+        per_order.select(F.explode(pair_arr).alias("p"))
+        .select("p.s1", "p.s2")
+        .groupBy("s1", "s2")
         .agg(F.count("*").alias("w"))
     )
+
+
+def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-top-8 sparsified supplier co-occurrence edges (s1 < s2)."""
+    pairs = cooccurrence_pairs(spark, sf_dir)
     directed = pairs.select(
         F.col("s1").alias("src"), F.col("s2").alias("dst"), "w"
     ).unionAll(
@@ -189,22 +210,7 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    li = t.lineitem.select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("s1"),
-            F.col("b.l_suppkey").alias("s2"),
-        )
-        .agg(F.count("*").alias("w"))
-    )
+    pairs = cooccurrence_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("s1").alias("src"), F.col("s2").alias("dst"), "w")
         .unionAll(
