@@ -67,17 +67,18 @@ _EDGES_ORACLE = f"""
 """
 
 
-def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted co-occurrence pairs (s1 < s2, w = lineitem-pair count).
+def cooccurrence_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH orientations of the weighted co-occurrence graph
+    (src, dst, w = lineitem-pair count), in one aggregation.
 
     One groupBy(orderkey) gathers each order's supplier list (order size
-    is bounded ~7), then the within-order pair expansion runs map-side as
-    a higher-order-function product — strictly-less value comparison
-    reproduces the a.suppkey < b.suppkey lineitem self-join exactly,
-    including multiplicity (m_x * m_y per distinct supplier pair). This
-    replaces the fact-scale self-join of the oracle's formulation: the
-    only fact-sized shuffle left is the collect_list groupBy; the pair
-    stream then reduces into the (s1, s2) aggregate."""
+    is bounded ~7), then the within-order ordered-pair expansion (x != y
+    by value) runs map-side as a higher-order-function product — per
+    distinct supplier pair this emits m_x * m_y rows in each direction,
+    exactly the oracle's a.suppkey < b.suppkey lineitem self-join UNION
+    ALL its swap. Building directed natively (instead of pairs + union)
+    halves the plan: one fact-scale shuffle (collect_list) and one pair
+    reduce, no duplicated lineage under the union."""
     t = Tables(spark, sf_dir)
     per_order = (
         t.lineitem.select("l_orderkey", "l_suppkey")
@@ -88,29 +89,22 @@ def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.col("ss"),
             lambda x: F.transform(
-                F.filter(F.col("ss"), lambda y: x < y),
-                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+                F.filter(F.col("ss"), lambda y: x != y),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
             ),
         )
     )
     return (
         per_order.select(F.explode(pair_arr).alias("p"))
-        .select("p.s1", "p.s2")
-        .groupBy("s1", "s2")
+        .select("p.src", "p.dst")
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
     )
 
 
 def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-top-8 sparsified supplier co-occurrence edges (s1 < s2)."""
-    pairs = cooccurrence_pairs(spark, sf_dir)
-    directed = pairs.select(
-        F.col("s1").alias("src"), F.col("s2").alias("dst"), "w"
-    ).unionAll(
-        pairs.select(
-            F.col("s2").alias("src"), F.col("s1").alias("dst"), "w"
-        )
-    )
+    directed = cooccurrence_directed(spark, sf_dir)
     win = W.partitionBy("src").orderBy(F.col("w").desc(), "dst")
     topk = (
         directed.withColumn("rn", F.row_number().over(win))
@@ -210,16 +204,7 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = cooccurrence_pairs(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("s1").alias("src"), F.col("s2").alias("dst"), "w")
-        .unionAll(
-            pairs.select(
-                F.col("s2").alias("src"), F.col("s1").alias("dst"), "w"
-            )
-        )
-        .cache()
-    )
+    edges = cooccurrence_directed(spark, sf_dir).cache()
     out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
     norm = (
         edges.join(out_w, "src")

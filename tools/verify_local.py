@@ -6,12 +6,19 @@ insensitive multiset of values (exact for ints/strings/timestamps; floats
 must match to 1e-9 relative — our determinism conventions should make them
 bit-identical, so any drift is flagged loudly).
 
-Usage: python tools/verify_local.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--json OUT.json] [--plain]
+                                    [sf_dir] [query ...]
 
 --json writes the per-query result record (name -> rows/schema/hash
 matches, row counts, err, wall seconds) in the driver's
 CORRECTNESS_r{N}.json shape — the committed full-sweep evidence artifact
 (SWEEP_r{N}.json).
+
+--plain runs against a BARE SparkSession (no engine confs: Spark's 200
+shuffle partitions, default non-pinned timezone, no nanosAsLong) — the
+strict simulation of the driver, which builds its own session. The
+engine's defense is catalog.Tables calling pin_session_conf on
+construction; this mode proves that defense suffices.
 """
 
 from __future__ import annotations
@@ -98,10 +105,24 @@ def main() -> int:
         i = args.index("--json")
         json_path = args[i + 1]
         del args[i:i + 2]
+    plain = "--plain" in args
+    if plain:
+        args.remove("--plain")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     reg = load_all()
-    spark = get_spark("verify_local")
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("verify_plain")
+            .master("local[8]")
+            .config("spark.driver.memory", "16g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark("verify_local")
     con = duckdb.connect()
     for tname in TABLES:
         con.execute(
