@@ -164,7 +164,28 @@ def _fit_pca(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
         pivot = np.argmax(np.abs(comps[:, k]))
         if comps[pivot, k] < 0:
             comps[:, k] = -comps[:, k]
-    return mean, comps
+    return mean, comps, eigval[order]
+
+
+def _project_query(
+    spark: SparkSession, sf_dir: str, mean: np.ndarray, mat_w: np.ndarray
+) -> DataFrame:
+    """(x - mean) @ mat_w for every embedding — broadcast numpy-closure
+    pandas UDF, zero shuffle; outputs rounded to 6."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+
+    def _project(embs):
+        mat = np.stack(embs.values).astype(np.float64)
+        proj = (mat - mean) @ mat_w
+        return pd.Series(list(np.round(proj, 6)))
+
+    _project.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    proj_udf = F.pandas_udf(_project, "array<double>")
+    return t.embeddings.select(
+        "vec_id", proj_udf(F.col("embedding")).alias("components")
+    )
 
 
 @register(
@@ -182,19 +203,22 @@ def _fit_pca(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     tags=("similarity", "linalg"),
 )
 def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+    mean, comps, _ = _fit_pca(spark, sf_dir)
+    return _project_query(spark, sf_dir, mean, comps)
 
-    t = Tables(spark, sf_dir)
-    mean, comps = _fit_pca(spark, sf_dir)
 
-    def _project(embs):
-        mat = np.stack(embs.values).astype(np.float64)
-        proj = (mat - mean) @ comps
-        return pd.Series(list(np.round(proj, 6)))
-
-    _project.__annotations__ = {"embs": pd.Series, "return": pd.Series}
-    proj_udf = F.pandas_udf(_project, "array<double>")
-
-    return t.embeddings.select(
-        "vec_id", proj_udf(F.col("embedding")).alias("components")
-    )
+@register(
+    "sim_pca_whiten",
+    oracle=None,  # eigendecomposition: not one SQL query; invariant tests
+    doc="PCA whitening of every embedding: same distributed fixed-point "
+        "fit as sim_pca_project, axes scaled by 1/sqrt(eigenvalue) so "
+        "the projected components have ~unit variance and zero "
+        "cross-correlation — the preconditioner that makes cosine/L2 "
+        "ANN behave on anisotropic embedding clouds. Same zero-shuffle "
+        "broadcast-matmul execution.",
+    tags=("similarity", "linalg"),
+)
+def sim_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mean, comps, lams = _fit_pca(spark, sf_dir)
+    mat_w = comps / np.sqrt(np.maximum(lams, 1e-12))
+    return _project_query(spark, sf_dir, mean, mat_w)

@@ -13,6 +13,7 @@ from hadoop_spark_pspd_spark.operators.embeddings_linalg import (
     N_COMPONENTS,
     sim_gram_matrix,
     sim_pca_project,
+    sim_pca_whiten,
 )
 
 from conftest import SF_SMOKE
@@ -78,3 +79,19 @@ def test_pca_projection_invariants(spark):
         ]
     )
     assert np.array_equal(comps, again)
+
+
+def test_pca_whitening_unit_variance(spark):
+    res = sim_pca_whiten(spark, SF_SMOKE).orderBy("vec_id").collect()
+    comps = np.array([r["components"] for r in res])
+    assert comps.shape[1] == N_COMPONENTS
+    # whitened axes: ~unit variance, ~zero mean (quantization + round-6
+    # tolerance; population-vs-sample normalization gives 1/n vs 1/(n-1)
+    # — compare against the population variance the fit used)
+    var = comps.var(axis=0)
+    assert np.abs(var - 1.0).max() < 5e-2, var
+    assert np.abs(comps.mean(axis=0)).max() < 1e-2
+    # decorrelated
+    cov = np.cov(comps.T)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 5e-2
