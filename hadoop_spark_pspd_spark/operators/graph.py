@@ -245,3 +245,47 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+K_CORE = 3
+KCORE_MAX_ITERS = 30
+
+
+@register(
+    "graph_kcore",
+    oracle=None,  # aggregation inside recursion: not SQL-expressible
+    doc="K-core decomposition (k=3) of the supplier co-occurrence graph: "
+        "iteratively peel nodes of degree < k until fixpoint. Each round "
+        "is one degree aggregation + two semi-join prunes on the "
+        "surviving edge set, localCheckpoint cutting the lineage "
+        "(the k-means / PageRank iteration pattern); AQE picks "
+        "broadcast vs shuffle for the keep-set joins by size. The "
+        "fixpoint is unique regardless of peel order, so the output "
+        "(surviving node, in-core degree) is deterministic. Rows-only "
+        "by design; the k-core property is invariant-tested.",
+    tags=("graph",),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = cooccurrence_directed(spark, sf_dir).select("src", "dst")
+    cur = edges.localCheckpoint()
+    n_edges = cur.count()
+    for _ in range(KCORE_MAX_ITERS):
+        deg = cur.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.where(F.col("d") >= K_CORE).select("src")
+        nxt = (
+            cur.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint()
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return (
+        cur.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("degree"))
+        .orderBy("node")
+    )

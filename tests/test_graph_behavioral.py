@@ -150,3 +150,43 @@ def test_pagerank_is_a_probability_distribution(spark):
     # deterministic across runs (localCheckpoint + exact replay)
     again = graph_pagerank(spark, SF_SMOKE).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_kcore_property_holds_at_fixpoint(spark):
+    """Every surviving node's degree within the surviving subgraph is
+    >= k, and recomputing the peel in plain Python on the collected
+    smoke-scale graph gives the identical core (the fixpoint is unique
+    regardless of peel order)."""
+    from hadoop_spark_pspd_spark.operators.graph import (
+        K_CORE,
+        cooccurrence_directed,
+        graph_kcore,
+    )
+
+    got = {
+        r["node"]: r["degree"]
+        for r in graph_kcore(spark, SF_SMOKE).collect()
+    }
+    assert all(d >= K_CORE for d in got.values())
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in cooccurrence_directed(spark, SF_SMOKE)
+        .select("src", "dst")
+        .collect()
+    }
+    nodes = {s for s, _ in edges}
+    while True:
+        deg = {n: 0 for n in nodes}
+        for s, d in edges:
+            if s in nodes and d in nodes:
+                deg[s] += 1
+        drop = {n for n, dg in deg.items() if dg < K_CORE}
+        if not drop:
+            break
+        nodes -= drop
+    expect = {}
+    for s, d in edges:
+        if s in nodes and d in nodes:
+            expect[s] = expect.get(s, 0) + 1
+    assert got == expect
