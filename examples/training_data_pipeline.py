@@ -1,10 +1,15 @@
-"""End-to-end training-data pipeline demo: curate -> chunk -> sample -> land.
+"""End-to-end training-data pipeline demo:
+curate -> semantic dedup -> chunk -> sample -> land.
 
 Composes the engine's north-star operators the way a pretraining-data job
 would at 100 TB, then writes the result as hash-partitioned parquet:
 
   curated_documents (quality gate + exact dedup + LSH near-dup components,
   oracle-checked as the registered `pipeline_curate` query)
+    -> embedding-level semantic dedup (sim_semantic_dedup keep-list:
+       cosine near-dup pairs from the provably-complete cell-pair
+       prefilter -> connected components -> one representative per
+       semantic cluster; joined on doc_id = vec_id)
     -> fixed-size token chunks with stride (q_chunk_documents machinery)
     -> deterministic hash sample (reproducible; no sort, no RNG state)
     -> parquet partitioned by shard = crc32(doc_id) % N_SHARDS
@@ -42,6 +47,21 @@ def main() -> None:
     spark = get_spark("pspd_training_pipeline")
 
     curated = curated_documents(spark, sf_dir)
+
+    # semantic dedup: keep one representative per embedding-cosine
+    # cluster (keep-list semi-join; vec_id aligns with doc_id in the
+    # testdata). Text-level dedup above caught exact/shingle dups;
+    # this catches paraphrase-level ones.
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        sim_semantic_dedup,
+    )
+
+    keep = (
+        sim_semantic_dedup(spark, sf_dir)
+        .where(F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    curated = curated.join(keep, "doc_id", "left_semi")
 
     # chunk: explode each doc into CHUNK_TOKENS-token windows with stride
     w = tokens(F.col("text"))
