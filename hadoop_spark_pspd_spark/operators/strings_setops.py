@@ -117,3 +117,70 @@ def q_fuzzy_nearest_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("qk", "ck", "d")
     )
+
+
+@register(
+    "q_name_blocking_er",
+    oracle="""
+        WITH vars AS (
+            SELECT c_custkey AS k, c_name AS n,
+                   unnest(list_append(
+                       list_transform(range(1, length(c_name) + 1),
+                           i -> substr(c_name, 1, CAST(i - 1 AS INTEGER))
+                                || substr(c_name, CAST(i + 1 AS INTEGER))),
+                       c_name)) AS v
+            FROM customer
+        ),
+        cand AS (
+            SELECT DISTINCT a.k AS key_a, b.k AS key_b,
+                            a.n AS na, b.n AS nb
+            FROM vars a JOIN vars b ON a.v = b.v AND a.k < b.k
+        )
+        SELECT key_a, key_b,
+               CAST(levenshtein(na, nb) AS BIGINT) AS d
+        FROM cand
+        WHERE levenshtein(na, nb) <= 1
+    """,
+    doc="Corpus-vs-corpus entity resolution with FastSS "
+        "deletion-neighborhood blocking: every name generates its "
+        "1-deletion variants (plus itself); two strings within edit "
+        "distance 1 MUST share a variant, so candidates come from one "
+        "hash equi-join on the variant key — O(n*L) blocking rows, "
+        "never the O(n^2) cross join — then exact levenshtein verifies. "
+        "Complete by the FastSS property for threshold 1; thresholds "
+        "k >= 2 generalize via k-deletion neighborhoods or PassJoin "
+        "segment pigeonholing (same join shape, bigger neighborhoods). "
+        "Complements q_fuzzy_nearest_name, whose query slice broadcasts.",
+    tags=("dedup", "strings"),
+)
+def q_name_blocking_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    n = F.col("c_name")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(n)),
+        lambda i: F.concat(
+            n.substr(F.lit(1), i - 1), n.substr(i + 1, F.length(n))
+        ),
+    )
+    vars_df = t.customer.select(
+        F.col("c_custkey").alias("k"),
+        n.alias("n"),
+        F.explode(F.array_append(dels, n)).alias("v"),
+    )
+    a = vars_df.alias("a")
+    b = vars_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .distinct()
+    )
+    d = F.levenshtein("na", "nb").cast("long")
+    return cand.where(d <= 1).select("key_a", "key_b", d.alias("d"))
