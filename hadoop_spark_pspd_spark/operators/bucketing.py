@@ -102,3 +102,58 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+ZBITS = 16
+
+
+def zorder_key(x: str, y: str):
+    """Morton (Z-order) interleave of the low ZBITS bits of two integer
+    columns — the multi-dimensional clustering key for data skipping.
+
+    Sorting/range-partitioning a table by this key gives every output
+    file a tight min/max envelope on BOTH x and y simultaneously, so a
+    conjunctive box predicate prunes files on either dimension — the
+    property a single-column sort only provides for its one column.
+    Pure integer bit arithmetic (shift/and/add), bit-identical in any
+    engine."""
+    return F.expr(
+        f"""aggregate(sequence(0, {ZBITS - 1}), 0L, (acc, i) ->
+                acc + shiftleft(shiftright({x} & {(1 << ZBITS) - 1}, i) & 1L,
+                                2 * i)
+                    + shiftleft(shiftright({y} & {(1 << ZBITS) - 1}, i) & 1L,
+                                2 * i + 1))"""
+    )
+
+
+@register(
+    "q_zorder_key",
+    oracle=f"""
+        SELECT o_orderkey,
+               CAST(list_sum(list_transform(range(0, {ZBITS}),
+                   i -> ((((o_custkey & {(1 << ZBITS) - 1}) >> i) & 1)
+                             << (2 * i))
+                        + ((((CAST(floor(o_totalprice / 1000) AS BIGINT)
+                              & {(1 << ZBITS) - 1}) >> i) & 1)
+                             << (2 * i + 1))))
+                   AS BIGINT) AS zkey
+        FROM orders
+    """,
+    doc="Z-order (Morton) clustering key over (o_custkey, totalprice/1000"
+        " bucket): bit-interleave of the two dimensions' low 16 bits — "
+        "the layout key that makes multi-dimensional file skipping work "
+        "(write sorted by zkey; every file then bounds BOTH columns "
+        "tightly; see test_zorder_layout_prunes_box_queries, which also "
+        "shows the practical rule: shift the wider dimension down to "
+        "equal bit width first, or its high bits dominate the curve and "
+        "the layout degenerates toward a single-column sort). Integer "
+        "shift/and/add only, hash-exact cross-engine.",
+    tags=("layout",),
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    price_bucket = "CAST(floor(o_totalprice / 1000) AS BIGINT)"
+    return t.orders.select(
+        "o_orderkey",
+        zorder_key("o_custkey", price_bucket).alias("zkey"),
+    )
