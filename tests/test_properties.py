@@ -247,3 +247,116 @@ def test_q21_window_collapse_equals_exists_formulation(spark, rows):
     got = sorted(map(tuple, a.collect()))
     exp = sorted(map(tuple, b.collect()))
     assert got == exp
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from(list("ab1")), min_size=0,
+                max_size=6),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_fastss_blocking_is_complete(spark, names):
+    """FastSS completeness on adversarial short strings: every pair
+    within levenshtein distance 1 must be found by the
+    deletion-neighborhood equi-join — compare against the brute-force
+    O(n^2) python answer."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "k long, n string"
+    )
+    col = F.col("n")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - 1), col.substr(i + 1, F.length(col))
+        ),
+    )
+    vars_df = df.select(
+        "k", "n", F.explode(F.array_append(dels, col)).alias("v")
+    )
+    a, b = vars_df.alias("a"), vars_df.alias("b")
+    got = {
+        (r["ka"], r["kb"])
+        for r in a.join(
+            b,
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"),
+                F.levenshtein("a.n", "b.n").alias("d"))
+        .where(F.col("d") <= 1)
+        .distinct()
+        .collect()
+    }
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 20) - 1),
+            st.integers(min_value=0, max_value=(1 << 20) - 1),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_zorder_key_matches_python_morton(spark, pairs):
+    """The SQL Morton interleave equals the reference python bit
+    interleave of the low 16 bits (values above 16 bits are masked,
+    never folded)."""
+    from hadoop_spark_pspd_spark.operators.bucketing import (
+        ZBITS,
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pairs)],
+        "id long, x long, y long",
+    )
+    got = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", zorder_key("x", "y").alias("z")
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(ZBITS):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for i, (x, y) in enumerate(pairs):
+        assert got[i] == morton(x & 0xFFFF, y & 0xFFFF), (x, y)
