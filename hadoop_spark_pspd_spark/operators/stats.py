@@ -276,3 +276,47 @@ def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "q_skew_salted_agg",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4)))
+                         AS VARCHAR) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Skew-resistant two-phase aggregation: events has only a handful "
+        "of event_type keys, so a plain groupBy lands each hot key on one "
+        "reducer. Phase 1 groups by (event_type, deterministic salt of "
+        "the row mod 16) — map-side partials spread each hot key over 16 "
+        "reducers; phase 2 merges the 16 partials per key (dozens of "
+        "rows). Decimal partial sums make the two-phase result exactly "
+        "the one-phase result, which is what the oracle computes. The "
+        "declarative alternative is AQE partial aggregation + skew "
+        "handling; this is the explicit form streaming state ops need "
+        "(AQE cannot re-plan stateful stages). value is FLOAT: both "
+        "phases hop float->string->decimal per the repo convention.",
+    tags=("stats", "skew"),
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt")
+    partial = (
+        t.events.select(
+            "event_type",
+            salt,
+            F.col("value").cast("string").cast("decimal(18,4)").alias("v"),
+        )
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("v").alias("pv"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+    )
