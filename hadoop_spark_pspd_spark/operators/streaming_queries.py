@@ -441,3 +441,37 @@ def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "n_events", "total_value", "max_gap_s")
     )
+
+
+@register(
+    "stream_salted_counts",
+    oracle="""
+        SELECT event_type, count(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Two-phase salted aggregation on the STREAMING side, where it "
+        "actually matters: AQE cannot re-plan a stateful stage, so a hot "
+        "grouping key pins one state-store partition forever. Phase 1 is "
+        "the streaming aggregation on (event_type, deterministic salt of "
+        "event_id mod 16) — state and updates for each hot key spread "
+        "over 16 partitions; phase 2 merges the 16 partials per key as a "
+        "BATCH aggregation over the completed sink (exact integer "
+        "counts, so two-phase == one-phase, which is the oracle). Same "
+        "pattern as q_skew_salted_agg, lifted to the state store.",
+    tags=("streaming", "skew"),
+)
+def stream_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    source = _events_stream(spark, sf_dir)
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type",
+            F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt"),
+        ).count()
+
+    partials = run_bounded_stream(spark, source, transform, "complete")
+    return partials.groupBy("event_type").agg(
+        F.sum("count").alias("n")
+    )
