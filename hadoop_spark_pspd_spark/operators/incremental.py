@@ -219,3 +219,74 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val",
         )
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+        WITH old AS (
+            SELECT o_orderkey, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 <> 0
+        ),
+        new AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'X-CHANGED'
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM orders WHERE o_orderkey % 7 <> 0
+        )
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS op,
+               o.o_orderpriority AS old_priority,
+               n.o_orderpriority AS new_priority
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_orderpriority <> n.o_orderpriority
+    """,
+    doc="Snapshot diff / CDC reconciliation: classify every key as "
+        "insert / delete / update between two table states (derived "
+        "deterministically from orders: the old snapshot lacks %10 "
+        "keys, the new lacks %7 keys and rewrites %3 priorities), "
+        "dropping unchanged rows. One full-outer hash join on the key — "
+        "the at-scale shape of table reconciliation; pairs with the "
+        "MERGE-as-join-algebra upsert in this module.",
+    tags=("incremental",),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    old = (
+        t.orders.where(F.col("o_orderkey") % 10 != 0)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("o_orderpriority").alias("old_priority"),
+        )
+    )
+    new = (
+        t.orders.where(F.col("o_orderkey") % 7 != 0)
+        .select(
+            F.col("o_orderkey").alias("nk"),
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.lit("X-CHANGED")
+            ).otherwise(F.col("o_orderpriority")).alias("new_priority"),
+        )
+    )
+    joined = old.join(new, F.col("ok") == F.col("nk"), "full_outer")
+    op = (
+        F.when(F.col("ok").isNull(), F.lit("insert"))
+        .when(F.col("nk").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        joined.where(
+            F.col("ok").isNull()
+            | F.col("nk").isNull()
+            | (F.col("old_priority") != F.col("new_priority"))
+        )
+        .select(
+            F.coalesce("ok", "nk").alias("o_orderkey"),
+            op.alias("op"),
+            "old_priority",
+            "new_priority",
+        )
+    )
