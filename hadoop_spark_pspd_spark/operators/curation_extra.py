@@ -1,0 +1,398 @@
+"""Corpus-curation extras: PII redaction, cross-doc boilerplate removal,
+n-gram LM scoring, deterministic reservoir sampling, Count-Min sketch.
+
+The reference pipeline stops at WordCount (cluster/tools/run_fault_tests.py:26-30);
+these are the north-star LLM-data operators layered on the same corpus
+surface. Every query here is a pure DataFrame plan (no Python UDF) with an
+exact DuckDB oracle:
+
+* ``text_pii_redact`` — regex scrub of emails/IPv4 (the standard masking
+  pass before training). Map-only: no shuffle at any scale.
+* ``text_boilerplate_passages`` — CCNet-style shared-passage removal, but
+  cross-document: hash fixed-width word windows, drop windows that occur in
+  >= 5% of documents. Two shuffles (passage-frequency agg + per-doc
+  regroup); the passage-frequency table is Zipf-shaped and tiny relative to
+  the corpus, so the flagging join broadcasts at 100 TB.
+* ``text_lm_bigram_score`` — corpus-LM fluency proxy: average corpus
+  frequency of a document's bigrams. Rational arithmetic only (no log), so
+  the score hash-matches cross-engine.
+* ``q_reservoir_sample`` — deterministic uniform-k sample as top-k by
+  md5(key): each partition keeps its local top-k (the distributed analogue
+  of reservoir merging), TakeOrderedAndProject merges on the driver —
+  no full sort, no full shuffle.
+* ``sketch_countmin`` — Count-Min frequency sketch built as a pure
+  aggregation: (row, cell) counts ARE the sketch, mergeable by sum across
+  partitions/days; probes read min over rows. Width 1024 x depth 3 via
+  md5-derived hashes shared bit-exactly with the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..registry import register
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# DuckDB spellings of the same patterns (RE2 accepts this subset verbatim).
+_EMAIL_SQL = EMAIL_RE
+_IPV4_SQL = IPV4_RE
+
+
+@register(
+    "text_pii_redact",
+    oracle="""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com from 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.'
+                        || CAST(doc_id % 7 + 1 AS VARCHAR) AS raw
+            FROM documents
+        ), stage1 AS (
+            SELECT doc_id, raw,
+                   len(regexp_extract_all(raw, '{email}')) AS n_emails,
+                   regexp_replace(raw, '{email}', '<EMAIL>', 'g') AS no_email
+            FROM aug
+        )
+        SELECT doc_id, n_emails,
+               len(regexp_extract_all(no_email, '{ip}')) AS n_ips,
+               regexp_replace(no_email, '{ip}', '<IP>', 'g') AS redacted
+        FROM stage1
+    """.format(email=_EMAIL_SQL, ip=_IPV4_SQL),
+    doc="PII redaction: regex masking of emails then IPv4 addresses, with "
+        "per-doc redaction counts. Deterministic synthetic PII (derived "
+        "from doc_id) is appended so the scrub provably fires on every row. "
+        "Map-only — one projection, no shuffle; at 100 TB this runs at scan "
+        "speed with full column pruning (only doc_id, text read).",
+    tags=("curation",),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        (F.col("doc_id") % 7 + 1).cast("string"),
+    )
+    aug = t.documents.select("doc_id", raw.alias("raw"))
+    stage1 = aug.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_replace("raw", EMAIL_RE, "<EMAIL>").alias("no_email"),
+    )
+    return stage1.select(
+        "doc_id",
+        "n_emails",
+        F.regexp_count("no_email", F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_replace("no_email", IPV4_RE, "<IP>").alias("redacted"),
+    )
+
+
+_PASSAGE_W = 2          # words per passage window (stride = width)
+_BOILER_FRAC = 0.05     # passage is boilerplate if seen in >= 5% of docs
+
+
+@register(
+    "text_boilerplate_passages",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents WHERE length(text) > 0
+        ), chunks0 AS (
+            SELECT doc_id, words,
+                   unnest(range(0, CAST(ceil(len(words) / {w}.0) AS BIGINT)))
+                       AS pos
+            FROM d
+        ), chunks AS (
+            SELECT doc_id, pos,
+                   array_to_string(
+                       words[(pos*{w}+1):(pos*{w}+{w})], ' ') AS chunk
+            FROM chunks0
+        ), freq AS (
+            SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks
+            GROUP BY chunk
+        ), bl AS (
+            SELECT chunk FROM freq
+            WHERE df >= {frac} * (SELECT COUNT(*) FROM documents
+                                  WHERE length(text) > 0)
+        ), flagged AS (
+            SELECT c.doc_id, c.pos, c.chunk,
+                   (b.chunk IS NOT NULL) AS is_bl
+            FROM chunks c LEFT JOIN bl b ON c.chunk = b.chunk
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN is_bl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped,
+               COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+                            FILTER (WHERE NOT is_bl), '') AS kept_text
+        FROM flagged GROUP BY doc_id
+    """.format(w=_PASSAGE_W, frac=_BOILER_FRAC),
+    doc="Cross-document boilerplate removal (CCNet-style shared-passage "
+        "filter): split each doc into fixed-width word windows, count each "
+        "window's document frequency corpus-wide, drop windows present in "
+        ">= 5% of documents, reassemble the surviving text in order. The "
+        "frequency table is Zipf-shaped (tiny vs the corpus), so at scale "
+        "the flagging join is a broadcast; the per-doc regroup shuffles on "
+        "doc_id exactly once.",
+    tags=("curation",),
+)
+def text_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = _PASSAGE_W
+    d = (
+        t.documents.filter(F.length("text") > 0)
+        .select("doc_id", F.split("text", " ").alias("words"))
+    )
+    chunks = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(words)/{w}.0) as int) - 1),"
+                    f" i -> concat_ws(' ', slice(words, i*{w}+1, {w})))"
+                )
+            ).alias("pos", "chunk"),
+        )
+    )
+    n_docs = (
+        t.documents.filter(F.length("text") > 0)
+        .agg(F.count("*").alias("n_docs"))
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    bl = (
+        freq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= _BOILER_FRAC * F.col("n_docs"))
+        .select("chunk", F.lit(True).alias("is_bl_hit"))
+    )
+    flagged = chunks.join(F.broadcast(bl), "chunk", "left").select(
+        "doc_id", "pos", "chunk",
+        F.coalesce(F.col("is_bl_hit"), F.lit(False)).alias("is_bl"),
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("is_bl"), F.struct("pos", "chunk"))
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("is_bl").cast("int")).cast("long").alias("n_dropped"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s.getField("chunk"))
+        ).alias("kept_text"),
+    )
+
+
+@register(
+    "text_lm_bigram_score",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ), bg0 AS (
+            SELECT doc_id, words, unnest(range(1, len(words))) AS i
+            FROM d
+        ), bg AS (
+            SELECT doc_id, words[i] || ' ' || words[i+1] AS bigram
+            FROM bg0
+        ), counts AS (
+            SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
+        )
+        SELECT bg.doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(c.cnt) AS BIGINT) AS total_freq,
+               CAST(CAST(SUM(c.cnt) AS BIGINT) AS DOUBLE) / COUNT(*)
+                   AS avg_bigram_freq
+        FROM bg JOIN counts c ON bg.bigram = c.bigram
+        GROUP BY bg.doc_id
+    """,
+    doc="Corpus-LM fluency proxy: a document's average corpus frequency of "
+        "its bigrams (the count-based analogue of LM perplexity scoring, "
+        "kept rational — no log — so the score hash-matches cross-engine). "
+        "Shape: one bigram-count aggregation, one join back, one per-doc "
+        "aggregation. The bigram table follows Zipf, so at 100 TB the "
+        "high-frequency head broadcasts and the long tail stays an "
+        "equi-join on bigram; score = exact-int sum / int count, one "
+        "double division.",
+    tags=("curation",),
+)
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    d = (
+        t.documents.select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1),"
+                " i -> concat(element_at(words, i), ' ',"
+                " element_at(words, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    counts = bg.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    return (
+        bg.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("cnt").cast("long").alias("total_freq"),
+            (
+                F.sum("cnt").cast("long").cast("double") / F.count("*")
+            ).alias("avg_bigram_freq"),
+        )
+    )
+
+
+_SAMPLE_K = 100
+
+
+@register(
+    "q_reservoir_sample",
+    oracle=f"""
+        SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS priority
+        FROM orders
+        ORDER BY priority, o_orderkey
+        LIMIT {_SAMPLE_K}
+    """,
+    doc="Deterministic uniform-k sample (reservoir-sampling semantics, "
+        "derandomized): priority = md5(key), keep the k smallest. Spark "
+        "plans this as TakeOrderedAndProject — each partition keeps a "
+        "local k-heap and only k rows per partition reach the driver "
+        "merge, exactly the distributed reservoir-merge shape; no global "
+        "sort, no shuffle of the corpus. Uniformity comes from md5's "
+        "avalanche over the key; determinism makes it oracle-checkable "
+        "(vs rand(), which could never hash-match).",
+    tags=("curation",),
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.select(
+            "o_orderkey",
+            F.md5(F.col("o_orderkey").cast("string")).alias("priority"),
+        )
+        .orderBy("priority", "o_orderkey")
+        .limit(_SAMPLE_K)
+    )
+
+
+# Width deliberately tiny vs the test vocabulary so hash collisions (and
+# therefore the sketch's one-sided overestimate) are actually visible in
+# the output; production would size width ~ 2/epsilon.
+_CM_WIDTH = 16
+_CM_DEPTH = 3
+_CM_PROBES = (
+    "spark", "join", "merge", "window", "batch", "stream",
+    "vector", "hash", "table", "query", "zebra", "quantum",
+)
+
+
+def _cm_cell_sql(word_expr: str, j_expr: str) -> str:
+    """DuckDB cell index: top-32-bit md5 of word#row, mod width."""
+    return (
+        f"CAST(('0x' || substr(md5({word_expr} || '#' "
+        f"|| CAST({j_expr} AS VARCHAR)), 1, 8)) AS UBIGINT) "
+        f"% {_CM_WIDTH}"
+    )
+
+
+def _cm_cell(word: F.Column, j: F.Column) -> F.Column:
+    salted = F.concat(word, F.lit("#"), j.cast("string"))
+    return F.pmod(
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint"),
+        F.lit(_CM_WIDTH),
+    )
+
+
+@register(
+    "sketch_countmin",
+    oracle="""
+        WITH tokens AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ), cells AS (
+            SELECT j, {cell_tok} AS cell, COUNT(*) AS cnt
+            FROM tokens, range(0, {depth}) r(j)
+            GROUP BY j, cell
+        ), probes AS (
+            SELECT unnest([{probe_list}]) AS word
+        ), est AS (
+            SELECT p.word,
+                   MIN(COALESCE(c.cnt, 0)) AS cm_estimate
+            FROM probes p
+            CROSS JOIN range(0, {depth}) r(j)
+            LEFT JOIN cells c
+              ON c.j = r.j AND c.cell = {cell_probe}
+            GROUP BY p.word
+        ), exact AS (
+            SELECT word, COUNT(*) AS cnt FROM tokens
+            WHERE word IN ({probe_list})
+            GROUP BY word
+        )
+        SELECT e.word, e.cm_estimate,
+               COALESCE(x.cnt, 0) AS exact_cnt
+        FROM est e LEFT JOIN exact x ON e.word = x.word
+    """.format(
+        cell_tok=_cm_cell_sql("word", "j"),
+        cell_probe=_cm_cell_sql("p.word", "r.j"),
+        depth=_CM_DEPTH,
+        probe_list=", ".join(f"'{w}'" for w in _CM_PROBES),
+    ),
+    doc="Count-Min sketch as a pure aggregation: token stream x depth "
+        "rows -> groupBy(row, md5-derived cell) counts; the (row, cell, "
+        "count) table IS the sketch — mergeable across partitions, days, "
+        "or corpora by summing cells, which is how it stays one map-side-"
+        "combined shuffle at 100 TB (vs exact word counts whose key space "
+        "grows with vocabulary, the sketch is a FIXED depth x width grid "
+        "— width 16 here, deliberately undersized vs the vocabulary so "
+        "collisions show; production sizes width ~ 2/epsilon). Probes "
+        "report min-over-rows estimates next to exact counts, so the "
+        "one-sided overestimate guarantee is visible in the output. "
+        "Hashes are md5-top-32-bits shared bit-exactly with the oracle.",
+    tags=("sketch",),
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tokens = t.documents.select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    rows = F.array(*[F.lit(j) for j in range(_CM_DEPTH)])
+    cells = (
+        tokens.select("word", F.explode(rows).alias("j"))
+        .select("j", _cm_cell(F.col("word"), F.col("j")).alias("cell"))
+        .groupBy("j", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = spark.createDataFrame(
+        [(w,) for w in _CM_PROBES], "word string"
+    )
+    probe_cells = probes.select(
+        "word", F.explode(rows).alias("j")
+    ).select(
+        "word", "j", _cm_cell(F.col("word"), F.col("j")).alias("cell")
+    )
+    est = (
+        probe_cells.join(F.broadcast(cells), ["j", "cell"], "left")
+        .select("word", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy("word")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    exact = (
+        tokens.filter(F.col("word").isin(*_CM_PROBES))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return est.join(F.broadcast(exact), "word", "left").select(
+        "word",
+        "cm_estimate",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("exact_cnt"),
+    )

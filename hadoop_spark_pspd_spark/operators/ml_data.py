@@ -1,0 +1,242 @@
+"""ML dataset-preparation operators: leakage-free splits, class
+rebalancing, overlapping context chunking, robust (winsorized) stats.
+
+The reference computes one WordCount (cluster/tools/run_fault_tests.py:26-30);
+these extend the same corpus surface with the dataset-side operations a
+training pipeline runs right before tokenization. All pure DataFrame
+plans with exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..registry import register
+
+_TRAIN_PCT = 8  # md5(user) % 10 < 8 -> train
+
+
+@register(
+    "q_group_split",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT user_id, event_type,
+                   CASE WHEN CAST(('0x' || substr(
+                            md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                            % 10 < {_TRAIN_PCT}
+                        THEN 'train' ELSE 'test' END AS split
+            FROM events
+        )
+        SELECT split,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases
+        FROM tagged GROUP BY split
+    """,
+    doc="Group-aware (user-level) train/test split: split assignment "
+        "hashes the GROUP key (user_id), so every event of a user lands "
+        "in exactly one split by construction — the leakage-free split a "
+        "training pipeline needs (row-level random splits leak user "
+        "behavior across splits). Hash-derandomized (md5 % 10), so the "
+        "same user maps to the same split on every run, cluster, and "
+        "engine — no shuffle to assign, one aggregation to audit.",
+    tags=("ml-data",),
+)
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    split = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(10),
+        )
+        < _TRAIN_PCT,
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    return (
+        t.events.select("user_id", "event_type", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("long")
+            .alias("n_purchases"),
+        )
+    )
+
+
+@register(
+    "q_class_balance",
+    oracle="""
+        WITH counts AS (
+            SELECT event_type, COUNT(*) AS n_before FROM events
+            GROUP BY event_type
+        ), factors AS (
+            SELECT event_type, n_before,
+                   CAST((SELECT MAX(n_before) FROM counts) // n_before
+                        AS BIGINT) AS factor
+            FROM counts
+        )
+        SELECT event_type, n_before, factor,
+               n_before * factor AS n_after
+        FROM factors
+    """,
+    doc="Class-balanced oversampling: each minority class's rows are "
+        "replicated floor(max_class/n_class) times via explode(sequence) "
+        "— a map-side operation (no shuffle to resample; the tiny "
+        "class-factor table broadcasts). The audit aggregation recounts "
+        "the resampled stream, pinning n_after = n_before * factor. At "
+        "100 TB replication happens at scan time per partition; skew "
+        "from a very rare class is bounded because factors multiply rows "
+        "within their own partitions.",
+    tags=("ml-data",),
+)
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    counts = t.events.groupBy("event_type").agg(
+        F.count("*").alias("n_before")
+    )
+    mx = counts.agg(F.max("n_before").alias("mx"))
+    factors = counts.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        "n_before",
+        F.expr("mx div n_before").cast("bigint").alias("factor"),
+    )
+    resampled = (
+        t.events.select("event_type")
+        .join(F.broadcast(factors), "event_type")
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(1, factor)")).alias("_i"),
+        )
+    )
+    after = resampled.groupBy("event_type").agg(
+        F.count("*").alias("n_after")
+    )
+    return factors.join(after, "event_type").select(
+        "event_type", "n_before", "factor", "n_after"
+    )
+
+
+_CHUNK_W = 6    # words per context window
+_CHUNK_STRIDE = 4  # overlap = width - stride
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents WHERE length(text) > 0
+        ), starts AS (
+            SELECT doc_id, words,
+                   unnest(range(0, CAST(ceil(len(words) / {_CHUNK_STRIDE}.0)
+                                        AS BIGINT))) AS chunk_id
+            FROM d
+        )
+        SELECT doc_id, chunk_id,
+               array_to_string(
+                   words[(chunk_id*{_CHUNK_STRIDE}+1)
+                         :(chunk_id*{_CHUNK_STRIDE}+{_CHUNK_W})],
+                   ' ') AS chunk_text,
+               len(words[(chunk_id*{_CHUNK_STRIDE}+1)
+                         :(chunk_id*{_CHUNK_STRIDE}+{_CHUNK_W})])
+                   AS n_tokens
+        FROM starts
+    """,
+    doc="Sliding-window context chunking with overlap (width "
+        f"{_CHUNK_W}, stride {_CHUNK_STRIDE}): the long-document packing "
+        "shape where consecutive training windows share width-stride "
+        "tokens of context. Pure map-side explode — rows multiply by "
+        "~1/stride locally, no shuffle; at 100 TB this runs at scan "
+        "speed and the output feeds the tokenizer directly.",
+    tags=("ml-data", "curation"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w, s = _CHUNK_W, _CHUNK_STRIDE
+    d = (
+        t.documents.filter(F.length("text") > 0)
+        .select("doc_id", F.split("text", " ").alias("words"))
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(words)/{s}.0) as int)"
+                f" - 1), i -> slice(words, i*{s}+1, {w}))"
+            )
+        ).alias("chunk_id", "chunk_words"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", "chunk_words").alias("chunk_text"),
+        F.size("chunk_words").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+        WITH bounds AS (
+            SELECT o_orderpriority,
+                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.05) AS lo,
+                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95) AS hi
+            FROM orders GROUP BY o_orderpriority
+        ), clamped AS (
+            SELECT o.o_orderpriority,
+                   CAST(round(
+                       CASE WHEN CAST(o.o_totalprice AS DOUBLE) < b.lo
+                                THEN b.lo
+                            WHEN CAST(o.o_totalprice AS DOUBLE) > b.hi
+                                THEN b.hi
+                            ELSE CAST(o.o_totalprice AS DOUBLE) END,
+                       4) AS DECIMAL(18,4)) AS v
+            FROM orders o JOIN bounds b
+              ON o.o_orderpriority = b.o_orderpriority
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) / COUNT(*)
+                   AS winsorized_mean
+        FROM clamped GROUP BY o_orderpriority
+    """,
+    doc="Winsorized (outlier-clamped) per-group mean: exact interpolated "
+        "P5/P95 bounds per group, values clamped into [lo, hi], then an "
+        "exact-decimal mean (clamped doubles rounded to 4dp and summed "
+        "as DECIMAL so the cross-engine hash can't drift with summation "
+        "order). Two aggregations on the same grouping key — at scale "
+        "the bounds table is one row per group and broadcasts back onto "
+        "the fact scan; exact percentiles use Spark's percentile "
+        "(== DuckDB quantile_cont linear interpolation).",
+    tags=("ml-data",),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bounds = t.orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(cast(o_totalprice as double), 0.05)").alias("lo"),
+        F.expr("percentile(cast(o_totalprice as double), 0.95)").alias("hi"),
+    )
+    v = F.col("o_totalprice").cast("double")
+    clamped = (
+        t.orders.join(F.broadcast(bounds), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.round(
+                F.when(v < F.col("lo"), F.col("lo"))
+                .when(v > F.col("hi"), F.col("hi"))
+                .otherwise(v),
+                4,
+            ).cast("decimal(18,4)").alias("v"),
+        )
+    )
+    return clamped.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (F.sum("v").cast("double") / F.count("*")).alias("winsorized_mean"),
+    )

@@ -698,3 +698,102 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= TOP_K)
         .select("query_id", "candidate_id", "r_cos", "r_dot", "rrf")
     )
+
+
+_RERANK_QUERIES = 5
+_RERANK_COARSE_DIM = 8
+_RERANK_CAND = 50
+
+_COARSE_SQL = """
+    round(
+        list_sum(list_transform(range(1, {cd} + 1),
+            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+        6)
+""".format(cd=_RERANK_COARSE_DIM)
+
+
+@register(
+    "sim_twostage_rerank",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id < {_RERANK_QUERIES}
+        ), pairs AS (
+            SELECT q.query_id, c.vec_id AS candidate_id,
+                   {_COARSE_SQL} AS coarse,
+                   {_COSINE_SQL} AS sim
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ), coarse_ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY coarse DESC, candidate_id
+                   ) AS crk
+            FROM pairs
+        ), final AS (
+            SELECT query_id, candidate_id, coarse, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, candidate_id
+                   ) AS rk
+            FROM coarse_ranked WHERE crk <= {_RERANK_CAND}
+        )
+        SELECT query_id, candidate_id, coarse, sim, rk
+        FROM final WHERE rk <= {TOP_K}
+    """,
+    doc="Two-stage progressive rerank (the Matryoshka/PQ serving shape): "
+        "stage 1 scores every candidate on only the first "
+        f"{_RERANK_COARSE_DIM} dimensions (8x less arithmetic + memory "
+        "traffic per pair) and keeps the top-"
+        f"{_RERANK_CAND} per query; stage 2 computes exact full-dim cosine "
+        "only on survivors. At 100 TB the corpus side stays partitioned "
+        "(queries broadcast), stage-1 cost dominates and is ~dim_coarse/dim "
+        "of brute force, and stage 2 touches a constant number of rows per "
+        "query. Both stages deterministic: scores rounded to 6 before "
+        "ranking, candidate_id tie-break.",
+    tags=("similarity",),
+)
+def sim_twostage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") < _RERANK_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        t.embeddings.select(
+            F.col("vec_id").alias("candidate_id"), "embedding"
+        )
+        .crossJoin(F.broadcast(q))
+        .where(F.col("candidate_id") != F.col("query_id"))
+    )
+    coarse = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qe"), 1, _RERANK_COARSE_DIM),
+                F.slice(F.col("embedding"), 1, _RERANK_COARSE_DIM),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = pairs.select(
+        "query_id", "candidate_id", "qe", "embedding",
+        coarse.alias("coarse"),
+    )
+    w1 = W.partitionBy("query_id").orderBy(
+        F.desc("coarse"), F.asc("candidate_id")
+    )
+    survivors = (
+        scored.withColumn("crk", F.row_number().over(w1))
+        .where(F.col("crk") <= _RERANK_CAND)
+        .select(
+            "query_id", "candidate_id", "coarse",
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("candidate_id")
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "candidate_id", "coarse", "sim", "rk")
+    )

@@ -70,6 +70,7 @@ def load_all() -> dict[str, EngineQuery]:
         behavioral,
         bucketing,
         clustering,
+        curation_extra,
         dedup,
         embeddings_linalg,
         functions_coverage,
@@ -77,6 +78,7 @@ def load_all() -> dict[str, EngineQuery]:
         incremental,
         inference,
         kafka_pipeline,
+        ml_data,
         multimodal,
         pareto,
         pipeline,
