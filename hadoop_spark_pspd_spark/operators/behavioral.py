@@ -312,3 +312,128 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(row_tot)).alias("p"),
     )
+
+
+_RULE_MINSUP = 2
+_RULE_TOPN = 50
+
+
+@register(
+    "q_assoc_rules",
+    oracle=f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), item_supp AS (
+            SELECT l_partkey AS item, COUNT(*) AS supp FROM baskets
+            GROUP BY l_partkey
+        ), pair_supp AS (
+            SELECT a.l_partkey AS ia, b.l_partkey AS ib, COUNT(*) AS supp
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY ia, ib
+        ), n AS (
+            SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets
+        ), rules AS (
+            SELECT ia AS antecedent, ib AS consequent, supp AS pair_supp
+            FROM pair_supp WHERE supp >= {_RULE_MINSUP}
+            UNION ALL
+            SELECT ib, ia, supp
+            FROM pair_supp WHERE supp >= {_RULE_MINSUP}
+        ), scored AS (
+            SELECT r.antecedent, r.consequent, r.pair_supp,
+                   sa.supp AS ant_supp, sc.supp AS cons_supp,
+                   CAST(r.pair_supp AS DOUBLE) / sa.supp AS confidence,
+                   CAST(n.n_orders * r.pair_supp AS DOUBLE)
+                       / CAST(sa.supp * sc.supp AS DOUBLE) AS lift
+            FROM rules r
+            CROSS JOIN n
+            JOIN item_supp sa ON r.antecedent = sa.item
+            JOIN item_supp sc ON r.consequent = sc.item
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                ORDER BY pair_supp DESC, antecedent, consequent) AS rn
+            FROM scored
+        )
+        SELECT antecedent, consequent, pair_supp, ant_supp, cons_supp,
+               confidence, lift, rn
+        FROM ranked WHERE rn <= {_RULE_TOPN}
+    """,
+    doc="Association-rule mining (market-basket support/confidence/lift) "
+        "over order baskets. Pair supports come from per-order sorted "
+        "item-list expansion (basket size is bounded ~7, so the i<j "
+        "product is map-side linear — never a baskets self-join); item "
+        "supports and the rule join are broadcast-sized. Lift is kept "
+        "rational (n*supp_ab / (supp_a*supp_b), exact int products, one "
+        "double division) so it hash-matches cross-engine — no log/PMI. "
+        "Top rules ranked by support with unique (antecedent, consequent) "
+        "tie-break.",
+    tags=("behavioral",),
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    baskets = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    items = baskets.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x: F.transform(
+                F.filter(F.col("items"), lambda y: y > x),
+                lambda y: F.struct(x.alias("ia"), y.alias("ib")),
+            ),
+        )
+    )
+    pair_supp = (
+        items.select(F.explode(pair_arr).alias("p"))
+        .select("p.ia", "p.ib")
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("pair_supp"))
+        .filter(F.col("pair_supp") >= _RULE_MINSUP)
+    )
+    item_supp = baskets.groupBy("l_partkey").agg(
+        F.count("*").alias("supp")
+    )
+    n = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    rules = pair_supp.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        "pair_supp",
+    ).unionAll(
+        pair_supp.select(
+            F.col("ib").alias("antecedent"),
+            F.col("ia").alias("consequent"),
+            "pair_supp",
+        )
+    )
+    sa = item_supp.select(
+        F.col("l_partkey").alias("antecedent"), F.col("supp").alias("ant_supp")
+    )
+    sc = item_supp.select(
+        F.col("l_partkey").alias("consequent"),
+        F.col("supp").alias("cons_supp"),
+    )
+    scored = (
+        rules.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent", "consequent", "pair_supp", "ant_supp", "cons_supp",
+            (F.col("pair_supp").cast("double") / F.col("ant_supp"))
+            .alias("confidence"),
+            (
+                (F.col("n_orders") * F.col("pair_supp")).cast("double")
+                / (F.col("ant_supp") * F.col("cons_supp")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    # distributed top-N first (TakeOrderedAndProject: per-partition k-heap,
+    # driver merge), THEN row_number over only the surviving N rows — the
+    # global-order window never sees the full rule set
+    top = scored.orderBy(
+        F.desc("pair_supp"), "antecedent", "consequent"
+    ).limit(_RULE_TOPN)
+    win = W.orderBy(F.desc("pair_supp"), "antecedent", "consequent")
+    return top.withColumn("rn", F.row_number().over(win).cast("long"))

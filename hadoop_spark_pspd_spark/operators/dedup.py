@@ -431,3 +431,35 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+@register(
+    "dedup_clusters_starcc",
+    oracle=_CLUSTER_ORACLE,
+    doc="Near-dup cluster assignment via alternating large-star/small-star "
+        "contraction (Kiveris et al., SoCC'14) over the same verified "
+        "Jaccard>=0.8 pair graph as dedup_clusters — identical output "
+        "(same recursive-CTE oracle), different convergence envelope: "
+        "min-label propagation needs graph-DIAMETER rounds (fine for "
+        "quasi-clique near-dup components, pathological for chains), "
+        "star contraction needs O(log^2 n) rounds on ANY topology, which "
+        "is what a 100 TB graph of unknown shape requires. Each round is "
+        "two aggregations + two joins on a monotonically shrinking edge "
+        "set, lineage truncated per round.",
+)
+def dedup_clusters_starcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import star_contraction_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    edges = pairs.union(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).toDF("u", "v").cache()
+    try:
+        return star_contraction_components(edges).select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    finally:
+        pairs.unpersist()
+        edges.unpersist()

@@ -475,3 +475,112 @@ def stream_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("event_type").agg(
         F.sum("count").alias("n")
     )
+
+
+_N_SPOOL_SLICES = 4
+
+
+def _spool_events(spark: SparkSession, sf_dir: str) -> str:
+    """Split the events table into slice files in a tmp spool dir so the
+    file stream source (maxFilesPerTrigger=1) replays it as MULTIPLE
+    micro-batches. Idempotent per (sf_dir, source mtime)."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..catalog import Tables
+
+    tag = Path(sf_dir).name.replace(".", "_")
+    spool = Path(tempfile.gettempdir()) / f"pspd_stream_spool_{tag}"
+    marker = spool / "_SPOOL_OK"
+    src_mtime = str(os.path.getmtime(f"{sf_dir}/events.parquet"))
+    if marker.exists() and marker.read_text() == src_mtime:
+        return str(spool)
+    shutil.rmtree(spool, ignore_errors=True)
+    events = Tables(spark, sf_dir).events  # ts normalized at write time
+    for i in range(_N_SPOOL_SLICES):
+        (
+            events.filter(F.pmod(F.col("event_id"), _N_SPOOL_SLICES) == i)
+            .repartition(1)
+            .write.mode("append")
+            .parquet(str(spool))
+        )
+    marker.write_text(src_mtime)
+    return str(spool)
+
+
+@register(
+    "stream_foreachbatch_merge",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+        FROM events GROUP BY user_id
+    """,
+    doc="foreachBatch incremental MERGE sink: the events table is "
+        "replayed as 4 micro-batches (spooled slice files, "
+        "maxFilesPerTrigger=1); each batch is aggregated per user and "
+        "full-outer-merged into a parquet state table (counts add, "
+        "last_ts takes the max), written to a fresh versioned directory "
+        "per batch — the atomic-swap pattern that makes a retried batch "
+        "rewrite the same version instead of double-applying (exactly-"
+        "once on top of at-least-once delivery). This is the canonical "
+        "Structured Streaming upsert-into-a-lakehouse-table shape (what "
+        "MERGE INTO does when a transaction log exists). The final state "
+        "must equal the all-at-once batch aggregate, which is exactly "
+        "what the oracle checks.",
+)
+def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    pin_session_conf(spark)
+    spool = _spool_events(spark, sf_dir)
+    schema = spark.read.parquet(spool).schema
+    run = next(_sink_counter)
+    base = Path(tempfile.gettempdir()) / f"pspd_fb_merge_{run}"
+    shutil.rmtree(base, ignore_errors=True)
+    base.mkdir(parents=True)
+    state = {"path": None}
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        agg = batch.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.max("ts").alias("last_ts")
+        )
+        if state["path"] is not None:
+            cur = spark.read.parquet(state["path"])
+            t, s = cur.alias("t"), agg.alias("s")
+            agg = t.join(
+                s, F.col("t.user_id") == F.col("s.user_id"), "full_outer"
+            ).select(
+                F.coalesce(F.col("t.user_id"), F.col("s.user_id"))
+                .alias("user_id"),
+                (
+                    F.coalesce(F.col("t.n_events"), F.lit(0))
+                    + F.coalesce(F.col("s.n_events"), F.lit(0))
+                ).alias("n_events"),
+                F.greatest(
+                    F.coalesce(F.col("t.last_ts"), F.col("s.last_ts")),
+                    F.coalesce(F.col("s.last_ts"), F.col("t.last_ts")),
+                ).alias("last_ts"),
+            )
+        # versioned-by-batch-id target: a retry of batch N overwrites
+        # version N (idempotent), never double-applies into version N-1
+        new_path = str(base / f"v{batch_id}")
+        agg.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool)
+        .writeStream.foreachBatch(merge)
+        .option(
+            "checkpointLocation", str(base / "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["path"])

@@ -190,3 +190,51 @@ def test_kcore_property_holds_at_fixpoint(spark):
         if s in nodes and d in nodes:
             expect[s] = expect.get(s, 0) + 1
     assert got == expect
+
+
+def test_star_contraction_matches_union_find(spark):
+    """Star-contraction CC (the O(log^2 n)-round scale path) must agree
+    with a driver-side union-find on topologies min-label propagation
+    handles poorly: a long chain (diameter = n) plus disjoint cliques."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hadoop_spark_pspd_spark.functions.graph import (
+        star_contraction_components,
+    )
+
+    edges = [(i, i + 1) for i in range(40)]  # chain, diameter 40
+    edges += [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+    rng = random.Random(13)
+    edges += [
+        (rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for n in list(parent):
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(v) for _, v in comps.items() for n in v}
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    both = df.union(
+        df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    got = {
+        r.node: r.label for r in star_contraction_components(both).collect()
+    }
+    assert got == want
