@@ -396,3 +396,66 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cm_estimate",
         F.coalesce(F.col("cnt"), F.lit(0)).alias("exact_cnt"),
     )
+
+
+@register(
+    "text_cross_source_dedup",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id, source,
+                   md5(array_to_string(
+                       list_sort(list_distinct(string_split(text, ' '))),
+                       ' ')) AS fingerprint
+            FROM documents
+        ), ranked AS (
+            SELECT fingerprint, doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY fingerprint
+                       ORDER BY source, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies,
+                   COUNT(DISTINCT source) OVER (PARTITION BY fingerprint)
+                       AS n_sources
+            FROM fp
+        )
+        SELECT fingerprint, doc_id AS kept_doc_id, source AS kept_source,
+               n_copies, CAST(n_sources AS BIGINT) AS n_sources
+        FROM ranked WHERE rn = 1
+    """,
+    doc="Cross-source provenance-aware dedup: documents are fingerprinted "
+        "on their sorted DISTINCT word set (bag-collapse: word order and "
+        "repetition don't distinguish), grouped corpus-wide, and one "
+        "winner per fingerprint is kept by source priority (here "
+        "lexicographic source, doc_id tie-break) — the multi-crawl "
+        "curation step that keeps the highest-quality provenance of each "
+        "duplicated page. One shuffle on fingerprint; winner selection, "
+        "copy count, and source spread come from the same partitioning "
+        "(no second shuffle).",
+    tags=("curation",),
+)
+def text_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    t = Tables(spark, sf_dir)
+    fp = t.documents.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ", F.sort_array(F.array_distinct(F.split("text", " ")))
+            )
+        ).alias("fingerprint"),
+    )
+    # one aggregation on the fingerprint key computes winner + stats
+    # together (no window-over-window): min(struct) is the priority pick
+    agg = fp.groupBy("fingerprint").agg(
+        F.min(F.struct("source", "doc_id")).alias("w"),
+        F.count("*").alias("n_copies"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return agg.select(
+        "fingerprint",
+        F.col("w.doc_id").alias("kept_doc_id"),
+        F.col("w.source").alias("kept_source"),
+        "n_copies",
+        F.col("n_sources").cast("long").alias("n_sources"),
+    )

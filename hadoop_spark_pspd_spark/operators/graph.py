@@ -289,3 +289,66 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
         .orderBy("node")
     )
+
+
+_BFS_MAX_HOPS = 20
+
+_BFS_ORACLE = _EDGES_ORACLE.replace("WITH pairs", "WITH RECURSIVE pairs", 1) + f"""
+        , both_dir AS (
+            SELECT s1 AS u, s2 AS v FROM edges
+            UNION ALL
+            SELECT s2, s1 FROM edges
+        ), src AS (
+            SELECT MIN(s1) AS s FROM edges
+        ), walk(node, d) AS (
+            SELECT s, 0 FROM src
+            UNION
+            SELECT b.v, w.d + 1
+            FROM walk w JOIN both_dir b ON w.node = b.u
+            WHERE w.d < {_BFS_MAX_HOPS}
+        )
+        SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+        FROM walk GROUP BY node
+"""
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=_BFS_ORACLE,
+    doc="Single-source BFS hop distances (radius-bounded at "
+        f"{_BFS_MAX_HOPS}) from the minimum node of the mutual-top-8 "
+        "co-occurrence graph. Frontier-expansion BFS: each round joins "
+        "only the FRONTIER (nodes first reached last round) against the "
+        "edge list and anti-joins the visited set — per-round cost is "
+        "proportional to the frontier's edge boundary, never the whole "
+        "graph; lineage truncated per round. This is the traversal "
+        "primitive under shortest-path features and reachability "
+        "filters; oracle = recursive-CTE reachability with depth bound.",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = cooccurrence_edges(spark, sf_dir)
+    both = (
+        edges.select(F.col("s1").alias("u"), F.col("s2").alias("v"))
+        .union(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+        .localCheckpoint()
+    )
+    # bounded driver-side scalar: the BFS root (one bigint)
+    s0 = both.agg(F.min("u")).collect()[0][0]
+    visited = spark.createDataFrame(
+        [(s0, 0)], "node long, hops long"
+    ).localCheckpoint()
+    frontier = visited.select("node")
+    for d in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(both, frontier["node"] == both["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(d).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited

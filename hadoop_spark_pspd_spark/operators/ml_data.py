@@ -240,3 +240,56 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum("v").cast("double") / F.count("*")).alias("winsorized_mean"),
     )
+
+
+_WSAMPLE_K = 64
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DOUBLE) AS weight,
+                   round(
+                       ln((CAST(('0x' || substr(
+                               md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                               AS UBIGINT) + 1) / 4503599627370496.0)
+                       / CAST(o_totalprice AS DOUBLE),
+                       12) AS priority
+            FROM orders
+        )
+        SELECT o_orderkey, weight
+        FROM keyed
+        ORDER BY priority DESC, o_orderkey
+        LIMIT {_WSAMPLE_K}
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis A-ES, "
+        "derandomized): u = md5-derived uniform in (0,1], priority = "
+        "ln(u)/w (the monotone equivalent of u^(1/w)), keep the top-k "
+        "priorities. Distributed exactly like the uniform reservoir: "
+        "TakeOrderedAndProject keeps a per-partition k-heap, only k rows "
+        "per partition reach the driver merge — no shuffle, no sort of "
+        "the corpus. Priorities are rounded to 12 decimals before "
+        "ranking (ties broken by key) so the one transcendental (ln) "
+        "can't flip an ordering across engines; the hashed OUTPUT is "
+        "keys + weights only.",
+    tags=("ml-data",),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    u = (h + 1) / F.lit(float(1 << 52))
+    w = F.col("o_totalprice").cast("double")
+    keyed = t.orders.select(
+        "o_orderkey",
+        w.alias("weight"),
+        F.round(F.log(u) / w, 12).alias("priority"),
+    )
+    return (
+        keyed.orderBy(F.desc("priority"), "o_orderkey")
+        .limit(_WSAMPLE_K)
+        .select("o_orderkey", "weight")
+    )

@@ -219,3 +219,90 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+@register(
+    "q_dq_expectations",
+    oracle="""
+        SELECT 'orders_null_custkey' AS check_name,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders_dup_orderkey',
+               COUNT(*) - COUNT(DISTINCT o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_orphan_custkey', COUNT(*)
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'lineitem_nonpositive_qty',
+               CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_negative_price',
+               CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey', COUNT(*)
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+    """,
+    doc="Data-contract expectation gate: six structural checks (null "
+        "keys, duplicate primary key, referential orphans both ways, "
+        "domain ranges) reported as one (check_name, n_violations) "
+        "table — the pre-ingest validation a 100 TB pipeline runs before "
+        "promoting a batch. Each check is a single-pass aggregate or a "
+        "broadcast/shuffle anti-join; the checks share scans where "
+        "Catalyst can (the three orders checks collapse onto one scan). "
+        "A zero-violation report is the promotion condition.",
+    tags=("profiling",),
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    orders_null = t.orders.agg(
+        F.sum(F.col("o_custkey").isNull().cast("int")).alias("n")
+    )
+    orders_dup = t.orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n")
+    )
+    orders_orphan = (
+        t.orders.join(
+            t.customer,
+            t.orders["o_custkey"] == t.customer["c_custkey"],
+            "left_anti",
+        ).agg(F.count("*").alias("n"))
+    )
+    li_qty = t.lineitem.agg(
+        F.sum((F.col("l_quantity") <= 0).cast("int")).alias("n")
+    )
+    li_price = t.lineitem.agg(
+        F.sum((F.col("l_extendedprice") < 0).cast("int")).alias("n")
+    )
+    li_orphan = (
+        t.lineitem.join(
+            t.orders,
+            t.lineitem["l_orderkey"] == t.orders["o_orderkey"],
+            "left_anti",
+        ).agg(F.count("*").alias("n"))
+    )
+    return (
+        one("orders_null_custkey", orders_null)
+        .unionAll(one("orders_dup_orderkey", orders_dup))
+        .unionAll(one("orders_orphan_custkey", orders_orphan))
+        .unionAll(one("lineitem_nonpositive_qty", li_qty))
+        .unionAll(one("lineitem_negative_price", li_price))
+        .unionAll(one("lineitem_orphan_orderkey", li_orphan))
+    )
