@@ -172,3 +172,92 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vecs"),
         )
     )
+
+
+_CENTROID_CTE = """
+        WITH cent AS (
+            SELECT label, CAST(dim AS INTEGER) AS dim,
+                   CAST(CAST(
+                       CAST(CAST(SUM(CAST(CAST(x AS VARCHAR)
+                                 AS DECIMAL(27,14))) AS VARCHAR) AS DOUBLE)
+                       / count(*) AS VARCHAR) AS DECIMAL(18,9)) AS v
+            FROM (
+                SELECT label,
+                       unnest(embedding) AS x,
+                       unnest(range(len(embedding))) AS dim
+                FROM embeddings
+            )
+            GROUP BY label, CAST(dim AS INTEGER)
+        ), norms AS (
+            SELECT label,
+                   CAST(CAST(SUM(v * v) AS VARCHAR) AS DOUBLE) AS nrm
+            FROM cent GROUP BY label
+        )
+"""
+
+
+@register(
+    "sim_centroid_affinity",
+    oracle=_CENTROID_CTE + """
+        SELECT a.label AS label_a, b.label AS label_b,
+               round(
+                   CAST(CAST(SUM(a.v * b.v) AS VARCHAR) AS DOUBLE)
+                   / (sqrt(na.nrm) * sqrt(nb.nrm)),
+                   6) AS cos_sim
+        FROM cent a
+        JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        JOIN norms na ON na.label = a.label
+        JOIN norms nb ON nb.label = b.label
+        GROUP BY a.label, b.label, na.nrm, nb.nrm
+    """,
+    doc="Class-prototype affinity matrix: pairwise cosine between the "
+        "per-label mean embeddings (the post-clustering diagnostic that "
+        "tells a curation pipeline which label populations overlap). "
+        "Centroids come from the exact-decimal means of "
+        "q_label_centroids, re-quantized to DECIMAL(18,9) via the "
+        "shortest-string hop so the k^2 dot products are EXACT decimal "
+        "sums (no double summation-order drift), with one double "
+        "division + sqrt at the end, rounded to 6. Everything after the "
+        "per-dim aggregation is k*dim-sized — broadcast scale at any "
+        "corpus size.",
+    tags=("similarity", "clustering"),
+)
+def sim_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cent = q_label_centroids(spark, sf_dir).select(
+        "label",
+        "dim",
+        F.col("centroid_val").cast("string").cast("decimal(18,9)").alias("v"),
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("nrm")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg((F.sum(F.col("a.v") * F.col("b.v"))).cast("double").alias("dot"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("nrm").alias("nrm_a")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot") / (F.sqrt("nrm_a") * F.sqrt("nrm_b")), 6
+            ).alias("cos_sim"),
+        )
+    )

@@ -293,3 +293,113 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WSAMPLE_K)
         .select("o_orderkey", "weight")
     )
+
+
+@register(
+    "q_pit_features",
+    oracle="""
+        WITH u AS (
+            SELECT MAX(user_id) + 1 AS n FROM events
+        ), o AS (
+            SELECT o_orderkey,
+                   o_custkey % (SELECT n FROM u) AS user_id,
+                   o_orderdate
+            FROM orders
+        )
+        SELECT o.o_orderkey, o.user_id,
+               COUNT(e.user_id) AS n_prior_events,
+               COALESCE(CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4)))
+                                  AS VARCHAR) AS DOUBLE), 0.0)
+                   AS prior_value_sum
+        FROM o LEFT JOIN events e
+          ON e.user_id = o.user_id AND e.ts < o.o_orderdate
+        GROUP BY o.o_orderkey, o.user_id
+    """,
+    doc="Point-in-time-correct feature join (the feature-store backfill "
+        "op): for every order, that entity's event count and value sum "
+        "STRICTLY BEFORE the order timestamp — no future leakage by "
+        "construction. Implemented with the union+window trick (same "
+        "family as q_asof_join): events and orders interleave into one "
+        "per-entity timeline, cumulative aggregates run over a single "
+        "window sort with order rows sequenced before same-instant "
+        "events, then only order rows are kept — ONE shuffle on the "
+        "entity key, zero joins, vs the oracle's per-order correlated "
+        "aggregation. Value sums are exact decimals.",
+    tags=("ml-data",),
+)
+def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    t = Tables(spark, sf_dir)
+    n_users = t.events.agg((F.max("user_id") + 1).alias("n"))
+    ev = t.events.select(
+        "user_id",
+        F.col("ts").alias("pit_ts"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    orders = (
+        t.orders.crossJoin(F.broadcast(n_users))
+        .select(
+            F.pmod(F.col("o_custkey"), F.col("n")).alias("user_id"),
+            F.col("o_orderdate").alias("pit_ts"),
+            F.lit(1).alias("is_order"),
+            "o_orderkey",
+            F.lit(None).cast("decimal(18,4)").alias("v"),
+        )
+    )
+    # order rows sort BEFORE same-instant events (is_order DESC), so the
+    # cumulative aggregate at an order row sees only strictly-earlier events
+    timeline = ev.unionByName(orders)
+    w = (
+        _W.partitionBy("user_id")
+        .orderBy("pit_ts", F.desc("is_order"), "o_orderkey")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    feats = timeline.select(
+        "user_id",
+        "is_order",
+        "o_orderkey",
+        F.sum(1 - F.col("is_order")).over(w).cast("long")
+        .alias("n_prior_events"),
+        F.coalesce(F.sum("v").over(w).cast("double"), F.lit(0.0))
+        .alias("prior_value_sum"),
+    )
+    return feats.filter(F.col("is_order") == 1).select(
+        "o_orderkey", "user_id", "n_prior_events", "prior_value_sum"
+    )
+
+
+@register(
+    "q_quantile_transform",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               percent_rank() OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+               ) AS q
+        FROM orders
+    """,
+    doc="Per-group quantile (rank-uniform) feature transform: each value "
+        "maps to its percent_rank within its group — the distribution-"
+        "free normalization ML pipelines use for heavy-tailed features. "
+        "percent_rank = (rank-1)/(n-1) is exact-int rational (tie-aware, "
+        "no interpolation), so it hash-matches cross-engine with no "
+        "float convention needed. One window sort per group; at 100 TB "
+        "a group's rows must fit a partition — for truly giant groups "
+        "the two-level equi-depth decile variant (q_deciles) is the "
+        "scale path.",
+    tags=("ml-data",),
+)
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    t = Tables(spark, sf_dir)
+    w = _W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return t.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.percent_rank().over(w).alias("q"),
+    )
