@@ -403,3 +403,80 @@ def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("price"),
         F.percent_rank().over(w).alias("q"),
     )
+
+
+@register(
+    "q_unpivot_metrics",
+    oracle="""
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                             AS VARCHAR) AS DOUBLE) AS total_rev,
+                   CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value
+        FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'total_rev', total_rev FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'max_price', max_price FROM wide
+    """,
+    doc="Wide-to-long reshaping via the native UNPIVOT operator (the "
+        "inverse of q_pivot_status): a per-priority metric table melts "
+        "into (group, metric, value) rows — the shape metric stores and "
+        "plotting layers want. Spark's unpivot is a zero-shuffle local "
+        "expand (each input row emits one row per value column), exactly "
+        "the oracle's UNION ALL re-reads without the re-read. Metrics "
+        "are exact decimals cast to double once.",
+    tags=("ml-data",),
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wide = t.orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_rev"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_rev", "max_price"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "q_sliding_distinct_users",
+    oracle="""
+        SELECT CAST(date_trunc('hour', e.ts)
+                    - to_hours(k.k) AS TIMESTAMP) AS window_start,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM events e
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+        GROUP BY 1
+    """,
+    doc="Sliding-window distinct users (3-hour windows, 1-hour slide): "
+        "the overlap factor is handled by Spark's window() expand (each "
+        "event lands in exactly 3 windows — a bounded local multiply, "
+        "like the oracle's k in {0,1,2} cross join), then one "
+        "partial+final distinct aggregation per window. At 100 TB the "
+        "shuffle key is (window, user) — high cardinality, well spread; "
+        "the per-window distinct COUNT is the second, tiny aggregation. "
+        "This is the batch replica of the streaming sliding-window "
+        "family (stream_hourly_counts et al.).",
+    tags=("ml-data", "streaming"),
+)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "3 hours", "1 hour"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_users",
+        )
+    )

@@ -288,3 +288,55 @@ def test_bm25_broadcasts_df_and_dl(spark):
     n_bcast = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin",
                              plan))
     assert n_bcast >= 3, plan[:2000]
+
+
+def test_map_only_curation_ops_have_no_exchange(spark):
+    """PII redaction and overlap chunking are scan-speed map ops — any
+    Exchange in their plans would be a scale bug."""
+    from hadoop_spark_pspd_spark.operators.curation_extra import (
+        text_pii_redact,
+    )
+    from hadoop_spark_pspd_spark.operators.ml_data import text_chunk_overlap
+
+    for q in (text_pii_redact, text_chunk_overlap):
+        plan = formatted_plan(q(spark, SF_SMOKE))
+        assert "Exchange" not in plan, q.__name__
+
+
+def test_samplers_plan_distributed_topk(spark):
+    """Derandomized reservoir / weighted sampling must plan as
+    TakeOrderedAndProject (per-partition k-heap + driver merge), never a
+    global sort of the corpus."""
+    from hadoop_spark_pspd_spark.operators.curation_extra import (
+        q_reservoir_sample,
+    )
+    from hadoop_spark_pspd_spark.operators.ml_data import q_weighted_sample
+
+    for q in (q_reservoir_sample, q_weighted_sample):
+        plan = formatted_plan(q(spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan, q.__name__
+
+
+def test_pit_features_is_joinless_on_the_fact_side(spark):
+    """The point-in-time feature build resolves through one union+window
+    timeline: the only join allowed is the broadcast of the 1-row user-
+    count scalar — never a shuffle join of events against orders."""
+    from hadoop_spark_pspd_spark.operators.ml_data import q_pit_features
+
+    plan = formatted_plan(q_pit_features(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "Union" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_countmin_probe_joins_broadcast(spark):
+    """The CM sketch (3 x width cells) and the probe set are both tiny:
+    every join in the probe path must broadcast."""
+    from hadoop_spark_pspd_spark.operators.curation_extra import (
+        sketch_countmin,
+    )
+
+    plan = formatted_plan(sketch_countmin(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
