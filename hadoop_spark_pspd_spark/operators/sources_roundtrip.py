@@ -1,0 +1,100 @@
+"""Multi-format source/sink roundtrip (S-surface breadth).
+
+The reference's estate is HDFS text + parquet (run_fault_tests.py:120,
+docs/README.md:257 for the Kafka JSON path); a migrating estate also
+holds CSV, JSONL, and ORC. This registers an end-to-end proof that a
+table survives a write+read roundtrip through every interchange format
+bit-identically: value-bearing aggregates of each roundtripped copy must
+hash-match the parquet original. CSV/JSON carry doubles as text — Spark
+writes shortest-roundtrip reprs and parses them back to the identical
+bits, which is exactly the engine's cross-engine float convention
+applied to its own sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..registry import register
+
+_FORMATS = ("csv", "json", "orc")
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    import tempfile
+    from pathlib import Path
+
+    tag = Path(sf_dir).name.replace(".", "_")
+    return str(
+        Path(tempfile.gettempdir()) / f"pspd_roundtrip_{tag}" / fmt
+    )
+
+
+@register(
+    "q_multiformat_roundtrip",
+    oracle="""
+        WITH agg AS (
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(DISTINCT o_orderkey) AS n_keys,
+                   CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                             AS VARCHAR) AS DOUBLE) AS total_rev
+            FROM orders
+        )
+        SELECT 'csv' AS fmt, n_rows, n_keys, total_rev FROM agg
+        UNION ALL
+        SELECT 'json', n_rows, n_keys, total_rev FROM agg
+        UNION ALL
+        SELECT 'orc', n_rows, n_keys, total_rev FROM agg
+    """,
+    doc="Write the orders table to CSV, JSONL, and ORC sinks, read each "
+        "back (explicit schema for the text formats), and aggregate "
+        "every copy — counts, key cardinality, and the exact-decimal "
+        "revenue total must be IDENTICAL to the parquet original for all "
+        "three, proving lossless serialization (text formats round-trip "
+        "doubles through shortest-repr strings). Each roundtrip is one "
+        "write + one scan; the per-format aggregates are independent "
+        "single-pass partial+final aggregations.",
+    tags=("sources",),
+)
+def q_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import write_jsonl, write_orc
+
+    t = Tables(spark, sf_dir)
+    orders = t.orders
+    schema = orders.schema
+
+    csv_dir = _roundtrip_dir(sf_dir, "csv")
+    json_dir = _roundtrip_dir(sf_dir, "json")
+    orc_dir = _roundtrip_dir(sf_dir, "orc")
+
+    (
+        orders.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(csv_dir)
+    )
+    write_jsonl(orders, json_dir)
+    write_orc(orders, orc_dir)
+
+    readers = {
+        "csv": spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .csv(csv_dir),
+        "json": spark.read.schema(schema).json(json_dir),
+        "orc": spark.read.orc(orc_dir),
+    }
+
+    out: DataFrame | None = None
+    for fmt in _FORMATS:
+        agg = readers[fmt].agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_rev"),
+        ).select(F.lit(fmt).alias("fmt"), "n_rows", "n_keys", "total_rev")
+        out = agg if out is None else out.unionAll(agg)
+    return out

@@ -86,6 +86,7 @@ def load_all() -> dict[str, EngineQuery]:
         relational,
         similarity,
         sketches,
+        sources_roundtrip,
         sql_surface,
         stats,
         streaming_enrich,
