@@ -290,3 +290,66 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_priority",
         )
     )
+
+
+@register(
+    "q_ivm_aggregate",
+    oracle="""
+        WITH base AS (
+            SELECT * FROM orders WHERE o_orderkey % 11 <> 0
+        ), ins AS (
+            SELECT * FROM orders WHERE o_orderkey % 11 = 0
+        ), del AS (
+            SELECT * FROM base WHERE o_orderkey % 13 = 0
+        ), effective AS (
+            SELECT * FROM base WHERE o_orderkey % 13 <> 0
+            UNION ALL
+            SELECT * FROM ins
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                         AS VARCHAR) AS DOUBLE) AS total_rev
+        FROM effective GROUP BY o_orderpriority
+    """,
+    doc="Incremental view maintenance for an aggregate: yesterday's "
+        "materialized per-priority (count, revenue) view is updated with "
+        "today's CDC delta — inserts add, deletes subtract — WITHOUT "
+        "rescanning the base table. The engine side computes old_view + "
+        "signed delta aggregation (delta-sized work: at 100 TB the delta "
+        "is a fraction of a percent of the base, so maintenance cost is "
+        "proportional to change, not data); the oracle recomputes the "
+        "view from the effective table directly, pinning that the "
+        "algebraic maintenance is exact (decimal sums make the "
+        "subtraction drift-free). Groups whose count reaches zero drop "
+        "out of the view, matching the direct recompute.",
+    tags=("incremental",),
+)
+def q_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.orders.filter(F.col("o_orderkey") % 11 != 0)
+    ins = t.orders.filter(F.col("o_orderkey") % 11 == 0)
+    dele = base.filter(F.col("o_orderkey") % 13 == 0)
+
+    def view(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            (F.count("*") * sign).alias("n"),
+            (F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * sign)
+            .alias("rev"),
+        )
+
+    # the materialized view as of yesterday + signed delta aggregates;
+    # only the delta aggregations touch "new" data
+    old_view = view(base, 1)
+    delta = view(ins, 1).unionAll(view(dele, -1))
+    merged = (
+        old_view.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("rev").alias("rev"))
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("rev").cast("decimal(18,4)").cast("double").alias("total_rev"),
+    )

@@ -306,3 +306,86 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("lineitem_negative_price", li_price))
         .unionAll(one("lineitem_orphan_orderkey", li_orphan))
     )
+
+
+_KANON = 5
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+        WITH qid AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+                   COUNT(*) AS group_size
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT c_nationkey, c_mktsegment, bal_bucket, group_size
+        FROM qid WHERE group_size < {_KANON}
+    """,
+    doc="k-anonymity audit over quasi-identifiers (nation, market "
+        "segment, coarsened balance bucket): every combination shared by "
+        "fewer than k=5 individuals is a re-identification risk and is "
+        "reported for suppression/generalization — the privacy gate a "
+        "training-data release runs. One partial+final aggregation on "
+        "the quasi-identifier tuple; the violating-group report is "
+        "output-sized (small by definition: only rare combinations).",
+    tags=("profiling", "privacy"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+            .alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count("*").alias("group_size"))
+        .filter(F.col("group_size") < _KANON)
+    )
+
+
+_CONTRIB_CAP = 20
+
+
+@register(
+    "q_contribution_capped_counts",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS capped_count
+        FROM ranked WHERE rn <= {_CONTRIB_CAP}
+        GROUP BY event_type
+    """,
+    doc="Bounded-contribution (sensitivity-capped) counting: each user "
+        "contributes at most C=20 events per type — the preprocessing "
+        "step that bounds per-individual sensitivity before any "
+        "differential-privacy noise is added, and the robust-metrics fix "
+        "for bot/whale distortion. The cap is the user's FIRST C events "
+        "by (ts, event_id) — deterministic, not arbitrary. One window "
+        "partitioned by (user, type) then one aggregation; both shuffle "
+        "on well-spread keys.",
+    tags=("profiling", "privacy"),
+)
+def q_contribution_capped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    t = Tables(spark, sf_dir)
+    w = _W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        t.events.select(
+            "event_type", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= _CONTRIB_CAP)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("capped_count"))
+    )
