@@ -463,3 +463,101 @@ def dedup_clusters_starcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         pairs.unpersist()
         edges.unpersist()
+
+
+_CONTAIN_T = 0.9
+_CONTAIN_MAX_DF = 100
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(w) - {SHINGLE_N - 1}, 0) + 1),
+                       i -> array_to_string(w[i:i+{SHINGLE_N - 1}], ' '))) AS s
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                                     x -> x <> '') AS w
+                  FROM documents))
+    ), dfreq AS (
+        SELECT s, count(*) AS df FROM sh GROUP BY s
+    ), sh_r AS (
+        SELECT sh.doc_id, sh.s FROM sh
+        JOIN dfreq ON dfreq.s = sh.s AND dfreq.df <= {_CONTAIN_MAX_DF}
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh_r GROUP BY doc_id
+    ), pair_common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh_r a JOIN sh_r b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT p.doc_a, p.doc_b, p.c, sa.n AS na, sb.n AS nb
+        FROM pair_common p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+    )
+    SELECT doc_a AS src_doc, doc_b AS dst_doc,
+           round(c / na, 6) AS containment
+    FROM scored WHERE c / na >= {_CONTAIN_T}
+    UNION ALL
+    SELECT doc_b, doc_a, round(c / nb, 6)
+    FROM scored WHERE c / nb >= {_CONTAIN_T}
+    """,
+    doc="Asymmetric containment detection (|A∩B| / |A| >= 0.9 over rare "
+        "word-3-gram shingles): the quote/eval-leak shape Jaccard misses "
+        "— a short benchmark prompt embedded inside a long document has "
+        "tiny Jaccard but containment ~1. Join volume is bounded by "
+        "dropping shingles with document frequency > "
+        f"{_CONTAIN_MAX_DF} (stopword-shingle removal, applied "
+        "identically in both engines as part of the semantics), capping "
+        "the inverted-index self-join at sum(df<=cap) * cap — linear-ish "
+        "in the corpus, never the unfiltered sum(df^2). Directed output: "
+        "one row per (contained doc, containing doc) direction.",
+    tags=("dedup",),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    exploded = shingles_exploded(t.documents).cache()
+    dfreq = exploded.groupBy("s").agg(F.count("*").alias("df"))
+    sh_r = (
+        exploded.join(
+            dfreq.filter(F.col("df") <= _CONTAIN_MAX_DF).select("s"), "s"
+        )
+    ).cache()
+    sizes = sh_r.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh_r.alias("a"), sh_r.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    scored = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        ).join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+    )
+    fwd = scored.filter(F.col("c") / F.col("na") >= _CONTAIN_T).select(
+        F.col("doc_a").alias("src_doc"),
+        F.col("doc_b").alias("dst_doc"),
+        F.round(F.col("c") / F.col("na"), 6).alias("containment"),
+    )
+    rev = scored.filter(F.col("c") / F.col("nb") >= _CONTAIN_T).select(
+        F.col("doc_b").alias("src_doc"),
+        F.col("doc_a").alias("dst_doc"),
+        F.round(F.col("c") / F.col("nb"), 6).alias("containment"),
+    )
+    return fwd.unionAll(rev)
