@@ -459,3 +459,60 @@ def text_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         F.col("n_sources").cast("long").alias("n_sources"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(w) - 2, 0) + 1),
+                           i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id,
+                             list_filter(
+                                 string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                                 x -> x <> '') AS w
+                      FROM documents))
+        ), dfreq AS (
+            SELECT s, count(*) AS df FROM sh GROUP BY s
+        )
+        SELECT sh.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unique,
+               CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS novelty
+        FROM sh JOIN dfreq ON dfreq.s = sh.s
+        GROUP BY sh.doc_id
+    """,
+    doc="Trigram novelty score: the fraction of a document's distinct "
+        "word-3-gram shingles that appear in NO other document — high "
+        "novelty marks original content, near-zero marks templated/"
+        "boilerplate pages (the inverse signal of "
+        "text_boilerplate_passages, at shingle granularity). Reuses the "
+        "dedup shingle pipeline: one document-frequency aggregation, one "
+        "equi-join back (Zipf head broadcasts at scale), one per-doc "
+        "aggregation; score = exact int / int, one double division.",
+    tags=("curation",),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import shingles_exploded
+
+    t = Tables(spark, sf_dir)
+    sh = shingles_exploded(t.documents).cache()
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("int")).cast("long")
+            .alias("n_unique"),
+            (
+                F.sum((F.col("df") == 1).cast("int")).cast("double")
+                / F.count("*")
+            ).alias("novelty"),
+        )
+    )
