@@ -118,9 +118,16 @@ def star_contraction_components(edges: DataFrame) -> DataFrame:
             .union(m2.select(F.col("u"), F.col("m").alias("v")))
         )
         new = canonical(small).localCheckpoint()
-        delta = (
-            new.exceptAll(cur).count() + cur.exceptAll(new).count()
-        )
+        # convergence test: the edge count shrinks monotonically toward
+        # one star per component, so a cheap count inequality proves
+        # non-convergence most rounds; only count-equal rounds pay the
+        # exact (exceptAll) set comparison
+        if new.count() == cur.count():
+            delta = (
+                new.exceptAll(cur).count() + cur.exceptAll(new).count()
+            )
+        else:
+            delta = 1
         cur = new
         if delta == 0:
             break
