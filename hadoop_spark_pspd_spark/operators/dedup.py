@@ -561,3 +561,142 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c") / F.col("nb"), 6).alias("containment"),
     )
     return fwd.unionAll(rev)
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(w) - {SHINGLE_N - 1}, 0) + 1),
+                       i -> array_to_string(w[i:i+{SHINGLE_N - 1}], ' '))) AS s
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                                     x -> x <> '') AS w
+                  FROM documents))
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), pair_common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM pair_common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+    )
+    SELECT d.doc_id,
+           CASE WHEN EXISTS (
+                    SELECT 1 FROM pairs p
+                    WHERE (p.doc_a = d.doc_id AND p.doc_b % 5 <> 4)
+                       OR (p.doc_b = d.doc_id AND p.doc_a % 5 <> 4))
+                THEN 'dup_of_corpus'
+                WHEN EXISTS (
+                    SELECT 1 FROM pairs p
+                    WHERE p.doc_b = d.doc_id AND p.doc_a % 5 = 4)
+                THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+    FROM documents d WHERE d.doc_id % 5 = 4
+    """,
+    doc="Incremental NEAR-dup ingestion (the LSH analog of "
+        "dedup_incremental's exact path): the day's batch (doc_id%5==4) "
+        "is banded with MinHash(32)/LSH(8x4) and joined against the "
+        "corpus band index — at 100 TB that index is a stored table "
+        "maintained per ingest, so daily cost is batch-sized, never a "
+        "corpus rescan. Candidates are exact-Jaccard verified; each "
+        "batch doc reports 'dup_of_corpus' (near-dup of an existing "
+        "doc), 'dup_in_batch' (a smaller-id batch near-dup exists — "
+        "pairwise first-wins, mirroring the exact incremental op), or "
+        "'kept'. The oracle is the full exact-Jaccard pair relation "
+        "(LSH recall ~1 at the 0.8 threshold on this corpus, as "
+        "dedup_minhash_lsh's shared oracle already pins).",
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    is_batch = F.col("doc_id") % 5 == 4
+    doc_sets = (
+        shingles_exploded(t.documents)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("sh"))
+        .cache()
+    )
+    sig = doc_sets.select(
+        "doc_id", *minhash_components_from_set(F.col("sh"), NUM_PERM)
+    )
+    banded = sig.select("doc_id", *band_keys("mh", NUM_PERM, BANDS))
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(BANDS))
+    melted = banded.selectExpr(
+        "doc_id", f"stack({BANDS}, {stack_expr}) AS (band_idx, bh)"
+    ).cache()
+    batch_bands = melted.filter(is_batch)
+    corpus_bands = melted.filter(~is_batch)
+
+    def verified(cands: DataFrame) -> DataFrame:
+        joined = cands.join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_x"), F.col("sh").alias("sh_x")
+            ),
+            "doc_x",
+        ).join(
+            doc_sets.select(
+                F.col("doc_id").alias("doc_y"), F.col("sh").alias("sh_y")
+            ),
+            "doc_y",
+        )
+        c = F.size(F.array_intersect("sh_x", "sh_y"))
+        jac = c / (F.size("sh_x") + F.size("sh_y") - c)
+        return joined.filter(jac >= JACCARD_THRESHOLD).select(
+            "doc_x", "doc_y"
+        )
+
+    bb, cb = batch_bands.alias("bb"), corpus_bands.alias("cb")
+    cand_corpus = (
+        bb.join(
+            cb,
+            (F.col("bb.band_idx") == F.col("cb.band_idx"))
+            & (F.col("bb.bh") == F.col("cb.bh")),
+        )
+        .select(
+            F.col("bb.doc_id").alias("doc_x"),
+            F.col("cb.doc_id").alias("doc_y"),
+        )
+        .distinct()
+    )
+    b1, b2 = batch_bands.alias("b1"), batch_bands.alias("b2")
+    cand_batch = (
+        b1.join(
+            b2,
+            (F.col("b1.band_idx") == F.col("b2.band_idx"))
+            & (F.col("b1.bh") == F.col("b2.bh"))
+            & (F.col("b1.doc_id") > F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc_x"),  # the LARGER (loser) id
+            F.col("b2.doc_id").alias("doc_y"),
+        )
+        .distinct()
+    )
+    dup_corpus = verified(cand_corpus).select("doc_x").distinct() \
+        .withColumn("hit_corpus", F.lit(True))
+    dup_batch = verified(cand_batch).select("doc_x").distinct() \
+        .withColumn("hit_batch", F.lit(True))
+    batch_docs = t.documents.filter(is_batch).select("doc_id")
+    return (
+        batch_docs.join(
+            dup_corpus.withColumnRenamed("doc_x", "doc_id"), "doc_id", "left"
+        )
+        .join(
+            dup_batch.withColumnRenamed("doc_x", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("hit_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col("hit_batch"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
