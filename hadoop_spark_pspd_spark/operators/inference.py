@@ -136,3 +136,139 @@ def q_cogroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "n_events bigint",
         )
     )
+
+
+from ..functions.text import tokens as _tokens  # noqa: E402
+
+_LM_STOP = ("the", "a", "of", "and", "to", "in")
+_LM_W0, _LM_W1, _LM_W2, _LM_W3, _LM_W4 = -1.2, 0.01, 2.0, -0.5, 1.5
+_LM_THRESHOLDS = (-0.5, -0.25, 0.0, 0.25, 0.5)
+
+_MARGIN_SQL = f"""
+    round(
+        CAST({_LM_W0} AS DOUBLE)
+        + CAST({_LM_W1} AS DOUBLE) * len(w)
+        + CAST({_LM_W2} AS DOUBLE)
+            * ({_sql_hits(_LM_STOP)} / len(w))
+        + CAST({_LM_W3} AS DOUBLE)
+            * (CAST(list_sum(list_transform(w, x -> length(x)))
+                    AS BIGINT) / len(w))
+        + CAST({_LM_W4} AS DOUBLE)
+            * (len(list_distinct(w)) / len(w)),
+        6)
+"""
+
+
+def _margin_col() -> F.Column:
+    """JVM-side linear-model margin over engineered token features; the
+    expression tree mirrors the oracle's left-associated arithmetic so
+    the doubles are bit-identical (then round-6 for safety)."""
+    w = _tokens(F.col("text"))
+    n = F.size(w)
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*_LM_STOP)))
+    sumlen = F.aggregate(
+        F.transform(w, F.length), F.lit(0), lambda a, b: a + b
+    )
+    dist = F.size(F.array_distinct(w))
+    margin = (
+        F.lit(_LM_W0)
+        + F.lit(_LM_W1) * n
+        + F.lit(_LM_W2) * (stop_hits / n)
+        + F.lit(_LM_W3) * (sumlen.cast("bigint") / n)
+        + F.lit(_LM_W4) * (dist / n)
+    )
+    return F.round(margin, 6)
+
+
+@register(
+    "infer_linear_margin",
+    oracle=f"""
+        WITH feat AS (
+            SELECT doc_id, lang, {_SQL_TOKENS} AS w FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               {_MARGIN_SQL} AS margin,
+               ({_MARGIN_SQL} > 0) AS pred
+        FROM feat WHERE len(w) > 0
+    """,
+    doc="JVM-only linear-model inference: a fixed-weight classifier over "
+        "engineered token features (token count, stopword ratio, mean "
+        "word length, distinct ratio) computed entirely with built-in "
+        "array expressions — the counterpoint to infer_sentiment's "
+        "pandas-UDF path, showing model scoring can stay inside "
+        "whole-stage codegen with zero Python when the features are "
+        "expressible (real pipelines export linear/GBDT models to SQL "
+        "exactly this way). Map-only: no shuffle at any scale; features "
+        "are exact int ratios, the margin one fixed-order expression "
+        "rounded to 6.",
+    tags=("inference",),
+)
+def infer_linear_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = _tokens(F.col("text"))
+    margin = _margin_col()
+    return (
+        t.documents.filter(F.size(_tokens(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.size(w).cast("long").alias("n_tokens"),
+            margin.alias("margin"),
+            (margin > 0).alias("pred"),
+        )
+    )
+
+
+@register(
+    "infer_threshold_sweep",
+    oracle=f"""
+        WITH scored AS (
+            SELECT (lang = 'en') AS label, {_MARGIN_SQL} AS margin
+            FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS w FROM documents)
+            WHERE len(w) > 0
+        ), t AS (
+            SELECT unnest([{", ".join(f"CAST({x} AS DOUBLE)" for x in _LM_THRESHOLDS)}])
+                AS threshold
+        )
+        SELECT t.threshold,
+               CAST(SUM(CASE WHEN margin > threshold AND label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN margin > threshold AND NOT label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN margin <= threshold AND label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN margin <= threshold AND NOT label
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM scored CROSS JOIN t
+        GROUP BY t.threshold
+    """,
+    doc="Model-evaluation sweep: confusion-matrix counts for the linear "
+        "classifier at five decision thresholds against a weak label "
+        "(lang == 'en'), in ONE pass — each doc expands to 5 (threshold, "
+        "outcome) contributions locally, then one partial+final "
+        "aggregation keyed by threshold. The corpus is scanned once no "
+        "matter how many thresholds are swept; precision/recall derive "
+        "from the integer counts downstream (kept as exact ints here so "
+        "the hash needs no division convention).",
+    tags=("inference",),
+)
+def infer_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    scored = (
+        t.documents.filter(F.size(_tokens(F.col("text"))) > 0)
+        .select(
+            (F.col("lang") == "en").alias("label"),
+            _margin_col().alias("margin"),
+        )
+    )
+    thresholds = F.array(*[F.lit(float(x)) for x in _LM_THRESHOLDS])
+    expanded = scored.select(
+        "label", "margin", F.explode(thresholds).alias("threshold")
+    )
+    hit = F.col("margin") > F.col("threshold")
+    return expanded.groupBy("threshold").agg(
+        F.sum((hit & F.col("label")).cast("int")).cast("long").alias("tp"),
+        F.sum((hit & ~F.col("label")).cast("int")).cast("long").alias("fp"),
+        F.sum((~hit & F.col("label")).cast("int")).cast("long").alias("fn"),
+        F.sum((~hit & ~F.col("label")).cast("int")).cast("long").alias("tn"),
+    )
