@@ -353,3 +353,57 @@ def q_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("rev").cast("decimal(18,4)").cast("double").alias("total_rev"),
     )
+
+
+_ASOF_DATE = "1996-06-30"
+
+
+@register(
+    "q_scd2_asof_lookup",
+    oracle=f"""
+        WITH h AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR)
+                        AS DOUBLE) AS price,
+                   o_orderdate AS eff_from,
+                   lead(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS eff_to
+            FROM orders
+        )
+        SELECT o_custkey AS custkey,
+               o_orderkey AS version_key,
+               price AS totalprice,
+               CAST(eff_from AS TIMESTAMP) AS eff_from
+        FROM h
+        WHERE eff_from <= TIMESTAMP '{_ASOF_DATE}'
+          AND (eff_to IS NULL OR eff_to > TIMESTAMP '{_ASOF_DATE}')
+    """,
+    doc="Time travel over the SCD2 history: reconstruct every customer's "
+        "dimension row AS OF a fixed date by selecting the version whose "
+        "[eff_from, eff_to) interval covers it — the point-in-time "
+        "lookup that makes q_scd2_history useful (training-data "
+        "snapshots, late-arriving-fact joins, audit reads). Same single "
+        "shuffle as the history build; the validity filter prunes to at "
+        "most one row per entity. Zero-length versions (two changes on "
+        "the lookup date) correctly resolve to the later one.",
+    tags=("incremental",),
+)
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.lit(_ASOF_DATE).cast("timestamp")
+    h = t.orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("version_key"),
+        dec("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_orderdate").alias("eff_from"),
+        F.lead("o_orderdate").over(w).alias("eff_to"),
+    )
+    return h.filter(
+        (F.col("eff_from") <= d)
+        & (F.col("eff_to").isNull() | (F.col("eff_to") > d))
+    ).select("custkey", "version_key", "totalprice", "eff_from")
