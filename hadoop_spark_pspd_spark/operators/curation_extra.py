@@ -516,3 +516,62 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+_NUCLEUS_P = 0.8
+
+
+@register(
+    "text_nucleus_filter",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   CAST(length(text) AS BIGINT) AS mass,
+                   SUM(CAST(length(text) AS BIGINT)) OVER (
+                       PARTITION BY source
+                       ORDER BY length(text) DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_mass,
+                   SUM(CAST(length(text) AS BIGINT)) OVER (
+                       PARTITION BY source) AS total_mass
+            FROM documents
+        )
+        SELECT doc_id, source, mass, cum_mass
+        FROM ranked
+        WHERE (cum_mass - mass) * CAST(10 AS BIGINT)
+              < CAST({int(_NUCLEUS_P * 10)} AS BIGINT) * total_mass
+    """,
+    doc="Nucleus (top-p mass) curation filter: within each source, keep "
+        "the largest documents until 80% of that source's total text "
+        "mass is covered (the crossing document included) — the "
+        "mass-budgeted selection a mixture builder uses when a source "
+        "quota is expressed in tokens rather than documents. The "
+        "cumulative-share test is kept in EXACT integer arithmetic "
+        "(cum*10 < 8*total, no double division), so the cut point can't "
+        "drift cross-engine. One window sort per source partition; at "
+        "100 TB per-source partitions parallelize independently and the "
+        "ordering key (doc length) needs no secondary scan.",
+    tags=("curation",),
+)
+def text_nucleus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    t = Tables(spark, sf_dir)
+    mass = F.length("text").cast("long")
+    w_cum = (
+        _W.partitionBy("source")
+        .orderBy(F.desc(F.length("text")), "doc_id")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    w_tot = _W.partitionBy("source")
+    ranked = t.documents.select(
+        "doc_id",
+        "source",
+        mass.alias("mass"),
+        F.sum(mass).over(w_cum).alias("cum_mass"),
+        F.sum(mass).over(w_tot).alias("total_mass"),
+    )
+    keep = (F.col("cum_mass") - F.col("mass")) * 10 < F.lit(
+        int(_NUCLEUS_P * 10)
+    ) * F.col("total_mass")
+    return ranked.filter(keep).select("doc_id", "source", "mass", "cum_mass")

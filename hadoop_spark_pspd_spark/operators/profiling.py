@@ -389,3 +389,89 @@ def q_contribution_capped_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("capped_count"))
     )
+
+
+@register(
+    "q_drift_report",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_trunc('day', MIN(ts)) + INTERVAL 15 DAY AS mid
+            FROM events
+        ), tagged AS (
+            SELECT event_type,
+                   CAST(value AS DECIMAL(18,4)) AS v,
+                   (ts < (SELECT mid FROM bounds)) AS is_a
+            FROM events
+        ), halves AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a,
+                   CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_b,
+                   CAST(CAST(SUM(CASE WHEN is_a THEN v END) AS VARCHAR)
+                        AS DOUBLE)
+                       / SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS mean_a,
+                   CAST(CAST(SUM(CASE WHEN NOT is_a THEN v END) AS VARCHAR)
+                        AS DOUBLE)
+                       / SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS mean_b
+            FROM tagged GROUP BY event_type
+        ), totals AS (
+            SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM halves
+        )
+        SELECT h.event_type, h.n_a, h.n_b,
+               CAST(h.n_a AS DOUBLE) / t.tot_a AS share_a,
+               CAST(h.n_b AS DOUBLE) / t.tot_b AS share_b,
+               abs(CAST(h.n_a AS DOUBLE) / t.tot_a
+                   - CAST(h.n_b AS DOUBLE) / t.tot_b) AS share_drift,
+               h.mean_a, h.mean_b
+        FROM halves h CROSS JOIN totals t
+    """,
+    doc="Distribution-drift report between two time halves of the event "
+        "stream (split at min-day + 15 days, computed from the data): "
+        "per event type, counts, population shares, absolute share drift "
+        "(the rational, log-free stand-in for PSI), and exact-decimal "
+        "value means for both halves — the ML-ops check that yesterday's "
+        "training distribution still matches today's. One scan, one "
+        "aggregation keyed by event type; the totals row broadcasts "
+        "back. All drift arithmetic is ratios of exact integers and one "
+        "double subtraction, so the report hash-matches cross-engine.",
+    tags=("profiling",),
+)
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    mid = t.events.agg(
+        (F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 15 DAY"))
+        .alias("mid")
+    )
+    tagged = t.events.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        (F.col("ts") < F.col("mid")).alias("is_a"),
+    )
+    halves = tagged.groupBy("event_type").agg(
+        F.sum(F.col("is_a").cast("int")).cast("long").alias("n_a"),
+        F.sum((~F.col("is_a")).cast("int")).cast("long").alias("n_b"),
+        (
+            F.sum(F.when(F.col("is_a"), F.col("v"))).cast("double")
+            / F.sum(F.col("is_a").cast("int"))
+        ).alias("mean_a"),
+        (
+            F.sum(F.when(~F.col("is_a"), F.col("v"))).cast("double")
+            / F.sum((~F.col("is_a")).cast("int"))
+        ).alias("mean_b"),
+    )
+    totals = halves.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    share_a = F.col("n_a").cast("double") / F.col("tot_a")
+    share_b = F.col("n_b").cast("double") / F.col("tot_b")
+    return halves.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        share_a.alias("share_a"),
+        share_b.alias("share_b"),
+        F.abs(share_a - share_b).alias("share_drift"),
+        "mean_a",
+        "mean_b",
+    )
