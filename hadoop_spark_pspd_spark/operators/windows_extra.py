@@ -202,3 +202,129 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_gba
         GROUP BY ALL
     """)
+
+
+@register(
+    "q_concurrent_orders",
+    oracle="""
+        WITH iv AS (
+            SELECT o_custkey, o_orderkey,
+                   o_orderdate AS s,
+                   o_orderdate + INTERVAL 7 DAY AS e
+            FROM orders
+        )
+        SELECT o_custkey AS custkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN EXISTS (
+                        SELECT 1 FROM iv p
+                        WHERE p.o_custkey = iv.o_custkey
+                          AND (p.s < iv.s
+                               OR (p.s = iv.s AND p.o_orderkey < iv.o_orderkey))
+                          AND p.e > iv.s)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlapping
+        FROM iv GROUP BY o_custkey
+    """,
+    doc="Sweep-line interval overlap detection, joinless: each order "
+        "opens a 7-day processing window; an order is 'overlapping' when "
+        "it starts before the running maximum end of the customer's "
+        "EARLIER windows (sorted by start, orderkey). One window sort "
+        "per customer partition and a running max — zero joins — versus "
+        "the oracle's correlated EXISTS self-join; this is the O(n log n)"
+        " interval-overlap plan that replaces the O(n^2) theta join at "
+        "any scale. Running max end is computed over rows 1..k-1 "
+        "(exclusive frame), so the test is exactly 'intersects some "
+        "earlier interval'.",
+    tags=("window",),
+)
+def q_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    iv = t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "o_custkey",
+        (F.col("s") < F.max("e").over(w)).alias("overlaps_earlier"),
+    )
+    return flagged.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.coalesce(F.col("overlaps_earlier"), F.lit(False)).cast("int"))
+        .cast("long")
+        .alias("n_overlapping"),
+    )
+
+
+@register(
+    "q_gap_islands",
+    oracle="""
+        WITH seq AS (
+            SELECT o_custkey, o_orderdate,
+                   CASE WHEN o_orderdate
+                             <= lag(o_orderdate) OVER w + INTERVAL 30 DAY
+                        THEN 0 ELSE 1 END AS new_island
+            FROM (SELECT DISTINCT o_custkey, o_orderdate FROM orders)
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        ), islands AS (
+            SELECT o_custkey,
+                   SUM(new_island) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island_id
+            FROM seq
+        ), sized AS (
+            SELECT o_custkey, island_id, COUNT(*) AS island_len
+            FROM islands GROUP BY o_custkey, island_id
+        )
+        SELECT o_custkey AS custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(MAX(island_len) AS BIGINT) AS longest_island
+        FROM sized GROUP BY o_custkey
+    """,
+    doc="Gaps-and-islands: per customer, runs of order activity where "
+        "consecutive (distinct) order dates are <= 30 days apart — "
+        "island count and longest streak, the retention/streak analysis "
+        "shape. Classic lag-then-cumulative-sum island numbering: one "
+        "window sort per customer partition, then two cheap "
+        "aggregations; no self-join, no recursive logic. NULL lag (the "
+        "first date) starts island 1 by the CASE's ELSE arm in both "
+        "engines.",
+    tags=("window",),
+)
+def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    dates = t.orders.select("o_custkey", "o_orderdate").distinct()
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    seq = dates.select(
+        "o_custkey",
+        "o_orderdate",
+        F.when(
+            F.col("o_orderdate")
+            <= F.lag("o_orderdate").over(w) + F.expr("INTERVAL 30 DAY"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    w_cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = seq.select(
+        "o_custkey",
+        F.sum("new_island").over(w_cum).alias("island_id"),
+    )
+    sized = islands.groupBy("o_custkey", "island_id").agg(
+        F.count("*").alias("island_len")
+    )
+    return sized.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.max("island_len").cast("long").alias("longest_island"),
+    )
