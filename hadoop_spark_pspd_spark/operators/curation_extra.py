@@ -575,3 +575,72 @@ def text_nucleus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(_NUCLEUS_P * 10)
     ) * F.col("total_mass")
     return ranked.filter(keep).select("doc_id", "source", "mass", "cum_mass")
+
+
+_VOCAB_BUCKET = 50  # docs per growth-curve bucket
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ), first_seen AS (
+            SELECT word, MIN(doc_id) AS first_doc FROM words GROUP BY word
+        ), per_bucket AS (
+            SELECT CAST(first_doc // {_VOCAB_BUCKET} AS BIGINT) AS bucket,
+                   COUNT(*) AS new_words
+            FROM first_seen GROUP BY 1
+        ), buckets AS (
+            SELECT DISTINCT CAST(doc_id // {_VOCAB_BUCKET} AS BIGINT)
+                AS bucket
+            FROM documents
+        )
+        SELECT b.bucket,
+               CAST(COALESCE(p.new_words, 0) AS BIGINT) AS new_words,
+               CAST(SUM(COALESCE(p.new_words, 0)) OVER (
+                   ORDER BY b.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS vocab_size
+        FROM buckets b LEFT JOIN per_bucket p ON p.bucket = b.bucket
+    """,
+    doc="Vocabulary growth curve (Heaps'-law diagnostic): cumulative "
+        "distinct word count as the corpus is consumed in doc-id order, "
+        "bucketed every 50 documents — the curve a tokenizer team reads "
+        "to size vocabularies and spot corpus saturation. Same linear "
+        "first-seen rewrite as q_running_distinct (min doc per word, "
+        "tiny per-bucket rollup, window over the bucket axis) instead of "
+        "a quadratic expanding-prefix distinct.",
+    tags=("curation",),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    t = Tables(spark, sf_dir)
+    words = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    first_seen = words.groupBy("word").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    per_bucket = first_seen.groupBy(
+        F.expr(f"first_doc div {_VOCAB_BUCKET}").cast("bigint")
+        .alias("bucket")
+    ).agg(F.count("*").alias("new_words"))
+    buckets = t.documents.select(
+        F.expr(f"doc_id div {_VOCAB_BUCKET}").cast("bigint").alias("bucket")
+    ).distinct()
+    w = _W.orderBy("bucket").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    joined = buckets.join(per_bucket, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("new_words"), F.lit(0)).cast("long")
+        .alias("new_words"),
+    )
+    return joined.select(
+        "bucket",
+        "new_words",
+        F.sum("new_words").over(w).cast("long").alias("vocab_size"),
+    )

@@ -475,3 +475,64 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_a",
         "mean_b",
     )
+
+
+@register(
+    "q_running_distinct",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id,
+                   CAST(MIN(date_trunc('day', ts)) AS DATE) AS first_day
+            FROM events GROUP BY user_id
+        ), per_day AS (
+            SELECT first_day AS day, COUNT(*) AS new_users
+            FROM first_seen GROUP BY first_day
+        ), days AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events
+        )
+        SELECT d.day,
+               CAST(COALESCE(p.new_users, 0) AS BIGINT) AS new_users,
+               CAST(SUM(COALESCE(p.new_users, 0)) OVER (
+                   ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM days d LEFT JOIN per_day p ON p.day = d.day
+    """,
+    doc="Cumulative-distinct growth curve (daily active-user "
+        "accumulation) WITHOUT a per-day distinct over growing prefixes: "
+        "running distinct count == running sum of FIRST-SEEN counts, so "
+        "the plan is one min-aggregation per user, one tiny per-day "
+        "rollup, and a window over the day axis (bounded by calendar "
+        "size, not data size). The naive form — COUNT(DISTINCT user) "
+        "over an expanding window — rescans the prefix per day and is "
+        "quadratic; this is the standard linear rewrite.",
+    tags=("profiling",),
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    t = Tables(spark, sf_dir)
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    first_seen = (
+        t.events.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    per_day = first_seen.groupBy(
+        F.col("first_day").alias("day")
+    ).agg(F.count("*").alias("new_users"))
+    days = t.events.select(day.alias("day")).distinct()
+    w = _W.orderBy("day").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    joined = days.join(per_day, "day", "left").select(
+        "day",
+        F.coalesce(F.col("new_users"), F.lit(0)).cast("long")
+        .alias("new_users"),
+    )
+    return joined.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
