@@ -650,3 +650,90 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.k").alias("nearest_purchase_id"),
         F.col("best.d").alias("nearest_purchase_ts"),
     )
+
+
+@register(
+    "q_hierarchy_rollup",
+    oracle="""
+        WITH RECURSIVE walk(node, anc, depth, acc) AS (
+            SELECT p_partkey, p_partkey, CAST(1 AS BIGINT),
+                   CAST(p_retailprice AS DECIMAL(18,4))
+            FROM part
+            UNION ALL
+            SELECT w.node, w.anc // 2, w.depth + 1,
+                   CAST(w.acc + CAST(p.p_retailprice AS DECIMAL(18,4))
+                        AS DECIMAL(18,4))
+            FROM walk w JOIN part p ON p.p_partkey = w.anc // 2
+            WHERE w.anc > 0
+        )
+        SELECT node AS p_partkey, depth,
+               CAST(CAST(acc AS VARCHAR) AS DOUBLE) AS path_cost
+        FROM walk WHERE anc = 0
+    """,
+    doc="Hierarchical (bill-of-materials) rollup: each part's ancestor "
+        "chain in a synthetic containment tree (parent(k) = k div 2, "
+        "root 0 — a binary hierarchy derived from the key so the oracle "
+        "can replay it), traversed iteratively to yield per-node depth "
+        "and exact-decimal path cost (sum of retail prices up the "
+        "chain). The org-chart/BOM family: Spark has no recursive CTE, "
+        "so the engine walks level-by-level — depth is bounded by "
+        "log2(max key) rounds, each one broadcast join of the frontier "
+        "against the (dim-sized) part table, lineage truncated per "
+        "round. A deeper/wider production hierarchy would use the same "
+        "loop with iterative doubling (path halving) to cut rounds to "
+        "log(log) — noted here, unnecessary at tree depth ~15.",
+    tags=("hierarchy",),
+)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    parts = t.part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("decimal(18,4)").alias("price"),
+    ).cache()
+    state = parts.select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_partkey").alias("anc"),
+        F.lit(1).cast("bigint").alias("depth"),
+        F.col("price").alias("acc"),
+    ).localCheckpoint()
+    try:
+        while True:
+            pending = state.filter(F.col("anc") > 0)
+            if pending.isEmpty():
+                break
+            finished = state.filter(F.col("anc") == 0)
+            nxt = (
+                pending.withColumn("anc2", F.expr("anc div 2"))
+                .join(
+                    F.broadcast(
+                        parts.select(
+                            F.col("p_partkey").alias("anc2"),
+                            F.col("price").alias("p2"),
+                        )
+                    ),
+                    "anc2",
+                )
+                .select(
+                    "node",
+                    F.col("anc2").alias("anc"),
+                    (F.col("depth") + 1).alias("depth"),
+                    (F.col("acc") + F.col("p2"))
+                    .cast("decimal(18,4)")
+                    .alias("acc"),
+                )
+            )
+            # union doubles the partition count every round (2^rounds tasks
+            # by the leaves) — re-coalesce to the session's parallelism
+            # before truncating lineage so round cost stays constant
+            state = (
+                finished.unionByName(nxt)
+                .coalesce(spark.sparkContext.defaultParallelism)
+                .localCheckpoint()
+            )
+        return state.select(
+            F.col("node").alias("p_partkey"),
+            "depth",
+            F.col("acc").cast("double").alias("path_cost"),
+        )
+    finally:
+        parts.unpersist()
