@@ -349,6 +349,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint()
+        # union accretes nxt's partitions every round; keep the visited
+        # set at a constant partition count so round cost doesn't grow
+        visited = (
+            visited.union(nxt)
+            .coalesce(spark.sparkContext.defaultParallelism)
+            .localCheckpoint()
+        )
         frontier = nxt.select("node")
     return visited
