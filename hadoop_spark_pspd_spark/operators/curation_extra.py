@@ -526,13 +526,13 @@ _NUCLEUS_P = 0.8
     oracle=f"""
         WITH ranked AS (
             SELECT doc_id, source,
-                   CAST(length(text) AS BIGINT) AS mass,
-                   SUM(CAST(length(text) AS BIGINT)) OVER (
+                   CAST(strlen(text) AS BIGINT) AS mass,
+                   SUM(CAST(strlen(text) AS BIGINT)) OVER (
                        PARTITION BY source
-                       ORDER BY length(text) DESC, doc_id
+                       ORDER BY strlen(text) DESC, doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS cum_mass,
-                   SUM(CAST(length(text) AS BIGINT)) OVER (
+                   SUM(CAST(strlen(text) AS BIGINT)) OVER (
                        PARTITION BY source) AS total_mass
             FROM documents
         )
@@ -548,19 +548,25 @@ _NUCLEUS_P = 0.8
         "quota is expressed in tokens rather than documents. The "
         "cumulative-share test is kept in EXACT integer arithmetic "
         "(cum*10 < 8*total, no double division), so the cut point can't "
-        "drift cross-engine. One window sort per source partition; at "
-        "100 TB per-source partitions parallelize independently and the "
-        "ordering key (doc length) needs no secondary scan.",
+        "drift cross-engine. Mass is BYTE-defined (Spark octet_length == "
+        "DuckDB strlen, both UTF-8 byte counts): character-length "
+        "semantics diverge cross-engine on non-ASCII/degenerate text "
+        "(CORRECTNESS_r03 hash mismatch on driver data the ASCII-ish "
+        "local corpus never exercised — now pinned by the multibyte "
+        "fixture in tests/test_oracle_fixtures.py). One window sort per "
+        "source partition; at 100 TB per-source partitions parallelize "
+        "independently and the ordering key (doc byte length) needs no "
+        "secondary scan.",
     tags=("curation",),
 )
 def text_nucleus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as _W
 
     t = Tables(spark, sf_dir)
-    mass = F.length("text").cast("long")
+    mass = F.octet_length("text").cast("long")
     w_cum = (
         _W.partitionBy("source")
-        .orderBy(F.desc(F.length("text")), "doc_id")
+        .orderBy(F.desc(F.octet_length("text")), "doc_id")
         .rowsBetween(_W.unboundedPreceding, _W.currentRow)
     )
     w_tot = _W.partitionBy("source")

@@ -171,7 +171,15 @@ def _project_query(
     spark: SparkSession, sf_dir: str, mean: np.ndarray, mat_w: np.ndarray
 ) -> DataFrame:
     """(x - mean) @ mat_w for every embedding — broadcast numpy-closure
-    pandas UDF, zero shuffle; outputs rounded to 6."""
+    pandas UDF, zero shuffle; outputs rounded to 6.
+
+    Emitted as SCALAR rows (vec_id, k, value) via posexplode rather than
+    an array<double> column: the driver's correctness comparator
+    canonicalizes output with a pandas sort, and list-valued cells are
+    unhashable there (observed CORRECTNESS_r03 `TypeError: unhashable
+    type: 'list'`). Scalar-only output is a repo-wide invariant now,
+    enforced by tools/verify_local.py and tests/test_registry_contract.
+    """
     import pandas as pd
 
     t = Tables(spark, sf_dir)
@@ -185,6 +193,9 @@ def _project_query(
     proj_udf = F.pandas_udf(_project, "array<double>")
     return t.embeddings.select(
         "vec_id", proj_udf(F.col("embedding")).alias("components")
+    ).select(
+        "vec_id",
+        F.posexplode("components").alias("k", "value"),
     )
 
 
@@ -197,9 +208,10 @@ def _project_query(
         "The projection itself is a broadcast matrix multiply in an "
         "Arrow-batched pandas UDF with a numpy closure — zero shuffle, "
         "scales to any corpus. Axis signs are fixed deterministically "
-        "(largest-|coordinate| positive); outputs rounded to 6. The "
-        "whitened variant is the same path with axes scaled by "
-        "1/sqrt(eigenvalue).",
+        "(largest-|coordinate| positive); outputs rounded to 6 and "
+        "posexploded to scalar (vec_id, k, value) rows for the driver's "
+        "comparator. The whitened variant is the same path with axes "
+        "scaled by 1/sqrt(eigenvalue).",
     tags=("similarity", "linalg"),
 )
 def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:

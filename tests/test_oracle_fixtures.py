@@ -1,0 +1,128 @@
+"""Adversarial-data oracle parity: fixtures the generated testdata never
+exercises.
+
+CORRECTNESS_r03 showed `text_nucleus_filter` hash-mismatching on the
+driver's parquet while green on every local sweep — a data-dependent
+cross-engine divergence. The engine-sensitive term was `length(text)`:
+Spark counts UTF-8 code points where DuckDB's `length` also counts code
+points but the two disagree with each other (and with any byte budget)
+once non-ASCII text shows up in the ORDER BY / mass sums. The fix byte-
+defines mass (Spark `octet_length` == DuckDB `strlen`); this module pins
+that equivalence on a corpus of emoji / combining characters / NUL bytes
+/ CJK — inputs where char-length and byte-length DISAGREE on ordering,
+so the old formulation cannot pass.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from hadoop_spark_pspd_spark.registry import load_all
+
+REGISTRY = load_all()
+
+# byte lengths: 'aaaa...'=n, emoji 👍🏽=8B/2cp, é(combining)=3B/2cp,
+# CJK 漢=3B/1cp — crafted so byte-rank and char-rank orderings differ
+# within each source group.
+_DOCS = [
+    # source s0: doc 0 is char-longest but doc 1 is byte-longest
+    (0, "aaaaaaaaaa", "en", "s0"),            # 10 B / 10 cp
+    (1, "👍🏽👍🏽", "en", "s0"),                  # 16 B / 4 cp
+    (2, "漢字漢字", "zh", "s0"),               # 12 B / 4 cp
+    (3, "ééé", "fr", "s0"),  # 9 B / 6 cp (combining)
+    # source s1: NUL bytes + mixed
+    (4, "a\x00b\x00c", "en", "s1"),            # 5 B / 5 cp
+    (5, "ééé", "fr", "s1"),                    # 6 B / 3 cp (precomposed)
+    (6, "xyz", "en", "s1"),                    # 3 B / 3 cp
+    (7, "👍", "en", "s1"),                     # 4 B / 1 cp
+    # source s2: ties on bytes broken by doc_id
+    (8, "漢b", "zh", "s2"),                    # 4 B
+    (9, "abcd", "en", "s2"),                   # 4 B
+    (10, "", "en", "s2"),                      # 0 B
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_sf(tmp_path_factory, spark):
+    """A minimal sf dir holding only documents.parquet (all the nucleus
+    query touches)."""
+    d = tmp_path_factory.mktemp("adversarial_sf")
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in _DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _run_both(name: str, spark, sf_dir: str):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_dir)
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the part-file glob
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    rel = con.sql(q.oracle)
+    scols, dcols = sdf.columns, rel.columns
+    sidx = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+    didx = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
+    srows = sorted(
+        tuple(repr(_norm(r[i])) for i in sidx) for r in sdf.collect()
+    )
+    drows = sorted(
+        tuple(repr(_norm(r[i])) for i in didx) for r in rel.fetchall()
+    )
+    con.close()
+    return srows, drows
+
+
+def test_nucleus_filter_multibyte_parity(spark, adversarial_sf):
+    srows, drows = _run_both("text_nucleus_filter", spark, adversarial_sf)
+    assert srows == drows, f"first diff: {next((a, b) for a, b in zip(srows, drows) if a != b)}"
+
+
+def test_fixture_discriminates_char_vs_byte_mass(adversarial_sf):
+    """The fixture must make the OLD char-length formulation fail: the
+    byte-mass and char-mass keep sets differ on this corpus, so a
+    char-length regression cannot silently pass the parity test above."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{adversarial_sf}/documents.parquet/*.parquet'"
+    )
+    tmpl = """
+        WITH ranked AS (
+            SELECT doc_id,
+                   SUM(CAST({m}(text) AS BIGINT)) OVER (
+                       PARTITION BY source
+                       ORDER BY {m}(text) DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - CAST({m}(text) AS BIGINT) AS prior_mass,
+                   SUM(CAST({m}(text) AS BIGINT)) OVER (
+                       PARTITION BY source) AS total_mass
+            FROM documents
+        )
+        SELECT doc_id FROM ranked
+        WHERE prior_mass * 10 < 8 * total_mass
+        ORDER BY doc_id
+    """
+    by_bytes = con.sql(tmpl.format(m="strlen")).fetchall()
+    by_chars = con.sql(tmpl.format(m="length")).fetchall()
+    con.close()
+    assert by_bytes != by_chars, (
+        "fixture does not separate byte-mass from char-mass nucleus cuts"
+    )

@@ -44,10 +44,28 @@ def _norm(v):
     return v
 
 
+def _assert_scalar_only(df, name):
+    """The driver's comparator canonicalizes with a pandas sort — array/
+    map/struct cells are unhashable there (CORRECTNESS_r03 TypeError on
+    sim_pca_*). Every registered query must emit scalar columns only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    nonscalar = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nonscalar, (
+        f"{name} emits non-scalar output column(s) the driver's "
+        f"comparator cannot canonicalize: {nonscalar}"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_exact(name, spark, duck):
     q = REGISTRY[name]
     sdf = q.fn(spark, SF_SMOKE)
+    _assert_scalar_only(sdf, name)
     rel = duck.sql(q.oracle)
     scols, dcols = sdf.columns, rel.columns
     assert sorted(c.lower() for c in scols) == sorted(
@@ -65,5 +83,6 @@ def test_oracle_exact(name, spark, duck):
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(name, spark):
     df = REGISTRY[name].fn(spark, SF_SMOKE)
+    _assert_scalar_only(df, name)
     assert df.count() >= 0  # runs to completion with a stable schema
     assert df.columns

@@ -144,6 +144,23 @@ def main() -> int:
         try:
             sdf = q.fn(spark, sf_dir)
             spark_cols = sdf.columns
+            # the driver canonicalizes output with a pandas sort, where
+            # list/dict-valued cells are unhashable (CORRECTNESS_r03:
+            # `TypeError: unhashable type: 'list'` on array<double>
+            # columns) — reject non-scalar output columns up front so
+            # this mirror is at least as strict as the driver
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            nonscalar = [
+                f"{fld.name}: {fld.dataType.simpleString()}"
+                for fld in sdf.schema.fields
+                if isinstance(fld.dataType, (ArrayType, MapType, StructType))
+            ]
+            if nonscalar:
+                raise TypeError(
+                    "non-scalar output column(s) would crash the driver's "
+                    f"comparator: {nonscalar}"
+                )
             spark_rows = [tuple(r) for r in sdf.collect()]
             rec["spark_rows"] = len(spark_rows)
         except Exception as e:  # noqa: BLE001
