@@ -57,13 +57,24 @@ def band_keys(sig_prefix: str, num_perm: int, bands: int) -> list[Column]:
     return keys
 
 
-def simhash64(exploded: DataFrame, doc_col: str, token_col: str) -> DataFrame:
-    """doc_col -> simhash (long): per-bit sign of summed +/-1 votes."""
-    h = F.xxhash64(F.col(token_col))
+def simhash64_md5(exploded: DataFrame, doc_col: str, token_col: str) -> DataFrame:
+    """doc_col -> simhash (long): per-bit sign of summed +/-1 votes, with
+    the 64 bit-hashes derived from md5 (not xxhash64) so a SQL oracle can
+    recompute the identical fingerprint: md5 is byte-identical
+    cross-engine, and Spark ``conv(substr(md5(x),1,k),16,10)`` equals
+    DuckDB ``CAST(('0x'||substr(md5(x),1,k)) AS UBIGINT)`` exactly for
+    k <= 13 (the repo's derandomization recipe). Bits 0..51 come from the
+    first 13 hex chars, bits 52..63 from the next 3."""
+    tok = F.col(token_col)
+    h1 = F.conv(F.substring(F.md5(tok), 1, 13), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(tok), 14, 3), 16, 10).cast("long")
+
+    def bit(b: int) -> Column:
+        src, off = (h1, b) if b < 52 else (h2, b - 52)
+        return F.shiftright(src, off).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}")
         for b in range(64)
     ]
     agg = exploded.groupBy(doc_col).agg(*votes)

@@ -433,8 +433,6 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation",),
 )
 def text_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as _W
-
     t = Tables(spark, sf_dir)
     fp = t.documents.select(
         "doc_id",

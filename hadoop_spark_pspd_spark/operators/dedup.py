@@ -30,7 +30,7 @@ from ..functions.hashing import (
     band_keys,
     hamming64,
     minhash_components_from_set,
-    simhash64,
+    simhash64_md5,
 )
 from ..functions.text import normalized_text, tokens, word_shingles
 from ..registry import register
@@ -218,18 +218,77 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle() -> str:
+    """DuckDB SQL recomputing the EXACT md5-derived simhash pipeline:
+    64 per-bit vote sums (bits 0..51 from the first 13 md5 hex chars,
+    52..63 from the next 3 — the conv/UBIGINT recipe, exact for k<=13),
+    sign-packed into four 16-bit chunks, OR-of-chunk-equality candidate
+    join, hamming = popcount over the four chunk XORs."""
+    votes = ",\n               ".join(
+        (
+            f"SUM(CASE WHEN ((h1 >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+            if b < 52
+            else
+            f"SUM(CASE WHEN ((h2 >> {b - 52}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
+        for b in range(64)
+    )
+    chunks = ",\n               ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN v{16 * c + p} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(16)
+        )
+        + f" AS BIGINT) AS c{c}"
+        for c in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(4))
+    chunk_eq = " OR ".join(f"a.c{c} = b.c{c}" for c in range(4))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                       x -> x <> '')) AS tok
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 13)) AS UBIGINT) AS h1,
+                   CAST(('0x' || substr(md5(tok), 14, 3)) AS UBIGINT) AS h2
+            FROM toks
+        ), votes AS (
+            SELECT doc_id,
+               {votes}
+            FROM h GROUP BY doc_id
+        ), chunks AS (
+            SELECT doc_id,
+               {chunks}
+            FROM votes
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST({ham} AS INTEGER) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.doc_id < b.doc_id AND ({chunk_eq})
+        WHERE {ham} <= 3
+    """
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-derived fingerprints aren't SQL-portable
+    oracle=_simhash_oracle(),
     doc="SimHash-64 near-dup pairs at hamming<=3, candidates via 4x16-bit "
-        "chunk banding (pigeonhole guarantees recall).",
+        "chunk banding (pigeonhole guarantees recall at the 3-bit "
+        "radius). Bit-hashes are md5-derived (conv(substr(md5,1,13)) + "
+        "the next 3 hex chars) instead of xxhash64 — same sketch "
+        "quality, but byte-identical in DuckDB, so the whole pipeline "
+        "is hash-matched by the oracle instead of rows-only.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     toks = t.documents.repartition(
         spark.sparkContext.defaultParallelism
     ).select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    sim = simhash64(toks, "doc_id", "tok")
+    sim = simhash64_md5(toks, "doc_id", "tok")
     chunks = sim.select(
         "doc_id",
         "simhash",

@@ -210,17 +210,104 @@ def q_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64
+_KMV_SPACE = float(1 << 52)  # md5-13-hex-digit hash space
+
+
+def _kmv_oracle_branch(col: str, alias: str) -> str:
+    return f"""
+        {alias} AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_exact,
+                   CAST(MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS BIGINT)
+                       AS hk
+            FROM (
+                SELECT l_returnflag, h,
+                       row_number() OVER (
+                           PARTITION BY l_returnflag ORDER BY h, v
+                       ) AS rn
+                FROM (
+                    SELECT DISTINCT l_returnflag, {col} AS v,
+                           CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)),
+                                                1, 13)) AS UBIGINT) AS h
+                    FROM lineitem
+                )
+            ) GROUP BY l_returnflag
+        )"""
+
+
 @register(
     "q_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
-    doc="approx_count_distinct (HyperLogLog++) per group — the at-scale "
-        "substitute for exact countDistinct's full shuffle.",
+    oracle=f"""
+        WITH {_kmv_oracle_branch("l_partkey", "parts")},
+        {_kmv_oracle_branch("l_suppkey", "supps")}
+        SELECT p.l_returnflag,
+               p.n_exact AS exact_parts,
+               CASE WHEN p.n_exact < {_KMV_K} THEN p.n_exact
+                    ELSE CAST(floor(CAST({_KMV_K - 1} AS DOUBLE)
+                                    * {_KMV_SPACE}
+                                    / CAST(p.hk AS DOUBLE)) AS BIGINT)
+               END AS kmv_parts,
+               s.n_exact AS exact_supps,
+               CASE WHEN s.n_exact < {_KMV_K} THEN s.n_exact
+                    ELSE CAST(floor(CAST({_KMV_K - 1} AS DOUBLE)
+                                    * {_KMV_SPACE}
+                                    / CAST(s.hk AS DOUBLE)) AS BIGINT)
+               END AS kmv_supps
+        FROM parts p JOIN supps s ON p.l_returnflag = s.l_returnflag
+    """,
+    doc="Approximate distinct counting per group via a DERANDOMIZED "
+        f"K-minimum-values sketch (k={_KMV_K}): hash each distinct value "
+        "with the md5-13-hex-digit recipe (byte-identical cross-engine), "
+        "keep the k smallest hashes per group, estimate "
+        "(k-1) * 2^52 / h_(k) — the classic KMV estimator, floored in "
+        "one deterministic double op. Exact counts are emitted alongside "
+        "so the sketch error is visible in the output. This replaces the "
+        "engine-specific HyperLogLog++ binary (approx_count_distinct, "
+        "still exercised in tests/test_properties.py) with a sketch both "
+        "engines can recompute bit-identically; at 100 TB the k-smallest "
+        "set is a tiny mergeable per-partition state, same as HLL.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     t = Tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+
+    def branch(col: str):
+        d = t.lineitem.select("l_returnflag", F.col(col).alias("v")).distinct()
+        h = F.conv(
+            F.substring(F.md5(F.col("v").cast("string")), 1, 13), 16, 10
+        ).cast("long")
+        w = Window.partitionBy("l_returnflag").orderBy("h", "v")
+        hashed = d.select("l_returnflag", "v", h.alias("h")).withColumn(
+            "rn", F.row_number().over(w)
+        )
+        return hashed.groupBy("l_returnflag").agg(
+            F.count("*").alias("n_exact"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+        )
+
+    def estimate(n_exact, hk):
+        return F.when(n_exact < _KMV_K, n_exact).otherwise(
+            F.floor(
+                F.lit(float(_KMV_K - 1))
+                * F.lit(_KMV_SPACE)
+                / hk.cast("double")
+            ).cast("long")
+        )
+
+    parts = branch("l_partkey")
+    supps = branch("l_suppkey").select(
+        F.col("l_returnflag"),
+        F.col("n_exact").alias("n_exact_s"),
+        F.col("hk").alias("hk_s"),
+    )
+    return parts.join(supps, "l_returnflag").select(
+        "l_returnflag",
+        F.col("n_exact").alias("exact_parts"),
+        estimate(F.col("n_exact"), F.col("hk")).alias("kmv_parts"),
+        F.col("n_exact_s").alias("exact_supps"),
+        estimate(F.col("n_exact_s"), F.col("hk_s")).alias("kmv_supps"),
     )
 
 

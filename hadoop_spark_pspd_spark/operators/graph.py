@@ -37,6 +37,13 @@ from ..registry import register
 TOP_K = 8
 PR_ITERS = 10
 PR_DAMP = 0.85
+# fixed-point quantum for order-free PageRank contribution sums: each
+# rank*p product is floored to 2^-40 units and summed as exact integers,
+# so the per-iteration aggregate (and hence every rank double) is
+# bit-identical at ANY parallelism AND across engines — the
+# embeddings_linalg.py Gram trick applied to link analysis. Bound:
+# sum(rank*p) <= 1 per dst, so fx <= 2^40 * indegree << 2^63.
+PR_FP = 1 << 40
 
 _EDGES_ORACLE = f"""
         WITH pairs AS (
@@ -192,15 +199,81 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle() -> str:
+    """DuckDB SQL reproducing graph_pagerank EXACTLY: the 10 iterations
+    are unrolled as chained CTEs (standard SQL forbids aggregation over
+    the recursive term, and unrolling a FIXED iteration count is the
+    honest equivalent), and every iteration uses the same fixed-point
+    contribution sum as the Spark side, so the rank doubles are
+    bit-identical by induction — no tolerance needed."""
+    fp = float(PR_FP)
+    iters = []
+    for i in range(PR_ITERS):
+        iters.append(f"""
+        , r{i + 1} AS MATERIALIZED (
+            SELECT n.node,
+                   (CAST(1 AS DOUBLE) - CAST({PR_DAMP} AS DOUBLE))
+                       / (SELECT n FROM nn)
+                   + CAST({PR_DAMP} AS DOUBLE)
+                     * COALESCE(CAST(s.fx AS DOUBLE) / {fp},
+                                CAST(0 AS DOUBLE)) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst,
+                       CAST(SUM(CAST(floor(r.rank * e.p * {fp}) AS BIGINT))
+                            AS BIGINT) AS fx
+                FROM r{i} r JOIN norm e ON r.node = e.src
+                GROUP BY e.dst
+            ) s ON n.node = s.dst
+        )""")
+    return f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        directed AS MATERIALIZED (
+            SELECT s1 AS src, s2 AS dst, CAST(w AS BIGINT) AS w FROM pairs
+            UNION ALL
+            SELECT s2, s1, CAST(w AS BIGINT) FROM pairs
+        ),
+        nn AS MATERIALIZED (SELECT COUNT(DISTINCT src) AS n FROM directed),
+        outw AS MATERIALIZED (
+            SELECT src, CAST(SUM(w) AS BIGINT) AS w_out
+            FROM directed GROUP BY src
+        ),
+        norm AS MATERIALIZED (
+            SELECT d.src, d.dst,
+                   CAST(d.w AS DOUBLE) / CAST(o.w_out AS DOUBLE) AS p
+            FROM directed d JOIN outw o ON d.src = o.src
+        ),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM directed),
+        r0 AS MATERIALIZED (
+            SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+            FROM nodes
+        ){''.join(iters)}
+        SELECT node, round(rank, 6) AS rank
+        FROM r{PR_ITERS}
+        ORDER BY round(rank, 6) DESC, node
+        LIMIT 20
+    """
+
+
 @register(
     "graph_pagerank",
-    oracle=None,  # iterative damped FP sums: not one SQL query
+    oracle=_pagerank_oracle(),
     doc="Weighted PageRank (damping 0.85, 10 iterations) on the full "
         "directed co-occurrence graph; returns the top 20 suppliers by "
-        "rank rounded to 6 (rounding absorbs double-summation order "
-        "noise; suppkey tie-break). Join + groupBy per iteration, "
-        "localCheckpoint to cut lineage — the k-means pattern "
-        "(clustering.py:117) applied to link analysis.",
+        "rank rounded to 6 (suppkey tie-break). Per-iteration inbound "
+        "mass is summed in 2^-40 FIXED POINT (floor one double product, "
+        "sum exact integers, rescale by the exact power of two), so "
+        "every rank double is bit-identical at any parallelism and "
+        "across engines — which is what licenses the unrolled-CTE "
+        "DuckDB oracle to hash-match an iterative algorithm. Join + "
+        "groupBy per iteration, localCheckpoint to cut lineage — the "
+        "k-means pattern (clustering.py:117) applied to link analysis.",
+    bench=True,
     tags=("graph",),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,7 +281,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
     norm = (
         edges.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("w_out")).alias("p"))
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("w_out").cast("double"))
+            .alias("p"),
+        )
         .cache()
     )
     nodes = edges.select(F.col("src").alias("node")).distinct().cache()
@@ -221,7 +299,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = (
             norm.join(ranks, norm["src"] == ranks["node"])
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("inbound"))
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("rank") * F.col("p") * F.lit(float(PR_FP))
+                    ).cast("long")
+                ).alias("fx")
+            )
         )
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
@@ -229,7 +313,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 (
                     F.lit(teleport)
-                    + F.lit(PR_DAMP) * F.coalesce("inbound", F.lit(0.0))
+                    + F.lit(PR_DAMP)
+                    * F.coalesce(
+                        F.col("fx").cast("double") / F.lit(float(PR_FP)),
+                        F.lit(0.0),
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()
@@ -251,18 +339,62 @@ K_CORE = 3
 KCORE_MAX_ITERS = 30
 
 
+def _kcore_oracle() -> str:
+    """DuckDB SQL reproducing graph_kcore exactly: the peel loop is
+    unrolled to KCORE_MAX_ITERS rounds (standard SQL forbids aggregation
+    over a recursive term). Peeling is monotone and idempotent at the
+    fixpoint, so `Spark's <=30 rounds with early break` and `always 30
+    unrolled rounds` produce the identical edge set — extra rounds after
+    convergence are no-ops, and if convergence takes >30 rounds both
+    sides stop at exactly round 30."""
+    rounds = []
+    for i in range(KCORE_MAX_ITERS):
+        # AS MATERIALIZED: DuckDB inlines single-reference CTEs, and e{i}
+        # is referenced 3x per round — inlining would re-expand the whole
+        # prefix 3^30 times (observed as "Too many open files" on the
+        # base parquet). Materializing each round keeps the oracle linear.
+        rounds.append(f"""
+        , k{i} AS MATERIALIZED (
+            SELECT src FROM e{i} GROUP BY src HAVING COUNT(*) >= {K_CORE}
+        ), e{i + 1} AS MATERIALIZED (
+            SELECT e.src, e.dst
+            FROM e{i} e
+            JOIN k{i} a ON e.src = a.src
+            JOIN k{i} b ON e.dst = b.src
+        )""")
+    return f"""
+        WITH pairs AS MATERIALIZED (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        e0 AS MATERIALIZED (
+            SELECT s1 AS src, s2 AS dst FROM pairs
+            UNION ALL
+            SELECT s2, s1 FROM pairs
+        ){''.join(rounds)}
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e{KCORE_MAX_ITERS}
+        GROUP BY src
+        ORDER BY node
+    """
+
+
 @register(
     "graph_kcore",
-    oracle=None,  # aggregation inside recursion: not SQL-expressible
+    oracle=_kcore_oracle(),
     doc="K-core decomposition (k=3) of the supplier co-occurrence graph: "
         "iteratively peel nodes of degree < k until fixpoint. Each round "
         "is one degree aggregation + two semi-join prunes on the "
         "surviving edge set, localCheckpoint cutting the lineage "
         "(the k-means / PageRank iteration pattern); AQE picks "
         "broadcast vs shuffle for the keep-set joins by size. The "
-        "fixpoint is unique regardless of peel order, so the output "
-        "(surviving node, in-core degree) is deterministic. Rows-only "
-        "by design; the k-core property is invariant-tested.",
+        "fixpoint is unique regardless of peel order (integer-only "
+        "computation, no float drift possible), so the output "
+        "(surviving node, in-core degree) is deterministic and "
+        "hash-matched by a max-rounds-unrolled DuckDB peel.",
     tags=("graph",),
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -312,13 +312,15 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS VARCHAR) AS DOUBLE) AS total_rev
         FROM effective GROUP BY o_orderpriority
     """,
-    doc="Incremental view maintenance for an aggregate: yesterday's "
-        "materialized per-priority (count, revenue) view is updated with "
-        "today's CDC delta — inserts add, deletes subtract — WITHOUT "
-        "rescanning the base table. The engine side computes old_view + "
-        "signed delta aggregation (delta-sized work: at 100 TB the delta "
-        "is a fraction of a percent of the base, so maintenance cost is "
-        "proportional to change, not data); the oracle recomputes the "
+    doc="Incremental view maintenance for an aggregate: a per-priority "
+        "(count, revenue) view is merged with a signed CDC delta — "
+        "inserts add, deletes subtract. NOTE: in this self-contained "
+        "query the 'old view' is itself derived from the base table, so "
+        "the executed plan DOES scan base once; the delta-sized cost "
+        "claim applies when the view is materialized between runs (at "
+        "100 TB the stored view makes maintenance proportional to the "
+        "delta, a fraction of a percent of base). The algebra is what's "
+        "being pinned here; the oracle recomputes the "
         "view from the effective table directly, pinning that the "
         "algebraic maintenance is exact (decimal sums make the "
         "subtraction drift-free). Groups whose count reaches zero drop "

@@ -46,7 +46,30 @@ from ..streaming.wordcount_stream import (
 _BROKER: KafkaWireBroker | None = None
 
 
-def _fresh_broker() -> KafkaWireBroker:
+class _ExternalBroker:
+    """Adapter for a REAL Kafka cluster named by $PSPD_KAFKA_BOOTSTRAP
+    (host:port). The wire client speaks the public Kafka protocol
+    (v0/v1 metadata/produce/fetch), so pointing it at an external broker
+    is a config change, not a code path — but no broker exists in this
+    sandbox, so the external path is documented as UNTESTED here and
+    exercised by the env-gated tests/test_kafka_external.py on a real
+    cluster. NOTE: reruns against an external broker append to existing
+    topic logs (no per-invocation reset, unlike the in-process broker);
+    use fresh topics per run or expect accumulated counts."""
+
+    def __init__(self, bootstrap: str):
+        self.bootstrap = bootstrap
+
+    def shutdown(self) -> None:  # external lifecycle is not ours to manage
+        pass
+
+
+def _fresh_broker() -> KafkaWireBroker | _ExternalBroker:
+    import os
+
+    external = os.environ.get("PSPD_KAFKA_BOOTSTRAP")
+    if external:
+        return _ExternalBroker(external)
     global _BROKER
     if _BROKER is not None:
         _BROKER.shutdown()

@@ -104,44 +104,130 @@ def _hyperplanes() -> np.ndarray:
     return rng.standard_normal((LSH_TABLES, LSH_BITS, DIM))
 
 
-def lsh_buckets(emb_col: F.Column) -> list[F.Column]:
-    """One bucket key per hash table: bit p = (dot(e, plane_p) > 0)."""
-    planes = _hyperplanes()
-    keys = []
-    for t in range(LSH_TABLES):
-        bucket = F.lit(0).cast("long")
-        for p in range(LSH_BITS):
-            plane = F.array(*[F.lit(float(v)) for v in planes[t, p]])
-            d = F.aggregate(
-                F.zip_with(emb_col, plane, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+# fixed-point quantum for the hyperplane dot products: each x_i * plane_ip
+# product is floored to 2^-20 units and summed as exact integers, so the
+# SIGN (the LSH bit) is order-free — bit-identical between the numpy
+# batch path and the DuckDB oracle's list_sum (the Gram-matrix trick,
+# embeddings_linalg.py, applied to hashing).
+_LSH_FP = 1 << 20
+
+
+def lsh_bucket_udf():
+    """Arrow-batched pandas UDF: embedding -> array of LSH_TABLES bucket
+    ids. One (chunked) numpy broadcast-multiply + floor + sum against the
+    (16*6) x 64 plane tensor per batch — the CLAUDE.md-sanctioned vehicle
+    for constant-matrix math (the previous 16x6x64 literal-array
+    zip_with/aggregate fold interpreted ~6k lambda ops per row and was
+    the slowest query in the sweep at 11.7 s / sf0.1)."""
+    import pandas as pd
+
+    planes_flat = _hyperplanes().reshape(LSH_TABLES * LSH_BITS, DIM)
+    weights = (1 << np.arange(LSH_BITS, dtype=np.int64))
+
+    def _buckets(embs: pd.Series) -> pd.Series:
+        mat = np.stack(embs.values).astype(np.float64)
+        out = np.empty((len(mat), LSH_TABLES * LSH_BITS), dtype=np.int64)
+        for s in range(0, len(mat), 256):
+            chunk = mat[s:s + 256]
+            prods = np.floor(
+                chunk[:, None, :] * planes_flat[None, :, :] * float(_LSH_FP)
             )
-            bucket = bucket.bitwiseOR(
-                F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+            out[s:s + 256] = prods.sum(axis=2, dtype=np.float64).astype(
+                np.int64
             )
-        keys.append(bucket.alias(f"bucket{t}"))
-    return keys
+        bits = (out > 0).reshape(-1, LSH_TABLES, LSH_BITS)
+        buckets = (bits * weights[None, None, :]).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    _buckets.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_buckets, "array<long>")
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB SQL recomputing the identical LSH index: per-table bucket
+    ids from fixed-point hyperplane sign bits (bit-identical to the
+    numpy path by the order-free integer sum), the same
+    bucket-equality candidate join, and the same rounded exact-cosine
+    rerank as sim_topk_bruteforce's oracle.
+
+    Formulated RELATIONALLY (flat plane-weight table joined to the
+    unnested embedding, grouped sums) rather than as per-row
+    list_transform lambdas over 96 literal arrays — the lambda version
+    interpreted ~6k closure ops per row and took 139 s at sf0.1; the
+    join+aggregate shape is the same work DuckDB vectorizes in ~2 s."""
+    planes = _hyperplanes().reshape(LSH_TABLES * LSH_BITS * DIM)
+    lits = ", ".join(repr(float(v)) for v in planes)
+    per_tbl = LSH_BITS * DIM
+    return f"""
+        WITH planes AS MATERIALIZED (
+            SELECT CAST((n - 1) // {per_tbl} AS INTEGER) AS t,
+                   CAST(((n - 1) % {per_tbl}) // {DIM} AS INTEGER) AS p,
+                   CAST((n - 1) % {DIM} + 1 AS INTEGER) AS i,
+                   l[CAST(n AS INTEGER)] AS w
+            FROM (SELECT [{lits}] AS l), range(1, {LSH_TABLES * per_tbl} + 1) r(n)
+        ), ev AS MATERIALIZED (
+            SELECT vec_id, CAST(u.i AS INTEGER) AS i,
+                   CAST(embedding[CAST(u.i AS INTEGER)] AS DOUBLE) AS x
+            FROM embeddings, range(1, {DIM} + 1) u(i)
+        ), dots AS MATERIALIZED (
+            SELECT e.vec_id, pl.t, pl.p,
+                   SUM(CAST(floor(e.x * pl.w * {float(_LSH_FP)}) AS BIGINT))
+                       AS d
+            FROM ev e JOIN planes pl ON e.i = pl.i
+            GROUP BY e.vec_id, pl.t, pl.p
+        ), melted AS MATERIALIZED (
+            SELECT vec_id, t AS tbl,
+                   CAST(SUM(CASE WHEN d > 0
+                            THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id, t
+        ), cand AS (
+            SELECT DISTINCT qm.vec_id AS query_id, m.vec_id AS candidate_id
+            FROM melted m
+            JOIN melted qm
+              ON m.tbl = qm.tbl AND m.bucket = qm.bucket
+            WHERE qm.vec_id < {N_QUERIES} AND m.vec_id <> qm.vec_id
+        ), scored AS (
+            SELECT cand.query_id, cand.candidate_id, {_COSINE_SQL} AS sim
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.candidate_id
+        ), ranked AS (
+            SELECT query_id, candidate_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, candidate_id
+                   ) AS rk
+            FROM scored
+        )
+        SELECT query_id, candidate_id, sim, rk FROM ranked WHERE rk <= {TOP_K}
+    """
 
 
 @register(
     "sim_ann_lsh",
-    oracle=None,  # approximate by construction; driver does rows-only check
-    doc="ANN via 16-bit random-hyperplane LSH buckets + exact cosine rerank "
-        "within bucket. The 100 TB path: bucket-equality join instead of "
-        "cross product.",
+    oracle=_ann_lsh_oracle(),
+    doc="ANN via multi-table random-hyperplane LSH (16 tables x 6 bits) + "
+        "exact cosine rerank within bucket. The 100 TB path: candidate "
+        "lookup is one hash equi-join on (table, bucket) against the "
+        "broadcast query side — never a cross product. Bucket bits are "
+        "seeded-hyperplane dot-product signs computed in 2^-20 FIXED "
+        "POINT inside an Arrow-batched numpy pandas UDF (order-free "
+        "integer sums => bit-identical to the SQL oracle AND ~100x "
+        "cheaper than the interpreted higher-order-function fold it "
+        "replaced), so the whole approximate index is hash-matched, not "
+        "rows-only.",
+    bench=True,
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select(
-        "vec_id", "embedding", *lsh_buckets(F.col("embedding"))
+        "vec_id", "embedding", lsh_bucket_udf()(F.col("embedding")).alias("bk")
     )
     # melt to (vec_id, tbl, bucket) so candidate lookup is a single
     # hash-joinable equi-join on (tbl, bucket) — an OR of per-table matches
     # would force a nested-loop scan and defeat the index at scale.
-    stack_expr = ", ".join(f"{i}, bucket{i}" for i in range(LSH_TABLES))
-    melted = emb.selectExpr(
-        "vec_id", f"stack({LSH_TABLES}, {stack_expr}) AS (tbl, bucket)"
+    melted = emb.select(
+        "vec_id", F.posexplode("bk").alias("tbl", "bucket")
     )
     q_melted = (
         melted.filter(F.col("vec_id") < N_QUERIES)

