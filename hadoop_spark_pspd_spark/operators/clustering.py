@@ -73,7 +73,12 @@ def update_centroids(assigned: DataFrame) -> DataFrame:
         .groupBy("cluster_id", "dim")
         .agg(
             (
-                F.sum(F.col("coord").cast(_DEC)).cast("double")
+                # double->decimal through the shortest string repr: the
+                # repo's cross-engine cast convention (direct casts
+                # round differently), which is what lets the DuckDB
+                # oracle replicate the means bit-for-bit
+                F.sum(F.col("coord").cast("string").cast(_DEC))
+                .cast("double")
                 / F.count("*")
             ).alias("mean")
         )
@@ -91,13 +96,86 @@ def update_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+_DIM = 64  # embeddings.embedding width (TESTDATA.md)
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB SQL replaying Lloyd's EXACTLY: the fixed 3 iterations are
+    unrolled as materialized CTE pairs (assign a{i}, update c{i+1}).
+    Every engine-sensitive step already follows a repo determinism
+    convention — squared-distance folds accumulate in index order
+    (list_sum == Spark's aggregate fold, proved by the cosine oracles),
+    means go through exact decimal sums with the shortest-string cast
+    hops on both edges, argmin ties break on cluster_id — so every
+    centroid double and every assignment is bit-identical by
+    induction."""
+    sq = (
+        f"list_sum(list_transform(range(1, {_DIM} + 1), j -> "
+        "(p.emb[j] - c.centroid[j]) * (p.emb[j] - c.centroid[j])))"
+    )
+
+    def assign(i: int, cent: str) -> str:
+        return f"""
+        a{i} AS MATERIALIZED (
+            SELECT vec_id, emb, cluster_id, dist FROM (
+                SELECT vec_id, emb, cluster_id, dist,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dist, cluster_id
+                       ) AS rn
+                FROM (
+                    SELECT p.vec_id, p.emb, c.cluster_id, {sq} AS dist
+                    FROM pts p, {cent} c
+                )
+            ) WHERE rn = 1
+        )"""
+
+    def update(i: int) -> str:
+        return f"""
+        c{i + 1} AS MATERIALIZED (
+            SELECT cluster_id, list(mean ORDER BY dim) AS centroid
+            FROM (
+                SELECT cluster_id, CAST(dim AS INTEGER) AS dim,
+                       CAST(CAST(SUM(CAST(CAST(coord AS VARCHAR)
+                                          AS DECIMAL(27,14))) AS VARCHAR)
+                            AS DOUBLE) / count(*) AS mean
+                FROM (
+                    SELECT cluster_id,
+                           unnest(emb) AS coord,
+                           unnest(range(len(emb))) AS dim
+                    FROM a{i}
+                )
+                GROUP BY cluster_id, CAST(dim AS INTEGER)
+            ) GROUP BY cluster_id
+        )"""
+
+    rounds = "".join(
+        f", {assign(i, f'c{i}')}, {update(i)}" for i in range(ITERATIONS)
+    )
+    return f"""
+        WITH pts AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), c0 AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+                   emb AS centroid
+            FROM (SELECT vec_id, emb FROM pts ORDER BY vec_id LIMIT {K})
+        ){rounds}, {assign(ITERATIONS, f"c{ITERATIONS}")}
+        SELECT vec_id, cluster_id, round(dist, 6) AS dist
+        FROM a{ITERATIONS}
+    """
+
+
 @register(
     "kmeans_embeddings",
-    oracle=None,  # iterative FP argmin: not one SQL query; see module doc
+    oracle=_kmeans_oracle(),
     doc="Lloyd's k-means (k=10, 3 iterations, lowest-vec_id init) over the "
         "embedding vectors; returns (vec_id, cluster_id, dist). Broadcast "
-        "centroids, zip_with/aggregate distances, exact-decimal means — "
-        "no UDF, no driver-side point materialization.",
+        "centroids, zip_with/aggregate distances, exact-decimal means "
+        "(shortest-string cast hops) — no UDF, no driver-side point "
+        "materialization. Deterministic end-to-end, so the full "
+        "assignment is hash-matched by an unrolled-CTE DuckDB replay of "
+        "all three Lloyd rounds.",
 )
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(spark, sf_dir, ITERATIONS)

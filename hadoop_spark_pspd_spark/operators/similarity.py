@@ -263,57 +263,199 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANT_SAMPLE = 256
+_QUANT_ITERS = 5
+
+
 def _train_coarse_quantizer(
-    emb: DataFrame, k_cells: int, iters: int = 5
+    emb: DataFrame, k_cells: int, iters: int = _QUANT_ITERS
 ) -> np.ndarray:
-    """Seeded k-means coarse quantizer, trained driver-side on a bounded
-    sample (256 x DIM floats — tiny, documented Catalyst-OOM workaround)."""
-    sample = np.array(
-        [
-            r[0]
-            for r in emb.select("embedding")
-            .orderBy("vec_id")
-            .limit(256)
-            .collect()
-        ],
-        dtype=np.float64,
+    """Deterministic k-means coarse quantizer, trained driver-side on a
+    bounded sample (256 x DIM floats — tiny, documented Catalyst-OOM
+    workaround). Every step follows a cross-engine determinism
+    convention so a SQL oracle can replay the training bit-for-bit:
+
+      * sample = first 256 vectors by vec_id; init = its first k_cells
+        rows (replaces the earlier seeded rng.choice — a Philox draw no
+        SQL engine can reproduce);
+      * assignment = argmax of the FIXED-POINT dot product (each
+        product floored to 2^-20 units, summed as exact integers —
+        order-free), ties to the lowest cell id;
+      * update = exact DECIMAL(27,14) means with the shortest-string
+        cast hops on both edges (the repo's double<->decimal
+        convention); empty cells keep their previous centroid.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_QUANT_SAMPLE)
+        .collect()
     )
-    rng = np.random.default_rng(_PLANES_SEED)
-    centroids = sample[rng.choice(len(sample), k_cells, replace=False)]
+    sample = [[float(v) for v in r["embedding"]] for r in rows]
+    cents = [list(sample[i]) for i in range(k_cells)]
+    q14 = Decimal("1e-14")
     for _ in range(iters):
-        sims = sample @ centroids.T
-        assign = sims.argmax(axis=1)
+        assign = []
+        for x in sample:
+            best, best_d = 0, None
+            for c, cent in enumerate(cents):
+                d = 0
+                for xi, ci in zip(x, cent):
+                    d += math.floor(xi * ci * _LSH_FP)
+                if best_d is None or d > best_d:
+                    best_d, best = d, c
+            assign.append(best)
         for c in range(k_cells):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-    return centroids
+            members = [sample[i] for i, a in enumerate(assign) if a == c]
+            if not members:
+                continue  # keep previous centroid
+            cents[c] = [
+                float(
+                    sum(
+                        Decimal(repr(m[j])).quantize(q14, ROUND_HALF_UP)
+                        for m in members
+                    )
+                )
+                / len(members)
+                for j in range(len(members[0]))
+            ]
+    return np.array(cents, dtype=np.float64)
+
+
+_IVF_CELLS = 16
+_IVF_NPROBE = 2
+
+
+def _ivf_oracle() -> str:
+    """DuckDB SQL replaying the whole IVF pipeline bit-for-bit: the
+    driver-side quantizer training (5 unrolled Lloyd rounds on the
+    first-256 sample, fixed-point dot argmax, exact-decimal means with
+    empty-cell carry-over), the full-corpus fixed-point cell
+    assignment, the probe join, and the rounded exact-cosine rerank."""
+    k, nprobe = _IVF_CELLS, _IVF_NPROBE
+    fx = (
+        f"list_sum(list_transform(range(1, {DIM} + 1), j -> "
+        f"CAST(floor(s.emb[j] * c.centroid[j] * {float(_LSH_FP)}) "
+        "AS BIGINT)))"
+    )
+
+    def assign(name: str, src: str, cent: str, keep: str) -> str:
+        return f"""
+        {name} AS MATERIALIZED (
+            SELECT vec_id, emb, cell, rn FROM (
+                SELECT s.vec_id, s.emb, c.cell,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY {fx} DESC, c.cell
+                       ) AS rn
+                FROM {src} s, {cent} c
+            ) WHERE rn <= {keep}
+        )"""
+
+    rounds = []
+    for i in range(_QUANT_ITERS):
+        rounds.append(assign(f"sa{i}", "smp", f"q{i}", "1"))
+        rounds.append(f"""
+        q{i + 1} AS MATERIALIZED (
+            SELECT c.cell, COALESCE(m.centroid, c.centroid) AS centroid
+            FROM q{i} c LEFT JOIN (
+                SELECT cell, list(mean ORDER BY dim) AS centroid
+                FROM (
+                    SELECT cell, CAST(dim AS INTEGER) AS dim,
+                           CAST(CAST(SUM(CAST(CAST(coord AS VARCHAR)
+                                              AS DECIMAL(27,14)))
+                                     AS VARCHAR) AS DOUBLE)
+                           / count(*) AS mean
+                    FROM (
+                        SELECT cell, unnest(emb) AS coord,
+                               unnest(range(len(emb))) AS dim
+                        FROM sa{i}
+                    ) GROUP BY cell, CAST(dim AS INTEGER)
+                ) GROUP BY cell
+            ) m ON m.cell = c.cell
+        )""")
+    return f"""
+        WITH pts AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), smp AS MATERIALIZED (
+            SELECT vec_id, emb FROM pts ORDER BY vec_id LIMIT {_QUANT_SAMPLE}
+        ), q0 AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   emb AS centroid
+            FROM (SELECT vec_id, emb FROM smp ORDER BY vec_id LIMIT {k})
+        ),{",".join(rounds)},
+        {assign("ranked", "pts", f"q{_QUANT_ITERS}", str(nprobe))},
+        corpus AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        qprobe AS (
+            SELECT vec_id AS query_id, cell FROM ranked
+            WHERE vec_id < {N_QUERIES}
+        ),
+        cand AS (
+            SELECT DISTINCT qp.query_id, co.vec_id AS candidate_id
+            FROM corpus co JOIN qprobe qp ON co.cell = qp.cell
+            WHERE co.vec_id <> qp.query_id
+        ), scored AS (
+            SELECT cand.query_id, cand.candidate_id, {_COSINE_SQL} AS sim
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.candidate_id
+        ), reranked AS (
+            SELECT query_id, candidate_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, candidate_id
+                   ) AS rk
+            FROM scored
+        )
+        SELECT query_id, candidate_id, sim, rk
+        FROM reranked WHERE rk <= {TOP_K}
+    """
 
 
 @register(
     "sim_ann_ivf",
-    oracle=None,  # approximate by construction; rows-only check
-    doc="ANN via IVF (inverted-file index): seeded k-means centroids as the "
-        "coarse quantizer, cells assigned by max dot product, queries probe "
-        "their nprobe=2 nearest cells, exact cosine rerank within probed "
-        "cells. The alternative scale path to hyperplane LSH: cell "
-        "assignment is one broadcast map-side pass, candidate lookup a "
-        "hash-joinable equi-join on cell id.",
+    oracle=_ivf_oracle(),
+    doc="ANN via IVF (inverted-file index): deterministic k-means "
+        "centroids as the coarse quantizer (first-256 sample, "
+        "fixed-point dot argmax, exact-decimal means — every step a "
+        "repo determinism convention), cells assigned by max "
+        "fixed-point dot product, queries probe their nprobe=2 nearest "
+        "cells, exact cosine rerank within probed cells. The "
+        "alternative scale path to hyperplane LSH: cell assignment is "
+        "one broadcast map-side pass, candidate lookup a hash-joinable "
+        "equi-join on cell id. Hash-matched end-to-end by a DuckDB "
+        "replay of the quantizer training AND the index/probe/rerank.",
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    k_cells, nprobe = 16, 2
+    k_cells, nprobe = _IVF_CELLS, _IVF_NPROBE
     centroids = _train_coarse_quantizer(t.embeddings, k_cells)
 
-    # cell assignment via Arrow-batched numpy matmul — k*dim literal
-    # expression trees would blow up Catalyst (observed driver OOM);
-    # a vectorized pandas UDF with the (tiny) centroid matrix in the
-    # closure is both the fast and the memory-sane encoding
+    # cell assignment via Arrow-batched numpy — k*dim literal expression
+    # trees would blow up Catalyst (observed driver OOM); a vectorized
+    # pandas UDF with the (tiny) centroid matrix in the closure is both
+    # the fast and the memory-sane encoding. Fixed-point dots (floor
+    # per product, exact integer sums — order-free) keep the argmax
+    # bit-identical to the SQL oracle; stable argsort on the negated
+    # dots reproduces ORDER BY dot DESC, cell ASC tie-breaks.
     import pandas as pd
 
     def _top_cells(embs):
-        mat = np.stack(embs.values).astype(np.float64) @ centroids.T
-        order = np.argsort(-mat, axis=1)[:, :nprobe]
+        mat = np.stack(embs.values).astype(np.float64)
+        out = np.empty((len(mat), k_cells), dtype=np.int64)
+        for s in range(0, len(mat), 256):
+            chunk = mat[s:s + 256]
+            prods = np.floor(
+                chunk[:, None, :] * centroids[None, :, :] * float(_LSH_FP)
+            )
+            # |summand| <= 2^20*|x*c| summed over 64 dims << 2^53:
+            # float64 addition of these integers is exact, order-free
+            out[s:s + 256] = prods.sum(axis=2).astype(np.int64)
+        order = np.argsort(-out, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype("int32").tolist() for row in order])
 
     # `from __future__ import annotations` stringifies hints, which

@@ -51,13 +51,23 @@ def test_gram_matrix_matches_numpy_fixed_point(spark):
     assert all(v >= 0 for (i, j), v in got.items() if i == j)
 
 
-def test_pca_projection_invariants(spark):
-    res = (
-        sim_pca_project(spark, SF_SMOKE)
-        .orderBy("vec_id")
-        .collect()
+def _pivot(rows) -> np.ndarray:
+    """(vec_id, k, value) scalar rows -> (n, N_COMPONENTS) matrix. The
+    scalar shape is the driver-comparator contract (array cells are
+    unhashable in its pandas canonicalizer)."""
+    by_vec: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], {})[r["k"]] = r["value"]
+    return np.array(
+        [
+            [by_vec[v][k] for k in range(N_COMPONENTS)]
+            for v in sorted(by_vec)
+        ]
     )
-    comps = np.array([r["components"] for r in res])
+
+
+def test_pca_projection_invariants(spark):
+    comps = _pivot(sim_pca_project(spark, SF_SMOKE).collect())
     n = len(_embedding_matrix(spark))
     assert comps.shape == (n, N_COMPONENTS)
     # centered projection: per-axis mean ~0 (fixed-point mean + round-6
@@ -72,18 +82,12 @@ def test_pca_projection_invariants(spark):
     off = cov - np.diag(np.diag(cov))
     assert np.abs(off).max() < 1e-2 * cov.diagonal().max()
     # deterministic across reruns (fixed-point stats + sign-fixed axes)
-    again = np.array(
-        [
-            r["components"]
-            for r in sim_pca_project(spark, SF_SMOKE).orderBy("vec_id").collect()
-        ]
-    )
+    again = _pivot(sim_pca_project(spark, SF_SMOKE).collect())
     assert np.array_equal(comps, again)
 
 
 def test_pca_whitening_unit_variance(spark):
-    res = sim_pca_whiten(spark, SF_SMOKE).orderBy("vec_id").collect()
-    comps = np.array([r["components"] for r in res])
+    comps = _pivot(sim_pca_whiten(spark, SF_SMOKE).collect())
     assert comps.shape[1] == N_COMPONENTS
     # whitened axes: ~unit variance, ~zero mean (quantization + round-6
     # tolerance; population-vs-sample normalization gives 1/n vs 1/(n-1)
