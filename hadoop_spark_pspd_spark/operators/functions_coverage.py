@@ -230,7 +230,7 @@ def _kmv_oracle_branch(col: str, alias: str) -> str:
                     SELECT DISTINCT l_returnflag, {col} AS v,
                            CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)),
                                                 1, 13)) AS UBIGINT) AS h
-                    FROM lineitem
+                    FROM lineitem WHERE {col} IS NOT NULL
                 )
             ) GROUP BY l_returnflag
         )"""
@@ -274,18 +274,41 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
 
     def branch(col: str):
-        d = t.lineitem.select("l_returnflag", F.col(col).alias("v")).distinct()
+        # NULL keys out up front: they'd sort NULLS FIRST in Spark's
+        # window vs NULLS LAST in DuckDB's (and countDistinct ignores
+        # them anyway)
+        d = (
+            t.lineitem.filter(F.col(col).isNotNull())
+            .select("l_returnflag", F.col(col).alias("v"))
+            .distinct()
+        )
         h = F.conv(
             F.substring(F.md5(F.col("v").cast("string")), 1, 13), 16, 10
         ).cast("long")
+        hashed = d.select("l_returnflag", "v", h.alias("h"))
+        # two-level k-smallest: a single window per group would sort the
+        # whole distinct set on ONE task (measured 11.6x wall on 10x
+        # data). Instead rank within (group, h%64) salt partitions — the
+        # global k smallest are necessarily within the per-salt top-k —
+        # then rank the <= 64*k survivors per group. Identical output
+        # (the oracle keeps the one-window formulation), parallel sort.
+        w_salt = Window.partitionBy(
+            "l_returnflag", F.pmod("h", F.lit(_KMV_K))
+        ).orderBy("h", "v")
+        survivors = (
+            hashed.withColumn("rs", F.row_number().over(w_salt))
+            .filter(F.col("rs") <= _KMV_K)
+        )
         w = Window.partitionBy("l_returnflag").orderBy("h", "v")
-        hashed = d.select("l_returnflag", "v", h.alias("h")).withColumn(
-            "rn", F.row_number().over(w)
+        kth = (
+            survivors.withColumn("rn", F.row_number().over(w))
+            .groupBy("l_returnflag")
+            .agg(F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"))
         )
-        return hashed.groupBy("l_returnflag").agg(
-            F.count("*").alias("n_exact"),
-            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+        n = hashed.groupBy("l_returnflag").agg(
+            F.count("*").alias("n_exact")
         )
+        return n.join(F.broadcast(kth), "l_returnflag")
 
     def estimate(n_exact, hk):
         return F.when(n_exact < _KMV_K, n_exact).otherwise(
