@@ -68,6 +68,7 @@ def load_all() -> dict[str, EngineQuery]:
     from .operators import (  # noqa: F401
         advanced,
         behavioral,
+        bpe,
         bucketing,
         clustering,
         curation_extra,
