@@ -50,7 +50,10 @@ _SQL_WORDS = (
 )
 
 
-def _bpe_oracle() -> str:
+def _bpe_training_ctes() -> str:
+    """The shared WITH prefix: vocab, byte-symbol init, and the
+    N_MERGES unrolled training rounds (pair counts f{r}, winner b{r},
+    active matches m{r}, next state s{r+1})."""
     rounds = []
     for r in range(N_MERGES):
         rounds.append(f"""
@@ -90,11 +93,6 @@ def _bpe_oracle() -> str:
                 CROSS JOIN b{r} x
             ) WHERE consumed = 0
         )""")
-    unions = "\n        UNION ALL ".join(
-        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, freq "
-        f"FROM b{r}"
-        for r in range(N_MERGES)
-    )
     return f"""
         WITH vocab AS MATERIALIZED (
             SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -111,7 +109,16 @@ def _bpe_oracle() -> str:
                 FROM vocab
             ), range(1, {_MAX_WORD_BYTES} + 1) u(i)
             WHERE u.i <= n
-        ){''.join(rounds)}
+        ){''.join(rounds)}"""
+
+
+def _bpe_oracle() -> str:
+    unions = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, freq "
+        f"FROM b{r}"
+        for r in range(N_MERGES)
+    )
+    return f"""{_bpe_training_ctes()}
         {unions}
     """
 
@@ -132,6 +139,17 @@ def _bpe_oracle() -> str:
     tags=("curation", "text"),
 )
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merge_rows, _ = _train_merges(spark, sf_dir)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _train_merges(spark: SparkSession, sf_dir: str):
+    """Run the N_MERGES training rounds; returns (merge_rows, bests) —
+    per-round 1-row DataFrames (localCheckpointed, so reusable by the
+    encoder without recomputation)."""
     t = Tables(spark, sf_dir)
     vocab = (
         t.documents.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -157,16 +175,9 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    w = Window.partitionBy("word").orderBy("pos")
-    merge_rows = []
+    merge_rows, bests = [], []
     for r in range(N_MERGES):
-        pairs = state.select(
-            "word",
-            "cnt",
-            "pos",
-            F.col("sym").alias("a"),
-            F.lead("sym").over(w).alias("b"),
-        )
+        pairs = _adjacent_pairs(state, "word", ("cnt",))
         freq = (
             pairs.filter(F.col("b").isNotNull())
             .groupBy("a", "b")
@@ -183,61 +194,221 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "freq",
             )
         )
-        matches = pairs.join(
-            F.broadcast(best.select("a", "b")), ["a", "b"]
-        ).select("word", "pos")
-        grp = (F.col("pos") - F.row_number().over(w)).alias("grp")
-        w_run = Window.partitionBy("word", "grp")
-        actives = (
-            matches.select("word", "pos", grp)
-            .select(
-                "word",
-                "pos",
-                (
-                    (F.col("pos") - F.min("pos").over(w_run)) % 2 == 0
-                ).cast("int").alias("active"),
-            )
+        state = _apply_merge(state, best, "word", ("cnt",))
+        bests.append(best)
+    return merge_rows, bests
+
+
+def _adjacent_pairs(state, key, extras=()):
+    """(key, *extras, pos, a, b): each symbol with its right neighbor."""
+    w = Window.partitionBy(key).orderBy("pos")
+    return state.select(
+        key,
+        *extras,
+        "pos",
+        F.col("sym").alias("a"),
+        F.lead("sym").over(w).alias("b"),
+    )
+
+
+def _apply_merge(state, best, key, extras=(), checkpoint=True):
+    """Merge the 1-row ``best`` pair greedily left-to-right in every
+    sequence, reindex positions, and truncate lineage. JOIN-FREE and
+    SINGLE-PARTITIONING round: match flags (lead), run heads (lag),
+    run starts (cumulative max of head positions), even-offset actives,
+    and consumed-successor drops (lag) are ALL window functions over
+    the same (key, pos) ordering — one exchange + sort per round, plus
+    the broadcast of the 1-row winner. (The first formulation joined
+    two corpus-sized match tables back on (key, pos) per round: 110 s
+    at sf0.1; an intermediate islands variant needed a second
+    partitioning: 75 s; this shape runs the same rounds in ~25 s.)
+    Shared by the training loop (key=word) and the document encoder
+    (key=doc_id)."""
+    w = Window.partitionBy(key).orderBy("pos")
+    wseq = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = state.crossJoin(
+        F.broadcast(
+            best.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
         )
-        ma = actives.select(
-            F.col("word").alias("word"), F.col("pos").alias("pos"),
-            F.col("active").alias("act"),
-        )
-        mb = actives.select(
-            F.col("word").alias("word"),
-            (F.col("pos") + 1).alias("pos"),
-            F.col("active").alias("consumed"),
-        )
-        state = (
-            state.join(F.broadcast(ma), ["word", "pos"], "left")
-            .join(F.broadcast(mb), ["word", "pos"], "left")
-            .crossJoin(
-                F.broadcast(
-                    best.select(
-                        F.col("a").alias("a2"), F.col("b").alias("b2")
+    )
+    s = s.withColumn(
+        "matched",
+        F.coalesce(
+            (
+                (F.col("sym") == F.col("a2"))
+                & (F.lead("sym").over(w) == F.col("b2"))
+            ).cast("int"),
+            F.lit(0),
+        ),
+    )
+    # a run head is a matched position whose predecessor is unmatched;
+    # every matched position's run start is the latest head at or
+    # before it (runs are contiguous, so no earlier run can leak in)
+    s = s.withColumn(
+        "head",
+        (
+            (F.col("matched") == 1)
+            & (F.coalesce(F.lag("matched").over(w), F.lit(0)) == 0)
+        ).cast("int"),
+    )
+    s = s.withColumn(
+        "run_start",
+        F.max(F.when(F.col("head") == 1, F.col("pos"))).over(wseq),
+    )
+    s = s.withColumn(
+        "active",
+        (
+            (F.col("matched") == 1)
+            & ((F.col("pos") - F.col("run_start")) % 2 == 0)
+        ).cast("int"),
+    )
+    s = s.withColumn(
+        "consumed", F.coalesce(F.lag("active").over(w), F.lit(0))
+    )
+    out = s.filter(F.col("consumed") == 0).select(
+        key,
+        *extras,
+        "pos",
+        F.when(F.col("active") == 1, F.concat("a2", "b2"))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
+    )
+    res = out.select(
+        key,
+        *extras,
+        F.row_number().over(w).cast("long").alias("pos"),
+        "sym",
+    )
+    # training must materialize per round (the next winner is computed
+    # from this state mid-loop); the encoder chains all rounds into ONE
+    # job — every exchange executes once, no per-round job overhead
+    return res.localCheckpoint() if checkpoint else res
+
+
+
+
+def _bpe_encode_oracle() -> str:
+    rounds = []
+    for r in range(N_MERGES):
+        # window-only round, mirroring the Spark formulation: matched
+        # (lead) -> head (lag) -> run_start (cumulative max) -> active
+        # -> consumed (lag) -> filter + reindex. Nested subqueries
+        # because each level's window reads the previous level's
+        # computed column; all windows share (doc_id, pos).
+        rounds.append(f"""
+        , e{r + 1} AS MATERIALIZED (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS pos,
+                   CASE WHEN active = 1 THEN a2 || b2 ELSE sym END AS sym
+            FROM (
+                SELECT *,
+                       COALESCE(lag(active) OVER (
+                           PARTITION BY doc_id ORDER BY pos), 0) AS consumed
+                FROM (
+                    SELECT *,
+                           CASE WHEN matched = 1
+                                 AND (pos - max(CASE WHEN head = 1
+                                                THEN pos END) OVER (
+                                     PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)) % 2 = 0
+                                THEN 1 ELSE 0 END AS active
+                    FROM (
+                        SELECT *,
+                               CASE WHEN matched = 1
+                                     AND COALESCE(lag(matched) OVER (
+                                         PARTITION BY doc_id ORDER BY pos),
+                                         0) = 0
+                                    THEN 1 ELSE 0 END AS head
+                        FROM (
+                            SELECT s.doc_id, s.pos, s.sym,
+                                   x.a AS a2, x.b AS b2,
+                                   CASE WHEN s.sym = x.a
+                                         AND lead(s.sym) OVER (
+                                             PARTITION BY s.doc_id
+                                             ORDER BY s.pos) = x.b
+                                        THEN 1 ELSE 0 END AS matched
+                            FROM e{r} s CROSS JOIN b{r} x
+                        )
                     )
                 )
+            ) WHERE consumed = 0
+        )""")
+    return f"""{_bpe_training_ctes()}
+        , dd AS (
+            SELECT doc_id, hx,
+                   CAST(unnest(range(1, n + 1)) AS BIGINT) AS pos
+            FROM (
+                SELECT doc_id, hex(encode(text)) AS hx,
+                       strlen(text) AS n
+                FROM documents
             )
-            .filter(F.coalesce(F.col("consumed"), F.lit(0)) == 0)
-            .select(
-                "word",
-                "cnt",
-                "pos",
-                F.when(
-                    F.coalesce(F.col("act"), F.lit(0)) == 1,
-                    F.concat("a2", "b2"),
+        ), e0 AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   substr(hx, CAST(2 * pos - 1 AS INTEGER), 2) AS sym
+            FROM dd
+        ){''.join(rounds)}
+        SELECT d.doc_id,
+               CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+               f.n_tokens,
+               CAST(strlen(d.text) AS BIGINT) / f.n_tokens
+                   AS bytes_per_token
+        FROM documents d
+        JOIN (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM e{N_MERGES} GROUP BY doc_id
+        ) f ON f.doc_id = d.doc_id
+    """
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc="Distributed byte-level BPE ENCODING with the learned merge "
+        "table: every document's UTF-8 byte sequence has the 12 "
+        "text_bpe_merges rules applied in rank order (same relational "
+        "greedy-non-overlap machinery, keyed by doc_id), yielding per-"
+        "doc token counts and bytes-per-token compression — the number "
+        "a tokenizer team actually budgets corpora with. Training state "
+        "is shared (the per-round winners are 1-row checkpointed "
+        "tables); application rounds join match tables on (doc_id, pos) "
+        "WITHOUT broadcast hints (matches scale with the corpus — AQE "
+        "picks the strategy). Cost is 12 window passes over the corpus "
+        "byte-symbol table: linear in corpus bytes, the honest price of "
+        "tokenization at any scale.",
+    tags=("curation", "text"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    _, bests = _train_merges(spark, sf_dir)
+    hx = F.hex(F.col("text").cast("binary"))
+    state = (
+        t.documents.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.octet_length("text")),
+                    lambda i: F.substring(hx, i * 2 - 1, F.lit(2)),
                 )
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-            .select(
-                "word",
-                "cnt",
-                F.row_number().over(w).cast("long").alias("pos"),
-                "sym",
-            )
-            .localCheckpoint()
+            ).alias("p0", "sym"),
         )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionAll(m)
-    return out
+        .select(
+            "doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "sym"
+        )
+        .localCheckpoint()
+    )
+    for best in bests:
+        state = _apply_merge(state, best, "doc_id", checkpoint=False)
+    n_tok = state.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens")
+    )
+    base = t.documents.select(
+        "doc_id", F.octet_length("text").cast("long").alias("n_bytes")
+    )
+    return base.join(n_tok, "doc_id").select(
+        "doc_id",
+        "n_bytes",
+        "n_tokens",
+        (F.col("n_bytes") / F.col("n_tokens")).alias("bytes_per_token"),
+    )
