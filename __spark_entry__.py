@@ -4,8 +4,11 @@ entry(spark)  — flagship query (WordCount over documents, the reference's
                 headline workload) at sf0.001.
 queries()     — every implemented operator from SURVEY.md §2, from the
                 engine registry.
-oracle_sql()  — matching DuckDB SQL per query (omitted for the
-                hash-dependent approximate ops -> rows-only check).
+oracle_sql()  — matching DuckDB SQL per query. 215 of 217 queries carry
+                one (iterative/approximate ops included, via fixed-point
+                arithmetic + unrolled-CTE replays); only the two PCA
+                queries are rows-only — their eigendecomposition is
+                genuinely not one SQL query.
 """
 
 from __future__ import annotations
