@@ -70,3 +70,47 @@ def test_bpe_matches_sequential_reference(spark):
         .collect()
     ]
     assert got == expect
+
+
+def test_apply_merge_equals_scan_and_skip_on_random_sequences(spark):
+    """Property check of the window-only greedy rule on adversarial
+    inputs the corpus never produces: 200 random sequences over a
+    2-symbol alphabet (maximizing overlapping-run edge cases: aaaa...,
+    runs at boundaries, full-sequence runs), merged against a random
+    pair — one Spark job for all sequences, compared against the
+    sequential scan-and-skip reference per sequence."""
+    import random
+
+    from hadoop_spark_pspd_spark.operators.bpe import _apply_merge
+
+    rng = random.Random(20260814)
+    seqs = {
+        k: [rng.choice("ab") for _ in range(rng.randint(1, 12))]
+        for k in range(200)
+    }
+    a, b = "a", "a"  # the hardest pair: self-overlapping runs
+    rows = [
+        (k, pos + 1, sym)
+        for k, syms in seqs.items()
+        for pos, sym in enumerate(syms)
+    ]
+    state = spark.createDataFrame(rows, "key long, pos long, sym string")
+    best = spark.createDataFrame([(a, b, 1)], "a string, b string, freq long")
+    got = {}
+    for r in _apply_merge(state, best, "key").collect():
+        got.setdefault(r["key"], []).append((r["pos"], r["sym"]))
+    got = {k: [s for _, s in sorted(v)] for k, v in got.items()}
+
+    def scan_and_skip(syms):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    for k, syms in seqs.items():
+        assert got[k] == scan_and_skip(syms), (k, syms, got[k])
