@@ -190,6 +190,12 @@ _PROC_CHAOS_SCRIPT = textwrap.dedent(
         .config("spark.task.maxFailures", "8")
         # a dead executor must not blacklist the app out of capacity
         .config("spark.stage.maxConsecutiveAttempts", "8")
+        # AQE off: it materializes each stage as its own short-lived job
+        # (the kill trigger below watches the LIVE job's stage progress)
+        # and would coalesce the 8 reduce partitions to 1, removing the
+        # second reduce wave whose post-kill shuffle fetch this test is
+        # about
+        .config("spark.sql.adaptive.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -219,9 +225,30 @@ _PROC_CHAOS_SCRIPT = textwrap.dedent(
     sink = JsonlSink(OUT)
     seen_ports = set()
     killed = {}
+    max_stage_attempt = {"v": 0}
+
+    def map_stage_done():
+        tr = spark.sparkContext.statusTracker()
+        for jid in tr.getActiveJobsIds():
+            ji = tr.getJobInfo(jid)
+            if not ji:
+                continue
+            for sid in ji.stageIds:
+                si = tr.getStageInfo(sid)
+                if si and si.numTasks == 16 and si.numCompletedTasks == 16:
+                    return True
+        return False
 
     def killer():
-        time.sleep(2.0)  # mid-stage: tasks sleep ~1s each over ~2 waves
+        # kill AFTER the 16-task map stage finishes (its shuffle files
+        # now live only in the executor processes) and DURING the slow
+        # reduce wave — so wave-2 reduce tasks must fetch map output
+        # from a dead process: the Shuffle fetch-failure -> map-stage
+        # re-execution path the reference's node-kill runs exercise
+        # (reports/fault_test_20251115-195241.job.log:40,48)
+        deadline = time.time() + 120
+        while not map_stage_done() and time.time() < deadline:
+            time.sleep(0.05)
         pids = executor_pids()
         if pids:
             victim = pids[0]
@@ -229,20 +256,33 @@ _PROC_CHAOS_SCRIPT = textwrap.dedent(
             killed["pid"] = victim
             sink.append({
                 "type": "event", "timestamp": "injected",
-                "elapsed_s": 2.0, "action": "kill_executor_process",
+                "elapsed_s": None, "action": "kill_executor_process",
                 "target": str(victim),
             })
-        for _ in range(120):
+        tr = spark.sparkContext.statusTracker()
+        for _ in range(480):
             try:
                 seen_ports.update(live_backend_ports())
+                for sid in tr.getActiveStageIds():
+                    si = tr.getStageInfo(sid)
+                    if si:
+                        max_stage_attempt["v"] = max(
+                            max_stage_attempt["v"], si.currentAttemptId
+                        )
             except Exception:
                 pass
             time.sleep(0.25)
 
-    def slow(batches):
+    def slow_map(batches):
         import time as _t
         _t.sleep(1.0)
         yield from batches
+
+    def slow_reduce(batches):
+        import time as _t
+        for b in batches:   # shuffle rows are FETCHED here, pre-kill for
+            _t.sleep(3.0)   # wave 1; wave 2 starts post-kill and must
+            yield b         # refetch from the dead executor
 
     t = threading.Thread(target=killer, daemon=True)
     with BatchMonitor(spark, sink, poll_s=0.5):
@@ -250,9 +290,10 @@ _PROC_CHAOS_SCRIPT = textwrap.dedent(
         t.start()
         df = (
             spark.range(0, 160_000, 1, 16)
-            .mapInPandas(slow, schema="id long")
+            .mapInPandas(slow_map, schema="id long")
             .groupBy((F.col("id") % 100).alias("k"))
             .agg(F.count("*").alias("n"), F.sum("id").alias("s"))
+            .mapInPandas(slow_reduce, schema="k long, n long, s long")
         )
         rows = {r["k"]: (r["n"], r["s"]) for r in df.collect()}
 
@@ -267,6 +308,7 @@ _PROC_CHAOS_SCRIPT = textwrap.dedent(
     assert "pid" in killed, "no executor was killed"
     assert killed["pid"] not in executor_pids(), "victim survived SIGKILL"
     print("SEEN_PORTS", len(seen_ports))
+    print("STAGE_RETRY", max_stage_attempt["v"])
     print("PROC_CHAOS_OK")
     spark.stop()
     """
@@ -311,3 +353,18 @@ def test_executor_process_kill_recovers(tmp_path):
         )
     )
     assert seen >= 3, f"no executor relaunch observed (endpoints={seen})"
+    # the kill lands after the map stage's shuffle files exist only in
+    # the executor processes, so a reduce task fetching from the dead
+    # one raises FetchFailed and Spark RESUBMITS the map stage — visible
+    # as a stage attempt id > 0 (task-level retries alone never bump it)
+    retries = int(
+        next(
+            line.split()[1]
+            for line in res.stdout.splitlines()
+            if line.startswith("STAGE_RETRY")
+        )
+    )
+    assert retries >= 1, (
+        "no shuffle-fetch-failure stage resubmission observed "
+        f"(max stage attempt={retries})"
+    )
