@@ -115,13 +115,23 @@ def stream_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = windowed_wordcount(
         src, window_duration="1 hour", watermark_delay="1 hour"
     )
+    checkpoint = tempfile.mkdtemp(prefix="pspd_kafka_rt_")
     query = kafka_wire_sink(
         agg,
         broker.bootstrap,
         OUTPUT_TOPIC,
-        checkpoint=tempfile.mkdtemp(prefix="pspd_kafka_rt_"),
+        checkpoint=checkpoint,
     )
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+    finally:
+        # the checkpoint only matters while the availableNow query runs;
+        # the downstream batch read consumes the broker topic, not this
+        # dir — remove it so repeated verify/bench runs don't accumulate
+        # per-run state (ADVICE-r03 pattern, same as fb_merge)
+        import shutil
+
+        shutil.rmtree(checkpoint, ignore_errors=True)
 
     # 3. consumer side: parse the JSON records back into columns
     out_schema = (
