@@ -4,7 +4,7 @@ entry(spark)  — flagship query (WordCount over documents, the reference's
                 headline workload) at sf0.001.
 queries()     — every implemented operator from SURVEY.md §2, from the
                 engine registry.
-oracle_sql()  — matching DuckDB SQL per query. 215 of 217 queries carry
+oracle_sql()  — matching DuckDB SQL per query. 216 of 218 queries carry
                 one (iterative/approximate ops included, via fixed-point
                 arithmetic + unrolled-CTE replays); only the two PCA
                 queries are rows-only — their eigendecomposition is

@@ -759,3 +759,136 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+_SPAN_K = 32  # duplicated-span window, in BYTES
+
+
+@register(
+    "dedup_span_coverage",
+    oracle=f"""
+        WITH docs AS MATERIALIZED (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   CAST(strlen(text) AS BIGINT) AS n
+            FROM documents
+        ), wins AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   md5(substr(hx, CAST(2 * pos - 1 AS INTEGER),
+                              {2 * _SPAN_K})) AS h
+            FROM (
+                SELECT doc_id, hx,
+                       CAST(unnest(range(1, n - {_SPAN_K} + 2)) AS BIGINT)
+                           AS pos
+                FROM docs WHERE n >= {_SPAN_K}
+            )
+        ), dup_h AS MATERIALIZED (
+            SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1
+        ), dup_wins AS MATERIALIZED (
+            SELECT w.doc_id, w.pos FROM wins w JOIN dup_h d ON w.h = d.h
+        ), covered AS (
+            SELECT doc_id,
+                   CAST(SUM(GREATEST(
+                       0,
+                       (pos + {_SPAN_K} - 1)
+                       - GREATEST(COALESCE(prev_end, 0), pos - 1)
+                   )) AS BIGINT) AS covered_bytes
+            FROM (
+                SELECT doc_id, pos,
+                       MAX(pos + {_SPAN_K} - 1) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING
+                       ) AS prev_end
+                FROM dup_wins
+            ) GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.n AS n_bytes,
+               COALESCE(c.covered_bytes, 0) AS covered_bytes,
+               CAST(COALESCE(c.covered_bytes, 0) AS DOUBLE)
+                   / CAST(d.n AS DOUBLE) AS dup_fraction
+        FROM docs d LEFT JOIN covered c ON c.doc_id = d.doc_id
+        WHERE d.n > 0
+    """,
+    doc=f"ExactSubstr-style duplicated-span coverage (Lee et al. 2022, "
+        f"'Deduplicating Training Data Makes Language Models Better' — "
+        f"public algorithm, approximated with fixed-length fingerprints "
+        f"as large pipelines do): every {_SPAN_K}-byte window of every "
+        "document is fingerprinted (md5 over the hex byte string — "
+        "byte-identical cross-engine); a window whose fingerprint occurs "
+        "more than once ANYWHERE in the corpus is a duplicated span, and "
+        "per document the union of its duplicated intervals (classic "
+        "running-max-end window arithmetic) yields covered_bytes and "
+        "dup_fraction — the removal metric an ExactSubstr pass acts on. "
+        "Spark plan: one explode to corpus-bytes window rows, one "
+        "fingerprint groupBy (the only corpus-scale shuffle), a "
+        "semi-join back, and a per-doc window — linear in corpus bytes "
+        "at any scale, no suffix array needed for the coverage metric.",
+    tags=("dedup",),
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    t = Tables(spark, sf_dir)
+    k = _SPAN_K
+    hx = F.hex(F.col("text").cast("binary"))
+    docs = t.documents.select(
+        "doc_id",
+        hx.alias("hx"),
+        F.octet_length("text").cast("long").alias("n"),
+    )
+    wins = (
+        docs.filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            "hx",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - k + 1),
+                    lambda i: F.md5(F.substring(F.col("hx"), i * 2 - 1, 2 * k)),
+                )
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "h")
+    )
+    dup_h = wins.groupBy("h").agg(F.count("*").alias("c")).filter(
+        F.col("c") > 1
+    ).select("h")
+    dup_wins = wins.join(dup_h, "h", "left_semi")
+    w_prev = (
+        _W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    covered = (
+        dup_wins.withColumn(
+            "prev_end", F.max(F.col("pos") + k - 1).over(w_prev)
+        )
+        .select(
+            "doc_id",
+            F.greatest(
+                F.lit(0).cast("long"),
+                (F.col("pos") + k - 1)
+                - F.greatest(
+                    F.coalesce(F.col("prev_end"), F.lit(0).cast("long")),
+                    F.col("pos") - 1,
+                ),
+            ).alias("add"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("add").cast("long").alias("covered_bytes"))
+    )
+    return (
+        docs.filter(F.col("n") > 0)
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_bytes"),
+            F.coalesce(F.col("covered_bytes"), F.lit(0).cast("long"))
+            .alias("covered_bytes"),
+            (
+                F.coalesce(F.col("covered_bytes"), F.lit(0).cast("long"))
+                .cast("double")
+                / F.col("n").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )
