@@ -525,11 +525,11 @@ _NUCLEUS_P = 0.8
         WITH ranked AS (
             SELECT doc_id, source,
                    CAST(strlen(text) AS BIGINT) AS mass,
-                   SUM(CAST(strlen(text) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(strlen(text) AS BIGINT)) OVER (
                        PARTITION BY source
                        ORDER BY strlen(text) DESC, doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS cum_mass,
+                   ) AS BIGINT) AS cum_mass,
                    SUM(CAST(strlen(text) AS BIGINT)) OVER (
                        PARTITION BY source) AS total_mass
             FROM documents
@@ -551,7 +551,11 @@ _NUCLEUS_P = 0.8
         "semantics diverge cross-engine on non-ASCII/degenerate text "
         "(CORRECTNESS_r03 hash mismatch on driver data the ASCII-ish "
         "local corpus never exercised — now pinned by the multibyte "
-        "fixture in tests/test_oracle_fixtures.py). One window sort per "
+        "fixture in tests/test_oracle_fixtures.py). The cum_mass window "
+        "SUM is outer-CAST to BIGINT: DuckDB SUM(BIGINT) yields HUGEINT, "
+        "which pandas canonicalizers coerce to float64 (the r3/r4 driver "
+        "hash mismatch — verify_local now audits oracle output types for "
+        "this class). One window sort per "
         "source partition; at 100 TB per-source partitions parallelize "
         "independently and the ordering key (doc byte length) needs no "
         "secondary scan.",

@@ -86,3 +86,51 @@ def test_rows_only_runs(name, spark):
     _assert_scalar_only(df, name)
     assert df.count() >= 0  # runs to completion with a stable schema
     assert df.columns
+
+
+# --- oracle output-type audit (driver pandas-canonicalizer parity) ------
+#
+# The driver hashes both engines' results after a pandas round-trip.
+# DuckDB HUGEINT/DECIMAL/unsigned OUTPUT columns coerce to float64/uint
+# there — dtypes Spark never emits — so a value-equal result still
+# hash-mismatches (CORRECTNESS_r03/r04 text_nucleus_filter: the window
+# SUM(BIGINT) -> HUGEINT -> float64 `1.0` vs Spark int64 `1`, invisible
+# to three cursor-based local sweeps). Audit every registered oracle.
+
+from hadoop_spark_pspd_spark.oracle_audit import (  # noqa: E402
+    drifting_oracle_columns,
+)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_output_types_do_not_drift(name, duck):
+    rel = duck.sql(REGISTRY[name].oracle)
+    drift = drifting_oracle_columns(rel)
+    assert not drift, (
+        f"{name} oracle emits pandas-drifting output column(s): {drift} "
+        "— outer-CAST to BIGINT/DOUBLE (see CLAUDE.md sum(int)->hugeint)"
+    )
+
+
+def test_drift_audit_catches_uncast_window_sum(duck):
+    """Regression guard for the audit itself: the exact shape that slipped
+    through r3/r4 (uncast window SUM over BIGINT -> HUGEINT) must be
+    flagged, and the cast form must pass."""
+    bad = duck.sql(
+        "SELECT doc_id, SUM(CAST(strlen(text) AS BIGINT)) OVER () AS s "
+        "FROM documents LIMIT 1"
+    )
+    assert drifting_oracle_columns(bad) == ["s: HUGEINT"]
+    good = duck.sql(
+        "SELECT doc_id, CAST(SUM(CAST(strlen(text) AS BIGINT)) OVER () "
+        "AS BIGINT) AS s FROM documents LIMIT 1"
+    )
+    assert drifting_oracle_columns(good) == []
+    # the DECIMAL and unsigned classes drift too
+    dec = duck.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS d")
+    assert drifting_oracle_columns(dec) == ["d: DECIMAL(10,2)"]
+    uns = duck.sql("SELECT CAST(1 AS UBIGINT) AS u")
+    assert drifting_oracle_columns(uns) == ["u: UBIGINT"]
+    # structured outputs (would crash the driver's pandas sort) flagged
+    arr = duck.sql("SELECT [1, 2] AS a")
+    assert drifting_oracle_columns(arr) == ["a: INTEGER[]"]

@@ -36,6 +36,9 @@ import duckdb
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from hadoop_spark_pspd_spark.catalog import TABLES  # noqa: E402
+from hadoop_spark_pspd_spark.oracle_audit import (  # noqa: E402
+    drifting_oracle_columns,
+)
 from hadoop_spark_pspd_spark.registry import load_all  # noqa: E402
 from hadoop_spark_pspd_spark.session import get_spark  # noqa: E402
 
@@ -186,6 +189,17 @@ def main() -> int:
         try:
             rel = con.sql(q.oracle)
             duck_cols = rel.columns
+            # type-drift audit: DuckDB HUGEINT/DECIMAL/unsigned OUTPUT
+            # columns pandas-coerce to dtypes Spark never emits, so the
+            # driver's pandas canonicalizer hash-mismatches even when the
+            # cursor values below compare equal (the invisible-to-three-
+            # local-sweeps CORRECTNESS_r03/r04 text_nucleus_filter bug)
+            drift = drifting_oracle_columns(rel)
+            if drift:
+                raise TypeError(
+                    "oracle output type would drift under the driver's "
+                    f"pandas canonicalizer: {drift}"
+                )
             duck_rows = rel.fetchall()
             rec["oracle_rows"] = len(duck_rows)
         except Exception as e:  # noqa: BLE001
