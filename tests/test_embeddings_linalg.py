@@ -1,6 +1,8 @@
 """Invariant tests for the distributed Gram / PCA operators
-(embeddings_linalg.py) — the oracle sweep pins sim_gram_matrix and the
-rows-only sim_pca_project is pinned here instead."""
+(embeddings_linalg.py). The oracle sweep hash-matches all three queries
+(the PCA pair via the deterministic fixed-point power-iteration fit
+replayed in DuckDB); these tests pin the SEMANTIC quality the hash can't
+see — variance ordering, decorrelation, whitened unit variance."""
 
 from __future__ import annotations
 
