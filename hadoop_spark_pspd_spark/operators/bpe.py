@@ -42,7 +42,6 @@ from ..registry import register
 
 N_MERGES = 12
 VOCAB_TOP = 2000
-_MAX_WORD_BYTES = 1024
 
 _SQL_WORDS = (
     "unnest(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), "
@@ -100,15 +99,21 @@ def _bpe_training_ctes() -> str:
             GROUP BY word
             ORDER BY cnt DESC, word
             LIMIT {VOCAB_TOP}
-        ), s0 AS MATERIALIZED (
-            SELECT word, cnt, CAST(u.i AS BIGINT) AS pos,
-                   substr(hx, CAST(2 * u.i - 1 AS INTEGER), 2) AS sym
+        ), s0u AS (
+            -- lateral-safe unnest form (range() as a table function
+            -- can't take lateral column args; a fixed-bound range +
+            -- WHERE would silently truncate >bound-byte words)
+            SELECT word, cnt, hx,
+                   CAST(unnest(range(1, n + 1)) AS BIGINT) AS pos
             FROM (
                 SELECT word, cnt, hex(encode(word)) AS hx,
                        strlen(word) AS n
                 FROM vocab
-            ), range(1, {_MAX_WORD_BYTES} + 1) u(i)
-            WHERE u.i <= n
+            )
+        ), s0 AS MATERIALIZED (
+            SELECT word, cnt, pos,
+                   substr(hx, CAST(2 * pos - 1 AS INTEGER), 2) AS sym
+            FROM s0u
         ){''.join(rounds)}"""
 
 
@@ -383,8 +388,13 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     _, bests = _train_merges(spark, sf_dir)
     hx = F.hex(F.col("text").cast("binary"))
+    # 0-byte docs: sequence(1, 0) is the DESCENDING [1, 0] — two phantom
+    # empty symbols, n_tokens=2 for an empty doc — while the oracle's
+    # range(1, 1) is empty and its inner join drops the doc. Drop them
+    # up front (matching the oracle) — an empty doc has no tokens.
+    docs = t.documents.filter(F.octet_length("text") >= 1)
     state = (
-        t.documents.select(
+        docs.select(
             "doc_id",
             F.posexplode(
                 F.transform(

@@ -114,3 +114,77 @@ def test_apply_merge_equals_scan_and_skip_on_random_sequences(spark):
 
     for k, syms in seqs.items():
         assert got[k] == scan_and_skip(syms), (k, syms, got[k])
+
+
+def test_bpe_end_to_end_on_overlap_and_tie_adversarial_corpus(
+    spark, tmp_path_factory
+):
+    """The round-4 brief's adversarial case: corpora built from EVERY
+    {a,b}-string up to length 6 (one occurrence each) — maximal pair-
+    frequency TIES (broken lexicographically), self-overlapping runs
+    (aaaaaa), alternations whose merged symbol immediately re-pairs in
+    later rounds (ababab -> ab ab ab -> abab ab), and merges landing at
+    word boundaries. Both text_bpe_merges AND text_bpe_encode must match
+    the sequential scan-and-skip reference across all 12 rounds."""
+    words = []
+    for n in range(1, 7):
+        for bits in range(1 << n):
+            words.append(
+                "".join("ab"[(bits >> i) & 1] for i in range(n))
+            )
+    # one doc per word plus stress docs that put overlapping runs at
+    # word boundaries inside multi-word lines
+    docs = [(i, w) for i, w in enumerate(words)]
+    docs += [
+        (len(docs), "ababab aaaaaa ababa abaab"),
+        (len(docs) + 1, "aaaa aaaa aaaa"),
+        (len(docs) + 2, "bababa abab ba"),
+    ]
+    d = tmp_path_factory.mktemp("bpe_tie_sf")
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    sf = str(d)
+
+    t = Tables(spark, sf)
+    vocab_rows = (
+        t.documents.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(VOCAB_TOP)
+        .collect()
+    )
+    vocab = {r["word"]: r["cnt"] for r in vocab_rows}
+    expect = _reference_bpe(vocab, N_MERGES)
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["freq"])
+        for r in text_bpe_merges(spark, sf).orderBy("merge_rank").collect()
+    ]
+    assert got == expect
+
+    # sequential encode with the learned rules, rank order, scan-and-skip
+    def encode(text: str) -> int:
+        syms = [f"{b:02X}" for b in text.encode("utf-8")]
+        for _rank, a, b, _f in expect:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    from hadoop_spark_pspd_spark.operators.bpe import text_bpe_encode
+
+    enc = {
+        r["doc_id"]: (r["n_bytes"], r["n_tokens"])
+        for r in text_bpe_encode(spark, sf).collect()
+    }
+    for doc_id, text in docs:
+        nb = len(text.encode("utf-8"))
+        assert enc[doc_id] == (nb, encode(text)), (doc_id, text, enc[doc_id])

@@ -126,3 +126,61 @@ def test_fixture_discriminates_char_vs_byte_mass(adversarial_sf):
     assert by_bytes != by_chars, (
         "fixture does not separate byte-mass from char-mass nucleus cuts"
     )
+
+
+# --- BPE encode: empty docs + giant tokens (ADVICE r4) -------------------
+#
+# Two data-dependent divergences the generated testdata never exercises:
+#   * a 0-byte document: Spark's sequence(1, octet_length=0) is the
+#     DESCENDING [1, 0] -> two phantom empty symbols -> n_tokens=2, while
+#     the oracle's range(1, 1) is empty and its join drops the doc;
+#   * a whitespace-free token >1024 bytes in the vocab: the old training
+#     oracle unrolled word bytes via a fixed range(1, 1025) WHERE i <= n,
+#     silently truncating, while Spark exploded the full octet_length.
+# Both are fixed (filter octet_length>=1; lateral-safe unnest form) and
+# pinned here by cross-engine parity on a corpus containing both shapes.
+
+_BIG_TOKEN = "Q" + "abcdefgh" * 190  # 1521 bytes, whitespace-free
+
+_BPE_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+    (1, "the quick brown fox the quick brown fox", "en", "s0"),
+    (2, "", "en", "s0"),                       # empty doc (phantom-symbol)
+    (3, "pack my box with five dozen jugs", "en", "s1"),
+    (4, _BIG_TOKEN + " " + _BIG_TOKEN, "en", "s1"),   # >1KB vocab word
+    (5, "the lazy dog sleeps the lazy dog barks", "en", "s1"),
+    (6, "", "en", "s1"),                       # second empty doc
+    (7, "quick quick quick brown brown fox", "en", "s2"),
+    (8, "漢字 the 漢字 fox", "zh", "s2"),       # multibyte + ASCII mix
+]
+
+
+@pytest.fixture(scope="module")
+def bpe_adversarial_sf(tmp_path_factory, spark):
+    d = tmp_path_factory.mktemp("bpe_adversarial_sf")
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in _BPE_DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_bpe_encode_empty_doc_and_giant_token_parity(
+    spark, bpe_adversarial_sf
+):
+    srows, drows = _run_both("text_bpe_encode", spark, bpe_adversarial_sf)
+    assert srows == drows, (
+        f"{len(srows)} vs {len(drows)} rows; first diff: "
+        f"{next(((a, b) for a, b in zip(srows, drows) if a != b), None)}"
+    )
+    # empty docs must be ABSENT (no tokens), not present with n_tokens=2
+    assert len(srows) == len([d for d in _BPE_DOCS if d[1]])
+
+
+def test_bpe_merges_giant_token_parity(spark, bpe_adversarial_sf):
+    srows, drows = _run_both("text_bpe_merges", spark, bpe_adversarial_sf)
+    assert srows == drows, (
+        f"first diff: "
+        f"{next(((a, b) for a, b in zip(srows, drows) if a != b), None)}"
+    )
