@@ -142,6 +142,11 @@ def main() -> None:
         name: sorted(rs)[len(rs) // 2] for name, rs in runs.items()
     }
     total = round(sum(timings.values()), 3)
+    # ambient variance on this box is ±25% round-to-round and it shifts
+    # ALL queries together (BENCH_r03->r04: untouched queries moved -20%
+    # to -48%) — report each median as a ratio to the wc_words yardstick
+    # too, so cross-round deltas isolate code effects from environment
+    yard = timings.get("wc_words") or min(timings.values())
     print(
         json.dumps(
             {
@@ -149,6 +154,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "normalized": {
+                    name: round(t / yard, 2) for name, t in timings.items()
+                },
+                "yardstick": {"name": "wc_words", "sec": yard},
                 "runs": runs,
                 "sf": sf,
             }
