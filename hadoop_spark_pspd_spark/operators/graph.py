@@ -279,10 +279,22 @@ def _pagerank_oracle() -> str:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cooccurrence_directed(spark, sf_dir).cache()
     out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    n_nodes = nodes.count()  # also materializes the edges cache
+    # right-size the cached edge table the 10 iterations rescan: the
+    # session's 32 shuffle partitions hold ~30k rows each here — per-
+    # iteration stage overhead (32 tasks x 10 rounds x 2 stages) costs
+    # more than the scan itself (measured 5.0 s -> 2.6 s for the
+    # iteration loop at sf0.1). ~2M rows per partition keeps the same
+    # repartition correct at 1000x the edges; the count is free on the
+    # just-materialized cache.
+    n_edges = edges.count()
+    n_parts = max(4, int(n_edges // 2_000_000) + 1)
     norm = (
         # out_w is node-dimension-sized: broadcast so normalizing the
         # edge table never shuffles it
-        edges.join(F.broadcast(out_w), "src")
+        edges.repartition(n_parts)
+        .join(F.broadcast(out_w), "src")
         .select(
             "src",
             "dst",
@@ -291,13 +303,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
-    n_nodes = nodes.count()
     ranks = nodes.select(
         "node", F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint()
     teleport = (1.0 - PR_DAMP) / n_nodes
-    for _ in range(PR_ITERS):
+    for it in range(PR_ITERS):
         # the rank table is node-dimension-sized (suppliers), orders of
         # magnitude below the edge table — BROADCAST it so no iteration
         # ever re-shuffles the cached 900k-row edge side (measured 17 s
@@ -317,23 +327,29 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("fx")
             )
         )
-        ranks = (
-            nodes.join(
-                F.broadcast(contrib), nodes["node"] == contrib["dst"], "left"
-            )
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(PR_DAMP)
-                    * F.coalesce(
-                        F.col("fx").cast("double") / F.lit(float(PR_FP)),
-                        F.lit(0.0),
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(
+            F.broadcast(contrib), nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(PR_DAMP)
+                * F.coalesce(
+                    F.col("fx").cast("double") / F.lit(float(PR_FP)),
+                    F.lit(0.0),
+                )
+            ).alias("rank"),
         )
+        # lineage cut every 5th iteration, not every one: iterations in
+        # between CHAIN as nested broadcast-exchange stages inside a
+        # single job (every exchange still executes exactly once), so
+        # 10 rounds cost 2 driver jobs instead of 10 eager
+        # materializations — the round-4 brief's checkpoint-batching
+        # item. Interval sweep at sf0.1: every-1 ~5.0 s, every-2 2.63,
+        # every-3 2.44, every-5 2.37, every-10 2.89 (plan-compile cost
+        # overtakes job overhead) for the iteration loop.
+        if (it + 1) % 5 == 0 or it + 1 == PR_ITERS:
+            ranks = ranks.localCheckpoint()
     # ranks is materialized (localCheckpoint is eager), so the shared
     # intermediates can be released here instead of leaning on the
     # harnesses' per-query clearCache — repeated pytest calls would
