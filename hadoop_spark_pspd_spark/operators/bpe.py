@@ -139,69 +139,81 @@ def _bpe_oracle() -> str:
         "expressed relationally via gaps-and-islands even-offset runs. "
         "Pure integer arithmetic + total orders -> the 12 rounds replay "
         "exactly in DuckDB as unrolled MATERIALIZED CTEs. The corpus is "
-        "scanned once (word count); every round is bounded by vocab size "
-        "x word length, with the 1-row winner broadcast.",
+        "scanned once (the distributed word count); the rounds "
+        "themselves run on the driver over the BOUNDED top-2000 vocab "
+        "collect (a design constant, the IVF-sample/PCA-solve bounded-"
+        "collect class) — greedy BPE is inherently sequential and a "
+        "2000-row state needs no cluster. The DuckDB oracle is an "
+        "independent RELATIONAL implementation of the same rounds, so "
+        "the hash match is a real cross-check, not a replay of shared "
+        "code.",
     tags=("curation", "text"),
 )
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merge_rows, _ = _train_merges(spark, sf_dir)
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionAll(m)
-    return out
+    merges = _train_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, freq long"
+    )
 
 
-def _train_merges(spark: SparkSession, sf_dir: str):
-    """Run the N_MERGES training rounds; returns (merge_rows, bests) —
-    per-round 1-row DataFrames (localCheckpointed, so reusable by the
-    encoder without recomputation)."""
+def _train_merges_py(
+    vocab: list[tuple[str, int]]
+) -> list[tuple[int, str, str, int]]:
+    """Sequential greedy BPE training over the (already bounded) vocab:
+    per round, count-weighted adjacent-pair frequencies, winner by
+    (freq desc, lexicographic), greedy left-to-right non-overlapping
+    application. Pure integer arithmetic + total orders — exactly the
+    relational formulation the DuckDB oracle unrolls, so Python ints
+    vs SQL BIGINTs can't drift."""
+    seqs = {w: [f"{b:02X}" for b in w.encode("utf-8")] for w, _ in vocab}
+    cnt = dict(vocab)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(N_MERGES):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            c = cnt[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + c
+        if not counts:
+            break
+        (a, b), freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, freq))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def _train_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """Corpus-scale word count in Spark, then greedy merge induction on
+    the driver over a BOUNDED collect: the vocab is VOCAB_TOP = 2000
+    rows BY DESIGN (a data-model constant — the same bounded-collect
+    class as the IVF quantizer's 256-row sample and the PCA d x d
+    solve), and greedy BPE is inherently sequential. Running the 12
+    rounds as Spark jobs over that 2000-row state was pure stage
+    overhead (~15 s of text_bpe_encode's 19 s sf0.01 sweep wall); the
+    parts that scale with the corpus — the word count here and the
+    per-document ENCODE chain — stay distributed."""
     t = Tables(spark, sf_dir)
-    vocab = (
+    vocab_rows = (
         t.documents.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy(F.desc("cnt"), "word")
         .limit(VOCAB_TOP)
+        .collect()
     )
-    hx = F.hex(F.col("word").cast("binary"))
-    state = (
-        vocab.select(
-            "word",
-            "cnt",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.octet_length("word")),
-                    lambda i: F.substring(hx, i * 2 - 1, F.lit(2)),
-                )
-            ).alias("p0", "sym"),
-        )
-        .select(
-            "word", "cnt", (F.col("p0") + 1).cast("long").alias("pos"), "sym"
-        )
-        .localCheckpoint()
-    )
-    merge_rows, bests = [], []
-    for r in range(N_MERGES):
-        pairs = _adjacent_pairs(state, "word", ("cnt",))
-        freq = (
-            pairs.filter(F.col("b").isNotNull())
-            .groupBy("a", "b")
-            .agg(F.sum("cnt").alias("freq"))
-        )
-        best = (
-            freq.orderBy(F.desc("freq"), "a", "b").limit(1).localCheckpoint()
-        )
-        merge_rows.append(
-            best.select(
-                F.lit(r).cast("long").alias("merge_rank"),
-                F.col("a").alias("lhs"),
-                F.col("b").alias("rhs"),
-                "freq",
-            )
-        )
-        state = _apply_merge(state, best, "word", ("cnt",))
-        bests.append(best)
-    return merge_rows, bests
+    return _train_merges_py([(r["word"], r["cnt"]) for r in vocab_rows])
 
 
 def _adjacent_pairs(state, key, extras=()):
@@ -227,15 +239,23 @@ def _apply_merge(state, best, key, extras=(), checkpoint=True):
     two corpus-sized match tables back on (key, pos) per round: 110 s
     at sf0.1; an intermediate islands variant needed a second
     partitioning: 75 s; this shape runs the same rounds in ~25 s.)
-    Shared by the training loop (key=word) and the document encoder
-    (key=doc_id)."""
+    ``best`` is either a 1-row (a, b) DataFrame (broadcast-crossJoined —
+    the shape the oracle mirrors) or a plain ``(a, b)`` string tuple
+    (attached as literals — the encoder's path now that training is a
+    driver-side bounded computation). Used by the document encoder
+    (key=doc_id) and property tests (key=word/key)."""
     w = Window.partitionBy(key).orderBy("pos")
     wseq = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s = state.crossJoin(
-        F.broadcast(
-            best.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    if isinstance(best, tuple):
+        s = state.withColumn("a2", F.lit(best[0])).withColumn(
+            "b2", F.lit(best[1])
         )
-    )
+    else:
+        s = state.crossJoin(
+            F.broadcast(
+                best.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+            )
+        )
     s = s.withColumn(
         "matched",
         F.coalesce(
@@ -375,18 +395,26 @@ def _bpe_encode_oracle() -> str:
         "text_bpe_merges rules applied in rank order (same relational "
         "greedy-non-overlap machinery, keyed by doc_id), yielding per-"
         "doc token counts and bytes-per-token compression — the number "
-        "a tokenizer team actually budgets corpora with. Training state "
-        "is shared (the per-round winners are 1-row checkpointed "
-        "tables); application rounds join match tables on (doc_id, pos) "
-        "WITHOUT broadcast hints (matches scale with the corpus — AQE "
-        "picks the strategy). Cost is 12 window passes over the corpus "
-        "byte-symbol table: linear in corpus bytes, the honest price of "
-        "tokenization at any scale.",
+        "a tokenizer team actually budgets corpora with. The merge "
+        "rules come from the driver-side bounded training "
+        "(_train_merges) and enter the plan as literals; all 12 "
+        "application rounds chain window passes over the corpus "
+        "byte-symbol table in ONE job: linear in corpus bytes, the "
+        "honest price of tokenization at any scale.",
     tags=("curation", "text"),
 )
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    _, bests = _train_merges(spark, sf_dir)
+    merges = _train_merges(spark, sf_dir)
+    if len(merges) < N_MERGES:
+        # degenerate corpus whose pairs run dry before N_MERGES rounds:
+        # the oracle's empty b{r} CROSS JOIN empties its state, so its
+        # final join emits nothing — mirror that exactly
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_bytes long, n_tokens long, "
+            "bytes_per_token double",
+        )
     hx = F.hex(F.col("text").cast("binary"))
     # 0-byte docs: sequence(1, 0) is the DESCENDING [1, 0] — two phantom
     # empty symbols, n_tokens=2 for an empty doc — while the oracle's
@@ -408,8 +436,8 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    for best in bests:
-        state = _apply_merge(state, best, "doc_id", checkpoint=False)
+    for _rank, a, b, _freq in merges:
+        state = _apply_merge(state, (a, b), "doc_id", checkpoint=False)
     n_tok = state.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens")
     )
