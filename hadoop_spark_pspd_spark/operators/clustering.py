@@ -100,8 +100,10 @@ _DIM = 64  # embeddings.embedding width (TESTDATA.md)
 
 
 def _kmeans_oracle() -> str:
-    """DuckDB SQL replaying Lloyd's EXACTLY: the fixed 3 iterations are
-    unrolled as materialized CTE pairs (assign a{i}, update c{i+1}).
+    """DuckDB WITH-prefix replaying Lloyd's EXACTLY (no final SELECT —
+    see kmeans_assignment_ctes/_kmeans_query_oracle): the fixed 3
+    iterations are unrolled as materialized CTE pairs (assign a{i},
+    update c{i+1}).
     Every engine-sensitive step already follows a repo determinism
     convention — squared-distance folds accumulate in index order
     (list_sum == Spark's aggregate fold, proved by the cosine oracles),
@@ -160,7 +162,20 @@ def _kmeans_oracle() -> str:
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
                    emb AS centroid
             FROM (SELECT vec_id, emb FROM pts ORDER BY vec_id LIMIT {K})
-        ){rounds}, {assign(ITERATIONS, f"c{ITERATIONS}")}
+        ){rounds}, {assign(ITERATIONS, f"c{ITERATIONS}")}"""
+
+
+def kmeans_assignment_ctes() -> str:
+    """The full unrolled-Lloyd's WITH prefix, ending at the final
+    assignment CTE ``a{ITERATIONS}`` (vec_id, emb, cluster_id, dist) —
+    shared by the kmeans oracle and downstream cluster-conditioned
+    oracles (sim_hard_negatives), so their hash checks replay the
+    IDENTICAL fit."""
+    return _kmeans_oracle()
+
+
+def _kmeans_query_oracle() -> str:
+    return f"""{_kmeans_oracle()}
         SELECT vec_id, cluster_id, round(dist, 6) AS dist
         FROM a{ITERATIONS}
     """
@@ -168,7 +183,7 @@ def _kmeans_oracle() -> str:
 
 @register(
     "kmeans_embeddings",
-    oracle=_kmeans_oracle(),
+    oracle=_kmeans_query_oracle(),
     doc="Lloyd's k-means (k=10, 3 iterations, lowest-vec_id init) over the "
         "embedding vectors; returns (vec_id, cluster_id, dist). Broadcast "
         "centroids, zip_with/aggregate distances, exact-decimal means "

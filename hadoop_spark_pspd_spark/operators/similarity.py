@@ -37,16 +37,23 @@ LSH_TABLES = 16
 LSH_BITS = 6
 _PLANES_SEED = 42
 
-_COSINE_SQL = """
+def _cosine_sql(a: str = "q", b: str = "c") -> str:
+    """Inline rounded-cosine SQL between ``{a}.embedding`` and
+    ``{b}.embedding`` — index-ordered list_sum matching the Spark
+    zip_with/aggregate fold bit for bit."""
+    return f"""
     round(
-        list_sum(list_transform(range(1, {dim} + 1),
-            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform(range(1, {dim} + 1),
-               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(range(1, {dim} + 1),
-               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
+        list_sum(list_transform(range(1, {DIM} + 1),
+            i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, {DIM} + 1),
+               i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({a}.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, {DIM} + 1),
+               i -> CAST({b}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE))))),
         6)
-""".format(dim=DIM)
+"""
+
+
+_COSINE_SQL = _cosine_sql("q", "c")
 
 
 def cosine_topk(
@@ -1040,4 +1047,83 @@ def sim_twostage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.withColumn("rk", F.row_number().over(w2).cast("long"))
         .where(F.col("rk") <= TOP_K)
         .select("query_id", "candidate_id", "coarse", "sim", "rk")
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    from .clustering import ITERATIONS as _KM_IT
+    from .clustering import kmeans_assignment_ctes
+
+    return f"""{kmeans_assignment_ctes()}
+        , lab AS MATERIALIZED (
+            SELECT vec_id, cluster_id FROM a{_KM_IT}
+        ), qs AS (
+            SELECT q.vec_id AS query_id, q.embedding,
+                   l.cluster_id AS qcl
+            FROM embeddings q JOIN lab l ON l.vec_id = q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT qs.query_id, c.vec_id AS candidate_id,
+                   lc.cluster_id AS cand_cluster,
+                   {_cosine_sql("qs", "c")} AS sim
+            FROM qs, embeddings c
+            JOIN lab lc ON lc.vec_id = c.vec_id
+            WHERE lc.cluster_id <> qs.qcl
+        )
+        SELECT query_id, candidate_id, cand_cluster, sim, rk FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, candidate_id
+            ) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=_hard_negatives_oracle(),
+    doc="Contrastive hard-negative mining: for each query vector (first "
+        f"{N_QUERIES} vec_ids), the top-{TOP_K} most-cosine-similar "
+        "vectors whose k-means cluster DIFFERS from the query's — the "
+        "semantically-close-but-different examples an embedding-training "
+        "pipeline pairs with its positives (cluster disagreement as the "
+        "cheap negative-label proxy; a query's own cluster, including "
+        "itself, is excluded by the inequality). Reuses the deterministic "
+        "3-round Lloyd's fit (clustering.py) — assignments broadcast "
+        "(node-dimension k x dim state), candidate scoring is a "
+        "broadcast join of the 10-row query side against the corpus "
+        "(the corpus never shuffles; at 100 TB the query side is the "
+        "small fixed set being mined for). Oracle replays the IDENTICAL "
+        "Lloyd CTEs (kmeans_assignment_ctes) then brute-force ranks — "
+        "hash-matched end to end.",
+    tags=("similarity",),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .clustering import ITERATIONS as _KM_IT
+    from .clustering import kmeans_assignments
+
+    t = Tables(spark, sf_dir)
+    lab = kmeans_assignments(spark, sf_dir, _KM_IT).select(
+        "vec_id", "cluster_id"
+    )
+    base = t.embeddings.select("vec_id", "embedding").join(lab, "vec_id")
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cluster_id").alias("qcl"),
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col("cluster_id") != F.col("qcl"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            F.col("cluster_id").alias("cand_cluster"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TOP_K)
+        .select("query_id", "candidate_id", "cand_cluster", "sim", "rk")
     )

