@@ -173,11 +173,24 @@ def _power_fit(cov: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     c = cov.copy()
     us: list[np.ndarray] = []
     lams: list[float] = []
+
+    def den(x: float) -> float:
+        # rank-deficient covariance: once deflation (or a degenerate
+        # corpus) zeroes the matrix, max|entry| and the norm are exactly
+        # 0.0 and 0/0 would emit NaN (and then undefined int64s through
+        # the projection floor) while DuckDB's x/0.0 yields NULL — a
+        # cross-engine divergence of the r3/r4 data-dependent class.
+        # Dividing by 1 instead makes every degenerate component an
+        # exact zero vector in BOTH engines (the oracle applies the
+        # identical CASE guard), pinned by the rank-deficient fixture in
+        # tests/test_oracle_fixtures.py.
+        return x if x != 0.0 else 1.0
+
     for _ in range(N_COMPONENTS):
-        a = c / np.max(np.abs(c))
+        a = c / den(np.max(np.abs(c)))
         for _r in range(_N_SQUARINGS):
             p = _fp_matmul(a, a)
-            a = p / np.max(np.abs(p))
+            a = p / den(np.max(np.abs(p)))
         w = _fp_matvec(a, _fp_matvec(a, v0))
         adj = np.zeros(DIM)
         if us:
@@ -190,7 +203,7 @@ def _power_fit(cov: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
                 / float(_PSCALE)
             )
         w3 = w - adj
-        u = w3 / np.sqrt(_fp_dot(w3, w3))
+        u = w3 / den(np.sqrt(_fp_dot(w3, w3)))
         if u[np.argmax(np.abs(u))] < 0:
             u = u * -1.0
         lam = _fp_dot(u, _fp_matvec(c, u))
@@ -251,7 +264,7 @@ def _project_query(
     canonicalizes output with a pandas sort, and list-valued cells are
     unhashable there (observed CORRECTNESS_r03 `TypeError: unhashable
     type: 'list'`). Scalar-only output is a repo-wide invariant now,
-    enforced by tools/verify_local.py and tests/test_registry_contract.
+    enforced by tools/verify_local.py and tests/test_oracle_parity.py.
     """
     import pandas as pd
 
@@ -297,8 +310,8 @@ def _pca_oracle(whiten: bool) -> str:
     sum of floor((x*y) * 2^24) terms, every element-wise op a single
     correctly-rounded IEEE op on inputs identical by induction, so the
     final doubles are bit-identical to the numpy fit."""
-    fp = f"{float(_FP_SCALE)}"
-    ps = f"{float(_PSCALE)}"
+    fp = f"CAST({_FP_SCALE} AS DOUBLE)"
+    ps = f"CAST({_PSCALE} AS DOUBLE)"
 
     def fsum(expr: str) -> str:
         return (
@@ -345,7 +358,9 @@ def _pca_oracle(whiten: bool) -> str:
     for c in range(N_COMPONENTS):
         parts.append(f"""
         , a{c}_0 AS MATERIALIZED (
-            SELECT i, j, v / (SELECT MAX(ABS(v)) FROM cov{c}) AS v
+            SELECT i, j, v / (SELECT CASE WHEN MAX(ABS(v)) = CAST(0 AS
+                DOUBLE) THEN CAST(1 AS DOUBLE) ELSE MAX(ABS(v)) END
+                FROM cov{c}) AS v
             FROM cov{c}
         )""")
         for r in range(1, _N_SQUARINGS + 1):
@@ -355,7 +370,9 @@ def _pca_oracle(whiten: bool) -> str:
             FROM a{c}_{r - 1} a JOIN a{c}_{r - 1} b ON a.j = b.i
             GROUP BY a.i, b.j
         ), a{c}_{r} AS MATERIALIZED (
-            SELECT i, j, v / (SELECT MAX(ABS(v)) FROM p{c}_{r}) AS v
+            SELECT i, j, v / (SELECT CASE WHEN MAX(ABS(v)) = CAST(0 AS
+                DOUBLE) THEN CAST(1 AS DOUBLE) ELSE MAX(ABS(v)) END
+                FROM p{c}_{r}) AS v
             FROM p{c}_{r}
         )""")
         s = _N_SQUARINGS
@@ -372,7 +389,7 @@ def _pca_oracle(whiten: bool) -> str:
         parts.append(f"""
         , w1_{c} AS MATERIALIZED (
             SELECT a.i AS i,
-                   {fsum('a.v * (1.0 + CAST(a.j AS DOUBLE) / 64.0)')} AS v
+                   {fsum('a.v * (CAST(1 AS DOUBLE) + CAST(a.j AS DOUBLE) / CAST(64 AS DOUBLE))')} AS v
             FROM a{c}_{s} a GROUP BY a.i
         ), w2_{c} AS MATERIALIZED (
             SELECT a.i AS i, {fsum('a.v * w.v')} AS v
@@ -386,14 +403,16 @@ def _pca_oracle(whiten: bool) -> str:
             SELECT u.i AS i, {fsum('d.d * u.v')} AS adj
             FROM prev{c} u JOIN dots{c} d ON d.k = u.k GROUP BY u.i
         ), w3_{c} AS MATERIALIZED (
-            SELECT w.i AS i, w.v - COALESCE(g.adj, 0.0) AS v
+            SELECT w.i AS i, w.v - COALESCE(g.adj, CAST(0 AS DOUBLE)) AS v
             FROM w2_{c} w LEFT JOIN gsadj{c} g ON g.i = w.i
         ), nrm{c} AS MATERIALIZED (
             SELECT sqrt({fsum('v * v')}) AS s FROM w3_{c}
         ), upre{c} AS MATERIALIZED (
-            SELECT i, v / (SELECT s FROM nrm{c}) AS v FROM w3_{c}
+            SELECT i, v / (SELECT CASE WHEN s = CAST(0 AS DOUBLE)
+                THEN CAST(1 AS DOUBLE) ELSE s END FROM nrm{c}) AS v
+            FROM w3_{c}
         ), sgn{c} AS MATERIALIZED (
-            SELECT CASE WHEN v < 0.0 THEN -1.0 ELSE 1.0 END AS s
+            SELECT CASE WHEN v < CAST(0 AS DOUBLE) THEN CAST(-1 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END AS s
             FROM upre{c} ORDER BY ABS(v) DESC, i LIMIT 1
         ), u{c} AS MATERIALIZED (
             SELECT i, v * (SELECT s FROM sgn{c}) AS v FROM upre{c}

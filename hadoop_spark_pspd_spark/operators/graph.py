@@ -508,11 +508,17 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # right-size the edge list every round rescans (the pagerank
     # treatment): mutual-top-8 sparsification bounds it at V*8 rows, so
     # session-default partitioning holds ~250 rows per task here — pure
-    # stage overhead (measured 6.3 s -> 4.3 s at sf0.1). Sized by a
-    # free count on the just-materialized checkpoint, ~2M rows per
-    # partition, so the same code holds at 1000x the nodes.
+    # stage overhead (measured 6.3 s -> 4.3 s at sf0.1). Shrink-only:
+    # coalesce to ~2M rows per partition when the checkpoint is
+    # over-partitioned (a narrow, per-round-free op); when the count
+    # calls for MORE partitions than the checkpoint has, leave it alone
+    # — upstream cluster-sized shuffle.partitions governs the upper
+    # bound, and a coalesce there would silently cap parallelism (a
+    # repartition+re-checkpoint costs ~1.2 s, more than it saves here).
     n_both = both.count()
-    both = both.coalesce(max(4, int(n_both // 2_000_000) + 1))
+    target = max(4, int(n_both // 2_000_000) + 1)
+    if target < both.rdd.getNumPartitions():
+        both = both.coalesce(target)
     # bounded driver-side scalar: the BFS root (one bigint)
     s0 = both.agg(F.min("u")).collect()[0][0]
     visited = spark.createDataFrame(

@@ -40,8 +40,9 @@ _DRIFT_PREFIXES = (
 )
 
 # Structured outputs crash the driver's pandas sort outright
-# (CORRECTNESS_r03 ``unhashable type: 'list'``).
-_NONSCALAR_RE = re.compile(r"\[\]$|^(STRUCT|MAP|LIST|ARRAY|UNION)\b")
+# (CORRECTNESS_r03 ``unhashable type: 'list'``). ``\[\d*\]`` covers both
+# LIST (``INTEGER[]``) and fixed-size ARRAY (``INTEGER[3]``) suffixes.
+_NONSCALAR_RE = re.compile(r"\[\d*\]$|^(STRUCT|MAP|LIST|ARRAY|UNION)\b")
 
 
 def drifting_oracle_columns(rel) -> list[str]:

@@ -1,9 +1,12 @@
-"""Independent reference check for text_bpe_merges: a third
-implementation (sequential pure Python, the textbook scan-and-skip
-formulation) must produce the identical 12 merge rules — pinning that
-the relational gaps-and-islands merge rule really equals greedy
-left-to-right non-overlapping application, independent of the DuckDB
-oracle sharing the engine's relational formulation."""
+"""BPE checks. Since round 5 the ENGINE's training is itself the
+sequential scan-and-skip algorithm (driver-side over the bounded vocab),
+so _reference_bpe below is no longer a fully independent third
+implementation of TRAINING — the independent training cross-check is
+the DuckDB oracle's relational gaps-and-islands formulation
+(test_oracle_parity/test_oracle_fixtures hash it). What stays
+independently pinned here: the Spark ENCODE path's window-only
+greedy-non-overlap machinery (_apply_merge) against scan-and-skip on
+adversarial sequences, and the vocab-count plumbing feeding training."""
 
 from __future__ import annotations
 

@@ -184,3 +184,68 @@ def test_bpe_merges_giant_token_parity(spark, bpe_adversarial_sf):
         f"first diff: "
         f"{next(((a, b) for a, b in zip(srows, drows) if a != b), None)}"
     )
+
+
+# --- PCA on rank-deficient embeddings (round-5 review finding) ----------
+#
+# A corpus spanning fewer than N_COMPONENTS effective dimensions zeroes
+# the deflated covariance once fixed-point quantization eats the
+# residual; the unguarded fit then computed 0/0 -> numpy NaN (and
+# undefined int64s through the projection floor) while DuckDB's x/0.0
+# yields NULL — a data-dependent cross-engine divergence of the same
+# class as the r3/r4 nucleus/BPE failures. Both engines now divide by a
+# CASE-guarded denominator (0 -> 1), making degenerate components exact
+# zero vectors; this fixture pins cross-engine parity on a rank-2,
+# 6-row corpus.
+
+
+@pytest.fixture(scope="module")
+def rank_deficient_sf(tmp_path_factory, spark):
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("rankdef_sf")
+    rng = np.random.default_rng(7)
+    b1, b2 = rng.standard_normal((2, 64)).astype(np.float32)
+    vecs = [
+        (i, [float(v) for v in (a * b1 + b * b2)], i % 3)
+        for i, (a, b) in enumerate(
+            [(1.0, 0.0), (0.0, 1.0), (1.0, 1.0), (2.0, -1.0),
+             (-1.0, 0.5), (0.5, 0.5)]
+        )
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label long"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_pca_rank_deficient_parity(spark, rank_deficient_sf):
+    import duckdb
+
+    from hadoop_spark_pspd_spark.registry import load_all
+
+    reg = load_all()
+    for name in ("sim_pca_project", "sim_pca_whiten"):
+        q = reg[name]
+        sdf = q.fn(spark, rank_deficient_sf)
+        srows = sorted(
+            tuple(repr(_norm(v)) for v in r) for r in sdf.collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"'{rank_deficient_sf}/embeddings.parquet/*.parquet'"
+        )
+        drows = sorted(
+            tuple(repr(_norm(v)) for v in r)
+            for r in con.sql(q.oracle).fetchall()
+        )
+        con.close()
+        assert len(srows) == 48, name  # 6 vecs x 8 components
+        assert srows == drows, (
+            name,
+            next(((a, b) for a, b in zip(srows, drows) if a != b), None),
+        )
+        # no NaN/None leaked from the degenerate components
+        assert not any("nan" in c.lower() or "None" in c
+                       for row in srows for c in row), name

@@ -134,3 +134,6 @@ def test_drift_audit_catches_uncast_window_sum(duck):
     # structured outputs (would crash the driver's pandas sort) flagged
     arr = duck.sql("SELECT [1, 2] AS a")
     assert drifting_oracle_columns(arr) == ["a: INTEGER[]"]
+    # fixed-size ARRAY crashes the canonicalizer exactly like LIST
+    farr = duck.sql("SELECT array_value(1, 2, 3) AS a")
+    assert drifting_oracle_columns(farr) == ["a: INTEGER[3]"]

@@ -40,11 +40,12 @@ def main() -> int:
     spark = SparkSession.builder.appName(f"pspd_smoke_{name}").getOrCreate()
     t0 = time.time()
     df = reg[name].fn(spark, sf_dir)
-    rows = df.limit(limit).collect()
     n = df.count()
-    print(f"{name}: {n} rows in {time.time() - t0:.1f}s on "
+    wall = time.time() - t0
+    print(f"{name}: {n} rows in {wall:.1f}s on "
           f"master={spark.sparkContext.master}")
-    for r in rows:
+    # sample fetch is a second (limit-pruned) execution — timed run above
+    for r in df.limit(limit).collect():
         print("  ", r)
     return 0
 
