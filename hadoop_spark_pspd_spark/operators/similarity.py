@@ -1264,3 +1264,124 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_dim[1:]:
         out = out.unionAll(p)
     return out
+
+
+# --- binary (sign-bit) quantization + Hamming search --------------------
+
+_HAM_WORDS = 2  # 64 dims packed into 2x32-bit words (each fits BIGINT)
+
+
+def _sign_word_spark(lo: int) -> F.Column:
+    """Bits lo..lo+31 of the sign signature as one BIGINT word.
+
+    Bit i is set iff embedding[lo + i] >= 0 — a pure comparison, no
+    arithmetic, so the signature is trivially bit-identical cross-engine
+    (float >= 0 has no rounding). 32 literal power-of-two terms chained
+    as one codegen expression (tiny tree — far below the Catalyst
+    literal-array limits documented in CLAUDE.md)."""
+    acc = F.lit(0).cast("bigint")
+    for i in range(32):
+        acc = acc + F.when(
+            F.element_at(F.col("embedding"), lo + i + 1) >= 0,
+            F.lit(1 << i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+    return acc
+
+
+def _sign_word_sql(lo: int) -> str:
+    return f"""CAST(list_sum(list_transform(range(0, 32), i ->
+        CASE WHEN embedding[{lo} + i + 1] >= 0
+             THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+        AS BIGINT)"""
+
+
+@register(
+    "sim_hamming_topk",
+    oracle=f"""
+        WITH sig AS (
+            SELECT vec_id,
+                   {_sign_word_sql(0)} AS w0,
+                   {_sign_word_sql(32)} AS w1
+            FROM embeddings
+        ), qs AS (
+            SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+            FROM sig WHERE vec_id < {N_QUERIES}
+        ), ham AS (
+            SELECT qs.query_id, c.vec_id AS candidate_id,
+                   CAST(CAST(bit_count(xor(qs.q0, c.w0)) AS BIGINT)
+                      + CAST(bit_count(xor(qs.q1, c.w1)) AS BIGINT)
+                        AS BIGINT) AS hamming
+            FROM qs JOIN sig c ON c.vec_id <> qs.query_id
+        ), ranked AS (
+            SELECT query_id, candidate_id, hamming,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY hamming, candidate_id
+                   ) AS rk
+            FROM ham
+        )
+        SELECT r.query_id, r.candidate_id, r.hamming, r.rk,
+               {_cosine_sql("q", "c")} AS sim
+        FROM ranked r
+        JOIN embeddings q ON q.vec_id = r.query_id
+        JOIN embeddings c ON c.vec_id = r.candidate_id
+        WHERE r.rk <= {TOP_K}
+    """,
+    doc="Binary-code ANN: each vector's 64 dims collapse to a 64-bit "
+        "sign signature (bit i = embedding[i] >= 0) packed as two "
+        "BIGINT words; neighbor search ranks by popcount Hamming "
+        "distance (bit_count(xor)) with candidate_id tie-break, then "
+        "exact-cosine-reranks the survivors. The 100 TB story is the "
+        "32x scan-width cut: the Hamming pass reads 16 bytes/vector "
+        "instead of 256 (sign bits keep ~cosine order for centered "
+        "embeddings — Charikar's hyperplane bound with axis-aligned "
+        "planes), queries broadcast, and only the <=k survivors ever "
+        "touch full floats again. All-integer scoring: zero FP until "
+        "the final round-6 rerank column. DuckDB bit_count returns "
+        "TINYINT and list_sum HUGEINT — both outer-cast (the "
+        "oracle_audit drift classes).",
+    tags=("similarity",),
+)
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sig = t.embeddings.select(
+        "vec_id",
+        _sign_word_spark(0).alias("w0"),
+        _sign_word_spark(32).alias("w1"),
+    )
+    qs = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    ham = sig.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("candidate_id"),
+        (
+            F.bit_count(F.col("q0").bitwiseXOR(F.col("w0"))).cast("bigint")
+            + F.bit_count(F.col("q1").bitwiseXOR(F.col("w1"))).cast("bigint")
+        ).alias("hamming"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("candidate_id")
+    )
+    top = (
+        ham.select("*", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+    qe = t.embeddings.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ce = t.embeddings.select(
+        F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("ce")
+    )
+    return (
+        ce.join(F.broadcast(top), "candidate_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            "hamming",
+            "rk",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+        )
+    )

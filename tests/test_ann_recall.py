@@ -41,3 +41,47 @@ def test_ann_recall_floors(spark):
         for q, cands in d.items():
             assert len(cands) <= 5
             assert q not in cands
+
+
+def test_hamming_topk_matches_numpy(spark):
+    """Independent numpy popcount reference: signatures, distances, and
+    the full top-5 ranking (hamming asc, candidate_id tie-break) must
+    match the Spark operator exactly at the smoke SF."""
+    import numpy as np
+
+    from conftest import SF_SMOKE
+    from hadoop_spark_pspd_spark.operators.similarity import sim_hamming_topk
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float32)
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    sigs = {
+        v: int("".join("1" if x >= 0 else "0" for x in e[::-1]), 2)
+        for v, e in emb.items()
+    }
+    expected = {}
+    for q in sorted(sigs):
+        if q >= 10:
+            continue
+        dists = sorted(
+            (bin(sigs[q] ^ s).count("1"), c)
+            for c, s in sigs.items()
+            if c != q
+        )
+        expected[q] = [(c, h, rk + 1) for rk, (h, c) in enumerate(dists[:5])]
+    got = {}
+    for r in sim_hamming_topk(spark, SF_SMOKE).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["candidate_id"], r["hamming"], r["rk"])
+        )
+        # rerank column is a true cosine of the selected pair
+        a, b = emb[r["query_id"]], emb[r["candidate_id"]]
+        ref = float(
+            np.dot(a.astype(np.float64), b.astype(np.float64))
+            / (np.linalg.norm(a.astype(np.float64))
+               * np.linalg.norm(b.astype(np.float64)))
+        )
+        assert abs(r["sim"] - ref) < 1e-5
+    got = {q: sorted(v, key=lambda t: t[2]) for q, v in got.items()}
+    assert got == expected
