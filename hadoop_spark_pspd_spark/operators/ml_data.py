@@ -480,3 +480,113 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+_CTX = 256  # context length (power of two: token_offset / _CTX is an
+# exact double op in both engines — no floor-at-boundary drift)
+
+
+@register(
+    "text_seq_packing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(
+                       string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                       x -> x <> '')) AS BIGINT) AS n_tok
+            FROM documents
+        ), spans AS (
+            SELECT doc_id, source, n_tok,
+                   CAST(SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                   ) AS BIGINT) AS cum
+            FROM toks WHERE n_tok >= 1
+        ), binned AS (
+            SELECT source, doc_id, n_tok, cum, cum - n_tok AS tok_start,
+                   unnest(range(
+                       CAST(floor((cum - n_tok) / {_CTX}.0) AS BIGINT),
+                       CAST(floor((cum - 1) / {_CTX}.0) AS BIGINT) + 1
+                   )) AS bin_id
+            FROM spans
+        )
+        SELECT source, bin_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN tok_start >= bin_id * {_CTX}
+                              AND cum <= (bin_id + 1) * {_CTX}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_full_docs,
+               CAST(SUM(least(cum, (bin_id + 1) * {_CTX})
+                        - greatest(tok_start, bin_id * {_CTX}))
+                    AS BIGINT) AS fill_tokens,
+               CAST(SUM(least(cum, (bin_id + 1) * {_CTX})
+                        - greatest(tok_start, bin_id * {_CTX}))
+                    AS DOUBLE) / {_CTX} AS utilization
+        FROM binned
+        GROUP BY source, bin_id
+    """,
+    doc="Concatenate-and-chunk sequence packing into fixed "
+        f"{_CTX}-token context windows, per source shard — the layout "
+        "step that turns a curated corpus into training sequences (the "
+        "GPT-style 'pack then split at context boundaries' scheme; "
+        "docs crossing a boundary continue into the next window). "
+        "Per (source, window): overlapping docs, fully-contained docs, "
+        "filled tokens, utilization. The running offset is a window "
+        "cumsum PARTITIONED BY SOURCE shard — no global ordering, so "
+        "at 100 TB each shard packs independently (exactly how "
+        "multi-file tokenized datasets are laid out) and the span->"
+        "window expansion is a map-side sequence explode bounded by "
+        "doc_len/ctx. Zero-token docs are filtered BEFORE the explode "
+        "(Spark's sequence(a, b) with b < a would emit a phantom "
+        "descending range — the round-5 empty-string gotcha). All "
+        "integers; utilization divides by the power-of-two context "
+        "length, one exact double op; window + plain SUMs outer-cast "
+        "to BIGINT (DuckDB HUGEINT drift).",
+    tags=("text", "ml"),
+)
+def text_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import tokens
+
+    t = Tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    w = W.partitionBy("source").orderBy("doc_id")
+    spans = (
+        toks.filter(F.col("n_tok") >= 1)
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.sum("n_tok").over(w).cast("bigint").alias("cum"),
+        )
+        .withColumn("tok_start", F.col("cum") - F.col("n_tok"))
+    )
+    binned = spans.select(
+        "source",
+        "tok_start",
+        "cum",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("tok_start") / _CTX),
+                F.floor((F.col("cum") - 1) / _CTX),
+            )
+        ).alias("bin_id"),
+    )
+    lo = F.col("bin_id") * _CTX
+    hi = (F.col("bin_id") + 1) * _CTX
+    filled = F.least(F.col("cum"), hi) - F.greatest(F.col("tok_start"), lo)
+    return binned.groupBy("source", "bin_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.col("tok_start") >= lo) & (F.col("cum") <= hi), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_full_docs"),
+        F.sum(filled).cast("bigint").alias("fill_tokens"),
+        (F.sum(filled).cast("double") / _CTX).alias("utilization"),
+    )

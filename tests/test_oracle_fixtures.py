@@ -249,3 +249,60 @@ def test_pca_rank_deficient_parity(spark, rank_deficient_sf):
         # no NaN/None leaked from the degenerate components
         assert not any("nan" in c.lower() or "None" in c
                        for row in srows for c in row), name
+
+
+# --- text_seq_packing: zero-token docs + multi-window spans -------------
+
+_PACK_DOCS = [
+    # source p0: empty + whitespace-only docs (0 tokens — must be
+    # DROPPED before the window explode: Spark sequence(a, b) with
+    # b < a emits a phantom DESCENDING range, and the oracle's
+    # range() is empty -> cross-engine divergence if unfiltered)
+    (0, "", "en", "p0"),
+    (1, " \t  \n ", "en", "p0"),
+    (2, "one two three", "en", "p0"),
+    # a 600-token doc: spans 3 windows of 256 from a non-zero offset
+    (3, " ".join(f"w{i}" for i in range(600)), "en", "p0"),
+    (4, "tail", "en", "p0"),
+    # source p1: exactly one full window (boundary-exact doc)
+    (5, " ".join(f"x{i}" for i in range(256)), "en", "p1"),
+    (6, "after", "en", "p1"),
+]
+
+
+@pytest.fixture(scope="module")
+def packing_sf(tmp_path_factory, spark):
+    d = tmp_path_factory.mktemp("packing_sf")
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in _PACK_DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_seq_packing_empty_and_boundary_parity(spark, packing_sf):
+    srows, drows = _run_both("text_seq_packing", spark, packing_sf)
+    assert srows == drows, (
+        f"first diff: "
+        f"{next((a, b) for a, b in zip(srows, drows) if a != b)}"
+    )
+    # the zero-token docs must not appear anywhere: source p0 packs
+    # 3 + 600 + 1 = 604 tokens -> windows 0..2, every window's n_docs
+    # counts only non-empty docs
+    import math as _m
+
+    by_key = {}
+    for r in srows:
+        # columns sorted by name: bin_id, fill_tokens, n_docs,
+        # n_full_docs, source, utilization
+        by_key[(eval(r[4]), eval(r[0]))] = tuple(eval(x) for x in r[1:4])
+    assert set(by_key) == {("p0", 0), ("p0", 1), ("p0", 2),
+                           ("p1", 0), ("p1", 1)}
+    # p0 window 0: doc2 (3 tok, full) + doc3 spill-in (253 of 600)
+    assert by_key[("p0", 0)] == (256, 2, 1)
+    # p0 window 2: doc3 tail (91 tok) + doc4 (1 tok, full) = 92
+    assert by_key[("p0", 2)] == (92, 2, 1)
+    # p1: doc5 fills window 0 exactly; doc6 starts window 1
+    assert by_key[("p1", 0)] == (256, 1, 1)
+    assert by_key[("p1", 1)] == (1, 1, 1)
