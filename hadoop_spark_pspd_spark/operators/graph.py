@@ -546,3 +546,95 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = nxt.select("node")
     return visited
+
+
+_LP_K = 20  # predicted links to emit
+
+
+@register(
+    "graph_link_prediction",
+    oracle=_EDGES_ORACLE + f"""
+        , adj AS (
+            SELECT s1 AS a, s2 AS n FROM edges
+            UNION ALL
+            SELECT s2, s1 FROM edges
+        ), deg AS (
+            SELECT a, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY a
+        ), cand AS (
+            SELECT x.a AS s1, y.a AS s2, CAST(count(*) AS BIGINT) AS cn
+            FROM adj x JOIN adj y ON x.n = y.n AND x.a < y.a
+            GROUP BY x.a, y.a
+        ), nonedge AS (
+            SELECT c.s1, c.s2, c.cn
+            FROM cand c LEFT JOIN edges e ON e.s1 = c.s1 AND e.s2 = c.s2
+            WHERE e.s1 IS NULL
+        ), scored AS (
+            SELECT ne.s1, ne.s2, ne.cn,
+                   CAST(ne.cn AS DOUBLE) / (da.d + db.d - ne.cn) AS jaccard
+            FROM nonedge ne
+            JOIN deg da ON da.a = ne.s1
+            JOIN deg db ON db.a = ne.s2
+        )
+        SELECT s1, s2, cn, jaccard, rk FROM (
+            SELECT s1, s2, cn, jaccard,
+                   row_number() OVER (
+                       ORDER BY jaccard DESC, cn DESC, s1, s2
+                   ) AS rk
+            FROM scored
+        ) WHERE rk <= {_LP_K}
+    """,
+    doc="Neighborhood-overlap link prediction on the mutual-top-8 "
+        "supplier graph: for every NON-adjacent pair sharing at least "
+        "one neighbor, common-neighbor count and Jaccard coefficient "
+        f"cn / (deg_a + deg_b - cn); top-{_LP_K} predicted edges. "
+        "Candidate generation is the wedge self-join on the "
+        "degree-capped adjacency list — O(V * k^2) pairs at ANY scale "
+        "(never all-pairs), the same bound that makes the triangle "
+        "count tractable. Scores are exact int/int double divisions "
+        "(denominator >= max degree >= 1 by construction — no zero "
+        "guard needed); ranking tie-breaks (cn, s1, s2) make the "
+        "global top-k unique. The final window is a single global "
+        "row_number over the wedge-bounded candidate set — at 100 TB "
+        "swap in the top-k-per-partition + merge pattern "
+        "(wordcount.py's wc_top20) if the candidate set outgrows one "
+        "task; the k-bounded graph keeps it |V|*64 worst case.",
+    tags=("graph",),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = cooccurrence_edges(spark, sf_dir).cache()
+    adj = edges.select(
+        F.col("s1").alias("a"), F.col("s2").alias("n")
+    ).unionAll(edges.select(F.col("s2").alias("a"), F.col("s1").alias("n")))
+    deg = adj.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    x = adj.alias("x")
+    y = adj.alias("y")
+    cand = (
+        x.join(y, (F.col("x.n") == F.col("y.n")) & (F.col("x.a") < F.col("y.a")))
+        .groupBy(F.col("x.a").alias("s1"), F.col("y.a").alias("s2"))
+        .agg(F.count("*").cast("bigint").alias("cn"))
+    )
+    nonedge = cand.join(edges, ["s1", "s2"], "left_anti")
+    da = deg.select(F.col("a").alias("s1"), F.col("d").alias("da"))
+    db = deg.select(F.col("a").alias("s2"), F.col("d").alias("db"))
+    scored = (
+        nonedge.join(F.broadcast(da), "s1")
+        .join(F.broadcast(db), "s2")
+        .select(
+            "s1",
+            "s2",
+            "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+    )
+    w = W.orderBy(
+        F.desc("jaccard"), F.desc("cn"), F.asc("s1"), F.asc("s2")
+    )
+    return (
+        scored.select(
+            "*", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= _LP_K)
+    )
