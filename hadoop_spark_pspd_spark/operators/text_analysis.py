@@ -421,3 +421,108 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("word", "doc_id", "tf", "df", "dl", "score")
     )
+
+
+_FH_BUCKETS = 256
+_FH_WRANGE = 2001  # weights in [-1000, 1000] thousandths
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_SQL_TOKENS}) AS tk FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(tk), 1, 8)) AS UBIGINT)
+                        % {_FH_BUCKETS} AS BIGINT) AS bucket,
+                   CASE WHEN CAST(('0x' || substr(md5(tk), 9, 1)) AS UBIGINT)
+                             % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM toks
+        ), feats AS (
+            SELECT doc_id, bucket,
+                   CAST(SUM(sgn) AS BIGINT) AS feat,
+                   CAST(count(*) AS BIGINT) AS hits
+            FROM hashed GROUP BY doc_id, bucket
+        ), weighted AS (
+            SELECT doc_id, feat, hits,
+                   CAST(CAST(('0x' || substr(md5('b' ||
+                            CAST(bucket AS VARCHAR)), 1, 8)) AS UBIGINT)
+                        % {_FH_WRANGE} AS BIGINT) - 1000 AS w_milli
+            FROM feats
+        )
+        SELECT doc_id,
+               CAST(SUM(hits) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN feat <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nnz_buckets,
+               CAST(SUM(abs(feat)) AS BIGINT) AS l1_mass,
+               CAST(SUM(feat * w_milli) AS BIGINT) AS score_milli,
+               CAST(CAST(SUM(feat * w_milli) AS BIGINT) AS DOUBLE) / 1000
+                   AS score
+        FROM weighted GROUP BY doc_id
+    """,
+    doc="The hashing trick (signed feature hashing, "
+        "Weinberger et al. 2009): every token maps to one of "
+        f"{_FH_BUCKETS} buckets via md5, with an independent md5 hex "
+        "digit choosing +/-1 so collisions cancel in expectation — the "
+        "fixed-width featurization fastText-style quality classifiers "
+        "run over a crawl. Per doc: token count, non-zero buckets, L1 "
+        "feature mass, and a linear-model score against a "
+        "hash-derandomized integer weight vector (thousandths), summed "
+        "as exact ints (score_milli) with one final double division "
+        "for display. Map-side only — groupBy(doc, bucket) then "
+        "groupBy(doc) both partial-agg before shuffling, no "
+        "vocabulary/dictionary state anywhere (the whole point of "
+        "hashing at 100 TB: no driver-side vocab build, unbounded "
+        "token space, fixed memory). All md5-derived ints follow the "
+        "repo's conv(substr(md5,1,k<=13)) == '0x'||substr UBIGINT "
+        "convention.",
+    tags=("text",),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tk = F.col("tk")
+    exploded = t.documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
+    )
+    hb = F.conv(F.substring(F.md5(tk), 1, 8), 16, 10).cast("bigint")
+    sb = F.conv(F.substring(F.md5(tk), 9, 1), 16, 10).cast("bigint")
+    hashed = exploded.select(
+        "doc_id",
+        F.pmod(hb, F.lit(_FH_BUCKETS)).cast("bigint").alias("bucket"),
+        F.when(F.pmod(sb, F.lit(2)) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    feats = hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("sgn").cast("bigint").alias("feat"),
+        F.count("*").cast("bigint").alias("hits"),
+    )
+    wb = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("b"), F.col("bucket").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    weighted = feats.select(
+        "doc_id",
+        "feat",
+        "hits",
+        (F.pmod(wb, F.lit(_FH_WRANGE)) - 1000).alias("w_milli"),
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.sum("hits").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("feat") != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nnz_buckets"),
+        F.sum(F.abs(F.col("feat"))).cast("bigint").alias("l1_mass"),
+        F.sum(F.col("feat") * F.col("w_milli"))
+        .cast("bigint")
+        .alias("score_milli"),
+        (
+            F.sum(F.col("feat") * F.col("w_milli")).cast("bigint").cast("double")
+            / 1000
+        ).alias("score"),
+    )
