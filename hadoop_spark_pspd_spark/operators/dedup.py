@@ -892,3 +892,68 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+_SOFT_FX = 1 << 30  # weight quantum: floor(2^30 / dup_count) per doc
+
+
+@register(
+    "dedup_soft_weights",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, source,
+                   md5(regexp_replace(lower(trim(text)),
+                       '[ \\t\\n\\r\\f]+', ' ', 'g')) AS fp
+            FROM documents
+        ), counted AS (
+            SELECT doc_id, source,
+                   CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS c
+            FROM fp
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+               CAST(SUM({_SOFT_FX} // c) AS BIGINT) AS eff_fx,
+               CAST(CAST(SUM({_SOFT_FX} // c) AS BIGINT) AS DOUBLE)
+                   / {_SOFT_FX} AS eff_size
+        FROM counted GROUP BY source
+    """,
+    doc="Soft deduplication (frequency downweighting, the SlimPajama/"
+        "D4-style alternative to hard dropping): every doc in an "
+        "exact-dup cluster of size c gets sampling weight 1/c, so each "
+        "distinct text contributes unit mass no matter how often the "
+        "crawl re-serves it. Per source: docs, duplicated docs, and "
+        "the effective (weighted) dataset size. Weights are "
+        "fixed-point floor(2^30 / c) integers summed as exact BIGINTs "
+        "(a double 1/c sum would be order-dependent), with one final "
+        "exact power-of-two division for the display double — the "
+        "same order-free-sum discipline as pagerank/kmeans. Two "
+        "shuffles total (fingerprint window + source agg), both "
+        "partial-agg friendly; no driver state.",
+    tags=("dedup",),
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import normalized_text
+
+    t = Tables(spark, sf_dir)
+    fp = t.documents.select(
+        "doc_id", "source", F.md5(normalized_text("text")).alias("fp")
+    )
+    counted = fp.select(
+        "source",
+        F.count("*").over(W.partitionBy("fp")).cast("bigint").alias("c"),
+    )
+    w_fx = F.expr(f"{_SOFT_FX} div c")
+    return counted.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+        F.sum(w_fx).cast("bigint").alias("eff_fx"),
+        (F.sum(w_fx).cast("bigint").cast("double") / _SOFT_FX).alias(
+            "eff_size"
+        ),
+    )
