@@ -292,9 +292,6 @@ def _train_coarse_quantizer(
         cast hops on both edges (the repo's double<->decimal
         convention); empty cells keep their previous centroid.
     """
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
     rows = (
         emb.select("vec_id", "embedding")
         .orderBy("vec_id")
@@ -302,6 +299,19 @@ def _train_coarse_quantizer(
         .collect()
     )
     sample = [[float(v) for v in r["embedding"]] for r in rows]
+    return np.array(_lloyd_rounds(sample, k_cells, iters), dtype=np.float64)
+
+
+def _lloyd_rounds(
+    sample: list[list[float]], k_cells: int, iters: int
+) -> list[list[float]]:
+    """The deterministic Lloyd loop itself (init = first k rows,
+    fixed-point dot argmax, exact-decimal means, empty-cell carry-over)
+    on an in-memory sample — shared by the IVF coarse quantizer and the
+    per-subspace PQ codebooks."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     cents = [list(sample[i]) for i in range(k_cells)]
     q14 = Decimal("1e-14")
     for _ in range(iters):
@@ -329,7 +339,7 @@ def _train_coarse_quantizer(
                 / len(members)
                 for j in range(len(members[0]))
             ]
-    return np.array(cents, dtype=np.float64)
+    return cents
 
 
 _IVF_CELLS = 16
@@ -1384,4 +1394,269 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
             F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
         )
+    )
+
+
+# --- product quantization (ADC) ANN -------------------------------------
+
+_PQ_M = 8        # subspaces
+_PQ_SUBDIM = DIM // _PQ_M
+_PQ_K = 16       # centroids per subspace codebook
+_PQ_ITERS = 2    # Lloyd rounds per subspace (oracle-replayed)
+_PQ_RERANK = 32  # ADC survivors that get exact-cosine reranked
+
+
+def _train_pq_codebooks(emb: DataFrame) -> np.ndarray:
+    """Per-subspace deterministic codebooks: the IVF trainer's exact
+    Lloyd loop (_lloyd_rounds — first-k init, fixed-point dot argmax,
+    exact-decimal means) run independently on each 8-dim slice of the
+    same bounded first-256 sample. One collect, eight codebooks."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_QUANT_SAMPLE)
+        .collect()
+    )
+    full = [[float(v) for v in r["embedding"]] for r in rows]
+    books = []
+    for m in range(_PQ_M):
+        lo = m * _PQ_SUBDIM
+        sub = [x[lo:lo + _PQ_SUBDIM] for x in full]
+        books.append(_lloyd_rounds(sub, _PQ_K, _PQ_ITERS))
+    return np.array(books, dtype=np.float64)  # (M, K, SUBDIM)
+
+
+def _pq_oracle() -> str:
+    """DuckDB replay of the whole PQ pipeline: 8 independent subspace
+    codebook trainings (2 unrolled Lloyd rounds each, the IVF oracle's
+    exact CTE shapes on 8-dim slices), full-corpus encoding, the
+    query-side fixed-point ADC lookup table, score-by-sum over
+    subspace codes, and the exact-cosine rerank of the top-32."""
+    sd, fp = _PQ_SUBDIM, float(_LSH_FP)
+
+    def fx(src_expr: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sd} + 1), j -> "
+            f"CAST(floor({src_expr} * c.centroid[j] * {fp}) AS BIGINT)))"
+        )
+
+    parts = []
+    enc_sel, qd_sel = [], []
+    for m in range(_PQ_M):
+        lo = m * _PQ_SUBDIM
+        parts.append(f"""
+        sm{m} AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(range(1, {sd} + 1), j -> emb[{lo} + j])
+                       AS emb
+            FROM smp
+        ), cb{m}_0 AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   emb AS centroid
+            FROM (SELECT vec_id, emb FROM sm{m} ORDER BY vec_id
+                  LIMIT {_PQ_K})
+        )""")
+        for i in range(_PQ_ITERS):
+            parts.append(f"""
+        sa{m}_{i} AS MATERIALIZED (
+            SELECT vec_id, emb, cell FROM (
+                SELECT s.vec_id, s.emb, c.cell,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY {fx("s.emb[j]")} DESC, c.cell
+                       ) AS rn
+                FROM sm{m} s, cb{m}_{i} c
+            ) WHERE rn = 1
+        ), cb{m}_{i + 1} AS MATERIALIZED (
+            SELECT c.cell, COALESCE(x.centroid, c.centroid) AS centroid
+            FROM cb{m}_{i} c LEFT JOIN (
+                SELECT cell, list(mean ORDER BY dim) AS centroid
+                FROM (
+                    SELECT cell, CAST(dim AS INTEGER) AS dim,
+                           CAST(CAST(SUM(CAST(CAST(coord AS VARCHAR)
+                                              AS DECIMAL(27,14)))
+                                     AS VARCHAR) AS DOUBLE)
+                           / count(*) AS mean
+                    FROM (
+                        SELECT cell, unnest(emb) AS coord,
+                               unnest(range(len(emb))) AS dim
+                        FROM sa{m}_{i}
+                    ) GROUP BY cell, CAST(dim AS INTEGER)
+                ) GROUP BY cell
+            ) x ON x.cell = c.cell
+        )""")
+        parts.append(f"""
+        enc{m} AS MATERIALIZED (
+            SELECT vec_id, cell FROM (
+                SELECT s.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY {fx(f"s.emb[{lo} + j]")} DESC, c.cell
+                       ) AS rn
+                FROM pts s, cb{m}_{_PQ_ITERS} c
+            ) WHERE rn = 1
+        ), qd{m} AS MATERIALIZED (
+            SELECT s.vec_id AS query_id, c.cell,
+                   CAST({fx(f"s.emb[{lo} + j]")} AS BIGINT) AS fx
+            FROM pts s, cb{m}_{_PQ_ITERS} c
+            WHERE s.vec_id < {N_QUERIES}
+        )""")
+        enc_sel.append(f"SELECT {m} AS m, vec_id, cell FROM enc{m}")
+        qd_sel.append(f"SELECT {m} AS m, query_id, cell, fx FROM qd{m}")
+    return f"""
+        WITH pts AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), smp AS MATERIALIZED (
+            SELECT vec_id, emb FROM pts ORDER BY vec_id LIMIT {_QUANT_SAMPLE}
+        ), {",".join(parts)},
+        enc_all AS ({" UNION ALL ".join(enc_sel)}),
+        qd_all AS ({" UNION ALL ".join(qd_sel)}),
+        approx AS (
+            SELECT q.query_id, e.vec_id AS candidate_id,
+                   CAST(SUM(q.fx) AS BIGINT) AS afx
+            FROM enc_all e JOIN qd_all q ON q.m = e.m AND q.cell = e.cell
+            WHERE e.vec_id <> q.query_id
+            GROUP BY q.query_id, e.vec_id
+        ), cand AS (
+            SELECT query_id, candidate_id FROM (
+                SELECT query_id, candidate_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY afx DESC, candidate_id
+                       ) AS arn
+                FROM approx
+            ) WHERE arn <= {_PQ_RERANK}
+        ), scored AS (
+            SELECT cand.query_id, cand.candidate_id, {_COSINE_SQL} AS sim
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.candidate_id
+        )
+        SELECT query_id, candidate_id, sim, rk FROM (
+            SELECT query_id, candidate_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, candidate_id
+                   ) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """
+
+
+@register(
+    "sim_ann_pq",
+    oracle=_pq_oracle(),
+    doc="ANN via product quantization with asymmetric distance "
+        f"computation (Jegou et al. 2011): the {DIM} dims split into "
+        f"{_PQ_M} x {_PQ_SUBDIM}-dim subspaces, each with its own "
+        f"{_PQ_K}-centroid codebook (deterministic Lloyd on the "
+        "first-256 sample — the IVF quantizer's exact conventions per "
+        "slice), so every vector compresses to 8 codes (4 bits each "
+        "in a real serialization — 64x smaller than the floats). "
+        "Search never decompresses the corpus: each query precomputes "
+        f"a {_PQ_M}x{_PQ_K} fixed-point inner-product lookup table, "
+        "the ADC scan is a broadcast equi-join on (subspace, code) "
+        "plus an integer sum — exact, order-free — and only the "
+        f"top-{_PQ_RERANK} approximate survivors are exact-cosine "
+        f"reranked to the final top-{TOP_K}. The 100 TB story: codes "
+        "are rewritten once at ingest (map-only), the scan side reads "
+        "8 bytes/vector with zero shuffle (LUT broadcasts), and "
+        "codebooks are driver-bounded constants. Hash-matched by a "
+        "full DuckDB replay: 8 subspace trainings, encoding, LUT, "
+        "ADC, rerank.",
+    tags=("similarity",),
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    books = _train_pq_codebooks(t.embeddings)  # (M, K, SUBDIM)
+
+    def _encode(embs):
+        mat = np.stack(embs.values).astype(np.float64)
+        n = len(mat)
+        codes = np.empty((n, _PQ_M), dtype=np.int64)
+        for m in range(_PQ_M):
+            lo = m * _PQ_SUBDIM
+            sub = mat[:, lo:lo + _PQ_SUBDIM]
+            # (n, K) fixed-point dots: floor per product, exact int sum
+            prods = np.floor(
+                sub[:, None, :] * books[m][None, :, :] * float(_LSH_FP)
+            ).sum(axis=2)
+            # argmax with lowest-cell tie-break == stable argsort desc
+            codes[:, m] = np.argsort(-prods, axis=1, kind="stable")[:, 0]
+        return pd.Series([row.astype("int32").tolist() for row in codes])
+
+    _encode.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    encode = F.pandas_udf(_encode, "array<int>")
+
+    coded = t.embeddings.select(
+        "vec_id", encode(F.col("embedding")).alias("codes")
+    )
+    enc = coded.select(
+        "vec_id", F.posexplode("codes").alias("m", "cell")
+    )
+
+    # query-side LUT: JVM zip_with/aggregate fixed-point dots of each
+    # query sub-slice against every codebook centroid (10 x 128 rows)
+    cb_rows = [
+        (m, c, [float(v) for v in books[m][c]])
+        for m in range(_PQ_M)
+        for c in range(_PQ_K)
+    ]
+    cb = spark.createDataFrame(
+        cb_rows, "m int, cell int, centroid array<double>"
+    )
+    q = t.embeddings.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    sub = F.slice(F.col("qe"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+    fx = F.aggregate(
+        F.zip_with(
+            sub,
+            F.col("centroid"),
+            lambda x, y: F.floor(x.cast("double") * y * float(_LSH_FP)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    qd = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "m", "cell", fx.cast("bigint").alias("fx")
+    )
+
+    approx = (
+        enc.join(F.broadcast(qd), ["m", "cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("candidate_id"))
+        .agg(F.sum("fx").cast("bigint").alias("afx"))
+    )
+    aw = W.partitionBy("query_id").orderBy(
+        F.desc("afx"), F.asc("candidate_id")
+    )
+    cand = (
+        approx.select(
+            "query_id",
+            "candidate_id",
+            F.row_number().over(aw).alias("arn"),
+        )
+        .filter(F.col("arn") <= _PQ_RERANK)
+        .drop("arn")
+    )
+    ce = t.embeddings.select(
+        F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        ce.join(F.broadcast(cand), "candidate_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("candidate_id"))
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
     )

@@ -85,3 +85,20 @@ def test_hamming_topk_matches_numpy(spark):
         assert abs(r["sim"] - ref) < 1e-5
     got = {q: sorted(v, key=lambda t: t[2]) for q, v in got.items()}
     assert got == expected
+
+
+def test_pq_recall_floor(spark):
+    """PQ-ADC with top-32 rerank on the uniform (adversarial) corpus:
+    measured recall@5 is 0.62/0.70 at sf0.001/sf0.01 — floor at 0.5 as
+    the regression tripwire (a broken codebook/LUT shows up as ~0)."""
+    from hadoop_spark_pspd_spark.operators.similarity import sim_ann_pq
+
+    bf = _topk(sim_topk_bruteforce(spark, SF_GATE))
+    pq = _topk(sim_ann_pq(spark, SF_GATE))
+    recall = sum(
+        len(pq.get(q, set()) & bf[q]) / len(bf[q]) for q in bf
+    ) / len(bf)
+    assert recall >= 0.5, f"PQ recall@5 collapsed: {recall}"
+    for q, cands in pq.items():
+        assert len(cands) <= 5
+        assert q not in cands
