@@ -346,35 +346,37 @@ _IVF_CELLS = 16
 _IVF_NPROBE = 2
 
 
-def _ivf_oracle() -> str:
-    """DuckDB SQL replaying the whole IVF pipeline bit-for-bit: the
-    driver-side quantizer training (5 unrolled Lloyd rounds on the
-    first-256 sample, fixed-point dot argmax, exact-decimal means with
-    empty-cell carry-over), the full-corpus fixed-point cell
-    assignment, the probe join, and the rounded exact-cosine rerank."""
-    k, nprobe = _IVF_CELLS, _IVF_NPROBE
-    fx = (
-        f"list_sum(list_transform(range(1, {DIM} + 1), j -> "
-        f"CAST(floor(s.emb[j] * c.centroid[j] * {float(_LSH_FP)}) "
-        "AS BIGINT)))"
-    )
+_IVF_FX = (
+    f"list_sum(list_transform(range(1, {DIM} + 1), j -> "
+    f"CAST(floor(s.emb[j] * c.centroid[j] * {float(_LSH_FP)}) "
+    "AS BIGINT)))"
+)
 
-    def assign(name: str, src: str, cent: str, keep: str) -> str:
-        return f"""
+
+def _q_assign(name: str, src: str, cent: str, keep: str) -> str:
+    """Fixed-point max-dot cell assignment CTE (lowest-cell tie-break)."""
+    return f"""
         {name} AS MATERIALIZED (
             SELECT vec_id, emb, cell, rn FROM (
                 SELECT s.vec_id, s.emb, c.cell,
                        row_number() OVER (
                            PARTITION BY s.vec_id
-                           ORDER BY {fx} DESC, c.cell
+                           ORDER BY {_IVF_FX} DESC, c.cell
                        ) AS rn
                 FROM {src} s, {cent} c
             ) WHERE rn <= {keep}
         )"""
 
+
+def _quant_train_prefix(k: int) -> str:
+    """WITH-body replaying the driver-side coarse-quantizer training:
+    pts (doubles), smp (first-256 sample), q0 (first-k init), then
+    _QUANT_ITERS unrolled Lloyd rounds ending at the trained q5.
+    Shared verbatim by the IVF and silhouette oracles so the replayed
+    codebook cannot drift between them."""
     rounds = []
     for i in range(_QUANT_ITERS):
-        rounds.append(assign(f"sa{i}", "smp", f"q{i}", "1"))
+        rounds.append(_q_assign(f"sa{i}", "smp", f"q{i}", "1"))
         rounds.append(f"""
         q{i + 1} AS MATERIALIZED (
             SELECT c.cell, COALESCE(m.centroid, c.centroid) AS centroid
@@ -394,8 +396,7 @@ def _ivf_oracle() -> str:
                 ) GROUP BY cell
             ) m ON m.cell = c.cell
         )""")
-    return f"""
-        WITH pts AS MATERIALIZED (
+    return f"""WITH pts AS MATERIALIZED (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
             FROM embeddings
@@ -405,7 +406,34 @@ def _ivf_oracle() -> str:
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                    emb AS centroid
             FROM (SELECT vec_id, emb FROM smp ORDER BY vec_id LIMIT {k})
-        ),{",".join(rounds)},
+        ),{",".join(rounds)}"""
+
+
+def _ivf_oracle() -> str:
+    """DuckDB SQL replaying the whole IVF pipeline bit-for-bit: the
+    driver-side quantizer training (5 unrolled Lloyd rounds on the
+    first-256 sample, fixed-point dot argmax, exact-decimal means with
+    empty-cell carry-over — the shared _quant_train_prefix), the
+    full-corpus fixed-point cell assignment, the probe join, and the
+    rounded exact-cosine rerank."""
+    k, nprobe = _IVF_CELLS, _IVF_NPROBE
+    fx = _IVF_FX
+
+    def assign(name: str, src: str, cent: str, keep: str) -> str:
+        return f"""
+        {name} AS MATERIALIZED (
+            SELECT vec_id, emb, cell, rn FROM (
+                SELECT s.vec_id, s.emb, c.cell,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY {fx} DESC, c.cell
+                       ) AS rn
+                FROM {src} s, {cent} c
+            ) WHERE rn <= {keep}
+        )"""
+
+    return f"""
+        {_quant_train_prefix(k)},
         {assign("ranked", "pts", f"q{_QUANT_ITERS}", str(nprobe))},
         corpus AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
         qprobe AS (
@@ -1659,4 +1687,136 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.select("*", F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= TOP_K)
+    )
+
+
+# --- cluster-quality evaluation (simplified silhouette) ------------------
+
+_SIL_FX = 1 << 24  # quantum for the per-point silhouette before summing
+
+
+def _silhouette_oracle() -> str:
+    """Replays the trained coarse quantizer (shared prefix), assigns
+    every vector to its NEAREST centroid by fixed-point squared
+    Euclidean distance, and computes the centroid-based (simplified)
+    silhouette (b - a) / max(a, b) from the exact 2^-20-quantized
+    distances, quantized to 2^-24 before the order-free per-cluster
+    sum."""
+    fp = float(_LSH_FP)
+    d2 = (
+        f"list_sum(list_transform(range(1, {DIM} + 1), j -> "
+        f"CAST(floor((s.emb[j] - c.centroid[j])"
+        f" * (s.emb[j] - c.centroid[j]) * {fp}) AS BIGINT)))"
+    )
+    return f"""
+        {_quant_train_prefix(_IVF_CELLS)},
+        d AS MATERIALIZED (
+            SELECT s.vec_id, c.cell, CAST({d2} AS BIGINT) AS d2
+            FROM pts s, q{_QUANT_ITERS} c
+        ), r AS (
+            SELECT vec_id, cell, d2,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cell
+                   ) AS rn
+            FROM d
+        ), own AS (
+            SELECT vec_id, cell, d2 AS a_fx FROM r WHERE rn = 1
+        ), other AS (
+            SELECT r.vec_id, min(r.d2) AS b_fx
+            FROM r JOIN own o
+              ON o.vec_id = r.vec_id AND r.cell <> o.cell
+            GROUP BY r.vec_id
+        ), sil AS (
+            SELECT o.vec_id, o.cell,
+                   CAST(floor(
+                       CASE WHEN greatest(CAST(o.a_fx AS DOUBLE) / {fp},
+                                          CAST(t.b_fx AS DOUBLE) / {fp}) = 0
+                            THEN CAST(0 AS DOUBLE)
+                            ELSE (CAST(t.b_fx AS DOUBLE) / {fp}
+                                  - CAST(o.a_fx AS DOUBLE) / {fp})
+                                 / greatest(CAST(o.a_fx AS DOUBLE) / {fp},
+                                            CAST(t.b_fx AS DOUBLE) / {fp})
+                       END * {float(_SIL_FX)}) AS BIGINT) AS s_fx
+            FROM own o JOIN other t ON t.vec_id = o.vec_id
+        )
+        SELECT cell,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(SUM(s_fx) AS BIGINT) AS sil_fx,
+               CAST(CAST(SUM(s_fx) AS BIGINT) AS DOUBLE)
+                   / (count(*) * {float(_SIL_FX)}) AS mean_sil
+        FROM sil GROUP BY cell
+    """
+
+
+@register(
+    "sim_silhouette",
+    oracle=_silhouette_oracle(),
+    doc="Centroid-based (simplified) silhouette — the cluster-quality "
+        "gate a curation pipeline checks before trusting k-means "
+        "buckets for semantic dedup or mixture balancing: per point, "
+        "a = squared distance to its nearest centroid, b = to the "
+        "runner-up, s = (b - a)/max(a, b); per cluster, membership and "
+        "mean s. Distances are fixed-point (each squared-difference "
+        "term floored to 2^-20 units, summed as exact ints — the "
+        "pagerank/Gram discipline), the scalar s chain is all "
+        "exact-or-correctly-rounded IEEE ops on exactly-representable "
+        "quantized inputs, and s re-quantizes to 2^-24 ints before the "
+        "per-cluster sum so aggregation order can't drift it. The "
+        "max(a,b)=0 degenerate point (a vector EQUAL to its centroid "
+        "in a 1-member cell) is zero-guarded IDENTICALLY in both "
+        "engines (the round-5 division-guard convention). Full-corpus "
+        "cost: one broadcast k x dim matmul per vector (numpy pandas "
+        "UDF, Arrow-batched) + one groupBy(cell) — map-side, no "
+        "shuffle beyond the 16-row aggregate; the simplified (not "
+        "pairwise) silhouette is exactly what stays computable at "
+        "100 TB, O(n*k) instead of O(n^2).",
+    tags=("similarity", "clustering"),
+)
+def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    cents = _train_coarse_quantizer(t.embeddings, _IVF_CELLS)
+
+    def _sil_parts(embs):
+        mat = np.stack(embs.values).astype(np.float64)
+        diffs = mat[:, None, :] - cents[None, :, :]
+        d2 = np.floor(diffs * diffs * float(_LSH_FP)).sum(axis=2)
+        order = np.argsort(d2, axis=1, kind="stable")
+        own = order[:, 0]
+        a_fx = d2[np.arange(len(mat)), own]
+        second = order[:, 1]
+        b_fx = d2[np.arange(len(mat)), second]
+        return pd.DataFrame(
+            {
+                "cell": own.astype("int32"),
+                "a_fx": a_fx.astype("int64"),
+                "b_fx": b_fx.astype("int64"),
+            }
+        )
+
+    _sil_parts.__annotations__ = {"embs": pd.Series, "return": pd.DataFrame}
+    sil_parts = F.pandas_udf(
+        _sil_parts, "cell int, a_fx long, b_fx long"
+    )
+
+    fp = float(_LSH_FP)
+    parts = t.embeddings.select(
+        sil_parts(F.col("embedding")).alias("p")
+    ).select("p.cell", "p.a_fx", "p.b_fx")
+    a_q = F.col("a_fx").cast("double") / fp
+    b_q = F.col("b_fx").cast("double") / fp
+    mx = F.greatest(a_q, b_q)
+    s = F.when(mx == 0, F.lit(0.0)).otherwise((b_q - a_q) / mx)
+    quant = parts.select(
+        "cell",
+        F.floor(s * float(_SIL_FX)).cast("bigint").alias("s_fx"),
+    )
+    return quant.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum("s_fx").cast("bigint").alias("sil_fx"),
+        (
+            F.sum("s_fx").cast("bigint").cast("double")
+            / (F.count("*") * float(_SIL_FX))
+        ).alias("mean_sil"),
     )

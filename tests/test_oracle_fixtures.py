@@ -306,3 +306,54 @@ def test_seq_packing_empty_and_boundary_parity(spark, packing_sf):
     # p1: doc5 fills window 0 exactly; doc6 starts window 1
     assert by_key[("p1", 0)] == (256, 1, 1)
     assert by_key[("p1", 1)] == (1, 1, 1)
+
+
+# --- sim_silhouette: duplicate-centroid max(a,b)=0 guard ----------------
+
+
+@pytest.fixture(scope="module")
+def dup_centroid_sf(tmp_path_factory, spark):
+    """16 one-hot vectors with v1 == v0: the trained quantizer keeps two
+    IDENTICAL centroids (cell 1 goes empty -> carry-over), so v0/v1 hit
+    a = b = 0 — the max(a,b)=0 division guard no generated corpus
+    reaches (DuckDB 0/0 -> NULL vs IEEE NaN without it)."""
+    d = tmp_path_factory.mktemp("dupcent_sf")
+    vecs = []
+    for i in range(16):
+        e = [0.0] * 64
+        e[0 if i <= 1 else i] = 1.0
+        vecs.append((i, e, i % 3))
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label long"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_silhouette_degenerate_guard_parity(spark, dup_centroid_sf):
+    import duckdb
+
+    q = REGISTRY["sim_silhouette"]
+    sdf = q.fn(spark, dup_centroid_sf)
+    srows = sorted(tuple(repr(_norm(v)) for v in r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{dup_centroid_sf}/embeddings.parquet/*.parquet'"
+    )
+    drows = sorted(
+        tuple(repr(_norm(v)) for v in r) for r in con.sql(q.oracle).fetchall()
+    )
+    con.close()
+    assert srows == drows, (
+        f"first diff: "
+        f"{next((a, b) for a, b in zip(srows, drows) if a != b)}"
+    )
+    by_cell = {r["cell"]: r for r in sdf.collect()}
+    # the duplicate pair: both members sit ON two identical centroids ->
+    # guarded s = 0 exactly (an unguarded engine yields NULL/NaN here)
+    assert by_cell[0]["n_members"] == 2
+    assert by_cell[0]["mean_sil"] == 0.0
+    # every isolated one-hot point: a = 0, b = 2 -> s = 1
+    assert all(
+        by_cell[c]["mean_sil"] == 1.0 for c in by_cell if c not in (0, 1)
+    )
