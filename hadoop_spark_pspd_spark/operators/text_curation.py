@@ -292,3 +292,143 @@ def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.countDistinct("f")) / F.count("*")
         ).alias("dup_rate"),
     )
+
+
+_DSIR_B = 1024           # hashed-unigram buckets
+_DSIR_FX = 1 << 30       # probability quantum (exact integer division)
+_DSIR_TARGET = "src0"    # the "domain we want more of"
+_DSIR_TOP = 100
+
+_DSIR_TOKENS = (
+    "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> x <> '')"
+)
+
+
+@register(
+    "text_dsir_weights",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, unnest({_DSIR_TOKENS}) AS tk
+            FROM documents
+        ), bt AS (
+            SELECT doc_id, source,
+                   CAST(CAST(('0x' || substr(md5(tk), 1, 8)) AS UBIGINT)
+                        % {_DSIR_B} AS BIGINT) AS bucket
+            FROM toks
+        ), tcnt AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+            FROM bt WHERE source = '{_DSIR_TARGET}' GROUP BY bucket
+        ), rcnt AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+            FROM bt GROUP BY bucket
+        ), tot AS (
+            SELECT CAST((SELECT count(*) FROM bt
+                         WHERE source = '{_DSIR_TARGET}') AS BIGINT) AS tt,
+                   CAST((SELECT count(*) FROM bt) AS BIGINT) AS tr
+        ), w AS (
+            SELECT r.bucket,
+                   ((COALESCE(t.ct, 0) + 1) * {_DSIR_FX}) // (tot.tt + {_DSIR_B})
+                   - ((r.cr + 1) * {_DSIR_FX}) // (tot.tr + {_DSIR_B})
+                       AS diff_fx
+            FROM rcnt r LEFT JOIN tcnt t ON t.bucket = r.bucket, tot
+        ), db AS (
+            SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+            FROM bt GROUP BY doc_id, bucket
+        ), scored AS (
+            SELECT db.doc_id,
+                   CAST(SUM(db.n * w.diff_fx) AS BIGINT) AS score_fx,
+                   CAST(SUM(db.n) AS BIGINT) AS n_tokens
+            FROM db JOIN w ON w.bucket = db.bucket
+            GROUP BY db.doc_id
+        )
+        SELECT doc_id, score_fx, n_tokens, rk FROM (
+            SELECT doc_id, score_fx, n_tokens,
+                   row_number() OVER (
+                       ORDER BY score_fx DESC, doc_id
+                   ) AS rk
+            FROM scored
+        ) WHERE rk <= {_DSIR_TOP}
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023, linearized): "
+        f"hashed-unigram distributions ({_DSIR_B} md5 buckets, add-one "
+        f"smoothing) for the target domain (source='{_DSIR_TARGET}') "
+        "and the raw corpus; each doc scores the sum over its tokens "
+        "of the smoothed probability DIFFERENCE p_t(b) - p_r(b), and "
+        f"the top-{_DSIR_TOP} most target-like docs are selected. The "
+        "log-likelihood-ratio of real DSIR is replaced by the exact "
+        "first-order difference so the whole score is integer: "
+        "probabilities quantize via EXACT integer division "
+        "((c+1)*2^30 div (T+B) — no float floor-at-boundary risk, "
+        "truncation semantics agree between Spark div and DuckDB //), "
+        "token counts multiply in, sums stay BIGINT. Scale: two "
+        f"{_DSIR_B}-row distribution tables broadcast; the corpus is "
+        "scanned once (doc-bucket partial aggs); the global top-k "
+        "window would swap to per-partition top-k + merge at 100 TB. "
+        "No driver state, no vocabulary: the hashing trick again.",
+    tags=("text", "curation"),
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bt = t.documents.select(
+        "doc_id",
+        "source",
+        F.explode(tokens(F.col("text"))).alias("tk"),
+    ).select(
+        "doc_id",
+        "source",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("tk")), 1, 8), 16, 10).cast(
+                "bigint"
+            ),
+            F.lit(_DSIR_B),
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    tcnt = (
+        bt.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    rcnt = bt.groupBy("bucket").agg(F.count("*").cast("bigint").alias("cr"))
+    totals = bt.agg(
+        F.sum(F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0))
+        .cast("bigint")
+        .alias("tt"),
+        F.count("*").cast("bigint").alias("tr"),
+    )
+    w = (
+        rcnt.join(tcnt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.expr(
+                f"((coalesce(ct, 0) + 1) * {_DSIR_FX}) div (tt + {_DSIR_B})"
+                f" - ((cr + 1) * {_DSIR_FX}) div (tr + {_DSIR_B})"
+            ).alias("diff_fx"),
+        )
+    )
+    db = bt.groupBy("doc_id", "bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    scored = (
+        db.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * F.col("diff_fx"))
+            .cast("bigint")
+            .alias("score_fx"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.orderBy(F.desc("score_fx"), F.asc("doc_id"))
+    )
+    return (
+        scored.select(
+            "doc_id", "score_fx", "n_tokens", rk.cast("long").alias("rk")
+        )
+        .filter(F.col("rk") <= _DSIR_TOP)
+    )
