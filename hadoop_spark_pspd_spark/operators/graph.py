@@ -638,3 +638,112 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _LP_K)
     )
+
+
+@register(
+    "graph_modularity",
+    oracle=_EDGES_ORACLE + """
+        , nodes AS (
+            SELECT node, count(*) AS deg FROM (
+                SELECT s1 AS node FROM edges
+                UNION ALL
+                SELECT s2 FROM edges
+            ) GROUP BY node
+        ), comm AS (
+            SELECT n.node, n.deg, s.s_nationkey AS nationkey
+            FROM nodes n JOIN supplier s ON s.s_suppkey = n.node
+        ), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+        internal AS (
+            SELECT ca.nationkey, CAST(count(*) AS BIGINT) AS e_c
+            FROM edges e
+            JOIN comm ca ON ca.node = e.s1
+            JOIN comm cb ON cb.node = e.s2
+            WHERE ca.nationkey = cb.nationkey
+            GROUP BY ca.nationkey
+        ), per_comm AS (
+            SELECT c.nationkey,
+                   CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(COALESCE(any_value(i.e_c), 0) AS BIGINT) AS e_c,
+                   CAST(SUM(c.deg) AS BIGINT) AS d_c
+            FROM comm c LEFT JOIN internal i ON i.nationkey = c.nationkey
+            GROUP BY c.nationkey
+        )
+        SELECT p.nationkey, p.n_nodes, p.e_c, p.d_c,
+               CAST(4 * m.m * p.e_c - p.d_c * p.d_c AS BIGINT) AS q_num,
+               CAST(CAST(4 * m.m * p.e_c - p.d_c * p.d_c AS BIGINT)
+                    AS DOUBLE) / (CAST(4 AS DOUBLE) * m.m * m.m)
+                   AS q_contrib
+        FROM per_comm p, m
+    """,
+    doc="Newman modularity of the nation partition on the sparsified "
+        "supplier graph — the community-quality score that validates "
+        "an attribute (or label-prop) clustering before it drives "
+        "downstream grouping. Per community: nodes, internal edges, "
+        "degree mass, and its modularity contribution. The textbook "
+        "Q = sum_c [e_c/m - (d_c/2m)^2] is a sum of float RATIOS — "
+        "order-dependent cross-engine — so each term is restated over "
+        "the common denominator 4m^2: q_num = 4*m*e_c - d_c^2 is an "
+        "exact BIGINT per community (safe while m < ~1.5e9; beyond "
+        "that switch the numerator to DECIMAL — noted, not hit, at "
+        "this graph's V*k/2 edge bound), and the single double "
+        "division per row is exact-op deterministic. One broadcast "
+        "join to the supplier dim for communities; everything else "
+        "reuses the degree-capped edge list.",
+    tags=("graph",),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    edges = cooccurrence_edges(spark, sf_dir).cache()
+    nodes = (
+        edges.select(F.col("s1").alias("node"))
+        .unionAll(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    comm = nodes.join(
+        F.broadcast(
+            t.supplier.select(
+                F.col("s_suppkey").alias("node"),
+                F.col("s_nationkey").alias("nationkey"),
+            )
+        ),
+        "node",
+    )
+    m = edges.agg(F.count("*").cast("bigint").alias("m"))
+    ca = comm.select(F.col("node").alias("s1"), F.col("nationkey").alias("na"))
+    cb = comm.select(F.col("node").alias("s2"), F.col("nationkey").alias("nb"))
+    internal = (
+        edges.join(F.broadcast(ca), "s1")
+        .join(F.broadcast(cb), "s2")
+        .filter(F.col("na") == F.col("nb"))
+        .groupBy(F.col("na").alias("nationkey"))
+        .agg(F.count("*").cast("bigint").alias("e_c"))
+    )
+    per_comm = (
+        comm.groupBy("nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("d_c"),
+        )
+        .join(internal, "nationkey", "left")
+        .select(
+            "nationkey",
+            "n_nodes",
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias("e_c"),
+            "d_c",
+        )
+    )
+    q_num = (
+        F.lit(4) * F.col("m") * F.col("e_c")
+        - F.col("d_c") * F.col("d_c")
+    ).cast("bigint")
+    return per_comm.crossJoin(F.broadcast(m)).select(
+        "nationkey",
+        "n_nodes",
+        "e_c",
+        "d_c",
+        q_num.alias("q_num"),
+        (q_num.cast("double") / (4.0 * F.col("m") * F.col("m"))).alias(
+            "q_contrib"
+        ),
+    )

@@ -1593,6 +1593,7 @@ def _pq_oracle() -> str:
         "codebooks are driver-bounded constants. Hash-matched by a "
         "full DuckDB replay: 8 subspace trainings, encoding, LUT, "
         "ADC, rerank.",
+    bench=True,
     tags=("similarity",),
 )
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
