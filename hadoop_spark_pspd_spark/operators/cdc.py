@@ -1,0 +1,396 @@
+"""Content-defined chunking + sketch-based cross-source overlap.
+
+Two scale-path curation operators the reference's corpus tooling
+(``/root/reference/cluster/tools/generate_wordcount_data.sh``,
+``download_gutenberg_corpus.sh``) motivates but never had: sub-document
+duplicate detection via Rabin-style content-defined chunking (FastCDC /
+LBFS lineage), and a KMV theta-sketch estimate of cross-source content
+overlap (the mergeable-sketch alternative to an exact distinct join).
+
+Cross-engine discipline (CLAUDE.md): all content is BYTE-defined through
+the ``hex(encode(text))`` representation (char semantics diverge on
+non-ASCII); hashes are md5-derived integers via the proven
+``conv(substr(md5(x),1,13),16,10)`` == ``CAST('0x'||... AS UBIGINT)``
+bridge; the only doubles emitted are single correctly-rounded divisions
+of exact integers; every DuckDB aggregate is outer-CAST to BIGINT so no
+HUGEINT reaches the driver's pandas canonicalizer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Tables
+from ..registry import register
+
+# Rolling-hash chunking parameters. Window W bytes, polynomial base B,
+# a boundary wherever the windowed hash is 0 mod D (expected chunk ~D
+# bytes plus the window).  All integer arithmetic stays < 2^63:
+# max term 255 * 31^7 ~ 7.0e12, eight-term sum < 5.7e13.
+_CDC_W = 8
+_CDC_B = 31
+_CDC_D = 64
+_CDC_POW = [_CDC_B**j for j in range(_CDC_W)]
+
+_CDC_CHUNK_SCHEMA = "source string, fp string, len long"
+
+
+def _cdc_chunk_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: docs in, one row per chunk out.
+
+    Linear in corpus bytes, zero shuffle, no per-byte row explosion —
+    the 100 TB path. numpy int64 arithmetic is exact, so the boundary
+    set is bit-identical to the oracle's relational lag-window replay.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        out_src: list[str] = []
+        out_fp: list[str] = []
+        out_len: list[int] = []
+        for source, text in zip(pdf["source"], pdf["text"]):
+            b = text.encode("utf-8")
+            n = len(b)
+            if n < 1:
+                continue
+            hx = b.hex().upper()
+            if n <= _CDC_W:
+                # no position satisfies W <= p <= n-1: one chunk, and
+                # the n-j slice below would wrap negatively anyway
+                cuts: list[int] = []
+            else:
+                vals = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                h = np.zeros(n, dtype=np.int64)
+                for j, p in enumerate(_CDC_POW):
+                    h[_CDC_W - 1 :] += p * vals[_CDC_W - 1 - j : n - j]
+                # 1-based boundary positions p in [W, n-1]
+                cuts = (
+                    np.nonzero(h[_CDC_W - 1 : n - 1] % _CDC_D == 0)[0]
+                    + _CDC_W
+                ).tolist()
+            starts = [1] + [p + 1 for p in cuts]
+            ends = cuts + [n]
+            for s, e in zip(starts, ends):
+                sub = hx[2 * (s - 1) : 2 * e]
+                out_src.append(source)
+                out_fp.append(hashlib.md5(sub.encode("ascii")).hexdigest())
+                out_len.append(e - s + 1)
+        yield pd.DataFrame(
+            {"source": out_src, "fp": out_fp, "len": out_len}
+        )
+
+
+def _cdc_oracle() -> str:
+    poly = " + ".join(
+        f"{_CDC_POW[j]} * lag(val, {j}) OVER w" if j else "val"
+        for j in range(_CDC_W)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, source, hex(encode(text)) AS hx,
+                   CAST(strlen(text) AS BIGINT) AS n
+            FROM documents WHERE strlen(text) >= 1
+        ), pos AS (
+            SELECT doc_id, CAST(unnest(range(1, n + 1)) AS BIGINT) AS pos
+            FROM d
+        ), v AS MATERIALIZED (
+            SELECT p.doc_id, p.pos, d.n,
+                   CAST(CAST(('0x' || substr(d.hx,
+                        CAST(2 * p.pos - 1 AS INTEGER), 2)) AS UBIGINT)
+                        AS BIGINT) AS val
+            FROM pos p JOIN d USING (doc_id)
+        ), h AS (
+            SELECT doc_id, pos, n, {poly} AS h
+            FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), cuts AS (
+            SELECT doc_id, pos AS e FROM h
+            WHERE pos >= {_CDC_W} AND pos < n AND h % {_CDC_D} = 0
+            UNION ALL SELECT doc_id, n AS e FROM d
+        ), spans AS (
+            SELECT doc_id,
+                   COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e),
+                            0) + 1 AS s,
+                   e
+            FROM cuts
+        ), chunks AS (
+            SELECT d.source,
+                   md5(substr(d.hx, CAST(2 * sp.s - 1 AS INTEGER),
+                              CAST(2 * (sp.e - sp.s + 1) AS INTEGER)))
+                       AS fp,
+                   sp.e - sp.s + 1 AS len
+            FROM spans sp JOIN d USING (doc_id)
+        ), per_fp AS (
+            SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(MAX(len) AS BIGINT) AS len
+            FROM chunks GROUP BY source, fp
+        )
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+               CAST(SUM(c * len) AS BIGINT) AS total_bytes,
+               CAST(SUM(len) AS BIGINT) AS distinct_bytes,
+               CAST(CAST(SUM(c * len) - SUM(len) AS BIGINT) AS DOUBLE)
+                   / CAST(CASE WHEN SUM(c * len) = 0 THEN 1
+                               ELSE SUM(c * len) END AS BIGINT)
+                   AS dup_fraction
+        FROM per_fp GROUP BY source
+    """
+
+
+@register(
+    "text_cdc_chunks",
+    oracle=_cdc_oracle(),
+    doc="Content-defined chunking (Rabin/FastCDC-style): every document "
+        "is split at positions where an 8-byte polynomial rolling hash "
+        "is 0 mod 64, so chunk boundaries move with CONTENT, not "
+        "offsets — an insertion early in a page re-aligns at the next "
+        "boundary and every later chunk still dedups (the property "
+        "fixed-size chunking lacks). Per source: chunk counts, distinct "
+        "chunks by md5 fingerprint, and the byte-level duplicate "
+        "fraction. Spark side is a single linear mapInPandas numpy scan "
+        "(no per-byte rows, no shuffle before the (source,fp) agg) — "
+        "the 100 TB path; the oracle replays the identical boundary set "
+        "relationally via an 8-term lag-window polynomial. All "
+        "arithmetic is exact int64; the one double is "
+        "dup_bytes/total_bytes with an identical zero-guard both sides.",
+    tags=("text", "dedup"),
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("source", "text").filter(
+        F.octet_length("text") >= 1
+    )
+    chunks = docs.mapInPandas(_cdc_chunk_batches, _CDC_CHUNK_SCHEMA)
+    per_fp = chunks.groupBy("source", "fp").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.max("len").cast("bigint").alias("len"),
+    )
+    total = F.sum(F.col("c") * F.col("len")).cast("bigint")
+    distinct = F.sum("len").cast("bigint")
+    return per_fp.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_chunks"),
+        F.count("*").cast("bigint").alias("n_distinct_chunks"),
+        total.alias("total_bytes"),
+        distinct.alias("distinct_bytes"),
+        (
+            (total - distinct).cast("double")
+            / F.when(total == 0, F.lit(1).cast("bigint")).otherwise(total)
+        ).alias("dup_fraction"),
+    )
+
+
+# KMV theta sketch: k minimum 52-bit md5-derived hash values per source
+# over distinct 8-byte shingles; intersection estimated below the pair's
+# min theta.  est = common * 2^52 / theta_min is exact-int double math:
+# common <= 63 so common*2^52 is exactly representable, theta_min < 2^53,
+# one correctly-rounded division.
+_KMV_K = 64
+_T52 = 1 << 52
+
+
+@register(
+    "sketch_theta_kmv",
+    oracle=f"""
+        WITH d AS (
+            SELECT source, hex(encode(text)) AS hx,
+                   CAST(strlen(text) AS BIGINT) AS n
+            FROM documents WHERE strlen(text) >= 8
+        ), su AS (
+            SELECT source, hx, CAST(unnest(range(1, n - 6)) AS BIGINT) AS i
+            FROM d
+        ), sh AS (
+            SELECT DISTINCT source,
+                   substr(hx, CAST(2 * i - 1 AS INTEGER), 16) AS shingle
+            FROM su
+        ), hashed AS (
+            SELECT source, shingle,
+                   CAST(CAST(('0x' || substr(md5(shingle), 1, 13))
+                        AS UBIGINT) AS BIGINT) AS h
+            FROM sh
+        ), ranked AS (
+            SELECT source, shingle, h,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY h, shingle) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                       AS n_src
+            FROM hashed
+        ), theta AS (
+            SELECT source,
+                   CASE WHEN max(n_src) >= {_KMV_K}
+                        THEN max(CASE WHEN rn = {_KMV_K} THEN h END)
+                        ELSE {_T52} END AS theta_h
+            FROM ranked GROUP BY source
+        ), sk AS (
+            SELECT r.source, r.h
+            FROM ranked r JOIN theta t USING (source)
+            WHERE r.rn < {_KMV_K} AND r.h < t.theta_h
+        ), pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CASE WHEN a.theta_h < b.theta_h THEN a.theta_h
+                        ELSE b.theta_h END AS theta_min
+            FROM theta a JOIN theta b ON a.source < b.source
+        ), common AS (
+            SELECT sa.source AS source_a, sb.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS sk_common
+            FROM sk sa
+            JOIN sk sb ON sb.h = sa.h AND sa.source < sb.source
+            JOIN pairs p ON p.source_a = sa.source
+                        AND p.source_b = sb.source
+                        AND sa.h < p.theta_min
+            GROUP BY 1, 2
+        ), truth AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS true_common
+            FROM sh a
+            JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT p.source_a, p.source_b,
+               CAST(COALESCE(c.sk_common, 0) AS BIGINT) AS sk_common,
+               CAST(p.theta_min AS BIGINT) AS theta_min,
+               CAST(COALESCE(c.sk_common, 0) AS DOUBLE) * {_T52}
+                   / CAST(CASE WHEN p.theta_min = 0 THEN 1
+                               ELSE p.theta_min END AS DOUBLE)
+                   AS est_common,
+               CAST(COALESCE(t.true_common, 0) AS BIGINT) AS true_common
+        FROM pairs p
+        LEFT JOIN common c USING (source_a, source_b)
+        LEFT JOIN truth t USING (source_a, source_b)
+        ORDER BY source_a, source_b
+    """,
+    doc="KMV theta-sketch estimate of cross-source content overlap: "
+        "per source, keep the 63 smallest 52-bit md5 hashes of its "
+        "distinct 8-byte shingles (theta = 64th smallest); a pair's "
+        "shared-shingle count is estimated from sketch-hash matches "
+        "below min(theta_a, theta_b) scaled by 2^52/theta_min — the "
+        "mergeable O(k)-per-source alternative to the exact distinct "
+        "join (also emitted, as true_common, for accuracy eval). "
+        "Sketch hashes are md5-derandomized (CLAUDE.md bridge), the "
+        "estimate is exact-int double math, sources with < k shingles "
+        "degrade to exact mode via theta = 2^52. At 100 TB the sketch "
+        "side is one linear scan + a k-row-per-source state; only the "
+        "eval column needs the full distinct join and would be dropped "
+        "in production.",
+    tags=("sketch", "dedup"),
+)
+def sketch_theta_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    d = t.documents.filter(F.octet_length("text") >= 8).select(
+        "source",
+        F.hex(F.encode("text", "utf-8")).alias("hx"),
+        F.octet_length("text").cast("bigint").alias("n"),
+    )
+    sh = (
+        d.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 7),
+                    lambda i: F.substring("hx", i * 2 - 1, F.lit(16)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    hashed = sh.select(
+        "source",
+        "shingle",
+        F.conv(F.substring(F.md5("shingle"), 1, 13), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w_rank = W.partitionBy("source").orderBy("h", "shingle")
+    w_all = W.partitionBy("source")
+    ranked = hashed.select(
+        "source",
+        "h",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).cast("bigint").alias("n_src"),
+    )
+    theta = ranked.groupBy("source").agg(
+        F.when(
+            F.max("n_src") >= _KMV_K,
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))),
+        )
+        .otherwise(F.lit(_T52).cast("long"))
+        .alias("theta_h")
+    )
+    sk = (
+        ranked.filter(F.col("rn") < _KMV_K)
+        .join(theta, "source")
+        .filter(F.col("h") < F.col("theta_h"))
+        .select("source", "h")
+    )
+    ta = theta.select(
+        F.col("source").alias("source_a"), F.col("theta_h").alias("th_a")
+    )
+    tb = theta.select(
+        F.col("source").alias("source_b"), F.col("theta_h").alias("th_b")
+    )
+    pairs = (
+        ta.join(tb, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.when(F.col("th_a") < F.col("th_b"), F.col("th_a"))
+            .otherwise(F.col("th_b"))
+            .alias("theta_min"),
+        )
+    )
+    sa = sk.select(F.col("source").alias("source_a"), "h")
+    sb = sk.select(F.col("source").alias("source_b"), F.col("h").alias("hb"))
+    common = (
+        sa.join(
+            sb,
+            (F.col("hb") == F.col("h"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .join(pairs, ["source_a", "source_b"])
+        .filter(F.col("h") < F.col("theta_min"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("sk_common"))
+    )
+    sha = sh.select(F.col("source").alias("source_a"), "shingle")
+    shb = sh.select(
+        F.col("source").alias("source_b"), F.col("shingle").alias("sh_b")
+    )
+    truth = (
+        sha.join(
+            shb,
+            (F.col("sh_b") == F.col("shingle"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("true_common"))
+    )
+    skc = F.coalesce(F.col("sk_common"), F.lit(0).cast("bigint"))
+    return (
+        pairs.join(common, ["source_a", "source_b"], "left")
+        .join(truth, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            skc.alias("sk_common"),
+            F.col("theta_min").cast("bigint").alias("theta_min"),
+            (
+                skc.cast("double")
+                * F.lit(float(_T52))
+                / F.when(F.col("theta_min") == 0, F.lit(1).cast("bigint"))
+                .otherwise(F.col("theta_min"))
+                .cast("double")
+            ).alias("est_common"),
+            F.coalesce(F.col("true_common"), F.lit(0).cast("bigint")).alias(
+                "true_common"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -70,6 +70,7 @@ def load_all() -> dict[str, EngineQuery]:
         behavioral,
         bpe,
         bucketing,
+        cdc,
         clustering,
         curation_extra,
         dedup,

@@ -357,3 +357,63 @@ def test_silhouette_degenerate_guard_parity(spark, dup_centroid_sf):
     assert all(
         by_cell[c]["mean_sil"] == 1.0 for c in by_cell if c not in (0, 1)
     )
+
+
+# ---------------------------------------------------------------- CDC / KMV
+
+def test_cdc_chunks_multibyte_and_short_doc_parity(spark, adversarial_sf):
+    """text_cdc_chunks on the multibyte corpus: docs shorter than the
+    8-byte hash window (single-chunk path), the 0-byte doc (dropped
+    identically both sides), NUL bytes, and multibyte sequences whose
+    hex expansion must chunk identically in numpy and the SQL replay."""
+    srows, drows = _run_both("text_cdc_chunks", spark, adversarial_sf)
+    assert srows == drows, (
+        f"first diff: "
+        f"{next((a, b) for a, b in zip(srows, drows) if a != b)}"
+    )
+
+
+def test_theta_kmv_all_sources_below_window(spark, adversarial_sf):
+    """Only one source has any >=8-byte doc, so the pair join is EMPTY —
+    pins that both engines agree on the degenerate no-pairs result."""
+    srows, drows = _run_both("sketch_theta_kmv", spark, adversarial_sf)
+    assert srows == drows == []
+
+
+@pytest.fixture(scope="module")
+def kmv_sf(tmp_path_factory, spark):
+    """Three sources with >=8-byte multibyte docs: s0/s1 share a long
+    phrase (nonzero overlap), s2 is disjoint; s1 has fewer distinct
+    shingles than s0 (exercises per-source theta in exact mode and the
+    h < theta_min asymmetric cut)."""
+    shared = "the quick brown fox jumps over the lazy dog 漢字 " * 3
+    docs = [
+        (0, shared + "alpha beta gamma delta", "en", "s0"),
+        (1, "unique-to-s0 zzzz 👍🏽👍🏽 content here padded out", "en", "s0"),
+        (2, shared + "epsilon zeta", "en", "s1"),
+        (3, "совершенно другой текст без общих шинглов вообще", "ru", "s2"),
+        (4, "yet more disjoint bytes ~~~~ 0123456789", "en", "s2"),
+    ]
+    d = tmp_path_factory.mktemp("kmv_sf")
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_theta_kmv_overlap_parity(spark, kmv_sf):
+    srows, drows = _run_both("sketch_theta_kmv", spark, kmv_sf)
+    assert srows == drows, (
+        f"first diff: "
+        f"{next((a, b) for a, b in zip(srows, drows) if a != b)}"
+    )
+    # semantic pins: s0/s1 share the phrase, s2 is disjoint from both
+    q = REGISTRY["sketch_theta_kmv"]
+    rows = {(r["source_a"], r["source_b"]): r
+            for r in q.fn(spark, kmv_sf).collect()}
+    assert rows[("s0", "s1")]["true_common"] > 0
+    assert rows[("s0", "s1")]["sk_common"] > 0
+    assert rows[("s1", "s2")]["true_common"] == 0
+    assert rows[("s1", "s2")]["sk_common"] == 0
