@@ -220,3 +220,121 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return resize_dims(payloads)
+
+
+# ------------------------------------------------------------------ audio
+
+AUDIO_WIN = 256  # samples per analysis window (full windows only)
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_windows bigint, total_energy bigint, "
+    "max_window_energy bigint, peak_abs bigint, rms double"
+)
+
+
+def _audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload bytes as unsigned 8-bit PCM centered
+    at 128; per full 256-sample window sum-of-squares energy and peak.
+
+    numpy int64 sums are exact (order-free); the one double is
+    sqrt(total/(n*256)) — both operands exact ints, so the division and
+    sqrt are single correctly-rounded IEEE ops identical to DuckDB's.
+    """
+    import math
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "n_windows", "total_energy", "max_window_energy",
+            "peak_abs", "rms",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            nw = n // AUDIO_WIN
+            if nw == 0:
+                continue
+            arr = (
+                np.frombuffer(payload[: nw * AUDIO_WIN], dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(nw, AUDIO_WIN)
+                - 128
+            )
+            energy = (arr * arr).sum(axis=1)
+            total = int(energy.sum())
+            rows["doc_id"].append(doc_id)
+            rows["n_windows"].append(nw)
+            rows["total_energy"].append(total)
+            rows["max_window_energy"].append(int(energy.max()))
+            rows["peak_abs"].append(int(np.abs(arr).max()))
+            rows["rms"].append(math.sqrt(total / (nw * AUDIO_WIN)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "n_windows": pd.Series(rows["n_windows"], dtype="int64"),
+                "total_energy": pd.Series(
+                    rows["total_energy"], dtype="int64"
+                ),
+                "max_window_energy": pd.Series(
+                    rows["max_window_energy"], dtype="int64"
+                ),
+                "peak_abs": pd.Series(rows["peak_abs"], dtype="int64"),
+                "rms": pd.Series(rows["rms"], dtype="float64"),
+            }
+        )
+
+
+def audio_energy(df: DataFrame) -> DataFrame:
+    """(doc_id, payload: binary) -> windowed energy features."""
+    return df.mapInPandas(_audio_energy, schema=AUDIO_SCHEMA)
+
+
+@register(
+    "mm_audio_energy",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   CAST(strlen(text) AS BIGINT) AS n
+            FROM documents WHERE strlen(text) >= {AUDIO_WIN}
+        ), pos AS (
+            SELECT doc_id,
+                   CAST(unnest(range(1, (n // {AUDIO_WIN}) * {AUDIO_WIN} + 1))
+                        AS BIGINT) AS pos
+            FROM d
+        ), v AS MATERIALIZED (
+            SELECT p.doc_id, (p.pos - 1) // {AUDIO_WIN} AS win,
+                   CAST(CAST(('0x' || substr(d.hx,
+                        CAST(2 * p.pos - 1 AS INTEGER), 2)) AS UBIGINT)
+                        AS BIGINT) - 128 AS s
+            FROM pos p JOIN d USING (doc_id)
+        ), w AS (
+            SELECT doc_id, win, CAST(SUM(s * s) AS BIGINT) AS energy,
+                   CAST(MAX(abs(s)) AS BIGINT) AS peak
+            FROM v GROUP BY doc_id, win
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(energy) AS BIGINT) AS total_energy,
+               CAST(MAX(energy) AS BIGINT) AS max_window_energy,
+               CAST(MAX(peak) AS BIGINT) AS peak_abs,
+               sqrt(CAST(SUM(energy) AS BIGINT)
+                    / CAST(COUNT(*) * {AUDIO_WIN} AS BIGINT)) AS rms
+        FROM w GROUP BY doc_id
+    """,
+    doc="Audio-style feature extraction over the opaque binary payload: "
+        "bytes as unsigned 8-bit PCM centered at 128, non-overlapping "
+        "256-sample windows, per-window sum-of-squares energy and peak "
+        "amplitude, per-doc totals and RMS. Spark side is one linear "
+        "mapInPandas numpy scan (the 100 TB path — no per-sample rows); "
+        "the oracle replays the identical windows relationally from the "
+        "hex expansion. All sums exact int64; rms is "
+        "sqrt(exact_int / exact_int), correctly rounded identically in "
+        "numpy and DuckDB. Real audio decode (codec frames -> PCM) sits "
+        "behind the decode_media stub like the image/video ops.",
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    payloads = t.documents.filter(
+        F.octet_length("text") >= AUDIO_WIN
+    ).select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return audio_energy(payloads)
