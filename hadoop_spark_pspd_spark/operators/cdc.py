@@ -160,6 +160,7 @@ def _cdc_oracle() -> str:
         "relationally via an 8-term lag-window polynomial. All "
         "arithmetic is exact int64; the one double is "
         "dup_bytes/total_bytes with an identical zero-guard both sides.",
+    bench=True,
     tags=("text", "dedup"),
 )
 def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -368,3 +368,29 @@ def test_pagerank_iterations_broadcast_the_rank_table(spark):
     # the LAST iteration's join (visible above the checkpoint) broadcast
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_cdc_chunks_single_scan_two_aggs(spark):
+    """Content-defined chunking: one linear mapInPandas scan feeding the
+    (source,fp) partial+final agg — exactly two Exchanges (fp agg +
+    source agg), no per-byte explode, no join."""
+    from hadoop_spark_pspd_spark.operators.cdc import text_cdc_chunks
+
+    plan = formatted_plan(text_cdc_chunks(spark, SF_SMOKE))
+    assert "MapInPandas" in plan
+    # tree lines render as "Exchange (n)"; detail headers as "(n) Exchange"
+    assert plan.count("Exchange (") <= 2, plan
+    assert "Join" not in plan
+    assert has_partial_aggregate(text_cdc_chunks(spark, SF_SMOKE))
+
+
+def test_audio_energy_is_map_side_only(spark):
+    """Windowed PCM energy is per-doc: a single mapInPandas scan with no
+    Exchange at all (the per-window reduction happens inside numpy)."""
+    from hadoop_spark_pspd_spark.operators.multimodal import (
+        mm_audio_energy,
+    )
+
+    plan = formatted_plan(mm_audio_energy(spark, SF_SMOKE))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
