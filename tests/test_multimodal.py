@@ -99,3 +99,40 @@ def test_binaryfile_ingestion_feeds_feature_extraction(spark, tmp_path):
     got = sorted(r["payload_md5"] for r in feats.collect())
     want = sorted(hashlib.md5(b).hexdigest() for b in blobs.values())
     assert got == want
+
+
+def test_audio_energy_known_pattern(spark):
+    """A constructed payload with known windowed energies: 256 bytes of
+    128 (silence -> energy 0) followed by 256 bytes alternating 0/255
+    (max-ish energy), then a 100-byte tail that must be DROPPED (full
+    windows only)."""
+    from hadoop_spark_pspd_spark.operators.multimodal import (
+        AUDIO_WIN,
+        audio_energy,
+    )
+
+    silence = bytes([128]) * AUDIO_WIN
+    loud = bytes([0, 255]) * (AUDIO_WIN // 2)
+    tail = bytes([200]) * 100
+    df = spark.createDataFrame(
+        [(1, silence + loud + tail)], "doc_id long, payload binary"
+    )
+    row = audio_energy(df).collect()[0]
+    assert row["n_windows"] == 2
+    # silence window: (128-128)^2 * 256 = 0; loud: ((-128)^2+127^2)*128
+    loud_e = ((-128) ** 2 + 127**2) * (AUDIO_WIN // 2)
+    assert row["total_energy"] == loud_e
+    assert row["max_window_energy"] == loud_e
+    assert row["peak_abs"] == 128
+    import math
+
+    assert row["rms"] == math.sqrt(loud_e / (2 * AUDIO_WIN))
+
+
+def test_audio_energy_sub_window_doc_dropped(spark):
+    from hadoop_spark_pspd_spark.operators.multimodal import audio_energy
+
+    df = spark.createDataFrame(
+        [(1, b"short")], "doc_id long, payload binary"
+    )
+    assert audio_energy(df).count() == 0
