@@ -432,3 +432,107 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _DSIR_TOP)
     )
+
+
+_TEMP_FX = 1 << 20  # fixed-point quantum for sqrt weights
+_TEMP_BUDGET = 10_000  # sample budget to allocate across sources
+
+
+@register(
+    "text_temperature_mix",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ), wq AS (
+            SELECT source, n_docs,
+                   CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_TEMP_FX})
+                        AS BIGINT) AS weight_fx
+            FROM counts
+        ), tot AS (
+            SELECT CAST(SUM(weight_fx) AS BIGINT) AS tw FROM wq
+        ), base AS (
+            SELECT w.source, w.n_docs, w.weight_fx,
+                   ({_TEMP_BUDGET} * w.weight_fx) // t.tw AS alloc0,
+                   ({_TEMP_BUDGET} * w.weight_fx) % t.tw AS rem,
+                   t.tw AS tw
+            FROM wq w CROSS JOIN tot t
+        ), ranked AS (
+            SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+                   CAST(SUM(alloc0) OVER () AS BIGINT) AS alloc_sum
+            FROM base
+        )
+        SELECT source, n_docs, weight_fx,
+               CAST(alloc0 + CASE WHEN rk <= {_TEMP_BUDGET} - alloc_sum
+                                  THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+               CAST(weight_fx AS DOUBLE) / CAST(tw AS DOUBLE) AS share
+        FROM ranked
+    """,
+    doc="Temperature-scaled source mixture (the T5/mT5 alpha-sampling "
+        "rebalance, alpha = 0.5): per-source sampling weight n^0.5 "
+        "flattens the source distribution so low-resource sources are "
+        "upsampled; a 10k-draw budget is allocated by the largest-"
+        "remainder method so allocations are integers summing exactly "
+        "to the budget. alpha = 0.5 is the one temperature with an "
+        "exactly-oracle-able power: sqrt is correctly rounded in both "
+        "engines, quantized to fixed point (floor(sqrt(n) * 2^20)) "
+        "BEFORE the order-dependent sum so the total is an exact "
+        "integer; quotas use exact integer div/mod (Spark `div` == "
+        "DuckDB `//`, both truncating) and the tie-ranked remainders "
+        "carry a unique source tie-break. The only double emitted is "
+        "one exact-int division (share). Scale: everything after the "
+        "per-source count (one partial-agg shuffle) is 20 rows.",
+    tags=("text", "curation"),
+)
+def text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    counts = t.documents.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    wq = counts.withColumn(
+        "weight_fx",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * _TEMP_FX).cast(
+            "bigint"
+        ),
+    )
+    tot = wq.agg(F.sum("weight_fx").cast("bigint").alias("tw"))
+    base = (
+        wq.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "alloc0", F.expr(f"({_TEMP_BUDGET} * weight_fx) div tw")
+        )
+        .withColumn(
+            "rem", (F.lit(_TEMP_BUDGET) * F.col("weight_fx")) % F.col("tw")
+        )
+    )
+    ranked = base.select(
+        "source",
+        "n_docs",
+        "weight_fx",
+        "alloc0",
+        "tw",
+        F.row_number()
+        .over(W.orderBy(F.desc("rem"), F.asc("source")))
+        .alias("rk"),
+        F.sum("alloc0")
+        .over(W.partitionBy())
+        .cast("bigint")
+        .alias("alloc_sum"),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "weight_fx",
+        (
+            F.col("alloc0")
+            + F.when(
+                F.col("rk") <= _TEMP_BUDGET - F.col("alloc_sum"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+        (F.col("weight_fx").cast("double") / F.col("tw").cast("double"))
+        .alias("share"),
+    )

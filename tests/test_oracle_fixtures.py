@@ -417,3 +417,39 @@ def test_theta_kmv_overlap_parity(spark, kmv_sf):
     assert rows[("s0", "s1")]["sk_common"] > 0
     assert rows[("s1", "s2")]["true_common"] == 0
     assert rows[("s1", "s2")]["sk_common"] == 0
+
+
+@pytest.fixture(scope="module")
+def skewed_mix_sf(tmp_path_factory, spark):
+    """Heavily skewed source sizes (1 / 3 / 47 docs) so the largest-
+    remainder +1 actually fires and sqrt-flattening visibly reorders
+    shares vs raw proportions."""
+    docs = []
+    i = 0
+    for src, n in (("tiny", 1), ("small", 3), ("big", 47)):
+        for _ in range(n):
+            docs.append((i, f"doc {i} text", "en", src))
+            i += 1
+    d = tmp_path_factory.mktemp("skewed_mix_sf")
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_temperature_mix_skewed_parity(spark, skewed_mix_sf):
+    srows, drows = _run_both("text_temperature_mix", spark, skewed_mix_sf)
+    assert srows == drows, (
+        f"first diff: "
+        f"{next((a, b) for a, b in zip(srows, drows) if a != b)}"
+    )
+    q = REGISTRY["text_temperature_mix"]
+    rows = {r["source"]: r for r in q.fn(spark, skewed_mix_sf).collect()}
+    # allocations are integers summing exactly to the budget
+    assert sum(r["alloc"] for r in rows.values()) == 10_000
+    # sqrt flattening: tiny source gets MORE than its raw 1/51 share
+    assert rows["tiny"]["alloc"] > 10_000 * 1 / 51
+    # and big still gets the most
+    assert rows["big"]["alloc"] > rows["small"]["alloc"] > rows["tiny"]["alloc"]
