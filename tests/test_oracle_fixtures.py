@@ -453,3 +453,45 @@ def test_temperature_mix_skewed_parity(spark, skewed_mix_sf):
     assert rows["tiny"]["alloc"] > 10_000 * 1 / 51
     # and big still gets the most
     assert rows["big"]["alloc"] > rows["small"]["alloc"] > rows["tiny"]["alloc"]
+
+
+def test_cdc_boundary_stability_under_insertion():
+    """THE content-defined-chunking property (why it beats fixed-size
+    chunking for dedup): inserting bytes near the start re-aligns at the
+    next content boundary, so all later chunks keep their fingerprints.
+    Pure-worker check (no Spark session needed)."""
+    import hashlib
+
+    import pandas as pd
+
+    from hadoop_spark_pspd_spark.operators.cdc import _cdc_chunk_batches
+
+    # deterministic varied content (periodic text can dodge h%64==0
+    # boundaries entirely); 2 KB of md5-chain hex -> ~34 chunks
+    base = b"".join(
+        hashlib.md5(str(i).encode()).hexdigest().encode()
+        for i in range(64)
+    )
+    v2 = base[:20] + b"INSERTED" + base[20:]
+
+    def chunks(payload):
+        pdf = pd.DataFrame(
+            {"source": ["s"], "text": [payload.decode("ascii")]}
+        )
+        out = pd.concat(list(_cdc_chunk_batches(iter([pdf]))))
+        return list(out["fp"])
+
+    a, b = chunks(base), chunks(v2)
+    shared = len(set(a) & set(b))
+    # all chunks after the first re-aligned boundary survive: the edit
+    # can only disturb the chunk(s) covering the insertion point
+    assert shared >= len(a) - 2, (len(a), len(b), shared)
+    assert len(a) >= 6  # the corpus is long enough to be multi-chunk
+    # contrast: fixed 64-byte chunking shifts EVERY chunk after the edit
+    def fixed(payload):
+        return [
+            hashlib.md5(payload[i : i + 64]).hexdigest()
+            for i in range(0, len(payload), 64)
+        ]
+    fa, fb = fixed(base), fixed(v2)
+    assert len(set(fa) & set(fb)) <= 1  # only the pre-edit chunk survives
