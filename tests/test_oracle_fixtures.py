@@ -495,3 +495,27 @@ def test_cdc_boundary_stability_under_insertion():
         ]
     fa, fb = fixed(base), fixed(v2)
     assert len(set(fa) & set(fb)) <= 1  # only the pre-edit chunk survives
+
+
+def test_theta_kmv_sketches_are_mergeable():
+    """The 100 TB property: a KMV sketch of A ∪ B is exactly the k
+    smallest of (sketch(A) ∪ sketch(B)) — per-partition sketches merge
+    associatively with no second pass over the data. Pure-python check
+    against the op's md5-derived 52-bit hash."""
+    import hashlib
+
+    K = 64
+
+    def h(item: str) -> int:
+        return int(hashlib.md5(item.encode()).hexdigest()[:13], 16)
+
+    def kmv(items):
+        hs = sorted({h(x) for x in items})
+        return hs[:K]
+
+    a = {f"shingle-a-{i}" for i in range(500)}
+    b = {f"shingle-b-{i}" for i in range(300)} | {
+        f"shingle-a-{i}" for i in range(100)
+    }
+    merged = sorted(set(kmv(a)) | set(kmv(b)))[:K]
+    assert merged == kmv(a | b)
