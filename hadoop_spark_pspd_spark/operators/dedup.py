@@ -957,3 +957,153 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eff_size"
         ),
     )
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(w) - {SHINGLE_N - 1}, 0) + 1),
+                           i -> array_to_string(w[i:i+{SHINGLE_N - 1}], ' ')))
+                           AS s
+                FROM (SELECT doc_id,
+                             list_filter(
+                                 string_split_regex(text,
+                                     '[ \\t\\n\\r\\f]+'),
+                                 x -> x <> '') AS w
+                      FROM documents))
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), pair_common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_a, doc_b,
+                   round(c / (sa.n + sb.n - c), 6) AS jaccard
+            FROM pair_common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+        ), mh AS (
+            SELECT doc_id, p.i,
+                   MIN(CAST(CAST(('0x' || substr(
+                       md5(CAST(p.i AS VARCHAR) || ':' || s), 1, 13))
+                       AS UBIGINT) AS BIGINT)) AS mh
+            FROM sh CROSS JOIN (
+                SELECT CAST(unnest(range(0, {NUM_PERM})) AS BIGINT) AS i) p
+            GROUP BY doc_id, p.i
+        ), matches AS (
+            SELECT pr.doc_a, pr.doc_b,
+                   CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                        AS BIGINT) AS mh_matches
+            FROM pairs pr
+            JOIN mh a ON a.doc_id = pr.doc_a
+            JOIN mh b ON b.doc_id = pr.doc_b AND b.i = a.i
+            GROUP BY 1, 2
+        )
+        SELECT m.doc_a, m.doc_b, m.mh_matches,
+               CAST(m.mh_matches AS DOUBLE) / {NUM_PERM} AS est_jaccard,
+               p.jaccard
+        FROM matches m JOIN pairs p USING (doc_a, doc_b)
+    """,
+    doc="MinHash estimator calibration as a first-class eval operator: "
+        "for every TRUE near-dup pair (exact Jaccard >= 0.8), the "
+        "32-perm MinHash signature agreement count and the estimate it "
+        "implies (matches/32, a power-of-two division -> exact double) "
+        "next to the exact Jaccard — the accuracy audit a pipeline runs "
+        "before trusting sketch-only dedup at a scale where exact "
+        "verification is unaffordable. The signature here is md5-"
+        "derandomized (the CLAUDE.md conv/UBIGINT bridge) so the oracle "
+        "replays it bit-identically; the production op "
+        "(dedup_minhash_lsh) keeps its faster xxhash64 signature, whose "
+        "match-count distribution this op calibrates. Spark side stays "
+        "in the codegen explode+groupBy path (no interpreted HOF md5s); "
+        "per-perm work is one shuffle of shingle rows x 32.",
+    tags=("dedup", "eval"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sh = shingles_exploded(t.documents).distinct().cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair_common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    pairs = (
+        pair_common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+    perms = spark.range(NUM_PERM).select(F.col("id").cast("bigint").alias("i"))
+    mh = (
+        sh.crossJoin(perms)
+        .select(
+            "doc_id",
+            "i",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("i").cast("string"), F.lit(":"), F.col("s")
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    mha = mh.select(
+        F.col("doc_id").alias("doc_a"), "i", F.col("mh").alias("mh_a")
+    )
+    mhb = mh.select(
+        F.col("doc_id").alias("db"),
+        F.col("i").alias("ib"),
+        F.col("mh").alias("mh_b"),
+    )
+    matches = (
+        pairs.join(mha, "doc_a")
+        .join(mhb, (F.col("ib") == F.col("i")) & (F.col("db") == F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("mh_matches")
+        )
+    )
+    return matches.join(pairs, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "mh_matches",
+        (F.col("mh_matches").cast("double") / NUM_PERM).alias("est_jaccard"),
+        "jaccard",
+    )

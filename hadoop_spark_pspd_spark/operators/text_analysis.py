@@ -526,3 +526,74 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000
         ).alias("score"),
     )
+
+
+def _langid_pred_sql() -> str:
+    """The text_langid prediction as a reusable CTE body."""
+    return f"""
+        SELECT doc_id,
+               CASE
+                   WHEN greatest(en_hits, es_hits, fr_hits, de_hits) = 0
+                       THEN 'und'
+                   WHEN en_hits >= greatest(es_hits, fr_hits, de_hits)
+                       THEN 'en'
+                   WHEN es_hits >= greatest(fr_hits, de_hits) THEN 'es'
+                   WHEN fr_hits >= de_hits THEN 'fr'
+                   ELSE 'de'
+               END AS predicted_lang
+        FROM (
+            SELECT doc_id,
+                   CAST({_sql_hits(LANG_MARKERS['en'])} AS BIGINT) AS en_hits,
+                   CAST({_sql_hits(LANG_MARKERS['es'])} AS BIGINT) AS es_hits,
+                   CAST({_sql_hits(LANG_MARKERS['fr'])} AS BIGINT) AS fr_hits,
+                   CAST({_sql_hits(LANG_MARKERS['de'])} AS BIGINT) AS de_hits
+            FROM (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+        )
+    """
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+        WITH pred AS ({_langid_pred_sql()}),
+        per AS (
+            SELECT d.lang, p.predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pred p JOIN documents d USING (doc_id)
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total
+            FROM per GROUP BY lang
+        )
+        SELECT per.lang, per.predicted_lang, per.n, t.lang_total,
+               CAST(per.n AS DOUBLE) / CAST(t.lang_total AS DOUBLE) AS frac
+        FROM per JOIN tot t USING (lang)
+    """,
+    doc="Language-ID quality eval as a first-class operator: the "
+        "confusion matrix of the marker-token classifier against the "
+        "corpus's ground-truth lang label, with per-truth-language row "
+        "fractions (the recall diagonal). The eval a curation pipeline "
+        "runs before trusting a langid gate at scale — one aggregation "
+        "over the classifier's map-side scores, no extra corpus pass. "
+        "frac is one exact-int division; lang_total >= 1 whenever the "
+        "group exists, so no zero guard is needed.",
+    tags=("text", "eval"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pred = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    per = (
+        pred.join(t.documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = per.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("lang_total")
+    )
+    return per.join(tot, "lang").select(
+        "lang",
+        "predicted_lang",
+        "n",
+        "lang_total",
+        (F.col("n").cast("double") / F.col("lang_total").cast("double"))
+        .alias("frac"),
+    )
