@@ -338,3 +338,169 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text") >= AUDIO_WIN
     ).select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return audio_energy(payloads)
+
+
+# ------------------------------------------------------- perceptual hash
+
+PHASH_CELLS = 64   # 8x8 "image" -> 64-bit average hash
+PHASH_BANDS = 4    # 4x16-bit LSH bands for the candidate join
+PHASH_MAX_HAMMING = 6
+
+PHASH_SCHEMA = "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+
+
+def _ahash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: 64-bit average hash over the payload bytes.
+
+    Cell i covers bytes {j : j*64 // n == i} (the same closed-form both
+    the oracle and this side use — NOT prefix-floor boundaries, which
+    disagree with the closed form when i*n % 64 != 0). Bit i is the
+    exact integer comparison cell_sum*n > total*cell_count — a
+    cross-multiplied mean test, so no doubles anywhere.
+    """
+    import numpy as np
+
+    shifts = np.arange(16, dtype=np.int64)
+    for pdf in batches:
+        rows = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            if n < PHASH_CELLS:
+                continue
+            vals = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            prefix = np.concatenate(([0], np.cumsum(vals)))
+            i = np.arange(PHASH_CELLS + 1, dtype=np.int64)
+            # first byte of cell i is ceil(i*n/64); exact int64 arithmetic
+            starts = (i * n + PHASH_CELLS - 1) // PHASH_CELLS
+            cs = prefix[starts[1:]] - prefix[starts[:-1]]
+            cc = starts[1:] - starts[:-1]
+            total = int(prefix[n])
+            bits = ((cs * n) > (total * cc)).astype(np.int64)
+            rows["doc_id"].append(doc_id)
+            for c in range(PHASH_BANDS):
+                chunk = bits[16 * c : 16 * c + 16]
+                rows[f"b{c}"].append(int((chunk << shifts).sum()))
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+        )
+
+
+def ahash_bands(df: DataFrame) -> DataFrame:
+    """(doc_id, payload: binary) -> four 16-bit average-hash bands."""
+    return df.mapInPandas(_ahash_bands, schema=PHASH_SCHEMA)
+
+
+def _phash_oracle() -> str:
+    band_exprs = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN cell // 16 = {c} THEN bit << "
+        f"CAST(cell % 16 AS INTEGER) ELSE 0 END) AS BIGINT) AS b{c}"
+        for c in range(PHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.b{c}, b.b{c}))" for c in range(PHASH_BANDS)
+    )
+    band_eq = " OR ".join(f"a.b{c} = b.b{c}" for c in range(PHASH_BANDS))
+    return f"""
+        WITH d AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   CAST(strlen(text) AS BIGINT) AS n
+            FROM documents WHERE strlen(text) >= {PHASH_CELLS}
+        ), pos AS (
+            SELECT doc_id, CAST(unnest(range(1, n + 1)) AS BIGINT) AS pos
+            FROM d
+        ), v AS MATERIALIZED (
+            SELECT p.doc_id,
+                   ((p.pos - 1) * {PHASH_CELLS}) // d.n AS cell,
+                   CAST(CAST(('0x' || substr(d.hx,
+                        CAST(2 * p.pos - 1 AS INTEGER), 2)) AS UBIGINT)
+                        AS BIGINT) AS s
+            FROM pos p JOIN d ON p.doc_id = d.doc_id
+        ), w AS (
+            SELECT doc_id, cell, CAST(SUM(s) AS BIGINT) AS cs,
+                   CAST(COUNT(*) AS BIGINT) AS cc
+            FROM v GROUP BY doc_id, cell
+        ), tot AS (
+            SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS total
+            FROM w GROUP BY doc_id
+        ), bits AS (
+            SELECT w.doc_id, w.cell,
+                   CASE WHEN w.cs * d.n > t.total * w.cc
+                        THEN 1 ELSE 0 END AS bit
+            FROM w JOIN d ON w.doc_id = d.doc_id
+                   JOIN tot t ON w.doc_id = t.doc_id
+        ), bands AS (
+            SELECT doc_id,
+               {band_exprs}
+            FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST({ham} AS INTEGER) AS hamming
+        FROM bands a JOIN bands b
+          ON a.doc_id < b.doc_id AND ({band_eq})
+        WHERE {ham} <= {PHASH_MAX_HAMMING}
+    """
+
+
+@register(
+    "mm_image_phash",
+    oracle=_phash_oracle(),
+    doc="Perceptual near-dup detection over opaque binary 'image' "
+        "payloads: a 64-bit average hash (8x8 cells over the byte "
+        "stream; bit = cell mean above global mean, tested as the exact "
+        "cross-multiplied integer comparison cell_sum*n > total*count, "
+        "so no doubles exist anywhere in the pipeline), then 4x16-bit "
+        "band LSH for candidates and popcount Hamming <= 6 to confirm "
+        "(pigeonhole: any pair within distance 3 must share a band). "
+        "The hash derivation is one linear numpy scan per payload via "
+        "mapInPandas (the 100 TB path); the candidate join is the same "
+        "banded equi-join as dedup_simhash. Real pixel decode sits "
+        "behind the decode_media stub; the byte stream stands in for "
+        "the decoded grayscale raster.",
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce as _reduce
+
+    t = Tables(spark, sf_dir)
+    payloads = t.documents.filter(
+        F.octet_length("text") >= PHASH_CELLS
+    ).select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    hashes = ahash_bands(payloads).cache()
+    stack_expr = ", ".join(f"{c}, b{c}" for c in range(PHASH_BANDS))
+    melted = hashes.selectExpr(
+        "doc_id", f"stack({PHASH_BANDS}, {stack_expr}) AS (band_idx, bv)"
+    )
+    a = melted.alias("a")
+    b = melted.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{c}").alias(f"a{c}") for c in range(PHASH_BANDS)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{c}").alias(f"bb{c}") for c in range(PHASH_BANDS)],
+    )
+    ham = _reduce(
+        lambda x, y: x + y,
+        [
+            F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"bb{c}")))
+            for c in range(PHASH_BANDS)
+        ],
+    ).cast("int")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )

@@ -519,3 +519,55 @@ def test_theta_kmv_sketches_are_mergeable():
     }
     merged = sorted(set(kmv(a)) | set(kmv(b)))[:K]
     assert merged == kmv(a | b)
+
+
+# ------------------------------------------------------- mm_image_phash
+# The generated corpora plant INSERTION near-dups (lengths differ by a
+# few bytes), which no positional image hash survives — so at sf0.01 the
+# phash query legitimately returns 0 pairs. This fixture supplies the
+# media analog the generator never produces: same-length payloads with a
+# few substituted bytes ("pixel noise"), where the aHash must both find
+# the pair and hash-match the oracle. Also pins: byte-definedness on
+# non-ASCII payloads, the <64-byte drop, and the flat-payload (all bits
+# zero under strict >) degenerate pair.
+
+
+@pytest.fixture(scope="module")
+def phash_sf(tmp_path_factory, spark):
+    base = "".join(chr(33 + (i * 7) % 90) for i in range(512))
+    noisy = list(base)
+    for pos in (37, 200, 450):  # 3 substituted "pixels"
+        noisy[pos] = "~" if base[pos] != "~" else "!"
+    noisy = "".join(noisy)
+    other = "".join(chr(33 + (i * i * 13) % 90) for i in range(480))
+    docs = [
+        (0, base, "en", "s0"),
+        (1, noisy, "en", "s0"),          # near-dup of 0 (substitutions)
+        (2, other, "en", "s0"),          # unrelated
+        (3, "short", "en", "s0"),        # < 64 B, dropped
+        (4, "👍🏽漢" * 40, "zh", "s1"),    # multibyte: 440 B / 120 cp
+        (5, "a" * 128, "en", "s1"),      # flat payload -> all-zero hash
+        (6, "b" * 96, "en", "s1"),       # flat payload -> all-zero hash
+    ]
+    d = tmp_path_factory.mktemp("phash_sf")
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_image_phash_noise_pair_parity(spark, phash_sf):
+    srows, drows = _run_both("mm_image_phash", spark, phash_sf)
+    assert srows == drows, (
+        f"first diff: "
+        f"{next((a, b) for a, b in zip(srows, drows) if a != b)}"
+    )
+    # cols sorted by name: (doc_a, doc_b, hamming)
+    pairs = {(r[0], r[1]): r[2] for r in srows}
+    assert ("0", "1") in pairs, f"noise pair not found: {sorted(pairs)}"
+    assert ("5", "6") in pairs and pairs[("5", "6")] == "0", (
+        "flat payloads must share the all-zero hash"
+    )
+    assert all(a != "3" and b != "3" for a, b in pairs), "short doc leaked"
