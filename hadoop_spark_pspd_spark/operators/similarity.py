@@ -1821,3 +1821,172 @@ def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*") * float(_SIL_FX))
         ).alias("mean_sil"),
     )
+
+
+# ------------------------------------------------- MMR diversification
+
+# Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+# greedily pick K results balancing relevance to the query against
+# redundancy with already-selected results. The scale path: stage 1
+# (corpus scoring + top-C cut) is the distributed cost, identical in
+# shape to sim_topk_bruteforce; the greedy loop touches only the C
+# candidates and runs inside one bounded applyInPandas group.
+_MMR_QUERY_ID = 0
+_MMR_CANDIDATES = 32
+_MMR_K = 8
+# lambda=0.7: score = 0.7*rel - 0.3*max_sim_to_selected. Both engines
+# combine the same round-6 doubles with the same two literals, so the
+# scores (and hence the greedy argmax ordering) are bit-identical.
+
+
+def _mmr_greedy(pdf):
+    """One bounded group: rows (c_id, rel_c, s_id, sim) for every ordered
+    candidate pair. Pure-Python float64 greedy — the identical IEEE ops
+    the unrolled SQL replay performs."""
+    import pandas as pd
+
+    rel = {}
+    sims = {}
+    for r in pdf.itertuples(index=False):
+        rel[int(r.c_id)] = float(r.rel_c)
+        sims[(int(r.c_id), int(r.s_id))] = float(r.sim)
+    remaining = sorted(rel)
+    selected: list[int] = []
+    out = {"rank": [], "vec_id": [], "rel": [], "mmr_score": []}
+    for k in range(1, _MMR_K + 1):
+        best = None
+        for c in remaining:
+            if selected:
+                # TRUE max — cosines can be negative, and a negative
+                # max-sim is a diversity BONUS (standard MMR; clamping
+                # at 0 diverges from the SQL replay's MAX aggregate)
+                ms = max(sims[(c, s)] for s in selected)
+                score = 0.7 * rel[c] - 0.3 * ms
+            else:
+                score = 0.7 * rel[c]
+            if best is None or score > best[0]:
+                best = (score, c)
+        score, c = best
+        selected.append(c)
+        remaining.remove(c)
+        out["rank"].append(k)
+        out["vec_id"].append(c)
+        out["rel"].append(rel[c])
+        out["mmr_score"].append(score)
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(out["rank"], dtype="int32"),
+            "vec_id": pd.Series(out["vec_id"], dtype="int64"),
+            "rel": pd.Series(out["rel"], dtype="float64"),
+            "mmr_score": pd.Series(out["mmr_score"], dtype="float64"),
+        }
+    )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy replay: sel_k CTEs accumulate picks; every pick is
+    ORDER BY score DESC, vec_id LIMIT 1 over bit-identical doubles
+    (round-6 cosines combined with CAST'd double literals)."""
+    steps = []
+    picks = ["SELECT 1 AS rank, vec_id, rel, "
+             "CAST(0.7 AS DOUBLE) * rel AS mmr_score FROM p1"]
+    steps.append("""
+        p1 AS MATERIALIZED (
+            SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+        ), sel1 AS (SELECT vec_id FROM p1)""")
+    for k in range(2, _MMR_K + 1):
+        steps.append(f"""
+        p{k} AS MATERIALIZED (
+            SELECT c.vec_id, c.rel,
+                   CAST(0.7 AS DOUBLE) * c.rel
+                   - CAST(0.3 AS DOUBLE) * mx.m AS score
+            FROM cand c
+            JOIN (SELECT p.c_id, MAX(p.sim) AS m FROM pairs p
+                  WHERE p.s_id IN (SELECT vec_id FROM sel{k - 1})
+                  GROUP BY p.c_id) mx ON mx.c_id = c.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+            ORDER BY score DESC, c.vec_id LIMIT 1
+        ), sel{k} AS (
+            SELECT vec_id FROM sel{k - 1}
+            UNION ALL SELECT vec_id FROM p{k}
+        )""")
+        picks.append(
+            f"SELECT {k} AS rank, vec_id, rel, score AS mmr_score FROM p{k}"
+        )
+    union = "\n            UNION ALL ".join(picks)
+    return f"""
+        WITH q AS (
+            SELECT embedding FROM embeddings WHERE vec_id = {_MMR_QUERY_ID}
+        ), rel0 AS (
+            SELECT c.vec_id, {_cosine_sql("q", "c")} AS rel
+            FROM embeddings c, q WHERE c.vec_id <> {_MMR_QUERY_ID}
+        ), cand AS MATERIALIZED (
+            SELECT vec_id, rel FROM rel0 ORDER BY rel DESC, vec_id
+            LIMIT {_MMR_CANDIDATES}
+        ), pairs AS MATERIALIZED (
+            SELECT a.vec_id AS c_id, b.vec_id AS s_id,
+                   {_cosine_sql("ea", "eb")} AS sim
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+        ),{",".join(steps)}
+        SELECT CAST(rank AS INTEGER) AS rank, vec_id, rel, mmr_score
+        FROM ({union})
+    """
+
+
+@register(
+    "sim_mmr_diversify",
+    oracle=_mmr_oracle(),
+    doc="MMR (Maximal Marginal Relevance) diversified top-8: score the "
+        "corpus against query vec 0 (round-6 cosine, the bruteforce "
+        "scoring stage), keep the top-32 candidates, then greedily pick "
+        "8 maximizing 0.7*rel - 0.3*max_sim_to_already_selected. The "
+        "greedy loop runs in one bounded 992-row applyInPandas group "
+        "(no driver collect); the oracle replays it as 8 unrolled "
+        "MATERIALIZED argmax CTEs. Scores are combinations of round-6 "
+        "doubles with identical literals, so the argmax ordering is "
+        "bit-identical cross-engine.",
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    rel = (
+        emb.filter(F.col("vec_id") != _MMR_QUERY_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("rel_c"),
+        )
+    )
+    cand = rel.orderBy(F.desc("rel_c"), F.asc("vec_id")).limit(
+        _MMR_CANDIDATES
+    ).cache()
+    a = cand.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("rel_c"),
+        F.col("embedding").alias("ea"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("s_id"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("c_id") != F.col("s_id"))
+        .select(
+            "c_id",
+            "rel_c",
+            "s_id",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+    )
+    return (
+        pairs.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(
+            lambda _, pdf: _mmr_greedy(pdf),
+            schema="rank int, vec_id bigint, rel double, mmr_score double",
+        )
+    )

@@ -229,3 +229,46 @@ def test_hard_negatives_cross_cluster_and_ranked(spark):
         rs.sort(key=lambda r: r["rk"])
         sims = [r["sim"] for r in rs]
         assert sims == sorted(sims, reverse=True), (q, sims)
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark):
+    """Rank 1 must be the relevance argmax; the full MMR pick set must
+    DIFFER from the pure-relevance top-8 (the redundancy penalty has to
+    actually reorder something on this corpus), and every pick must come
+    from the top-32 candidate pool."""
+    from pyspark.sql import functions as F
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.functions.vectors import cosine
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        _MMR_CANDIDATES,
+        _MMR_K,
+        _MMR_QUERY_ID,
+        sim_mmr_diversify,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["rank"]: r["vec_id"] for r in sim_mmr_diversify(spark, sf).collect()}
+    assert len(out) == _MMR_K
+
+    t = Tables(spark, sf)
+    q = t.embeddings.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    by_rel = [
+        r["vec_id"]
+        for r in t.embeddings.filter(F.col("vec_id") != _MMR_QUERY_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_CANDIDATES)
+        .collect()
+    ]
+    assert out[1] == by_rel[0], "rank 1 must be the relevance argmax"
+    assert set(out.values()) <= set(by_rel), "picks must come from top-32"
+    assert set(out.values()) != set(by_rel[:_MMR_K]), (
+        "MMR set identical to pure-relevance top-8 — no diversification"
+    )
