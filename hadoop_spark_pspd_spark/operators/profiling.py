@@ -536,3 +536,71 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+@register(
+    "q_privacy_randomized_response",
+    oracle="""
+        WITH r AS (
+            SELECT c_nationkey,
+                   CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS bit,
+                   CASE WHEN CAST(('0x' || substr(
+                            md5(CAST(c_custkey AS VARCHAR)), 1, 13))
+                            AS UBIGINT) % 4 = 0
+                        THEN 1 ELSE 0 END AS flip
+            FROM customer
+        )
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((bit + flip) % 2) AS BIGINT) AS reported_sum,
+               CAST(SUM(bit) AS BIGINT) AS true_sum,
+               CAST(2 AS DOUBLE)
+                 * (CAST(SUM((bit + flip) % 2) AS BIGINT)
+                    / CAST(COUNT(*) AS BIGINT))
+                 - CAST(0.5 AS DOUBLE) AS est_rate,
+               CAST(SUM(bit) AS BIGINT) / CAST(COUNT(*) AS BIGINT)
+                   AS true_rate
+        FROM r GROUP BY c_nationkey
+    """,
+    doc="Local-DP randomized response over a sensitive per-customer bit "
+        "(positive account balance): each individual's report is flipped "
+        "with probability q=1/4 (flip decision derandomized from "
+        "md5(custkey) %% 4 — the repo's sampling convention, so both "
+        "engines flip the SAME individuals), then the per-nation rate is "
+        "debiased exactly: est = 2*mean_reported - 1/2, all exact "
+        "int sums and one double division. Emits the noisy estimate "
+        "next to the true rate so the mechanism's error is a first-class "
+        "eval column. Map-only mechanism + one aggregation — the "
+        "individual bits never leave the mapper unprotected at scale.",
+    tags=("profiling", "privacy"),
+)
+def q_privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bit = F.when(F.col("c_acctbal") > 0, 1).otherwise(0)
+    flip = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 13),
+            16, 10,
+        ).cast("bigint") % 4 == 0,
+        1,
+    ).otherwise(0)
+    per = t.customer.select(
+        "c_nationkey",
+        bit.alias("bit"),
+        flip.alias("flip"),
+    ).withColumn("reported", (F.col("bit") + F.col("flip")) % 2)
+    agg = per.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("reported").alias("reported_sum"),
+        F.sum("bit").alias("true_sum"),
+    )
+    ratio = F.col("reported_sum").cast("double") / F.col("n").cast("double")
+    true_ratio = F.col("true_sum").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "c_nationkey",
+        "n",
+        "reported_sum",
+        "true_sum",
+        (F.lit(2.0) * ratio - F.lit(0.5)).alias("est_rate"),
+        true_ratio.alias("true_rate"),
+    )

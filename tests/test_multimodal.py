@@ -136,3 +136,29 @@ def test_audio_energy_sub_window_doc_dropped(spark):
         [(1, b"short")], "doc_id long, payload binary"
     )
     assert audio_energy(df).count() == 0
+
+
+def test_shot_boundaries_known_pattern(spark):
+    from hadoop_spark_pspd_spark.operators.multimodal import (
+        SHOT_FRAME,
+        shot_boundaries,
+    )
+
+    # frames: [a*64][z*64][a*64] + partial tail (dropped). Byte-sum
+    # signatures jump by 25*64=1600 > 96 at both transitions.
+    payload = (b"a" * SHOT_FRAME + b"z" * SHOT_FRAME + b"a" * SHOT_FRAME
+               + b"tail")
+    flat = b"q" * (SHOT_FRAME * 2)      # no jump -> single shot
+    short = b"x" * (SHOT_FRAME - 1)     # sub-frame -> dropped
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(flat)), (3, bytearray(short))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in shot_boundaries(df).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert (r1["n_frames"], r1["n_shots"], r1["longest_shot"],
+            r1["first_boundary"]) == (3, 3, 1, 1)
+    r2 = rows[2]
+    assert (r2["n_frames"], r2["n_shots"], r2["longest_shot"],
+            r2["first_boundary"]) == (2, 1, 2, -1)
