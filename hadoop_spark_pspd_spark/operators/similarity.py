@@ -1990,3 +1990,97 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="rank int, vec_id bigint, rel double, mmr_score double",
         )
     )
+
+
+# ------------------------------------------------ k-center coreset pick
+
+# Gonzalez farthest-point traversal: seed at vec 0, then repeatedly add
+# the point whose distance to the nearest already-selected center is
+# LARGEST — the classic 2-approximation for k-center and the standard
+# deterministic coreset / diversity-selection pass over an embedding
+# corpus (also the derandomized analog of k-means++ seeding). Distances
+# are 1 - round6(cosine), so every comparison is over bit-identical
+# doubles cross-engine.
+_KC_K = 8
+_KC_SEED = 0
+
+
+def _kcenter_oracle() -> str:
+    steps = []
+    picks = [
+        f"SELECT 1 AS rank, CAST({_KC_SEED} AS BIGINT) AS vec_id, "
+        "CAST(NULL AS DOUBLE) AS min_dist"
+    ]
+    steps.append(
+        f"sel1 AS (SELECT CAST({_KC_SEED} AS BIGINT) AS vec_id)"
+    )
+    for k in range(2, _KC_K + 1):
+        steps.append(f"""
+        p{k} AS MATERIALIZED (
+            SELECT c.vec_id,
+                   MIN(CAST(1 AS DOUBLE) - {_cosine_sql("c", "s")}) AS mind
+            FROM embeddings c, embeddings s
+            WHERE s.vec_id IN (SELECT vec_id FROM sel{k - 1})
+              AND c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+            GROUP BY c.vec_id
+            ORDER BY mind DESC, c.vec_id LIMIT 1
+        ), sel{k} AS (
+            SELECT vec_id FROM sel{k - 1}
+            UNION ALL SELECT vec_id FROM p{k}
+        )""")
+        picks.append(
+            f"SELECT {k} AS rank, vec_id, mind AS min_dist FROM p{k}"
+        )
+    union = "\n            UNION ALL ".join(picks)
+    return f"""
+        WITH {",".join(steps)}
+        SELECT CAST(rank AS INTEGER) AS rank, vec_id, min_dist
+        FROM ({union})
+    """
+
+
+@register(
+    "sim_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    doc="Deterministic k-center coreset selection (Gonzalez farthest-"
+        "point traversal, k=8): seed at vec 0, each step adds the corpus "
+        "point maximizing its min round-6 cosine distance to the "
+        "selected set. Every step is one DISTRIBUTED full-corpus argmax "
+        "(cosines against <=7 broadcast literal centers, JVM-side "
+        "zip_with fold) followed by a single-row bounded collect — the "
+        "k-sequential structure is inherent to the algorithm. The "
+        "oracle replays the traversal as unrolled MATERIALIZED argmax "
+        "CTEs over the identical rounded distances.",
+)
+def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding").cache()
+    seed = emb.filter(F.col("vec_id") == _KC_SEED).collect()[0]
+    selected = [(int(seed["vec_id"]), list(seed["embedding"]))]
+    out = [(1, int(seed["vec_id"]), None)]
+    for k in range(2, _KC_K + 1):
+        dists = [
+            F.lit(1.0)
+            - F.round(
+                cosine(
+                    F.array(*[F.lit(float(x)) for x in v]),
+                    F.col("embedding"),
+                ),
+                6,
+            )
+            for _, v in selected
+        ]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        ids = [i for i, _ in selected]
+        pick = (
+            emb.filter(~F.col("vec_id").isin(ids))
+            .select("vec_id", "embedding", mind.alias("mind"))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((int(pick["vec_id"]), list(pick["embedding"])))
+        out.append((k, int(pick["vec_id"]), float(pick["mind"])))
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, min_dist double"
+    )

@@ -272,3 +272,25 @@ def test_mmr_diversifies_vs_pure_relevance(spark):
     assert set(out.values()) != set(by_rel[:_MMR_K]), (
         "MMR set identical to pure-relevance top-8 — no diversification"
     )
+
+
+def test_kcenter_min_dist_non_increasing(spark):
+    """Gonzalez traversal invariant: each new center's distance to the
+    selected set can only shrink as the set grows, so the min_dist
+    column is non-increasing over ranks 2..k; picks are distinct and
+    rank 1 is the seed with NULL distance."""
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        _KC_SEED,
+        sim_kcenter_coreset,
+    )
+
+    rows = sorted(
+        sim_kcenter_coreset(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows[0]["vec_id"] == _KC_SEED and rows[0]["min_dist"] is None
+    dists = [r["min_dist"] for r in rows[1:]]
+    assert all(d is not None and d > 0 for d in dists)
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
