@@ -272,3 +272,86 @@ def infer_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~hit & F.col("label")).cast("int")).cast("long").alias("fn"),
         F.sum((~hit & ~F.col("label")).cast("int")).cast("long").alias("tn"),
     )
+
+
+# ------------------------------------------------- calibration analysis
+
+# fixed-width margin bins over [-2, 2): bin = floor((margin+2)/0.5),
+# clamped to [0, 15]. 0.5 is a power of two, so the division is EXACT
+# in doubles (identical bin assignment cross-engine); per-bin margin
+# mass is summed as exact round-6 micro-units (int64), so no double
+# summation order exists anywhere.
+_CAL_LO, _CAL_WIDTH, _CAL_BINS = -2.0, 0.5, 16
+
+
+@register(
+    "infer_calibration_bins",
+    oracle=f"""
+        WITH scored AS (
+            SELECT (lang = 'en') AS label, {_MARGIN_SQL} AS margin
+            FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS w FROM documents)
+            WHERE len(w) > 0
+        ), binned AS (
+            SELECT least(greatest(CAST(floor(
+                       (margin - CAST({_CAL_LO} AS DOUBLE))
+                       / CAST({_CAL_WIDTH} AS DOUBLE)) AS BIGINT),
+                       0), {_CAL_BINS - 1}) AS bin,
+                   label,
+                   CAST(round(margin * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                       AS margin_micro
+            FROM scored
+        )
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                   AS positives,
+               CAST(SUM(margin_micro) AS BIGINT) AS sum_margin_micro,
+               CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+                   / CAST(COUNT(*) AS BIGINT) AS emp_rate
+        FROM binned GROUP BY bin
+    """,
+    doc="Model-calibration (reliability-curve) bins for the linear "
+        "classifier vs the weak lang=='en' label: round-6 margins fall "
+        "into 16 fixed-width bins over [-2,2) (width 0.5 — a power of "
+        "two, so the binning division is exact in doubles), each bin "
+        "reporting size, positive count, empirical positive rate "
+        "(exact int ratio), and the margin mass as exact round-6 "
+        "micro-units so no double summation order exists. One "
+        "partial+final aggregation; downstream ECE is a trivial "
+        "combination of these columns.",
+    tags=("inference",),
+)
+def infer_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    scored = (
+        t.documents.filter(F.size(_tokens(F.col("text"))) > 0)
+        .select(
+            (F.col("lang") == "en").alias("label"),
+            _margin_col().alias("margin"),
+        )
+    )
+    bin_col = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("margin") - F.lit(_CAL_LO)) / F.lit(_CAL_WIDTH)
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(_CAL_BINS - 1).cast("bigint"),
+    )
+    binned = scored.select(
+        bin_col.alias("bin"),
+        "label",
+        F.round(F.col("margin") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("margin_micro"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("label").cast("int")).cast("long").alias("positives"),
+        F.sum("margin_micro").alias("sum_margin_micro"),
+        (
+            F.sum(F.col("label").cast("int")).cast("long").cast("double")
+            / F.count("*").cast("double")
+        ).alias("emp_rate"),
+    )
