@@ -4,7 +4,9 @@ entry(spark)  — flagship query (WordCount over documents, the reference's
                 headline workload) at sf0.001.
 queries()     — every implemented operator from SURVEY.md §2, from the
                 engine registry.
-oracle_sql()  — matching DuckDB SQL per query: ALL 235 queries carry one
+oracle_sql()  — matching DuckDB SQL per query: ALL registered queries carry
+                one (241 at round 6; run tools/query_inventory.py for the
+                current count)
                 (iterative/approximate ops included, via fixed-point
                 arithmetic + unrolled-CTE replays — since round 5 even
                 the PCA pair, whose deterministic power-iteration fit

@@ -345,6 +345,9 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_CELLS = 64   # 8x8 "image" -> 64-bit average hash
 PHASH_BANDS = 4    # 4x16-bit LSH bands for the candidate join
 PHASH_MAX_HAMMING = 6
+# cross-multiplied mean test needs 255*n^2 < 2^63 -> n < ~1.9e8; cap at
+# 2^26 bytes (67 MB) in BOTH engines so numpy can't wrap / DuckDB can't raise
+PHASH_MAX_BYTES = 1 << 26
 
 PHASH_SCHEMA = "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
 
@@ -365,7 +368,7 @@ def _ahash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             n = len(payload)
-            if n < PHASH_CELLS:
+            if n < PHASH_CELLS or n >= PHASH_MAX_BYTES:
                 continue
             vals = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
             prefix = np.concatenate(([0], np.cumsum(vals)))
@@ -405,6 +408,7 @@ def _phash_oracle() -> str:
             SELECT doc_id, hex(encode(text)) AS hx,
                    CAST(strlen(text) AS BIGINT) AS n
             FROM documents WHERE strlen(text) >= {PHASH_CELLS}
+                              AND strlen(text) < {PHASH_MAX_BYTES}
         ), pos AS (
             SELECT doc_id, CAST(unnest(range(1, n + 1)) AS BIGINT) AS pos
             FROM d
@@ -449,8 +453,15 @@ def _phash_oracle() -> str:
         "stream; bit = cell mean above global mean, tested as the exact "
         "cross-multiplied integer comparison cell_sum*n > total*count, "
         "so no doubles exist anywhere in the pipeline), then 4x16-bit "
-        "band LSH for candidates and popcount Hamming <= 6 to confirm "
-        "(pigeonhole: any pair within distance 3 must share a band). "
+        "band LSH for candidates and popcount Hamming <= 6 to confirm. "
+        "RECALL CONTRACT: pairs within Hamming 3 are GUARANTEED "
+        "(pigeonhole over 4 bands); distance 4-6 pairs are best-effort "
+        "— reported iff the bit errors leave at least one band intact "
+        "(Spark and the oracle share the identical band join, so the "
+        "hash gate is unaffected). Payloads are capped at 2^26 bytes in "
+        "both engines so the cross-multiplied test cell_sum*n <= "
+        "255*n^2 < 2^63 can never overflow int64 (numpy would wrap "
+        "silently; DuckDB would raise). "
         "The hash derivation is one linear numpy scan per payload via "
         "mapInPandas (the 100 TB path); the candidate join is the same "
         "banded equi-join as dedup_simhash. Real pixel decode sits "
@@ -462,7 +473,8 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     payloads = t.documents.filter(
-        F.octet_length("text") >= PHASH_CELLS
+        (F.octet_length("text") >= PHASH_CELLS)
+        & (F.octet_length("text") < PHASH_MAX_BYTES)
     ).select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     hashes = ahash_bands(payloads).cache()
     stack_expr = ", ".join(f"{c}, b{c}" for c in range(PHASH_BANDS))

@@ -364,7 +364,11 @@ _DSIR_TOKENS = (
         f"{_DSIR_B}-row distribution tables broadcast; the corpus is "
         "scanned once (doc-bucket partial aggs); the global top-k "
         "window would swap to per-partition top-k + merge at 100 TB. "
-        "No driver state, no vocabulary: the hashing trick again.",
+        "No driver state, no vocabulary: the hashing trick again. "
+        "OVERFLOW BOUND: (c+1)*2^30 wraps int64 only when one bucket "
+        "holds > 2^33 (~8.6e9) tokens — a ~9-trillion-token corpus at "
+        "1024 buckets; past that, raise _DSIR_B (counts split across "
+        "buckets) or drop _DSIR_FX to 2^20 before deploying.",
     tags=("text", "curation"),
 )
 def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
