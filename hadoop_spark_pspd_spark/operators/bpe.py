@@ -206,7 +206,8 @@ def _train_merges(
     per-document ENCODE chain — stay distributed."""
     t = Tables(spark, sf_dir)
     vocab_rows = (
-        t.documents.select(F.explode(tokens(F.col("text"))).alias("word"))
+        t.documents.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy(F.desc("cnt"), "word")
@@ -310,6 +311,104 @@ def _apply_merge(state, best, key, extras=(), checkpoint=True):
     return res.localCheckpoint() if checkpoint else res
 
 
+
+
+def _batch_merges(
+    merges: list[tuple[int, str, str, int]]
+) -> list[list[tuple[str, str]]]:
+    """Group the rank-ordered merge rules into batches that one
+    simultaneous pass applies EXACTLY as the sequential rounds would.
+
+    A rule may join the current batch iff, against every rule already
+    in it, (a) the patterns share no symbol — two match spans can only
+    overlap through a shared symbol, so runs stay single-rule and the
+    gaps-and-islands greedy logic is unchanged — and (b) neither
+    pattern symbol equals a batch-mate's output concat — within a
+    batch, matching is simultaneous on the input state, which equals
+    sequential application only when no rule consumes another's output.
+    Batches preserve rank order, so cross-batch dependencies replay
+    sequentially. Worst case: 12 singleton batches == today's chain.
+    """
+    batches: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    cur_syms: set[str] = set()
+    cur_outs: set[str] = set()
+    for _rank, a, b, _freq in merges:
+        ok = (
+            cur
+            and a not in cur_syms
+            and b not in cur_syms
+            and a not in cur_outs
+            and b not in cur_outs
+            # a batch-mate's pattern must not use THIS rule's output
+            # either: impossible here (its symbols predate this rule),
+            # but the output must not collide with a mate's output
+            # symbol used as a pattern later in the same pass — outputs
+            # never match within a pass, so only (a)/(b) bind.
+        )
+        if not ok:
+            if cur:
+                batches.append(cur)
+            cur, cur_syms, cur_outs = [], set(), set()
+        cur.append((a, b))
+        cur_syms.update((a, b))
+        cur_outs.add(a + b)
+    if cur:
+        batches.append(cur)
+    return batches
+
+
+def _apply_merge_batch(state, pairs, key):
+    """One simultaneous greedy pass applying a _batch_merges batch:
+    identical window machinery to _apply_merge (matched -> head ->
+    run_start -> active -> consumed -> filter + reindex over ONE
+    (key, pos) ordering), with the match test an isin over the batch's
+    'a|b' pattern strings and the merged symbol concat(sym, next) —
+    each matched position knows its own rule's output. Symbols are hex
+    strings, so '|' can't occur and the delimiter is unambiguous."""
+    w = Window.partitionBy(key).orderBy("pos")
+    wseq = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pat = [f"{a}|{b}" for a, b in pairs]
+    s = state.withColumn("nxt", F.lead("sym").over(w))
+    s = s.withColumn(
+        "matched",
+        F.coalesce(
+            F.concat_ws("|", "sym", "nxt").isin(pat).cast("int"), F.lit(0)
+        ),
+    )
+    s = s.withColumn(
+        "head",
+        (
+            (F.col("matched") == 1)
+            & (F.coalesce(F.lag("matched").over(w), F.lit(0)) == 0)
+        ).cast("int"),
+    )
+    s = s.withColumn(
+        "run_start",
+        F.max(F.when(F.col("head") == 1, F.col("pos"))).over(wseq),
+    )
+    s = s.withColumn(
+        "active",
+        (
+            (F.col("matched") == 1)
+            & ((F.col("pos") - F.col("run_start")) % 2 == 0)
+        ).cast("int"),
+    )
+    s = s.withColumn(
+        "consumed", F.coalesce(F.lag("active").over(w), F.lit(0))
+    )
+    out = s.filter(F.col("consumed") == 0).select(
+        key,
+        "pos",
+        F.when(F.col("active") == 1, F.concat("sym", "nxt"))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
+    )
+    return out.select(
+        key,
+        F.row_number().over(w).cast("long").alias("pos"),
+        "sym",
+    )
 
 
 def _bpe_encode_oracle() -> str:
@@ -420,7 +519,11 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty symbols, n_tokens=2 for an empty doc — while the oracle's
     # range(1, 1) is empty and its inner join drops the doc. Drop them
     # up front (matching the oracle) — an empty doc has no tokens.
-    docs = t.documents.filter(F.octet_length("text") >= 1)
+    docs = t.documents.filter(F.octet_length("text") >= 1).repartition(
+        # small parquet = ONE input split; the per-byte posexplode is
+        # CPU-bound, so spread it first (no-op cost at real scale)
+        spark.sparkContext.defaultParallelism
+    )
     state = (
         docs.select(
             "doc_id",
@@ -436,8 +539,11 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    for _rank, a, b, _freq in merges:
-        state = _apply_merge(state, (a, b), "doc_id", checkpoint=False)
+    # batch non-interacting rules (typically 12 rounds -> ~4-6 passes):
+    # each batch is one simultaneous window pass provably equal to its
+    # rules' sequential application (see _batch_merges)
+    for batch in _batch_merges(merges):
+        state = _apply_merge_batch(state, batch, "doc_id")
     n_tok = state.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens")
     )
