@@ -568,17 +568,23 @@ _NEARDUP_PAIRS_SQL = f"""
     "sim_embedding_neardup",
     oracle=_NEARDUP_PAIRS_SQL,
     doc="Embedding-cosine near-dup pairs (sim >= 0.4) via a PROVABLY "
-        "COMPLETE cell-pair prefilter: assign every vector to its nearest "
-        "(max-cosine) coarse-quantizer centroid, track per-cell max angular "
-        "residual r_i, and only compare cell pairs (i,j) where the spherical "
-        "triangle inequality theta(ci,cj) <= theta_t + r_i + r_j can't rule "
-        "the pair out — so recall is 1 by construction (no LSH miss "
-        "probability) and candidates are exact-cosine verified. The plan is "
-        "a hash equi-join on cell ids, never an all-pairs theta-join; on "
-        "clustered real-world embeddings most cell pairs prune away, and on "
-        "an adversarially uniform corpus it degrades to block-partitioned "
-        "exact comparison, still shuffle-parallel. k_cells scales ~sqrt(n) "
-        "at 100 TB.",
+        "COMPLETE cell-pair prefilter + blocked numpy screen: assign every "
+        "vector to its nearest (max-cosine) coarse-quantizer centroid, "
+        "track per-cell max angular residual r_i, and only compare cell "
+        "pairs (i,j) where the spherical triangle inequality theta(ci,cj) "
+        "<= theta_t + r_i + r_j can't rule the pair out — recall is 1 by "
+        "construction (no LSH miss probability). Surviving cell pairs are "
+        "compared as OCCUPANCY-CAPPED blocks (oversized cells salted into "
+        "<=cap sub-blocks) inside one Arrow-batched mapInPandas matmul "
+        "screen with a 1e-6 slack margin (>= 1e9x the f64 GEMM error "
+        "bound d*eps ~ 7e-15, so no true pair is screened out); only "
+        "screen survivors materialize as rows and get the exact JVM-HOF "
+        "cosine verify. On clustered real-world embeddings most cell "
+        "pairs prune; on an adversarially uniform corpus the screen work "
+        "degrades to block-partitioned exact comparison — inherent to "
+        "exact recall-1 semantics — but runs at dense-matmul rate inside "
+        "bounded ~cap^2 tasks and never materializes a candidate row that "
+        "fails the threshold.",
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = 0.4
@@ -586,11 +592,9 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zip_with/aggregate cosine is numerically symmetric (per-index products
     # commute, accumulation order is index order), so least/greatest
     # reordering can't drift the rounded score vs the oracle's a<b layout.
-    # Norms ride along from neardup_candidates (computed once per VECTOR,
-    # not per pair): the candidate side is quadratic in the worst case, so
-    # one dot per pair instead of dot + 2 norms is a 3x HOF-work cut —
-    # same doubles as the inline form (identical op order on identical
-    # inputs), pinned by the oracle hash.
+    # The numpy screen only ever REMOVES pairs the exact filter would also
+    # remove (slack margin >> GEMM error); every emitted double below comes
+    # from the same HOF expressions as before, pinned by the oracle hash.
     sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return cand.filter(sim >= threshold).select(
         F.least("ida", "idb").alias("vec_a"),
@@ -599,22 +603,45 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# occupancy cap per block: bounds mapInPandas task pair-work at cap^2
+# (~16M dots, ~0.2 s of f64 matmul) and block bytes at cap*DIM*4 (~1 MB)
+_NEARDUP_CAP = 4096
+# screen slack: exact_sim >= t implies gemm_sim >= t - margin, since
+# |gemm - exact| <= d*eps/(1-d*eps) ~ 7.1e-15 for unit vectors (Higham
+# 3.5); 1e-6 leaves 8 orders of magnitude of headroom
+_SCREEN_MARGIN = 1e-6
+
+
 def neardup_candidates(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4,
-    k_cells: int = 16,
+    k_cells: int | None = None, cap: int = _NEARDUP_CAP,
 ) -> DataFrame:
-    """Candidate pair stream (ida, ea, idb, eb) from the cell-pair
-    prefilter — the complete-by-construction half of
-    sim_embedding_neardup, exposed separately so tests can measure the
-    candidate volume against the block-partition bound C(n,2) on an
-    adversarially uniform corpus (where no cell pair prunes and the plan
-    must degrade to block-partitioned exact comparison, each unordered
-    pair enumerated exactly once, still a hash equi-join)."""
+    """Screened candidate pair stream (ida, ea, na, idb, eb, nb) from the
+    cell-pair prefilter + blocked matmul screen — the complete-by-
+    construction half of sim_embedding_neardup, exposed separately so
+    tests can measure candidate volume against the block-partition bound
+    C(n,2) on an adversarially uniform corpus.
+
+    Completeness: (1) blocks partition each cell, and every block pair
+    within a surviving cell pair is compared, so every vector pair not
+    provably below threshold (triangle inequality) reaches the screen;
+    (2) the screen keeps any pair whose f64-matmul cosine >= threshold -
+    margin, and the matmul differs from the exact HOF dot by <= ~7e-15,
+    so no true pair is dropped. Only survivors become rows: worst-case
+    (uniform corpus, no true pairs) candidate MATERIALIZATION is ~0 even
+    though screen flops stay quadratic — the unavoidable cost of exact
+    recall-1 semantics, paid at dense-matmul rate in <=cap^2-pair tasks."""
     import math
 
     import pandas as pd
 
     t = Tables(spark, sf_dir)
+    n = t.embeddings.count()
+    if k_cells is None:
+        # ~sqrt(n/8) cells: block-pair count ~n/16 on uniform data while
+        # keeping per-cell populations large enough for efficient matmul
+        # blocks; capped at the quantizer's 256-row training sample
+        k_cells = min(_QUANT_SAMPLE, max(16, math.isqrt(max(n, 1) // 8)))
     centroids = _train_coarse_quantizer(t.embeddings, k_cells)
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
@@ -640,45 +667,110 @@ def neardup_candidates(
         .select("vec_id", "embedding", "a.cell", "a.theta")
         .cache()
     )
-    # per-cell max residual angle: k_cells rows — bounded driver collect
-    radii = {
-        r["cell"]: r["r"]
+    # per-cell max residual angle + occupancy: k_cells rows — bounded
+    # driver collect
+    stats = {
+        r["cell"]: (r["r"], r["cnt"])
         for r in assigned.groupBy("cell")
-        .agg(F.max("theta").alias("r"))
+        .agg(F.max("theta").alias("r"), F.count("*").alias("cnt"))
         .collect()
     }
     theta_t = math.acos(threshold)
     cc = np.clip(cn @ cn.T, -1.0, 1.0)
-    cand_pairs = [
-        (i, j)
-        for i in sorted(radii)
-        for j in sorted(radii)
-        if i <= j
-        and math.acos(cc[i, j]) <= theta_t + radii[i] + radii[j] + 1e-6
-    ]
-    pair_df = spark.createDataFrame(cand_pairs, "ci int, cj int")
-    # per-vector norm computed ONCE here (n rows) and carried into the
-    # candidate stream, instead of twice per candidate pair (worst case
-    # C(n,2) pairs on a uniform corpus) — same double as the inline
-    # sqrt-of-ordered-sum, 3x less HOF work on the quadratic side
-    a = assigned.select(
-        F.col("vec_id").alias("ida"),
-        F.col("embedding").alias("ea"),
-        norm(F.col("embedding")).alias("na"),
-        F.col("cell").alias("ci"),
+    nsplit = {c: -(-cnt // cap) for c, (_, cnt) in stats.items()}
+    # surviving cell pairs, expanded over occupancy-salt sub-blocks; each
+    # unordered vector pair is covered by exactly one block pair (same
+    # block -> the in-task ida<idb mask keeps one orientation)
+    blk_pairs = []
+    cells = sorted(stats)
+    for i in cells:
+        ri = stats[i][0]
+        for j in cells:
+            if i > j:
+                continue
+            if math.acos(cc[i, j]) > theta_t + ri + stats[j][0] + 1e-6:
+                continue
+            for si in range(nsplit[i]):
+                for sj in range(nsplit[j]):
+                    if i == j and si > sj:
+                        continue
+                    blk_pairs.append(
+                        (i, si, j, sj, i == j and si == sj)
+                    )
+    pair_df = spark.createDataFrame(
+        blk_pairs, "ci int, si int, cj int, sj int, same boolean"
     )
-    b = assigned.select(
-        F.col("vec_id").alias("idb"),
-        F.col("embedding").alias("eb"),
-        norm(F.col("embedding")).alias("nb"),
-        F.col("cell").alias("cj"),
+    salted = assigned.select(
+        "vec_id", "embedding", "cell",
+        F.pmod(
+            F.col("vec_id"),
+            F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[F.lit(x) for kv in nsplit.items() for x in kv]
+                    ),
+                    F.col("cell"),
+                ),
+                F.lit(1),
+            ),
+        ).cast("int").alias("salt"),
     )
-    return (
-        a.join(F.broadcast(pair_df), "ci")
-        .join(b, "cj")
-        # same-cell blocks enumerate both orders — keep one; cross-cell
-        # blocks (ci < cj) enumerate each unordered pair exactly once
-        .filter((F.col("ci") < F.col("cj")) | (F.col("ida") < F.col("idb")))
+    blocks = salted.groupBy("cell", "salt").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("members")
+    )
+
+    thr = threshold - _SCREEN_MARGIN
+
+    def _screen(batches):
+        for pdf in batches:
+            out_ida, out_ea, out_idb, out_eb = [], [], [], []
+            for ma, mb, same in zip(pdf["ma"], pdf["mb"], pdf["same"]):
+                ids_a = np.array([m["vec_id"] for m in ma], dtype=np.int64)
+                ids_b = np.array([m["vec_id"] for m in mb], dtype=np.int64)
+                A = np.stack([m["embedding"] for m in ma]).astype(np.float64)
+                B = np.stack([m["embedding"] for m in mb]).astype(np.float64)
+                Au = A / np.linalg.norm(A, axis=1, keepdims=True)
+                Bu = B / np.linalg.norm(B, axis=1, keepdims=True)
+                mask = (Au @ Bu.T) >= thr
+                if same:
+                    mask &= ids_a[:, None] < ids_b[None, :]
+                ia, ib = np.nonzero(mask)
+                out_ida.extend(ids_a[ia])
+                out_ea.extend(ma[x]["embedding"] for x in ia)
+                out_idb.extend(ids_b[ib])
+                out_eb.extend(mb[x]["embedding"] for x in ib)
+            # explicit dtypes: an EMPTY batch would otherwise default to
+            # float64 columns, which Arrow can't convert to list<float>
+            yield pd.DataFrame(
+                {"ida": pd.Series(out_ida, dtype="int64"),
+                 "ea": pd.Series(out_ea, dtype="object"),
+                 "idb": pd.Series(out_idb, dtype="int64"),
+                 "eb": pd.Series(out_eb, dtype="object")}
+            )
+
+    stream = (
+        blocks.select(
+            F.col("cell").alias("ci"), F.col("salt").alias("si"),
+            F.col("members").alias("ma"),
+        )
+        .join(F.broadcast(pair_df), ["ci", "si"])
+        .join(
+            blocks.select(
+                F.col("cell").alias("cj"), F.col("salt").alias("sj"),
+                F.col("members").alias("mb"),
+            ),
+            ["cj", "sj"],
+        )
+    )
+    screened = stream.mapInPandas(
+        _screen,
+        "ida long, ea array<float>, idb long, eb array<float>",
+    )
+    # exact verify inputs: same HOF norm on the same float32 arrays as the
+    # pre-screen implementation — identical doubles, oracle-hash pinned
+    return screened.select(
+        "ida", "ea", norm(F.col("ea")).alias("na"),
+        "idb", "eb", norm(F.col("eb")).alias("nb"),
     )
 
 

@@ -196,6 +196,31 @@ def test_neardup_adversarial_uniform_corpus(spark, tmp_path):
     plan = formatted_plan(cand)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+    # the numpy screen materializes only near-threshold survivors: on this
+    # uniform cloud that is FAR below the block-partition bound (the old
+    # pre-screen path exploded every unpruned pair as a row)
+    assert n_cand <= 4 * len(want) + 64
+
+    # occupancy salting: cap=16 forces every cell into sub-blocks; output
+    # must be unchanged (blocks partition cells, every block pair within a
+    # surviving cell pair is compared, so completeness is cap-invariant)
+    from hadoop_spark_pspd_spark.functions.vectors import dot as vdot
+    from pyspark.sql import functions as F
+
+    salted = neardup_candidates(spark, sf_dir, cap=16)
+    sim = vdot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    got_salted = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in salted.filter(sim >= 0.4)
+        .select(
+            F.least("ida", "idb").alias("vec_a"),
+            F.greatest("ida", "idb").alias("vec_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .collect()
+    }
+    assert got_salted == got
     spark.catalog.clearCache()
 
 

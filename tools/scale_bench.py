@@ -165,8 +165,60 @@ def skew_demo(spark) -> dict:
     return results
 
 
+def neardup_uniform_demo(spark) -> dict:
+    """The exact-recall worst case, measured: ADVERSARIALLY UNIFORM unit
+    vectors (no cluster structure, so no cell pair prunes and the blocked
+    numpy screen must compare every block pair) at n=2000 and n=20000.
+    The screen materializes ~0 candidate rows (uniform d=64 cosines
+    concentrate at 0 +- 1/8, far below 0.4), so wall = fixed plan
+    overhead + dense-matmul screen flops; the 10x ratio shows how much of
+    the quadratic is hidden under matmul rate + fixed floors at this
+    scale. Planted near-dup pairs keep the output non-trivial and pin
+    recall under the degraded path."""
+    import numpy as np
+
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        DIM,
+        sim_embedding_neardup,
+    )
+
+    rng = np.random.default_rng(11)
+    results = {}
+    walls = {}
+    for n in (2000, 20000):
+        base = rng.standard_normal((n, DIM))
+        for k in range(16):  # planted near-dups: output stays non-empty
+            base[n - 16 + k] = base[k] + 0.05 * rng.standard_normal(DIM)
+        unit = (base / np.linalg.norm(base, axis=1, keepdims=True)).astype(
+            np.float32
+        )
+        sf_dir = f"/tmp/pspd_uniform_{n}"
+        spark.createDataFrame(
+            [(i, [float(x) for x in unit[i]], 0) for i in range(n)],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(8).write.mode("overwrite").parquet(
+            f"{sf_dir}/embeddings.parquet"
+        )
+        t0 = time.time()
+        rows = sim_embedding_neardup(spark, sf_dir).count()
+        wall = round(time.time() - t0, 2)
+        walls[n] = wall
+        results[f"n{n}"] = {"wall_sec": wall, "pairs": int(rows)}
+        spark.catalog.clearCache()
+        print(f"# neardup uniform n={n}: {wall}s {rows} pairs",
+              file=sys.stderr)
+    results["ratio_10x"] = round(walls[20000] / walls[2000], 2)
+    return results
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    if mode == "--neardup-uniform":
+        spark = get_spark("pspd_scale_bench")
+        print(json.dumps(
+            {"metric": "neardup_uniform", **neardup_uniform_demo(spark)}
+        ))
+        return
     # --queries a,b,c : scale-check an explicit query list instead of the
     # bench=True headline set (e.g. newly added heavy operators)
     names = None
