@@ -29,16 +29,74 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_media(payload: bytes, kind: str = "image", fake: bool = False):
-    """Decode a media payload. Real decoding requires PIL/ffmpeg — not in
-    this container; the deterministic fake keeps the pipeline testable."""
-    if not fake:
-        raise NotImplementedError(
-            "real media decode needs PIL/ffmpeg (not installed); "
-            "pass fake=True for the deterministic stub"
-        )
-    n = len(payload)
-    return {"width": n % 640, "height": (n * 7) % 480}
+def decode_media(
+    payload: bytes, kind: str = "image", fake: bool = False,
+    backend: str | None = None,
+):
+    """Decode a media payload. Backend selection mirrors the external-
+    Kafka seam ($PSPD_KAFKA_BOOTSTRAP -> real broker): set
+    ``PSPD_MEDIA_DECODE=pil`` (or pass ``backend="pil"``) on a cluster
+    where Pillow is installed to route image payloads through a REAL
+    decoder; the sandbox default stays the deterministic byte-length
+    fake (no PIL/ffmpeg in this container), which every ORACLED query
+    uses so hashes never depend on an optional native lib. Env-gated
+    coverage: tests/test_media_external.py."""
+    import os
+
+    if backend is None and not fake:
+        backend = os.environ.get("PSPD_MEDIA_DECODE")
+    if fake or backend in (None, "fake"):
+        if not fake and backend is None:
+            raise NotImplementedError(
+                "real media decode needs PIL/ffmpeg (not installed); "
+                "pass fake=True for the deterministic stub or set "
+                "PSPD_MEDIA_DECODE=pil where Pillow is available"
+            )
+        n = len(payload)
+        return {"width": n % 640, "height": (n * 7) % 480}
+    if backend == "pil":
+        if kind != "image":
+            raise NotImplementedError(
+                f"PIL backend decodes images only, not {kind!r}"
+            )
+        import io
+
+        from PIL import Image  # import-gated: only on the real path
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return {"width": im.width, "height": im.height}
+    raise ValueError(f"unknown media decode backend {backend!r}")
+
+
+REAL_DIMS_SCHEMA = "doc_id bigint, width int, height int"
+
+
+def media_dimensions(df: DataFrame, backend: str | None = None) -> DataFrame:
+    """(doc_id, payload: binary) -> real decoded (width, height) via the
+    selected backend inside the SAME Arrow-batched mapInPandas plumbing
+    the fake pipeline uses — the seam a real cluster flips on with
+    PSPD_MEDIA_DECODE=pil. Not registered/oracled: output depends on the
+    decoder lib, which the sandbox lacks."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                decode_media(p, kind="image", backend=backend)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(
+                        [d["width"] for d in dims], dtype="int32"
+                    ),
+                    "height": pd.Series(
+                        [d["height"] for d in dims], dtype="int32"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=REAL_DIMS_SCHEMA)
 
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
