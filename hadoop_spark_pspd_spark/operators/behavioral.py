@@ -437,3 +437,68 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_RULE_TOPN)
     win = W.orderBy(F.desc("pair_supp"), "antecedent", "consequent")
     return top.withColumn("rn", F.row_number().over(win).cast("long"))
+
+
+@register(
+    "q_attribution_multitouch",
+    oracle="""
+        WITH conv AS (
+            SELECT user_id, ts AS cts, event_id AS cid
+            FROM events WHERE event_type = 'purchase'
+        ),
+        tch AS (
+            SELECT user_id, ts, event_id, event_type
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        ranked AS (
+            SELECT t.event_type,
+                   row_number() OVER (
+                       PARTITION BY c.cid
+                       ORDER BY t.ts DESC, t.event_id DESC
+                   ) AS rk
+            FROM conv c
+            JOIN tch t ON c.user_id = t.user_id AND t.ts < c.cts
+        )
+        SELECT event_type AS touch_type,
+               count(*) AS touches,
+               SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << rk)
+                   AS DOUBLE)) AS credit
+        FROM ranked WHERE rk <= 8
+        GROUP BY event_type
+    """,
+    doc="Time-decay multi-touch attribution: each purchase conversion "
+        "distributes credit 2^-k to its k-th most recent preceding "
+        "view/click touch (k <= 8, unique tie-break ts desc, event_id "
+        "desc), aggregated per touch type. The conversion-touch join is "
+        "a user-keyed equi-join (per-user event counts are bounded by "
+        "data semantics) followed by ONE window rank per conversion — "
+        "no cross-user pairs ever form. Exactness: credits are dyadic "
+        "rationals with denominator 2^8, so the double SUM is exact and "
+        "order-free cross-engine (no HUGEINT drift: a DOUBLE sum stays "
+        "DOUBLE in DuckDB).",
+)
+def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    conv = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    tch = t.events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("cid").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = (
+        conv.join(tch, "user_id")
+        .filter(F.col("ts") < F.col("cts"))
+        .select("event_type", F.row_number().over(w).alias("rk"))
+    )
+    credit = F.lit(1.0) / F.expr("CAST(shiftleft(1L, rk) AS DOUBLE)")
+    return (
+        ranked.filter(F.col("rk") <= 8)
+        .groupBy(F.col("event_type").alias("touch_type"))
+        .agg(
+            F.count("*").alias("touches"),
+            F.sum(credit).alias("credit"),
+        )
+    )

@@ -225,3 +225,66 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("drift").alias("peak_drift"),
         )
     )
+
+
+# 32-step truncated-EWMA weights: term j (j=0 newest) = n_{t-j} / 2^(j+1).
+# Every term is an exact dyadic rational with common denominator 2^32 and
+# the total numerator stays < 2^53 for hourly counts < ~2^20, so the sum
+# is EXACT in f64 and addition order is irrelevant — cross-engine safe
+# with no fixed-point scaffolding (the repo's power-of-two-divisor rule).
+_EWMA_STEPS = 32
+
+
+def _ewma_terms_sql() -> str:
+    terms = ["n / CAST(2 AS DOUBLE)"]
+    terms += [
+        f"COALESCE(lag(n, {j}) OVER w, 0) / CAST({1 << (j + 1)} AS DOUBLE)"
+        for j in range(1, _EWMA_STEPS)
+    ]
+    return "\n               + ".join(terms)
+
+
+@register(
+    "ts_ewma_counts",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hour, n,
+               {_ewma_terms_sql()} AS ewma
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    """,
+    doc="Exponentially-weighted moving average of hourly event counts "
+        "(alpha = 1/2, horizon truncated at 32 buckets over the ordered "
+        "sequence of non-empty hours): the smoothed-rate monitor a "
+        "streaming-analytics stack derives alerts from. One partial-agg "
+        "shuffle to hourly counts (map-side combine), then ONE window "
+        "pass computing all 32 lag terms — at 100 TB the window state is "
+        "bounded by buckets-per-type, not events. Exactness: each term "
+        "n/2^(j+1) is an exact dyadic (power-of-two divisor, counts < "
+        "2^20), the 32-term sum's numerator fits 2^53, so the double is "
+        "exact and addition order is irrelevant cross-engine.",
+)
+def ts_ewma_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("hour")
+    terms = [F.col("n").cast("double") / F.lit(2.0)]
+    terms += [
+        F.coalesce(F.lag("n", j).over(w), F.lit(0)).cast("double")
+        / F.lit(float(1 << (j + 1)))
+        for j in range(1, _EWMA_STEPS)
+    ]
+    return hourly.select(
+        "event_type", "hour", "n",
+        reduce(lambda a, b: a + b, terms).alias("ewma"),
+    )
