@@ -391,3 +391,144 @@ def infer_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("emp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed model TRAINING: fixed-point batch perceptron over embeddings
+# ---------------------------------------------------------------------------
+
+_PCP_FP = 1 << 14   # feature quantization: |x| <= 1 -> |xq| <= 2^14
+_PCP_ITERS = 5
+_PCP_DIM = 64
+
+
+def _perceptron_oracle() -> str:
+    """Unrolled MATERIALIZED-CTE replay of the training loop (the
+    pagerank/PCA technique): every reduction is an exact BIGINT sum
+    (order-free), every per-element step integer arithmetic, so DuckDB
+    replays the Spark loop bit for bit. SUMs outer-cast to BIGINT
+    (DuckDB SUM(BIGINT) -> HUGEINT drift rule)."""
+    parts = [f"""
+        WITH ids AS MATERIALIZED (
+            SELECT vec_id,
+                   CASE WHEN label % 2 = 1 THEN 1 ELSE -1 END AS y,
+                   unnest(range(1, {_PCP_DIM + 1})) AS j,
+                   embedding
+            FROM embeddings
+        ),
+        xq AS MATERIALIZED (
+            SELECT vec_id, y, CAST(j AS INTEGER) AS j,
+                   CAST(floor(CAST(embedding[j] AS DOUBLE)
+                        * CAST({_PCP_FP} AS DOUBLE)) AS BIGINT) AS x
+            FROM ids
+        ),
+        w0 AS MATERIALIZED (
+            SELECT CAST(unnest(range(1, {_PCP_DIM + 1})) AS INTEGER) AS j,
+                   CAST(0 AS BIGINT) AS w
+        )"""]
+    for t in range(1, _PCP_ITERS + 1):
+        parts.append(f""",
+        sc{t} AS MATERIALIZED (
+            SELECT x.vec_id, x.y,
+                   CAST(SUM(w.w * x.x) AS BIGINT) AS score
+            FROM xq x JOIN w{t - 1} w ON x.j = w.j
+            GROUP BY x.vec_id, x.y
+        ),
+        w{t} AS MATERIALIZED (
+            SELECT x.j,
+                   any_value(wp.w)
+                   + CAST(SUM(CASE WHEN s.y * s.score <= 0
+                                   THEN s.y * x.x ELSE 0 END) AS BIGINT)
+                       AS w
+            FROM xq x
+            JOIN sc{t} s ON x.vec_id = s.vec_id
+            JOIN w{t - 1} wp ON x.j = wp.j
+            GROUP BY x.j
+        ),
+        m{t} AS MATERIALIZED (
+            SELECT CAST({t} AS BIGINT) AS iter,
+                   CAST(SUM(CASE WHEN y * score <= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS errors,
+                   (SELECT CAST(SUM(abs(w)) AS BIGINT) FROM w{t}) AS w_l1
+            FROM sc{t}
+        )""")
+    unions = "\n            UNION ALL ".join(
+        f"SELECT iter, errors, w_l1 FROM m{t}"
+        for t in range(1, _PCP_ITERS + 1)
+    )
+    parts.append(f"""
+        SELECT iter, errors, w_l1 FROM (
+            {unions}
+        )""")
+    return "".join(parts)
+
+
+@register(
+    "infer_perceptron_train",
+    oracle=_perceptron_oracle(),
+    doc="DISTRIBUTED MODEL TRAINING on Spark: 5 iterations of batch "
+        "perceptron over the embeddings table (binary target y = "
+        "label parity). Each iteration broadcasts the 64-int weight "
+        "vector into an Arrow-batched mapInPandas pass that emits "
+        "per-partition integer partial sums (map-side combine: 64+1 "
+        "rows per partition, never per-row traffic), then one tiny "
+        "groupBy reduces them — the textbook broadcast-gradient "
+        "pattern that scales to 1000 executors with per-iteration "
+        "shuffle bytes independent of corpus size. Exactness: features "
+        "quantized to floor(x*2^14) ints (|w| <= T*n*2^14 and scores "
+        "<= 64*|w|*2^14 stay far inside int64 for n*T < 2^30), updates "
+        "are order-free integer sums, so the loop replays bit-for-bit "
+        "as the oracle's unrolled MATERIALIZED CTEs. Output: per-iter "
+        "misclassification count + L1 weight mass.",
+)
+def infer_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding", "label").cache()
+    fp = float(_PCP_FP)
+
+    def _pass(w_vec: "np.ndarray"):
+        """One training pass: per-partition (j, update_j) partials plus
+        a (-1, errors) row, reduced by a 65-key groupBy."""
+
+        def gen(batches):
+            upd = np.zeros(_PCP_DIM, dtype=np.int64)
+            errors = 0
+            for pdf in batches:
+                X = np.stack(pdf["embedding"].values).astype(np.float64)
+                xq = np.floor(X * fp).astype(np.int64)
+                y = np.where(
+                    (pdf["label"].to_numpy() % 2) == 1, 1, -1
+                ).astype(np.int64)
+                score = xq @ w_vec
+                mis = (y * score) <= 0
+                errors += int(mis.sum())
+                upd += (xq[mis] * y[mis, None]).sum(axis=0, dtype=np.int64)
+            out = pd.DataFrame(
+                {"j": np.arange(1, _PCP_DIM + 1, dtype=np.int32),
+                 "c": upd}
+            )
+            out.loc[len(out)] = {"j": -1, "c": errors}
+            yield out.astype({"j": "int32", "c": "int64"})
+
+        rows = (
+            emb.mapInPandas(gen, "j int, c long")
+            .groupBy("j").agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        agg = {r["j"]: r["c"] for r in rows}
+        update = np.array(
+            [agg.get(j, 0) for j in range(1, _PCP_DIM + 1)], dtype=np.int64
+        )
+        return update, int(agg.get(-1, 0))
+
+    w = np.zeros(_PCP_DIM, dtype=np.int64)
+    history = []
+    for it in range(1, _PCP_ITERS + 1):
+        update, errors = _pass(w)
+        w = w + update
+        history.append((it, errors, int(np.abs(w).sum())))
+    return spark.createDataFrame(
+        history, "iter long, errors long, w_l1 long"
+    )
