@@ -747,3 +747,91 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_contrib"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (synchronous, deterministic)
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 5
+
+
+def _lpa_oracle() -> str:
+    """Unrolled MATERIALIZED-CTE replay of 5 synchronous LPA rounds over
+    the mutual-top-8 co-occurrence graph: all-integer mode-with-min-tie
+    updates, so the loop is deterministic and engine-independent."""
+    parts = [_EDGES_ORACLE + """,
+        nbrs AS MATERIALIZED (
+            SELECT s1 AS node, s2 AS nbr FROM edges
+            UNION ALL
+            SELECT s2, s1 FROM edges
+        ),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT node, node AS label FROM nbrs
+        )"""]
+    for t in range(1, LPA_ITERS + 1):
+        parts.append(f""",
+        c{t} AS MATERIALIZED (
+            SELECT e.node, l.label, count(*) AS c
+            FROM nbrs e JOIN l{t - 1} l ON e.nbr = l.node
+            GROUP BY e.node, l.label
+        ),
+        l{t} AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rn
+                FROM c{t}
+            ) WHERE rn = 1
+        )""")
+    parts.append(f"""
+        SELECT node, label FROM l{LPA_ITERS}""")
+    return "".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="Synchronous label-propagation communities over the mutual-top-8 "
+        "supplier co-occurrence graph: 5 rounds where every node "
+        "simultaneously adopts its neighbors' MODE label (ties to the "
+        "smallest label id) — the classic near-linear community detector "
+        "(Raghavan et al. 2007). Fixed iteration count keeps sync-LPA's "
+        "possible oscillation deterministic. Per round: one node-keyed "
+        "equi-join + one count aggregate + one row_number window, all "
+        "hash-partitioned on node, so rounds reuse one partitioning and "
+        "per-round shuffle bytes stay O(E) at any cluster size; "
+        "all-integer updates replay exactly in the oracle's unrolled "
+        "MATERIALIZED CTEs. Degree is capped at 8 by the edge "
+        "sparsifier, so the count aggregate never skews.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = cooccurrence_edges(spark, sf_dir)
+    nbrs = (
+        edges.select(F.col("s1").alias("node"), F.col("s2").alias("nbr"))
+        .unionAll(
+            edges.select(F.col("s2").alias("node"), F.col("s1").alias("nbr"))
+        )
+        .cache()
+    )
+    labels = nbrs.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    pick = W.partitionBy("node").orderBy(F.col("c").desc(), "label")
+    for _ in range(LPA_ITERS):
+        counted = (
+            nbrs.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(pick))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels
