@@ -590,3 +590,44 @@ def text_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(filled).cast("bigint").alias("fill_tokens"),
         (F.sum(filled).cast("double") / _CTX).alias("utilization"),
     )
+
+
+@register(
+    "ml_kfold_assign",
+    oracle="""
+        WITH folds AS (
+            SELECT doc_id, lang, source,
+                   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 13)) AS UBIGINT) % 5 AS BIGINT) AS fold
+            FROM documents
+        )
+        SELECT fold, lang, count(*) AS n,
+               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_src0
+        FROM folds GROUP BY fold, lang
+    """,
+    doc="Deterministic k-fold assignment (k=5) for train/eval splits: "
+        "fold = md5(doc_id) mod 5 via the repo's cross-engine 13-hex-"
+        "digit bridge — stable under retries, lineage replay, and "
+        "repartitioning (no rand()), so the same document lands in the "
+        "same fold on every cluster. Output is the per-(fold, lang) "
+        "stratification audit (plus a source marginal) a pipeline "
+        "checks before training; the assignment itself is a map-only "
+        "projection that joins against nothing.",
+)
+def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+            16, 10,
+        ).cast("long") % 5
+    )
+    return (
+        t.documents.select(
+            fold.alias("fold"), "lang",
+            F.when(F.col("source") == "src0", 1).otherwise(0).alias("s0"),
+        )
+        .groupBy("fold", "lang")
+        .agg(F.count("*").alias("n"), F.sum("s0").alias("n_src0"))
+    )
