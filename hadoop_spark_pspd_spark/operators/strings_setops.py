@@ -184,3 +184,129 @@ def q_name_blocking_er(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = F.levenshtein("na", "nb").cast("long")
     return cand.where(d <= 1).select("key_a", "key_b", d.alias("d"))
+
+
+@register(
+    "q_golden_record",
+    oracle="""
+        WITH RECURSIVE vars AS (
+            SELECT c_custkey AS k, c_name AS n,
+                   c_nationkey AS nat, c_mktsegment AS seg,
+                   unnest(list_append(
+                       list_transform(range(1, length(c_name) + 1),
+                           i -> substr(c_name, 1, CAST(i - 1 AS INTEGER))
+                                || substr(c_name, CAST(i + 1 AS INTEGER))),
+                       c_name)) AS v
+            FROM customer
+        ),
+        cand AS (
+            SELECT DISTINCT a.k AS key_a, b.k AS key_b
+            FROM vars a JOIN vars b ON a.v = b.v AND a.k < b.k
+             AND a.nat = b.nat AND a.seg = b.seg
+            WHERE levenshtein(a.n, b.n) <= 1
+        ),
+        edges AS (
+            SELECT key_a AS u, key_b AS v FROM cand
+            UNION ALL
+            SELECT key_b, key_a FROM cand
+        ),
+        reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        lab AS (SELECT u AS k, min(v) AS cluster_id FROM reach GROUP BY u),
+        members AS (
+            SELECT c.c_custkey,
+                   coalesce(l.cluster_id, c.c_custkey) AS cluster_id,
+                   c.c_acctbal, c.c_nationkey
+            FROM customer c LEFT JOIN lab l ON c.c_custkey = l.k
+        ),
+        golden AS (
+            SELECT cluster_id,
+                   count(*) AS n_members,
+                   max(c_acctbal) AS acctbal,
+                   CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+            FROM members GROUP BY cluster_id
+        )
+        SELECT g.cluster_id, g.n_members, g.acctbal, g.n_nations,
+               c.c_name AS name
+        FROM golden g JOIN customer c ON g.cluster_id = c.c_custkey
+    """,
+    doc="Golden-record consolidation on top of FastSS entity resolution: "
+        "match = edit-distance<=1 AND same nation AND same market "
+        "segment (the attribute agreement keeps sequential serial-number "
+        "names from transitively chaining the whole table into one "
+        "cluster — a real ER rule, not just string distance); pairs "
+        "come from deletion-neighborhood blocking (never O(n^2)) -> "
+        "connected components via distributed min-label propagation -> "
+        "one surviving record per entity cluster with deterministic "
+        "survivorship rules (canonical key = min custkey, name from the "
+        "canonical member, acctbal = exact MAX — a comparison, not an "
+        "accumulation, so no decimal scaffolding — plus a distinct-"
+        "nation conflict signal). Singletons survive as their own "
+        "golden records, so output covers the full customer table. "
+        "Oracle: recursive-CTE reachability over the identical pair "
+        "SQL.",
+    tags=("dedup", "strings"),
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import min_label_components
+
+    t = Tables(spark, sf_dir)
+    n = F.col("c_name")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(n)),
+        lambda i: F.concat(
+            n.substr(F.lit(1), i - 1), n.substr(i + 1, F.length(n))
+        ),
+    )
+    vars_df = t.customer.select(
+        F.col("c_custkey").alias("k"),
+        n.alias("n"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.explode(F.array_append(dels, n)).alias("v"),
+    )
+    a, b = vars_df.alias("a"), vars_df.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.k") < F.col("b.k"))
+            & (F.col("a.nat") == F.col("b.nat"))
+            & (F.col("a.seg") == F.col("b.seg")),
+        )
+        .filter(F.levenshtein(F.col("a.n"), F.col("b.n")) <= 1)
+        .select(
+            F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b")
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("key_b"), F.col("key_a"))
+    ).toDF("u", "v").cache()
+    labels = min_label_components(edges).select(
+        F.col("node").alias("c_custkey"), F.col("label")
+    )
+    members = (
+        t.customer.select("c_custkey", "c_acctbal", "c_nationkey")
+        .join(labels, "c_custkey", "left")
+        .select(
+            F.coalesce(F.col("label"), F.col("c_custkey"))
+            .alias("cluster_id"),
+            "c_acctbal", "c_nationkey",
+        )
+    )
+    golden = members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max("c_acctbal").alias("acctbal"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+    return golden.join(
+        t.customer.select(
+            F.col("c_custkey").alias("cluster_id"),
+            F.col("c_name").alias("name"),
+        ),
+        "cluster_id",
+    ).select("cluster_id", "n_members", "acctbal", "n_nations", "name")
