@@ -696,3 +696,127 @@ def mm_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text") >= SHOT_FRAME
     ).select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return shot_boundaries(payloads)
+
+
+# ------------------------------------------------------- VAD segmentation
+
+VAD_SCHEMA = (
+    "doc_id bigint, n_windows bigint, active_windows bigint, "
+    "n_segments bigint, longest_run bigint, first_active_win bigint"
+)
+
+
+def _audio_vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: energy-gated activity segmentation, one linear
+    numpy scan per payload. A window is ACTIVE iff its energy exceeds
+    the payload's mean window energy by the exact cross-multiplied test
+    energy * n_windows > total_energy (all int64 — no data-derived
+    division anywhere), then consecutive active windows merge into
+    segments."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "n_windows", "active_windows", "n_segments",
+            "longest_run", "first_active_win",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = (len(payload) // AUDIO_WIN) * AUDIO_WIN
+            if n == 0:
+                continue
+            s = (
+                np.frombuffer(payload[:n], dtype=np.uint8)
+                .astype(np.int64) - 128
+            )
+            e = (s * s).reshape(-1, AUDIO_WIN).sum(axis=1)
+            nw = len(e)
+            active = e * nw > e.sum()
+            idx = np.nonzero(active)[0]
+            if len(idx):
+                starts = np.diff(idx, prepend=idx[0] - 2) > 1
+                seg_ids = np.cumsum(starts)
+                lens = np.bincount(seg_ids)[1:]
+                n_seg, longest, first = int(seg_ids[-1]), int(lens.max()), int(idx[0])
+            else:
+                n_seg, longest, first = 0, 0, -1
+            out["doc_id"].append(doc_id)
+            out["n_windows"].append(nw)
+            out["active_windows"].append(int(active.sum()))
+            out["n_segments"].append(n_seg)
+            out["longest_run"].append(longest)
+            out["first_active_win"].append(first)
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+        )
+
+
+@register(
+    "mm_audio_vad",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   CAST(strlen(text) AS BIGINT) AS n
+            FROM documents WHERE strlen(text) >= {AUDIO_WIN}
+        ), pos AS (
+            SELECT doc_id,
+                   CAST(unnest(range(1, (n // {AUDIO_WIN}) * {AUDIO_WIN} + 1))
+                        AS BIGINT) AS pos
+            FROM d
+        ), v AS MATERIALIZED (
+            SELECT p.doc_id, (p.pos - 1) // {AUDIO_WIN} AS win,
+                   CAST(CAST(('0x' || substr(d.hx,
+                        CAST(2 * p.pos - 1 AS INTEGER), 2)) AS UBIGINT)
+                        AS BIGINT) - 128 AS s
+            FROM pos p JOIN d USING (doc_id)
+        ), w AS MATERIALIZED (
+            SELECT doc_id, win, CAST(SUM(s * s) AS BIGINT) AS energy
+            FROM v GROUP BY doc_id, win
+        ), tot AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+                   CAST(SUM(energy) AS BIGINT) AS total
+            FROM w GROUP BY doc_id
+        ), act AS (
+            SELECT w.doc_id, w.win
+            FROM w JOIN tot USING (doc_id)
+            WHERE w.energy * tot.nw > tot.total
+        ), seg AS (
+            SELECT doc_id, win,
+                   win - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY win) AS g
+            FROM act
+        ), segs AS (
+            SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS len,
+                   CAST(MIN(win) AS BIGINT) AS s0
+            FROM seg GROUP BY doc_id, g
+        ), per_doc AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                   CAST(SUM(len) AS BIGINT) AS active_windows,
+                   CAST(MAX(len) AS BIGINT) AS longest_run,
+                   CAST(MIN(s0) AS BIGINT) AS first_active_win
+            FROM segs GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.nw AS n_windows,
+               COALESCE(p.active_windows, 0) AS active_windows,
+               COALESCE(p.n_segments, 0) AS n_segments,
+               COALESCE(p.longest_run, 0) AS longest_run,
+               COALESCE(p.first_active_win, -1) AS first_active_win
+        FROM tot t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Voice-activity-detection segmentation over the opaque audio "
+        "payload (bytes as unsigned 8-bit PCM, 256-sample windows, the "
+        "mm_audio_energy framing): a window is active iff its energy "
+        "exceeds the payload mean by the exact cross-multiplied integer "
+        "test energy*n > total (no data-derived division — the r5 "
+        "zero-guard class never arises), consecutive active windows "
+        "merge into segments (gap-islands), per-doc segment stats "
+        "emitted. Spark side is one linear map-only numpy scan (zero "
+        "Exchange before the output); the oracle replays windows "
+        "relationally and the islands via a row_number difference. All "
+        "integers end to end.",
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    payloads = t.documents.filter(
+        F.octet_length("text") >= AUDIO_WIN
+    ).select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    return payloads.mapInPandas(_audio_vad, schema=VAD_SCHEMA)
