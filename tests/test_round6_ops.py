@@ -1,0 +1,318 @@
+"""Adversarial / property tests for the round-6 operators — invariants
+the oracle hash can't express, in the repo's fixture style (crafted
+parquet corpora in tmp_path where the generated testdata can't produce
+the edge case)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------- perceptron
+
+
+def test_perceptron_matches_sequential_reference(spark, tmp_path):
+    """The distributed broadcast-gradient loop must equal a pure-Python
+    sequential batch-perceptron reference exactly (integer arithmetic:
+    no tolerance), including on a fixture with a linearly separable
+    parity split (errors must reach 0 and then stay 0)."""
+    from hadoop_spark_pspd_spark.operators.inference import (
+        _PCP_DIM, _PCP_FP, _PCP_ITERS, infer_perceptron_train,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 64
+    w_true = rng.standard_normal(_PCP_DIM)
+    X = rng.standard_normal((n, _PCP_DIM))
+    # separable labels with margin: label parity encodes the sign
+    y = np.sign(X @ w_true)
+    y[y == 0] = 1
+    labels = [1 if v > 0 else 0 for v in y]  # label%2==1 <-> +1
+    rows = [
+        (i, [float(v) for v in X[i]], int(labels[i])) for i in range(n)
+    ]
+    sf_dir = str(tmp_path / "pcp")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # sequential reference (same quantization, same batch update)
+    xq = np.floor(
+        np.stack([np.asarray(r[1], dtype=np.float32) for r in rows])
+        .astype(np.float64) * _PCP_FP
+    ).astype(np.int64)
+    yy = np.where(np.array(labels) % 2 == 1, 1, -1).astype(np.int64)
+    w = np.zeros(_PCP_DIM, dtype=np.int64)
+    want = []
+    for it in range(1, _PCP_ITERS + 1):
+        mis = yy * (xq @ w) <= 0
+        errors = int(mis.sum())
+        w = w + (xq[mis] * yy[mis, None]).sum(axis=0, dtype=np.int64)
+        want.append((it, errors, int(np.abs(w).sum())))
+
+    got = sorted(
+        (r["iter"], r["errors"], r["w_l1"])
+        for r in infer_perceptron_train(spark, sf_dir).collect()
+    )
+    assert got == want
+    # separable fixture: training error must shrink to a perfect pass
+    assert want[-1][1] == 0
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------- tree split
+
+
+def test_tree_split_is_true_argmin_of_exhaustive_gini(spark, tmp_path):
+    """The operator's top-1 split must equal a brute-force numpy
+    evaluation of EVERY (dim, bucket) candidate's integer Gini key on a
+    clustered fixture (and the emitted score must match exactly)."""
+    from hadoop_spark_pspd_spark.operators.inference import (
+        _PCP_DIM, _PCP_FP, _STUMP_BUCKET, _STUMP_SCALE, infer_tree_split,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 90
+    X = rng.uniform(-1, 1, (n, _PCP_DIM))
+    lab = np.zeros(n, dtype=int)
+    # make dim 7 strongly predictive: class 1 sits right of 0.25
+    lab[X[:, 7] > 0.25] = 1
+    rows = [(i, [float(v) for v in X[i]], int(lab[i])) for i in range(n)]
+    sf_dir = str(tmp_path / "stump")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    xq = np.floor(
+        np.stack([np.asarray(r[1], dtype=np.float32) for r in rows])
+        .astype(np.float64) * _PCP_FP
+    ).astype(np.int64)
+    b = (xq + _PCP_FP) // _STUMP_BUCKET
+    best = None
+    for j in range(_PCP_DIM):
+        for thr in range(1, 17):
+            left = b[:, j] < thr
+            n_l, n_r = int(left.sum()), int((~left).sum())
+            if n_l == 0 or n_r == 0:
+                continue
+            key = 0
+            for side in (left, ~left):
+                ns = int(side.sum())
+                ssq = sum(
+                    int((lab[side] == c).sum()) ** 2 for c in (0, 1)
+                )
+                key += ((ns * ns - ssq) * _STUMP_SCALE) // ns
+            cand = (key, j + 1, thr)
+            if best is None or cand < best:
+                best = cand
+
+    top = (
+        infer_tree_split(spark, sf_dir)
+        .filter("rk = 1").collect()[0]
+    )
+    key, j, thr = best
+    assert (top["j"], top["score"]) == (j, key)
+    assert top["threshold_q"] == thr * _STUMP_BUCKET - _PCP_FP
+    # the predictive dim must actually win on this fixture
+    assert top["j"] == 8  # dim 7 is 0-based -> j = 8 in 1-based output
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_incremental_no_false_negatives_planted_dups(spark, tmp_path):
+    """Planted exact duplicates that cross the batch/corpus boundary:
+    every true dup MUST be a bloom hit (no false negatives — the Bloom
+    guarantee), and bloom misses must never be dups. Whitespace/case
+    variants of a corpus doc count as dups (normalization contract)."""
+    from hadoop_spark_pspd_spark.operators.dedup import (
+        dedup_incremental_bloom,
+    )
+
+    docs = []
+    for i in range(40):  # corpus side: doc_id % 5 != 4
+        docs.append((i if i % 5 != 4 else i + 1001, f"corpus doc {i} xyz"))
+    # batch side (doc_id % 5 == 4): 4 planted dups + 4 novel docs
+    docs += [
+        (4, "corpus doc 0 xyz"),            # exact dup
+        (9, "  CORPUS   doc 1 XYZ  "),      # dup modulo normalization
+        (14, "corpus doc 2 xyz"),
+        (19, "Corpus  Doc  3  xyz"),
+        (24, "novel text a"), (29, "novel text b"),
+        (34, "novel text c"), (39, "novel text d"),
+    ]
+    rows = [
+        (did, txt, "en", "src0", len(txt)) for did, txt in docs
+    ]
+    sf_dir = str(tmp_path / "bloom")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["bloom_hit"], r["is_dup"])
+        for r in dedup_incremental_bloom(spark, sf_dir).collect()
+    }
+    assert set(got) == {4, 9, 14, 19, 24, 29, 34, 39}
+    for did in (4, 9, 14, 19):
+        assert got[did] == (True, True), (did, got[did])
+    for did in (24, 29, 34, 39):
+        hit, dup = got[did]
+        assert not dup
+        assert not (dup and not hit)  # is_dup => bloom_hit, always
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------- audio VAD
+
+
+def test_audio_vad_crafted_bursts(spark, tmp_path):
+    """Crafted payloads where the segment structure is known: silence
+    (byte 128 = PCM 0) with two loud bursts must yield exactly two
+    segments with the right lengths/positions; an all-constant payload
+    has zero active windows (mean test is strict); sub-window docs are
+    excluded by the length filter (the r5 negative-slice trap class)."""
+    from hadoop_spark_pspd_spark.operators.multimodal import (
+        AUDIO_WIN, mm_audio_vad,
+    )
+
+    def payload_text(bts: bytes) -> str:
+        # documents.text is utf-8-encoded by the op; keep bytes ASCII
+        return bts.decode("ascii")
+
+    # PCM is centered at byte 128, so ASCII bytes NEAR 0x80 are quiet
+    # and low ASCII bytes are loud (|s| = |byte - 128|)
+    silence = b"\x7e" * AUDIO_WIN          # |s| = 2  -> near-zero energy
+    loud = b"\x21" * AUDIO_WIN             # |s| = 95 -> high energy
+    # doc 0: 10 windows: S S L L L S S L S S -> segments [2..4], [7]
+    d0 = (silence * 2 + loud * 3 + silence * 2 + loud + silence * 2)
+    # doc 1: all-equal energies -> strict mean test -> 0 active
+    d1 = silence * 6
+    # doc 2: shorter than one window -> filtered out entirely
+    d2 = b"\x41" * (AUDIO_WIN - 1)
+    rows = [
+        (0, payload_text(d0), "en", "src0", len(d0)),
+        (1, payload_text(d1), "en", "src0", len(d1)),
+        (2, payload_text(d2), "en", "src0", len(d2)),
+    ]
+    sf_dir = str(tmp_path / "vad")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        r["doc_id"]: r.asDict() for r in mm_audio_vad(spark, sf_dir).collect()
+    }
+    assert set(got) == {0, 1}  # doc 2 filtered
+    assert got[0]["n_windows"] == 10
+    assert got[0]["active_windows"] == 4
+    assert got[0]["n_segments"] == 2
+    assert got[0]["longest_run"] == 3
+    assert got[0]["first_active_win"] == 2
+    assert got[1]["active_windows"] == 0
+    assert got[1]["n_segments"] == 0
+    assert got[1]["first_active_win"] == -1
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def test_label_propagation_round_semantics(spark):
+    """One synchronous LPA round computed by the operator's building
+    blocks must equal the textbook definition on the real graph: every
+    node's final label is a label that was held by one of its neighbors
+    in the previous round (closure sanity on the full 5-round output)."""
+    from hadoop_spark_pspd_spark.operators.graph import (
+        cooccurrence_edges, graph_label_propagation,
+    )
+
+    edges = [
+        (r["s1"], r["s2"])
+        for r in cooccurrence_edges(spark, SF_SMOKE).collect()
+    ]
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+
+    labels = {n: n for n in nbrs}
+    for _ in range(5):
+        new = {}
+        for n, ns in nbrs.items():
+            counts: dict[int, int] = {}
+            for m in ns:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+
+    got = {
+        r["node"]: r["label"]
+        for r in graph_label_propagation(spark, SF_SMOKE).collect()
+    }
+    assert got == labels
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------- EWMA
+
+
+def test_ewma_exact_dyadic_against_fractions(spark, tmp_path):
+    """The EWMA doubles must equal an exact Fraction computation (the
+    dyadic-sum exactness claim, checked with NO tolerance), including
+    at a gap in the hourly sequence (the window is over existing
+    buckets by spec)."""
+    from fractions import Fraction
+
+    from hadoop_spark_pspd_spark.operators.timeseries import (
+        _EWMA_STEPS, ts_ewma_counts,
+    )
+
+    base = 1_700_000_000_000_000  # micros
+    rows = []
+    eid = 0
+    counts = [3, 1, 4, 1, 5, 9, 2, 6]
+    hours = [0, 1, 2, 3, 5, 6, 10, 11]  # gaps after h=3 and h=6
+    for h, c in zip(hours, counts):
+        for _ in range(c):
+            rows.append((eid, base + h * 3_600_000_000, 1, "click", 0.0, "{}"))
+            eid += 1
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    import datetime as dt
+    rows = [
+        (e, dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc)
+            .replace(tzinfo=None), u, t_, v, p)
+        for e, us, u, t_, v, p in rows
+    ]
+    sf_dir = str(tmp_path / "ewma")
+    spark.createDataFrame(rows, schema).write.parquet(
+        f"{sf_dir}/events.parquet"
+    )
+
+    got = sorted(
+        (r["hour"], r["n"], r["ewma"])
+        for r in ts_ewma_counts(spark, sf_dir).collect()
+    )
+    assert [g[1] for g in got] == counts
+    for i in range(len(counts)):
+        want = sum(
+            Fraction(counts[i - j], 1 << (j + 1))
+            for j in range(min(i + 1, _EWMA_STEPS))
+        )
+        assert Fraction(got[i][2]) == want, (i, got[i][2], want)
+    spark.catalog.clearCache()
