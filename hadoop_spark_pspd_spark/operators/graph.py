@@ -808,6 +808,8 @@ def _lpa_oracle() -> str:
         "exactly in the oracle's unrolled MATERIALIZED CTEs. Degree is "
         "capped at 8 by the edge sparsifier, so nothing skews and the "
         "per-node array is constant-size.",
+    bench=True,
+    tags=("graph",),
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Loop shape follows the r5 pagerank lesson (BENCH_NOTES): broadcast

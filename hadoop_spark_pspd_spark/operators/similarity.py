@@ -585,6 +585,8 @@ _NEARDUP_PAIRS_SQL = f"""
         "exact recall-1 semantics — but runs at dense-matmul rate inside "
         "bounded ~cap^2 tasks and never materializes a candidate row that "
         "fails the threshold.",
+    bench=True,
+    tags=("similarity",),
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = 0.4
