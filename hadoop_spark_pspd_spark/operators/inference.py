@@ -691,3 +691,203 @@ def infer_tree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_l", "n_r", "score",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L2-boosting with stumps (mini-GBDT): 3 rounds over the split search
+# ---------------------------------------------------------------------------
+
+_BST_RES = 1 << 10    # residual fixed-point: y = +-1 -> +-1024
+_BST_KEY = 16         # split-gain key quantum (keeps S^2*key inside int64)
+_BST_ROUNDS = 3
+
+
+def _boost_oracle() -> str:
+    """Unrolled replay of the boosting loop: every residual/histogram/
+    gain/leaf-value step is integer arithmetic (Spark div == DuckDB //,
+    BOTH truncating toward zero — verified for negative operands), the
+    per-round argmax is ORDER BY key DESC, j, b LIMIT 1 (the same unique
+    tie-break the Spark side applies to the collected histogram)."""
+    head = f"""
+        WITH ids AS MATERIALIZED (
+            SELECT vec_id,
+                   CASE WHEN label % 2 = 1 THEN 1 ELSE -1 END AS y,
+                   unnest(range(1, {_PCP_DIM + 1})) AS j,
+                   embedding
+            FROM embeddings
+        ),
+        xqm AS MATERIALIZED (
+            SELECT vec_id, y, CAST(j AS INTEGER) AS j,
+                   CAST(floor(CAST(embedding[j] AS DOUBLE)
+                        * CAST({_PCP_FP} AS DOUBLE)) AS BIGINT) AS xq
+            FROM ids
+        ),
+        grid AS (
+            SELECT CAST(js.j AS INTEGER) AS j, CAST(bs.b AS BIGINT) AS b
+            FROM (SELECT unnest(range(1, {_PCP_DIM + 1})) AS j) js,
+                 (SELECT unnest(range(0, 17)) AS b) bs
+        ),
+        r0 AS MATERIALIZED (
+            SELECT DISTINCT vec_id, CAST(y * {_BST_RES} AS BIGINT) AS r
+            FROM ids
+        )"""
+    parts = [head]
+    for m in range(1, _BST_ROUNDS + 1):
+        parts.append(f""",
+        h{m} AS MATERIALIZED (
+            SELECT x.j, (x.xq + {_PCP_FP}) // {_STUMP_BUCKET} AS b,
+                   CAST(SUM(r.r) AS BIGINT) AS s, count(*) AS c
+            FROM xqm x JOIN r{m - 1} r USING (vec_id)
+            GROUP BY 1, 2
+        ),
+        d{m} AS (
+            SELECT g.j, g.b, COALESCE(h.s, 0) AS s, COALESCE(h.c, 0) AS c
+            FROM grid g LEFT JOIN h{m} h ON g.j = h.j AND g.b = h.b
+        ),
+        cum{m} AS (
+            SELECT j, b,
+                   CAST(COALESCE(SUM(s) OVER w, 0) AS BIGINT) AS sl,
+                   CAST(COALESCE(SUM(c) OVER w, 0) AS BIGINT) AS nl,
+                   CAST(SUM(s) OVER (PARTITION BY j) AS BIGINT) AS st,
+                   CAST(SUM(c) OVER (PARTITION BY j) AS BIGINT) AS nt
+            FROM d{m}
+            WINDOW w AS (PARTITION BY j ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        s{m} AS MATERIALIZED (
+            SELECT j, CAST(b * {_STUMP_BUCKET} - {_PCP_FP} AS BIGINT)
+                       AS thr_q,
+                   sl // nl AS gl, (st - sl) // (nt - nl) AS gr,
+                   (sl * sl * {_BST_KEY}) // nl
+                   + ((st - sl) * (st - sl) * {_BST_KEY}) // (nt - nl)
+                       AS key
+            FROM cum{m}
+            WHERE b >= 1 AND nl > 0 AND nt - nl > 0
+            ORDER BY key DESC, j, b LIMIT 1
+        ),
+        r{m} AS MATERIALIZED (
+            SELECT r.vec_id,
+                   r.r - (CASE WHEN x.xq < s.thr_q THEN s.gl
+                               ELSE s.gr END) AS r
+            FROM r{m - 1} r
+            JOIN s{m} s ON TRUE
+            JOIN xqm x ON x.vec_id = r.vec_id AND x.j = s.j
+        ),
+        m{m} AS MATERIALIZED (
+            SELECT CAST({m} AS BIGINT) AS round,
+                   (SELECT j FROM s{m}) AS j,
+                   (SELECT thr_q FROM s{m}) AS threshold_q,
+                   (SELECT gl FROM s{m}) AS gamma_l,
+                   (SELECT gr FROM s{m}) AS gamma_r,
+                   (SELECT CAST(SUM(r * r) AS BIGINT) FROM r{m}) AS sse_q
+            FROM s{m}
+        )""")
+    unions = "\n            UNION ALL ".join(
+        f"SELECT * FROM m{t}" for t in range(1, _BST_ROUNDS + 1)
+    )
+    parts.append(f"""
+        SELECT round, j, threshold_q, gamma_l, gamma_r, sse_q FROM (
+            {unions}
+        )""")
+    return "".join(parts)
+
+
+@register(
+    "infer_boosted_stumps",
+    oracle=_boost_oracle(),
+    doc="Mini-GBDT: 3 rounds of L2 gradient boosting with decision-stump "
+        "base learners over embeddings (target y = +-1 from label "
+        "parity, fixed-point residuals in 2^10 units). Each round is the "
+        "histogram split search of infer_tree_split on the CURRENT "
+        "residuals — one corpus-scale aggregation to a 64x17 histogram "
+        "(bounded driver collect, like the BPE vocab), variance-gain key "
+        "(S_L^2*16) div n_L + (S_R^2*16) div n_R maximized with unique "
+        "(key desc, j, b) tie-break, leaf values = truncating-division "
+        "residual means (Spark div == DuckDB //, toward zero even for "
+        "negative sums — verified), residuals updated via a broadcast "
+        "scalar split. Per-round shuffle bytes are histogram-sized, "
+        "independent of corpus scale; int64 bounds hold for n < 2^21 "
+        "(|r| <= 2^13 after 3 rounds). Output: per-round split + leaf "
+        "values + post-round SSE, replayed exactly by unrolled "
+        "MATERIALIZED CTEs.",
+)
+def infer_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    t = Tables(spark, sf_dir)
+    fp, bw, res, keyq = _PCP_FP, _STUMP_BUCKET, _BST_RES, _BST_KEY
+    yq = F.when(F.col("label") % 2 == 1, res).otherwise(-res)
+    emb = t.embeddings.select(
+        "vec_id", "embedding", yq.cast("long").alias("yq")
+    ).cache()
+
+    def tdiv(a: int, b: int) -> int:
+        """Truncating integer division toward zero (Spark div / DuckDB
+        // semantics; Python's // floors, which differs for negatives)."""
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    history: list[tuple[int, int, int, int]] = []  # (j, thr_q, gl, gr)
+
+    def resid() -> "F.Column":
+        r = F.col("yq")
+        for j, thr_q, gl, gr in history:
+            xq_j = F.floor(
+                F.element_at("embedding", j).cast("double")
+                * F.lit(float(fp))
+            )
+            r = r - F.when(xq_j < thr_q, F.lit(gl)).otherwise(F.lit(gr))
+        return r
+
+    out = []
+    for m in range(1, _BST_ROUNDS + 1):
+        hist = (
+            emb.select(resid().alias("r"),
+                       F.posexplode("embedding").alias("p", "x"))
+            .select(
+                "r",
+                (F.col("p") + 1).cast("int").alias("j"),
+                F.expr(
+                    f"(CAST(floor(CAST(x AS DOUBLE) * {float(fp)}) "
+                    f"AS BIGINT) + {fp}) div {bw}"
+                ).alias("b"),
+            )
+            .groupBy("j", "b")
+            .agg(F.sum("r").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        S = np.zeros((_PCP_DIM + 1, 17), dtype=np.int64)
+        C = np.zeros((_PCP_DIM + 1, 17), dtype=np.int64)
+        for row in hist:
+            S[row["j"], row["b"]] = row["s"]
+            C[row["j"], row["b"]] = row["c"]
+        best = None
+        for j in range(1, _PCP_DIM + 1):
+            sl = nl = 0
+            st, nt = int(S[j].sum()), int(C[j].sum())
+            for b in range(1, 17):
+                sl += int(S[j, b - 1])
+                nl += int(C[j, b - 1])
+                if nl == 0 or nt - nl == 0:
+                    continue
+                key = tdiv(sl * sl * keyq, nl) + tdiv(
+                    (st - sl) * (st - sl) * keyq, nt - nl
+                )
+                cand = (-key, j, b)
+                if best is None or cand < best[0]:
+                    best = (cand, sl, nl, st, nt)
+        if best is None:
+            break
+        (_negkey, j, b), sl, nl, st, nt = best
+        thr_q = b * bw - fp
+        gl, gr = tdiv(sl, nl), tdiv(st - sl, nt - nl)
+        history.append((j, thr_q, gl, gr))
+        sse = emb.select(resid().alias("r")).agg(
+            F.sum(F.col("r") * F.col("r")).alias("sse")
+        ).collect()[0]["sse"]
+        out.append((m, j, thr_q, gl, gr, int(sse)))
+    return spark.createDataFrame(
+        out,
+        "round long, j int, threshold_q long, gamma_l long, "
+        "gamma_r long, sse_q long",
+    )
