@@ -1548,12 +1548,11 @@ def _train_pq_codebooks(emb: DataFrame) -> np.ndarray:
     return np.array(books, dtype=np.float64)  # (M, K, SUBDIM)
 
 
-def _pq_oracle() -> str:
-    """DuckDB replay of the whole PQ pipeline: 8 independent subspace
-    codebook trainings (2 unrolled Lloyd rounds each, the IVF oracle's
-    exact CTE shapes on 8-dim slices), full-corpus encoding, the
-    query-side fixed-point ADC lookup table, score-by-sum over
-    subspace codes, and the exact-cosine rerank of the top-32."""
+def _pq_parts() -> tuple[list[str], list[str], list[str]]:
+    """The PQ pipeline's CTE fragments (subspace codebook trainings,
+    corpus encodings enc{m}, query LUTs qd{m}) against the shared
+    pts/smp prefix — reused verbatim by the plain-PQ oracle and the
+    composed IVF+PQ oracle so the replayed codebooks cannot drift."""
     sd, fp = _PQ_SUBDIM, float(_LSH_FP)
 
     def fx(src_expr: str) -> str:
@@ -1625,6 +1624,16 @@ def _pq_oracle() -> str:
         )""")
         enc_sel.append(f"SELECT {m} AS m, vec_id, cell FROM enc{m}")
         qd_sel.append(f"SELECT {m} AS m, query_id, cell, fx FROM qd{m}")
+    return parts, enc_sel, qd_sel
+
+
+def _pq_oracle() -> str:
+    """DuckDB replay of the whole PQ pipeline: 8 independent subspace
+    codebook trainings (2 unrolled Lloyd rounds each, the IVF oracle's
+    exact CTE shapes on 8-dim slices), full-corpus encoding, the
+    query-side fixed-point ADC lookup table, score-by-sum over
+    subspace codes, and the exact-cosine rerank of the top-32."""
+    parts, enc_sel, qd_sel = _pq_parts()
     return f"""
         WITH pts AS MATERIALIZED (
             SELECT vec_id,
@@ -2177,4 +2186,197 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append((k, int(pick["vec_id"]), float(pick["mind"])))
     return spark.createDataFrame(
         out, "rank int, vec_id long, min_dist double"
+    )
+
+
+# --- IVF + PQ composed serving index (FAISS IVF,PQ shape) ----------------
+
+
+def _ivfpq_oracle() -> str:
+    """Composed replay: the coarse-quantizer training prefix (pts/smp/
+    q0..q5 — shared verbatim with the IVF and silhouette oracles), the
+    nprobe=2 cell assignment, PLUS the PQ codebook parts (shared
+    verbatim with the plain-PQ oracle), with the ADC aggregation
+    restricted to candidates whose PRIMARY coarse cell is probed by the
+    query — the FAISS IVF,PQ serving composition (codes over raw
+    vectors; the residual-encoding IVFADC variant is the documented
+    next step)."""
+    parts, enc_sel, qd_sel = _pq_parts()
+    return f"""
+        {_quant_train_prefix(_IVF_CELLS)},
+        {_q_assign("ranked", "pts", f"q{_QUANT_ITERS}", str(_IVF_NPROBE))},
+        corpus AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        qprobe AS (
+            SELECT vec_id AS query_id, cell FROM ranked
+            WHERE vec_id < {N_QUERIES}
+        ),
+        {",".join(parts)},
+        enc_all AS ({" UNION ALL ".join(enc_sel)}),
+        qd_all AS ({" UNION ALL ".join(qd_sel)}),
+        approx AS (
+            SELECT qp.query_id, e.vec_id AS candidate_id,
+                   CAST(SUM(q.fx) AS BIGINT) AS afx
+            FROM enc_all e
+            JOIN corpus co ON co.vec_id = e.vec_id
+            JOIN qprobe qp ON qp.cell = co.cell
+                          AND qp.query_id <> e.vec_id
+            JOIN qd_all q ON q.m = e.m AND q.cell = e.cell
+                         AND q.query_id = qp.query_id
+            GROUP BY qp.query_id, e.vec_id
+        ), cand AS (
+            SELECT query_id, candidate_id FROM (
+                SELECT query_id, candidate_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY afx DESC, candidate_id
+                       ) AS arn
+                FROM approx
+            ) WHERE arn <= {_PQ_RERANK}
+        ), scored AS (
+            SELECT cand.query_id, cand.candidate_id, {_COSINE_SQL} AS sim
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.candidate_id
+        )
+        SELECT query_id, candidate_id, sim, rk FROM (
+            SELECT query_id, candidate_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, candidate_id
+                   ) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """
+
+
+@register(
+    "sim_ann_ivfpq",
+    oracle=_ivfpq_oracle(),
+    doc="The composed FAISS-style serving index, IVF,PQ: the coarse "
+        f"quantizer ({_IVF_CELLS} cells, deterministic Lloyd) restricts "
+        "each query's candidates to its nprobe=2 probed cells via a "
+        "hash equi-join on cell id, and WITHIN the probed cells scoring "
+        "is compressed-domain ADC over the 8x16 subspace codebooks "
+        "(never decompressing the corpus), then exact-cosine rerank of "
+        "the top-32 survivors. At 100 TB this is the two-level cost "
+        "structure production ANN uses: probe fraction (nprobe/cells) "
+        "times ADC scan rate, with exact work bounded by the rerank "
+        "budget. Both trainings and the probe/ADC/rerank replay "
+        "bit-for-bit in the composed oracle (shared CTE prefixes with "
+        "sim_ann_ivf and sim_ann_pq, so the three indexes provably "
+        "share one codebook universe). Residual-encoding IVFADC is the "
+        "documented next refinement.",
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    k_cells, nprobe = _IVF_CELLS, _IVF_NPROBE
+    centroids = _train_coarse_quantizer(t.embeddings, k_cells)
+    books = _train_pq_codebooks(t.embeddings)
+
+    def _cells_and_codes(embs):
+        mat = np.stack(embs.values).astype(np.float64)
+        n = len(mat)
+        prods = np.floor(
+            mat[:, None, :] * centroids[None, :, :] * float(_LSH_FP)
+        ).sum(axis=2)
+        cells = np.argsort(-prods, axis=1, kind="stable")[:, :nprobe]
+        codes = np.empty((n, _PQ_M), dtype=np.int64)
+        for m in range(_PQ_M):
+            lo = m * _PQ_SUBDIM
+            sub = mat[:, lo:lo + _PQ_SUBDIM]
+            p = np.floor(
+                sub[:, None, :] * books[m][None, :, :] * float(_LSH_FP)
+            ).sum(axis=2)
+            codes[:, m] = np.argsort(-p, axis=1, kind="stable")[:, 0]
+        return pd.DataFrame(
+            {
+                "cells": [r.astype("int32").tolist() for r in cells],
+                "codes": [r.astype("int32").tolist() for r in codes],
+            }
+        )
+
+    _cells_and_codes.__annotations__ = {
+        "embs": pd.Series, "return": pd.DataFrame,
+    }
+    assign = F.pandas_udf(
+        _cells_and_codes, "cells array<int>, codes array<int>"
+    )
+
+    indexed = t.embeddings.select(
+        "vec_id", "embedding", assign(F.col("embedding")).alias("a")
+    ).select("vec_id", "embedding", "a.cells", "a.codes")
+    corpus = indexed.select(
+        "vec_id", F.col("cells").getItem(0).alias("ccell"),
+        F.posexplode("codes").alias("m", "code"),
+    )
+    qprobe = (
+        indexed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode("cells").alias("ccell"),
+        )
+    )
+    # query-side LUT (the sim_ann_pq expression, verbatim semantics)
+    cb_rows = [
+        (m, c, [float(v) for v in books[m][c]])
+        for m in range(_PQ_M)
+        for c in range(_PQ_K)
+    ]
+    cb = spark.createDataFrame(
+        cb_rows, "m int, code int, centroid array<double>"
+    )
+    q = t.embeddings.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    sub = F.slice(F.col("qe"), F.col("m") * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+    fx = F.aggregate(
+        F.zip_with(
+            sub,
+            F.col("centroid"),
+            lambda x, y: F.floor(x.cast("double") * y * float(_LSH_FP)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    qd = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "m", "code", fx.cast("bigint").alias("fx")
+    )
+
+    approx = (
+        corpus.join(F.broadcast(qprobe), "ccell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qd), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("candidate_id"))
+        .agg(F.sum("fx").cast("bigint").alias("afx"))
+    )
+    aw = W.partitionBy("query_id").orderBy(
+        F.desc("afx"), F.asc("candidate_id")
+    )
+    cand = (
+        approx.select(
+            "query_id", "candidate_id",
+            F.row_number().over(aw).alias("arn"),
+        )
+        .filter(F.col("arn") <= _PQ_RERANK)
+        .drop("arn")
+    )
+    ce = t.embeddings.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        ce.join(F.broadcast(cand), "candidate_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "candidate_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("candidate_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
     )
