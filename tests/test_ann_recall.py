@@ -102,3 +102,53 @@ def test_pq_recall_floor(spark):
     for q, cands in pq.items():
         assert len(cands) <= 5
         assert q not in cands
+
+
+def test_ivfpq_recall_floor_and_containment(spark):
+    """Composed IVF,PQ on the uniform (adversarial) corpus: recall@5
+    floor at 0.3 (it can only lose candidates vs plain PQ — the probe
+    filter removes cells — so a collapse signals a broken composition);
+    every returned candidate must ALSO be a candidate the probe allows:
+    its primary cell is among the query's nprobe cells (containment in
+    the IVF candidate relation, checked against sim_ann_ivf's cells)."""
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        _IVF_CELLS,
+        _IVF_NPROBE,
+        _LSH_FP,
+        _train_coarse_quantizer,
+        sim_ann_ivfpq,
+    )
+
+    import numpy as np
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+
+    bf = _topk(sim_topk_bruteforce(spark, SF_GATE))
+    got = _topk(sim_ann_ivfpq(spark, SF_GATE))
+    recall = sum(
+        len(got.get(q, set()) & bf[q]) / len(bf[q]) for q in bf
+    ) / len(bf)
+    assert recall >= 0.3, f"IVF,PQ recall@5 collapsed: {recall}"
+
+    # recompute the fixed-point cell assignment in numpy (the operator's
+    # exact arithmetic) and check probe containment for every result
+    t = Tables(spark, SF_GATE)
+    rows = t.embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float32) for r in rows]
+    ).astype(np.float64)
+    cents = _train_coarse_quantizer(t.embeddings, _IVF_CELLS)
+    prods = np.floor(
+        mat[:, None, :] * cents[None, :, :] * float(_LSH_FP)
+    ).sum(axis=2)
+    order = np.argsort(-prods, axis=1, kind="stable")
+    primary = {int(i): int(order[k, 0]) for k, i in enumerate(ids)}
+    probes = {
+        int(i): set(order[k, :_IVF_NPROBE].tolist())
+        for k, i in enumerate(ids)
+    }
+    for q, cands in got.items():
+        for c in cands:
+            assert primary[c] in probes[q], (q, c)
+    spark.catalog.clearCache()
