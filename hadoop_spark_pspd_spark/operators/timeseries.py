@@ -288,3 +288,244 @@ def ts_ewma_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "hour", "n",
         reduce(lambda a, b: a + b, terms).alias("ewma"),
     )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   value,
+                   row_number() OVER (PARTITION BY event_type,
+                                                   date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS ra,
+                   row_number() OVER (PARTITION BY event_type,
+                                                   date_trunc('hour', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rd
+            FROM events
+        )
+        SELECT event_type, hour,
+               max(CASE WHEN ra = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rd = 1 THEN value END) AS close,
+               count(*) AS volume,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+                    AS DOUBLE) AS sum_value
+        FROM ranked
+        GROUP BY event_type, hour
+    """,
+    doc="OHLC resampling (candlestick bars): per (event_type, hour) the "
+        "first/max/min/last event value plus volume and exact-decimal "
+        "turnover — the market-data downsampler. Open/close are picked by "
+        "a total order (ts, event_id), so they are raw stored doubles "
+        "(no arithmetic -> no drift); high/low are order-free picks; the "
+        "only summed column goes through DECIMAL(18,4). One shuffle: both "
+        "row_number windows share the (event_type, hour) partitioning, so "
+        "Catalyst plans a single Exchange with two sorts, and the "
+        "follow-up groupBy is partition-local. Window state is bounded by "
+        "events-per-hour-per-type, never global.",
+    tags=("timeseries",),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_asc = W.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    w_desc = W.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "hour",
+        "value",
+        F.row_number().over(w_asc).alias("ra"),
+        F.row_number().over(w_desc).alias("rd"),
+    )
+    return ranked.groupBy("event_type", "hour").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("volume"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+def _autocorr_sql(lag: int) -> str:
+    """One lag's Pearson sums over the ordered hourly-count series.
+
+    Every sum is outer-CAST to BIGINT (DuckDB SUM(BIGINT) is HUGEINT)
+    BEFORE the int64 products, mirroring the Spark arithmetic exactly."""
+    return f"""
+            SELECT event_type, CAST({lag} AS INTEGER) AS lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM (
+                SELECT event_type, n AS x,
+                       lead(n, {lag}) OVER (PARTITION BY event_type
+                                            ORDER BY hour) AS y
+                FROM hourly
+            )
+            WHERE y IS NOT NULL
+            GROUP BY event_type"""
+
+
+@register(
+    "ts_autocorr_lag",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        sums AS ({_autocorr_sql(1)}
+            UNION ALL {_autocorr_sql(24)}
+        )
+        SELECT event_type, lag, n_pairs,
+               n_pairs * sxy - sx * sy AS num,
+               n_pairs * sxx - sx * sx AS vx,
+               n_pairs * syy - sy * sy AS vy,
+               CASE WHEN n_pairs * sxx - sx * sx > 0
+                     AND n_pairs * syy - sy * sy > 0
+                    THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+                    ELSE CAST(0 AS DOUBLE) END AS autocorr
+        FROM sums
+    """,
+    doc="Lag-1 and lag-24 autocorrelation of the per-type hourly count "
+        "series (seasonality detector): Pearson r over (x_t, x_t+lag) "
+        "pairs of CONSECUTIVE non-empty hour buckets. All six moment sums "
+        "are exact int64 (counts), so num/vx/vy are exact integers and r "
+        "is the identical 4-op IEEE expression in both engines — "
+        "int64->double casts exact below 2^53, sqrt/mul/div correctly "
+        "rounded (the round-5 eigendecomposition rule). Degenerate "
+        "(constant) series zero-guard vx/vy identically. One partial-agg "
+        "shuffle to hourly counts, one bounded window pass (state = "
+        "buckets per type), one tiny final agg. Overflow bound: "
+        "n_pairs * sxx < 2^63 needs hourly counts < ~2^21 at 2^21 "
+        "buckets — partition the series (e.g. per month) past that.",
+    tags=("timeseries", "stats"),
+)
+def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("hour")
+    leads = hourly.select(
+        "event_type",
+        F.col("n").alias("x"),
+        F.lead("n", 1).over(w).alias("y1"),
+        F.lead("n", 24).over(w).alias("y24"),
+    )
+    parts = []
+    for lag, ycol in ((1, "y1"), (24, "y24")):
+        y = F.col(ycol)
+        x = F.col("x")
+        sums = (
+            leads.where(y.isNotNull())
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.sum(x).alias("sx"),
+                F.sum(y).alias("sy"),
+                F.sum(x * x).alias("sxx"),
+                F.sum(y * y).alias("syy"),
+                F.sum(x * y).alias("sxy"),
+            )
+        )
+        num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+        vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+        vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+        r = F.when(
+            (vx > 0) & (vy > 0),
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).otherwise(F.lit(0.0))
+        parts.append(
+            sums.select(
+                "event_type",
+                F.lit(lag).cast("int").alias("lag"),
+                "n_pairs",
+                num.alias("num"),
+                vx.alias("vx"),
+                vy.alias("vy"),
+                r.alias("autocorr"),
+            )
+        )
+    return parts[0].unionAll(parts[1])
+
+
+@register(
+    "ts_seasonal_naive",
+    oracle="""
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT a.event_type,
+               CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(SUM(abs(a.n - b.n)) AS BIGINT) AS sae,
+               CAST(SUM(a.n - b.n) AS BIGINT) AS bias,
+               CAST(CAST(SUM(abs(a.n - b.n)) AS BIGINT) AS DOUBLE)
+                   / CAST(count(*) AS BIGINT) AS mae
+        FROM hourly a
+        JOIN hourly b
+          ON a.event_type = b.event_type
+         AND b.hour = a.hour - INTERVAL 24 HOUR
+        GROUP BY a.event_type
+    """,
+    doc="Seasonal-naive forecast error: predict each hour's count by the "
+        "same hour yesterday (calendar join, so gaps are skipped rather "
+        "than misaligned), report per-type MAE + signed bias — the "
+        "baseline every anomaly detector must beat. sae/bias are exact "
+        "integer sums; mae is ONE correctly-rounded double division of "
+        "2^53-exact operands. The self-join runs on the tiny hourly "
+        "rollup (post-aggregation), not the fact table, so the join side "
+        "is buckets-per-type rows at any corpus scale.",
+    tags=("timeseries", "stats"),
+)
+def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (
+            F.col("b.hour")
+            == F.col("a.hour") - F.expr("INTERVAL 24 HOURS")
+        ),
+    )
+    diff = F.col("a.n") - F.col("b.n")
+    return joined.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.count("*").alias("n_eval"),
+        F.sum(F.abs(diff)).alias("sae"),
+        F.sum(diff).alias("bias"),
+        (
+            F.sum(F.abs(diff)).cast("double")
+            / F.count("*").cast("bigint")
+        ).alias("mae"),
+    )
