@@ -893,3 +893,83 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=_EDGES_ORACLE + """
+        , directed2 AS (
+            SELECT s1 AS src, s2 AS dst FROM edges
+            UNION ALL
+            SELECT s2, s1 FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM directed2 GROUP BY src
+        ),
+        sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS m,
+                   CAST(SUM(dx.d) AS BIGINT) AS s1,
+                   CAST(SUM(dx.d * dy.d) AS BIGINT) AS sxy,
+                   CAST(SUM(dx.d * dx.d) AS BIGINT) AS sxx
+            FROM directed2 e
+            JOIN deg dx ON dx.node = e.src
+            JOIN deg dy ON dy.node = e.dst
+        )
+        SELECT m, s1,
+               m * sxy - s1 * s1 AS num,
+               m * sxx - s1 * s1 AS den,
+               CASE WHEN m * sxx - s1 * s1 <> 0
+                    THEN CAST(m * sxy - s1 * s1 AS DOUBLE)
+                         / CAST(m * sxx - s1 * s1 AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS assortativity
+        FROM sums
+    """,
+    doc="Degree assortativity of the mutual-top-8 co-occurrence graph: "
+        "Pearson correlation of endpoint degrees over DIRECTED edge "
+        "instances (each undirected edge contributes both orientations, "
+        "the standard Newman symmetrization — so sum/variance of the src "
+        "side equal the dst side and r = (m*sxy - s1^2)/(m*sxx - s1^2) "
+        "needs NO square roots). Every moment is an exact int64 sum "
+        "(degrees are capped at 8 by the mutual-top-k sparsification, so "
+        "m*sxx <= 64*m^2 stays under 2^63 for m < 2^28 directed edges; "
+        "shard the graph before that). The division is one correctly- "
+        "rounded double op; a regular graph (den = 0) zero-guards to 0 "
+        "identically in both engines. Plan: the degree table is an agg "
+        "over the k-bounded survivor edges (tiny at any scale), joined "
+        "back twice by key, then a single global agg.",
+    tags=("graph", "stats"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = cooccurrence_edges(spark, sf_dir)
+    directed = edges.selectExpr("s1 AS src", "s2 AS dst").unionAll(
+        edges.selectExpr("s2 AS src", "s1 AS dst")
+    )
+    deg = directed.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    dx = deg.alias("dx")
+    dy = deg.alias("dy")
+    paired = (
+        directed.join(dx, F.col("src") == F.col("dx.node"))
+        .join(dy, F.col("dst") == F.col("dy.node"))
+        .select(F.col("dx.d").alias("xd"), F.col("dy.d").alias("yd"))
+    )
+    sums = paired.agg(
+        F.count("*").alias("m"),
+        F.sum("xd").alias("s1"),
+        F.sum(F.col("xd") * F.col("yd")).alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("s1") * F.col("s1")
+    den = F.col("m") * F.col("sxx") - F.col("s1") * F.col("s1")
+    r = F.when(
+        den != 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    return sums.select(
+        "m",
+        "s1",
+        num.alias("num"),
+        den.alias("den"),
+        r.alias("assortativity"),
+    )
