@@ -652,3 +652,99 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_words",
         F.sum("new_words").over(w).cast("long").alias("vocab_size"),
     )
+
+
+# AMS (Alon-Matias-Szegedy) F2 sketch: 16 independent +/-1 counters. The
+# sign for counter j is bit j of the word's top-52-bit md5 value — shared
+# bit-exactly with the oracle via the conv/UBIGINT recipe (k = 13 hex
+# chars). Each counter is an exact integer sum, so the whole sketch is
+# order-free and cross-engine deterministic with no fixed-point scaffold.
+_AMS_COUNTERS = 16
+
+
+def _ams_oracle() -> str:
+    sums = ",\n                   ".join(
+        f"CAST(SUM(c * (1 - 2 * ((h >> {j}) & 1))) AS BIGINT) AS s{j}"
+        for j in range(_AMS_COUNTERS)
+    )
+    rows = "\n            UNION ALL ".join(
+        f"SELECT CAST({j} AS INTEGER) AS j, s{j} AS counter, "
+        f"s{j} * s{j} AS est, exact_f2, n_distinct FROM agg"
+        for j in range(_AMS_COUNTERS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ), wc AS (
+            SELECT word, count(*) AS c FROM toks GROUP BY word
+        ), hashed AS (
+            SELECT c,
+                   CAST(CAST(('0x' || substr(md5(word), 1, 13)) AS UBIGINT)
+                        AS BIGINT) AS h
+            FROM wc
+        ), agg AS (
+            SELECT {sums},
+                   CAST(SUM(c * c) AS BIGINT) AS exact_f2,
+                   CAST(count(*) AS BIGINT) AS n_distinct
+            FROM hashed
+        )
+        {rows}
+    """
+
+
+@register(
+    "sketch_ams_f2",
+    oracle=_ams_oracle(),
+    doc="AMS second-frequency-moment sketch over the document token "
+        "stream: 16 +/-1 counters (sign = bit j of the word's md5-derived "
+        "52-bit hash), each estimator = counter^2, published next to the "
+        "exact F2 = sum(c^2) so the unbiasedness is visible in the "
+        "output. The sketch is ONE grouped word count (map-side combined) "
+        "followed by a single 18-column global aggregate — a fixed-width "
+        "mergeable state like sketch_countmin, so at 100 TB it merges "
+        "across shards/days by adding counters. Exactness: every counter "
+        "is an integer sum (|s_j| <= total tokens), est = s_j^2 needs "
+        "|s_j| < 2^31.5 to stay in int64 — at larger corpora emit the "
+        "counters and square downstream. Signs come from ONE md5 per "
+        "distinct word, not per (word, counter): the 52 hash bits are "
+        "pairwise-independent enough for the classic median-of-estimates "
+        "read-out, and the single-hash layout keeps the scan ALU-bound.",
+    tags=("sketch",),
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    wc = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    h = F.conv(F.substring(F.md5("word"), 1, 13), 16, 10).cast("long")
+    hashed = wc.select("c", h.alias("h"))
+    sums = [
+        F.sum(
+            F.col("c")
+            * (
+                F.lit(1)
+                - F.lit(2)
+                * F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+            )
+        ).alias(f"s{j}")
+        for j in range(_AMS_COUNTERS)
+    ]
+    agg = hashed.agg(
+        *sums,
+        F.sum(F.col("c") * F.col("c")).alias("exact_f2"),
+        F.count("*").alias("n_distinct"),
+    )
+    counters = F.array(*[F.col(f"s{j}") for j in range(_AMS_COUNTERS)])
+    return agg.select(
+        F.posexplode(counters).alias("j", "counter"),
+        "exact_f2",
+        "n_distinct",
+    ).select(
+        F.col("j").cast("int").alias("j"),
+        "counter",
+        (F.col("counter") * F.col("counter")).alias("est"),
+        "exact_f2",
+        "n_distinct",
+    )
