@@ -631,3 +631,72 @@ def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold", "lang")
         .agg(F.count("*").alias("n"), F.sum("s0").alias("n_src0"))
     )
+
+
+@register(
+    "ml_target_encoding",
+    oracle="""
+        WITH labeled AS (
+            SELECT c.c_mktsegment AS segment,
+                   CASE WHEN o.o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END AS tgt
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        gstats AS (
+            SELECT CAST(SUM(tgt) AS BIGINT) AS g_pos,
+                   CAST(count(*) AS BIGINT) AS g_n
+            FROM labeled
+        ),
+        per_seg AS (
+            SELECT segment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(tgt) AS BIGINT) AS pos
+            FROM labeled GROUP BY segment
+        )
+        SELECT segment, n, pos, g_pos, g_n,
+               (CAST(pos AS DOUBLE)
+                + CAST(100 AS DOUBLE)
+                  * (CAST(g_pos AS DOUBLE) / CAST(g_n AS DOUBLE)))
+               / CAST(n + 100 AS DOUBLE) AS enc
+        FROM per_seg CROSS JOIN gstats
+    """,
+    doc="Smoothed mean target encoding of customer market segment against "
+        "the is-URGENT order label (the categorical-feature encoder of a "
+        "tabular training pipeline): enc = (pos + m*prior)/(n + m) with "
+        "m = 100 pseudo-observations of the global rate. The raw counts "
+        "(n, pos, g_pos, g_n) are exact integers in the output; enc is a "
+        "FIXED 4-op IEEE expression (div, mul, add, div over 2^53-exact "
+        "ints) evaluated in the identical order by both engines, so it "
+        "hash-matches with no quantization and — unlike an all-integer "
+        "cross-multiplied form — never overflows at corpus scale. Plan: "
+        "one fact-to-dim equi-join, one segment agg, one scalar agg "
+        "broadcast back; nothing grows with the fact table but the join.",
+    tags=("ml", "stats"),
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    labeled = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("tgt"),
+        )
+    )
+    glob = labeled.agg(
+        F.sum("tgt").alias("g_pos"), F.count("*").alias("g_n")
+    )
+    per_seg = labeled.groupBy("segment").agg(
+        F.count("*").alias("n"), F.sum("tgt").alias("pos")
+    )
+    enc = (
+        F.col("pos").cast("double")
+        + F.lit(100.0)
+        * (F.col("g_pos").cast("double") / F.col("g_n").cast("double"))
+    ) / (F.col("n") + F.lit(100)).cast("double")
+    return per_seg.crossJoin(F.broadcast(glob)).select(
+        "segment", "n", "pos", "g_pos", "g_n", enc.alias("enc")
+    )
