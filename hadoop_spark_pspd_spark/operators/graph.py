@@ -973,3 +973,111 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("den"),
         r.alias("assortativity"),
     )
+
+
+_WALK_STEPS = 3
+
+
+def _walk_hash_sql(step: int, cur: str, nxt: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{step}#' || CAST({cur} AS VARCHAR) "
+        f"|| '#' || CAST({nxt} AS VARCHAR)), 1, 13)) AS UBIGINT)"
+    )
+
+
+def _walks_oracle() -> str:
+    ctes = [
+        """
+        directed2 AS MATERIALIZED (
+            SELECT s1 AS src, s2 AS dst FROM edges
+            UNION ALL
+            SELECT s2, s1 FROM edges
+        ),
+        w0 AS MATERIALIZED (
+            SELECT DISTINCT src AS start, src AS cur FROM directed2
+        )"""
+    ]
+    prev_cols = []
+    for s in range(1, _WALK_STEPS + 1):
+        inner_carry = "".join(f"w.n{j}, " for j in range(1, s))
+        outer_carry = "".join(f"n{j}, " for j in range(1, s))
+        ctes.append(f"""
+        w{s} AS MATERIALIZED (
+            SELECT start, {outer_carry}n{s}, n{s} AS cur FROM (
+                SELECT w.start, {inner_carry}e.dst AS n{s},
+                       row_number() OVER (
+                           PARTITION BY w.start
+                           ORDER BY {_walk_hash_sql(s, "w.cur", "e.dst")},
+                                    e.dst) AS rn
+                FROM w{s - 1} w JOIN directed2 e ON e.src = w.cur
+            ) WHERE rn = 1
+        )""")
+        prev_cols.append(f"n{s}")
+    cols = ", ".join(prev_cols)
+    return (
+        ",".join(ctes)
+        + f"""
+        SELECT start, {cols} FROM w{_WALK_STEPS}
+    """
+    )
+
+
+@register(
+    "graph_deterministic_walks",
+    oracle=_EDGES_ORACLE + "," + _walks_oracle(),
+    doc="Derandomized random walks over the mutual-top-8 graph (the "
+        "node2vec/DeepWalk corpus generator): one 3-step walk per start "
+        "node, where step s moves from cur to the out-neighbor minimizing "
+        "md5('s#cur#dst') — the repo's md5-derandomization recipe, so "
+        "the 'random' choice is reproducible, cross-engine bit-identical "
+        "(52-bit conv/UBIGINT keys order identically), and still "
+        "hash-uniform across neighbors. Each step is ONE equi-join of "
+        "the walk frontier (|V| rows) against the degree<=8 adjacency "
+        "plus a per-start row_number — work O(V*8) per step at any "
+        "scale, no driver state, trivially extended to longer walks or "
+        "multiple walks per node by salting the hash prefix. Walks may "
+        "revisit nodes (standard for corpus generation); every node has "
+        "an out-neighbor by construction (mutual edges are symmetric).",
+    tags=("graph",),
+)
+def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = cooccurrence_edges(spark, sf_dir)
+    directed = edges.selectExpr("s1 AS src", "s2 AS dst").unionAll(
+        edges.selectExpr("s2 AS src", "s1 AS dst")
+    )
+    walk = directed.select(F.col("src").alias("start")).distinct().select(
+        "start", F.col("start").alias("cur")
+    )
+    for s in range(1, _WALK_STEPS + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{s}#"),
+                        F.col("cur").cast("string"),
+                        F.lit("#"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        carry = [f"n{j}" for j in range(1, s)]
+        win = W.partitionBy("start").orderBy(F.col("h"), F.col("dst"))
+        walk = (
+            walk.join(directed, walk.cur == directed.src)
+            .select("start", *carry, F.col("dst"), h.alias("h"))
+            .withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select(
+                "start", *carry,
+                F.col("dst").alias(f"n{s}"),
+                F.col("dst").alias("cur"),
+            )
+        )
+    return walk.select(
+        "start", *[f"n{j}" for j in range(1, _WALK_STEPS + 1)]
+    )

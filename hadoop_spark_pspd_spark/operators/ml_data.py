@@ -700,3 +700,119 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_seg.crossJoin(F.broadcast(glob)).select(
         "segment", "n", "pos", "g_pos", "g_n", enc.alias("enc")
     )
+
+
+_PREF_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_PREF_K = 3
+_PREF_Q = 1 << 20
+
+
+@register(
+    "ml_preference_pairs",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang, source,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(w, x -> x IN
+                        ({", ".join(f"'{s}'" for s in _PREF_STOPWORDS)})))
+                        AS BIGINT) AS stop_hits
+            FROM (
+                SELECT doc_id, lang, source,
+                       list_filter(string_split_regex(text,
+                           '[ \\t\\n\\r\\f]+'), x -> x <> '') AS w
+                FROM documents
+            )
+            WHERE len(w) > 0
+        ), keyed AS (
+            SELECT doc_id, lang, source,
+                   (stop_hits * {_PREF_Q}) // n_tokens AS score
+            FROM scored
+        ), ranked AS (
+            SELECT doc_id, lang, source, score,
+                   row_number() OVER (PARTITION BY lang, source
+                                      ORDER BY score DESC, doc_id) AS rn_c,
+                   row_number() OVER (PARTITION BY lang, source
+                                      ORDER BY score ASC, doc_id DESC) AS rn_r
+            FROM keyed
+        )
+        SELECT c.lang, c.source, CAST(c.rn_c AS INTEGER) AS pair_rank,
+               c.doc_id AS chosen_doc, r.doc_id AS rejected_doc,
+               c.score AS chosen_score, r.score AS rejected_score
+        FROM ranked c
+        JOIN ranked r
+          ON c.lang = r.lang AND c.source = r.source AND c.rn_c = r.rn_r
+        WHERE c.rn_c <= {_PREF_K} AND c.score > r.score
+    """,
+    doc="Preference-pair mining (the DPO/RLHF data-prep step): within "
+        "each (lang, source) stratum, pair the k best-scored documents "
+        "with the k worst as (chosen, rejected), matched by rank. The "
+        "quality key is the stopword-density rational quantized by EXACT "
+        "integer division ((hits * 2^20) div n_tokens — Spark `div` == "
+        "DuckDB `//`, truncation toward zero), so ranking never touches "
+        "a double; ties break on doc_id, opposite directions on the two "
+        "ends so a tiny stratum can't pair a doc with itself, and equal-"
+        "score pairs are dropped (chosen must STRICTLY outscore "
+        "rejected). Plan: one scan computing tokens/hits map-side, two "
+        "row_number windows sharing one (lang, source) Exchange, and a "
+        "self-join on the k-bounded survivors — group state never "
+        "exceeds documents-per-stratum.",
+    tags=("ml", "text"),
+)
+def ml_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import tokens
+
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    stop_lst = F.array(*[F.lit(s) for s in _PREF_STOPWORDS])
+    scored = t.documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(stop_lst, x))
+        ).cast("bigint").alias("stop_hits"),
+    ).where(F.col("n_tokens") > 0)
+    keyed = scored.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(f"(stop_hits * {_PREF_Q}) div n_tokens").alias("score"),
+    )
+    w_c = W.partitionBy("lang", "source").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    w_r = W.partitionBy("lang", "source").orderBy(
+        F.col("score").asc(), F.col("doc_id").desc()
+    )
+    ranked = keyed.select(
+        "doc_id",
+        "lang",
+        "source",
+        "score",
+        F.row_number().over(w_c).alias("rn_c"),
+        F.row_number().over(w_r).alias("rn_r"),
+    )
+    c = ranked.alias("c")
+    r = ranked.alias("r")
+    return (
+        c.join(
+            r,
+            (F.col("c.lang") == F.col("r.lang"))
+            & (F.col("c.source") == F.col("r.source"))
+            & (F.col("c.rn_c") == F.col("r.rn_r")),
+        )
+        .where((F.col("c.rn_c") <= _PREF_K)
+               & (F.col("c.score") > F.col("r.score")))
+        .select(
+            F.col("c.lang").alias("lang"),
+            F.col("c.source").alias("source"),
+            F.col("c.rn_c").cast("int").alias("pair_rank"),
+            F.col("c.doc_id").alias("chosen_doc"),
+            F.col("r.doc_id").alias("rejected_doc"),
+            F.col("c.score").alias("chosen_score"),
+            F.col("r.score").alias("rejected_score"),
+        )
+    )
