@@ -816,3 +816,115 @@ def ml_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.score").alias("rejected_score"),
         )
     )
+
+
+_NEG_POOL = 64
+_NEG_K = 4
+
+
+@register(
+    "ml_negative_sampling",
+    oracle=f"""
+        WITH pos AS (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        pool AS (
+            SELECT part FROM (
+                SELECT p_partkey AS part,
+                       row_number() OVER (
+                           ORDER BY CAST(('0x' || substr(md5(
+                               CAST(p_partkey AS VARCHAR)), 1, 13))
+                               AS UBIGINT),
+                               p_partkey) AS rn
+                FROM part
+            ) WHERE rn <= {_NEG_POOL}
+        ),
+        cand AS (
+            SELECT c.cust, pool.part,
+                   CAST(('0x' || substr(md5(CAST(c.cust AS VARCHAR)
+                       || '#' || CAST(pool.part AS VARCHAR)), 1, 13))
+                       AS UBIGINT) AS h
+            FROM (SELECT DISTINCT cust FROM pos) c CROSS JOIN pool
+        ),
+        surv AS (
+            SELECT cust, part, h FROM cand c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pos p
+                WHERE p.cust = c.cust AND p.part = c.part
+            )
+        )
+        SELECT cust, CAST(rn AS INTEGER) AS neg_rank, part FROM (
+            SELECT cust, part,
+                   row_number() OVER (PARTITION BY cust
+                                      ORDER BY h, part) AS rn
+            FROM surv
+        ) WHERE rn <= {_NEG_K}
+    """,
+    doc="Deterministic negative sampling for recommender/contrastive "
+        "training: per active customer, 4 parts they never ordered, "
+        "drawn from a fixed 64-part candidate pool. Both 'random' "
+        "choices are md5-derandomized (pool = smallest md5(partkey); "
+        "per-customer order = md5(cust#part)) so the sample is "
+        "reproducible and cross-engine bit-identical while staying "
+        "hash-uniform. The rank is assigned AFTER the anti-join, so "
+        "every customer gets exactly k negatives whenever the pool "
+        "minus their positives has k left. Plan: one fact-scale "
+        "distinct for positives, a broadcast 64-row pool fanned out to "
+        "64 rows/customer, one anti-join on (cust, part), one bounded "
+        "window — nothing quadratic in catalog size, and the pool "
+        "constant is the only knob at 100 TB.",
+    tags=("ml",),
+)
+def ml_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    pos = (
+        t.orders.join(
+            t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    pool_h = F.conv(
+        F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    # orderBy + limit plans as TakeOrderedAndProject (distributed top-k
+    # with per-partition pruning), NOT the single-partition global-window
+    # sort a row_number() formulation would force on the parts catalog.
+    pool = (
+        t.part.select(F.col("p_partkey").alias("part"), pool_h.alias("h"))
+        .orderBy(F.col("h"), F.col("part"))
+        .limit(_NEG_POOL)
+        .select("part")
+    )
+    custs = pos.select("cust").distinct()
+    cand_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("cust").cast("string"),
+                    F.lit("#"),
+                    F.col("part").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = custs.crossJoin(F.broadcast(pool)).select(
+        "cust", "part", cand_h.alias("h")
+    )
+    surv = cand.join(pos, ["cust", "part"], "left_anti")
+    win = W.partitionBy("cust").orderBy(F.col("h"), F.col("part"))
+    return (
+        surv.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= _NEG_K)
+        .select("cust", F.col("rn").cast("int").alias("neg_rank"), "part")
+    )
