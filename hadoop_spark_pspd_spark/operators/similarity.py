@@ -2380,3 +2380,118 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+# Exponentially-discounted gain weights: position i (1-based) contributes
+# rel_i / 2^(i-1). Every weight and every prefix sum below is an exact
+# dyadic rational on denominator 2^7, so grouped sums are order-free and
+# the doubles are bit-identical cross-engine with no fixed-point scaffold
+# (the ts_ewma_counts rule) — unlike NDCG's 1/log2(i+1), which would put
+# a transcendental in a hashed output.
+_EDCG_K = 8
+_EDCG_W = [1.0 / (1 << i) for i in range(_EDCG_K)]
+_EDCG_IDEAL = [0.0] + [
+    float(sum(_EDCG_W[: j + 1])) for j in range(_EDCG_K)
+]
+
+
+@register(
+    "sim_edcg_eval",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding, label
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ), pairs AS (
+            SELECT q.query_id, q.label AS qlabel,
+                   c.vec_id AS candidate_id, c.label AS clabel,
+                   {_COSINE_SQL} AS sim
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, qlabel, clabel,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, candidate_id
+                   ) AS rk
+            FROM pairs
+        ), per_q AS (
+            SELECT query_id, qlabel,
+                   CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rel_retrieved,
+                   SUM(CASE WHEN clabel = qlabel
+                       THEN ([{", ".join(f"CAST({w!r} AS DOUBLE)" for w in _EDCG_W)}])
+                            [CAST(rk AS INTEGER)]
+                       ELSE 0.0 END) AS edcg
+            FROM ranked WHERE rk <= {_EDCG_K}
+            GROUP BY query_id, qlabel
+        ), lbl AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS cnt
+            FROM embeddings GROUP BY label
+        )
+        SELECT p.query_id, p.n_rel_retrieved,
+               CAST(edcg AS DOUBLE) AS edcg,
+               ([{", ".join(f"CAST({v!r} AS DOUBLE)" for v in _EDCG_IDEAL)}])
+                   [CAST(least(l.cnt - 1, {_EDCG_K}) + 1 AS INTEGER)]
+                   AS iedcg,
+               CASE WHEN ([{", ".join(f"CAST({v!r} AS DOUBLE)" for v in _EDCG_IDEAL)}])
+                        [CAST(least(l.cnt - 1, {_EDCG_K}) + 1 AS INTEGER)]
+                        > 0
+                    THEN CAST(edcg AS DOUBLE)
+                         / ([{", ".join(f"CAST({v!r} AS DOUBLE)" for v in _EDCG_IDEAL)}])
+                           [CAST(least(l.cnt - 1, {_EDCG_K}) + 1 AS INTEGER)]
+                    ELSE 0.0 END AS nedcg
+        FROM per_q p JOIN lbl l ON l.label = p.qlabel
+    """,
+    doc="Retrieval-quality evaluation of exact cosine top-8 against the "
+        "label ground truth: per query, the exponentially-discounted "
+        "cumulative gain (rel_i / 2^(i-1)), its ideal value given how "
+        "many relevant vectors exist in the corpus, and the normalized "
+        "ratio — the recall-curve metric of an embedding-search eval "
+        "harness. Exactness: every weight and ideal prefix sum is a "
+        "dyadic rational on denominator 2^7 (order-free sums, "
+        "bit-identical literals in both engines), and nEDCG is ONE "
+        "correctly-rounded division of two exact doubles; a query whose "
+        "label has no other members zero-guards to 0.0 identically. "
+        "Plan: the ranking reuses the broadcast-query brute-force scan "
+        "(corpus never shuffles); the gain/ideal stages touch only "
+        "10 x 8 ranked rows plus a per-label count.",
+    tags=("similarity", "ml"),
+)
+def sim_edcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    top = cosine_topk(q, emb, k=_EDCG_K)
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    clab = emb.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("label").alias("clabel"),
+    )
+    wts = F.array(*[F.lit(w) for w in _EDCG_W])
+    scored = top.join(qlab, "query_id").join(clab, "candidate_id")
+    rel = F.col("clabel") == F.col("qlabel")
+    per_q = scored.groupBy("query_id", "qlabel").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).alias("n_rel_retrieved"),
+        F.sum(
+            F.when(rel, F.element_at(wts, F.col("rk").cast("int")))
+            .otherwise(F.lit(0.0))
+        ).alias("edcg"),
+    )
+    lbl = emb.groupBy("label").agg(F.count("*").alias("cnt"))
+    ideal_arr = F.array(*[F.lit(v) for v in _EDCG_IDEAL])
+    joined = per_q.join(
+        F.broadcast(lbl), per_q.qlabel == lbl.label
+    )
+    iedcg = F.element_at(
+        ideal_arr,
+        (F.least(F.col("cnt") - 1, F.lit(_EDCG_K)) + 1).cast("int"),
+    )
+    return joined.select(
+        "query_id",
+        "n_rel_retrieved",
+        F.col("edcg").cast("double").alias("edcg"),
+        iedcg.alias("iedcg"),
+        F.when(iedcg > 0, F.col("edcg").cast("double") / iedcg)
+        .otherwise(F.lit(0.0))
+        .alias("nedcg"),
+    )
