@@ -737,3 +737,89 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         parts.unpersist()
+
+
+@register(
+    "q_skyline_customers",
+    oracle="""
+        WITH metrics AS (
+            SELECT o.o_custkey AS custkey,
+                   CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                       AS total_qty
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey
+        ),
+        flagged AS (
+            SELECT custkey, n_orders, total_qty,
+                   max(total_qty) OVER (
+                       ORDER BY n_orders DESC
+                       RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ) AS mx_bt,
+                   max(total_qty) OVER (PARTITION BY n_orders) AS mx_eq
+            FROM metrics
+        )
+        SELECT custkey, n_orders, total_qty
+        FROM flagged
+        WHERE (mx_bt IS NULL OR total_qty > mx_bt)
+          AND total_qty = mx_eq
+    """,
+    doc="Skyline (Pareto-optimal front) of 'bulk buyers': customers for "
+        "whom no other customer achieves >= total quantity with <= "
+        "orders (one strict) — MINIMIZE order count, MAXIMIZE quantity, "
+        "the anti-correlated axes that give the classic multi-criteria "
+        "operator (Borzsony/Kossmann SKYLINE OF) a non-trivial front. "
+        "Semantics via two windows: dominated-by-strictly-fewer-orders "
+        "iff mx_bt >= qty (value-RANGE frame over ORDER BY n DESC, "
+        "exact on integer keys), dominated-within-equal-n iff qty < "
+        "mx_eq; duplicate "
+        "(n, qty) points all survive (neither strictly dominates). All "
+        "quantities are exact integers (l_quantity is integral — the "
+        "double->BIGINT cast is exact, sidestepping Spark-truncates/"
+        "DuckDB-rounds divergence). Scale: stage 1 runs the SAME "
+        "dominance filter inside 32 hash buckets (skyline-of-union == "
+        "skyline-of-partial-skylines, since a globally undominated point "
+        "is undominated in its bucket), so the global value-range "
+        "windows in stage 2 see only the tiny bucket-survivor union, "
+        "never a single-partition sort of the full customer dimension.",
+    tags=("relational", "stats"),
+)
+def q_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    metrics = (
+        t.orders.join(
+            t.lineitem,
+            t.lineitem.l_orderkey == t.orders.o_orderkey,
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        )
+    )
+
+    def survivors(df: DataFrame, part_cols: list) -> DataFrame:
+        w_bt = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("n_orders").desc())
+            .rangeBetween(1, Window.unboundedFollowing)
+        )
+        w_eq = Window.partitionBy(*part_cols, "n_orders")
+        flagged = df.select(
+            "custkey",
+            "n_orders",
+            "total_qty",
+            F.max("total_qty").over(w_bt).alias("mx_bt"),
+            F.max("total_qty").over(w_eq).alias("mx_eq"),
+        )
+        return flagged.where(
+            (F.col("mx_bt").isNull() | (F.col("total_qty") > F.col("mx_bt")))
+            & (F.col("total_qty") == F.col("mx_eq"))
+        ).select("custkey", "n_orders", "total_qty")
+
+    # stage 1: bucket-local skyline (any deterministic bucketing works —
+    # the final output is bucketing-independent); stage 2: global pass
+    # over the bounded survivor union
+    bucketed = metrics.withColumn("b", F.pmod(F.col("custkey"), F.lit(32)))
+    partial = survivors(bucketed, ["b"])
+    return survivors(partial, [])

@@ -141,3 +141,44 @@ def test_negative_sampling_invariants(spark):
     assert again == sorted(
         (r["cust"], r["neg_rank"], r["part"]) for r in rows
     )
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """The two-stage window skyline must equal the O(n^2) NOT EXISTS
+    definition (minimize n_orders, maximize total_qty, one strict)."""
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["custkey"], r["n_orders"], r["total_qty"])
+        for r in REGISTRY["q_skyline_customers"].fn(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = sorted(
+        tuple(r)
+        for r in con.sql("""
+            WITH metrics AS (
+                SELECT o.o_custkey AS custkey,
+                       CAST(count(DISTINCT o.o_orderkey) AS BIGINT)
+                           AS n_orders,
+                       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                           AS total_qty
+                FROM orders o JOIN lineitem l
+                  ON l.l_orderkey = o.o_orderkey
+                GROUP BY o.o_custkey
+            )
+            SELECT custkey, n_orders, total_qty FROM metrics m
+            WHERE NOT EXISTS (
+                SELECT 1 FROM metrics d
+                WHERE d.n_orders <= m.n_orders
+                  AND d.total_qty >= m.total_qty
+                  AND (d.n_orders < m.n_orders
+                       OR d.total_qty > m.total_qty)
+            )
+        """).fetchall()
+    )
+    con.close()
+    assert got == want
