@@ -823,3 +823,68 @@ def q_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = metrics.withColumn("b", F.pmod(F.col("custkey"), F.lit(32)))
     partial = survivors(bucketed, ["b"])
     return survivors(partial, [])
+
+
+@register(
+    "q_relational_division",
+    oracle="""
+        WITH req AS (
+            SELECT brand FROM (
+                SELECT p.p_brand AS brand, count(*) AS n
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                GROUP BY p.p_brand
+                ORDER BY n DESC, brand
+                LIMIT 3
+            )
+        ),
+        purchases AS (
+            SELECT DISTINCT o.o_custkey AS custkey, p.p_brand AS brand
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+        )
+        SELECT pu.custkey, CAST(count(*) AS BIGINT) AS n_required_bought
+        FROM purchases pu JOIN req r ON r.brand = pu.brand
+        GROUP BY pu.custkey
+        HAVING count(*) = 3
+    """,
+    doc="Relational division (Codd's 'suppliers who supply ALL parts' "
+        "shape): customers who have purchased from EVERY one of the 3 "
+        "most-ordered part brands. The divisor set is data-derived but "
+        "deterministic (count desc, partkey tie-break) and BOUNDED, so "
+        "the division reduces to a broadcast semi-join + a grouped "
+        "count-equality — the set-containment idiom that avoids the "
+        "classic double-NOT-EXISTS correlated scan entirely. Plan: one "
+        "map-side-combined part count, distributed top-3 "
+        "(TakeOrderedAndProject), one fact distinct, broadcast join, "
+        "one agg; nothing quadratic, the divisor never leaves 3 rows.",
+    tags=("relational",),
+)
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    enriched = t.lineitem.join(
+        t.part, t.part.p_partkey == t.lineitem.l_partkey
+    )
+    req = (
+        enriched.groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("brand"))
+        .limit(3)
+        .select("brand")
+    )
+    purchases = (
+        t.orders.join(
+            enriched, enriched.l_orderkey == t.orders.o_orderkey
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .distinct()
+    )
+    return (
+        purchases.join(F.broadcast(req), "brand")
+        .groupBy("custkey")
+        .agg(F.count("*").alias("n_required_bought"))
+        .where(F.col("n_required_bought") == 3)
+    )
