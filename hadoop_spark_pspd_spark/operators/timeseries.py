@@ -529,3 +529,59 @@ def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("bigint")
         ).alias("mae"),
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   CAST(value AS DECIMAL(18,4)) AS v,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) - epoch_us(ts) AS dt_us
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(dt_us) AS BIGINT) AS total_us,
+               CAST(CAST(SUM(v * dt_us) AS VARCHAR) AS DOUBLE)
+                   / CAST(SUM(dt_us) AS BIGINT) AS twa
+        FROM seq
+        WHERE dt_us IS NOT NULL AND dt_us > 0
+        GROUP BY event_type
+    """,
+    doc="Time-weighted average of the event value per type (the "
+        "irregular-sampling mean a metrics store reports): each sample "
+        "holds until the next one, so its weight is the exact integer "
+        "microsecond gap. value routes through DECIMAL(18,4), the "
+        "decimal x BIGINT products sum EXACTLY (decimal addition — "
+        "summation order irrelevant), and the final twa is exact-sum / "
+        "exact-integer: one deterministic double division. Zero-length "
+        "gaps (duplicate timestamps) carry zero weight and are dropped "
+        "identically. One (type, ts) window for the lead — state "
+        "bounded per type partition; at 100 TB partition additionally "
+        "by day and stitch boundary gaps like the cusum two-level "
+        "prefix pattern.",
+    tags=("timeseries",),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = t.events.select(
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        (F.lead(us, 1).over(w) - us).alias("dt_us"),
+    )
+    kept = seq.where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dt_us").alias("total_us"),
+        (
+            F.sum(F.col("v") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us")
+        ).alias("twa"),
+    )
