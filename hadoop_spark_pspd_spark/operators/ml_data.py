@@ -928,3 +928,125 @@ def ml_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _NEG_K)
         .select("cust", F.col("rn").cast("int").alias("neg_rank"), "part")
     )
+
+
+@register(
+    "ml_chi2_association",
+    oracle="""
+        WITH labeled AS (
+            SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        cells AS (
+            SELECT seg, pri, CAST(count(*) AS BIGINT) AS o
+            FROM labeled GROUP BY seg, pri
+        ),
+        rows_ AS (
+            SELECT seg, CAST(count(*) AS BIGINT) AS r
+            FROM labeled GROUP BY seg
+        ),
+        cols_ AS (
+            SELECT pri, CAST(count(*) AS BIGINT) AS c
+            FROM labeled GROUP BY pri
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM labeled),
+        grid AS (
+            SELECT r_.seg, c_.pri, r_.r, c_.c, t.t,
+                   coalesce(cl.o, 0) AS o
+            FROM rows_ r_
+            CROSS JOIN cols_ c_
+            CROSS JOIN tot t
+            LEFT JOIN cells cl ON cl.seg = r_.seg AND cl.pri = c_.pri
+        ),
+        scored AS (
+            SELECT seg, pri, o, r, c, t,
+                   (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+                       / CAST(t AS DOUBLE) AS e,
+                   (CAST(o AS DOUBLE)
+                    - (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+                      / CAST(t AS DOUBLE))
+                   * (CAST(o AS DOUBLE)
+                      - (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+                        / CAST(t AS DOUBLE))
+                   / ((CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+                      / CAST(t AS DOUBLE)) AS cell
+            FROM grid
+        ),
+        total AS (
+            SELECT list_sum(list_transform(
+                       list_sort(list({'s': seg, 'p': pri, 'v': cell})),
+                       x -> x.v)) AS chi2
+            FROM scored
+        )
+        SELECT s.seg, s.pri, s.o, s.e, s.cell,
+               CAST(t.chi2 AS DOUBLE) AS chi2
+        FROM scored s CROSS JOIN total t
+    """,
+    doc="Chi-square association between customer market segment and "
+        "order priority — the categorical feature-selection statistic "
+        "(the transcendental-free sibling of mutual information). Every "
+        "expected count e = r*c/t and cell term (o-e)^2/e is the "
+        "IDENTICAL sequence of correctly-rounded IEEE ops on 2^53-exact "
+        "integer marginals (casting to double BEFORE the product also "
+        "sidesteps the r*c int64 overflow at corpus scale), zero cells "
+        "are materialized by the marginal cross join so sparse "
+        "contingency tables score correctly, and the chi2 TOTAL is a "
+        "fold over the (seg, pri)-sorted cell list — deterministic "
+        "summation order in both engines (the cosine list_sum rule), "
+        "where a grouped SUM of doubles would drift. Plan: one fact-dim "
+        "join, three tiny aggs, a bounded #seg x #pri grid.",
+    tags=("ml", "stats"),
+)
+def ml_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    labeled = t.orders.join(
+        t.customer, t.orders.o_custkey == t.customer.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    cells = labeled.groupBy("seg", "pri").agg(F.count("*").alias("o"))
+    rows_ = labeled.groupBy("seg").agg(F.count("*").alias("r"))
+    cols_ = labeled.groupBy("pri").agg(F.count("*").alias("c"))
+    tot = labeled.agg(F.count("*").alias("t"))
+    grid = (
+        rows_.crossJoin(cols_)
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["seg", "pri"], "left")
+        .select(
+            "seg",
+            "pri",
+            "r",
+            "c",
+            "t",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    e = (
+        F.col("r").cast("double") * F.col("c").cast("double")
+    ) / F.col("t").cast("double")
+    d = F.col("o").cast("double") - e
+    scored = grid.select(
+        "seg", "pri", "o", "r", "c", "t",
+        e.alias("e"),
+        (d * d / e).alias("cell"),
+    )
+    folded = scored.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("seg").alias("s"),
+                        F.col("pri").alias("p"),
+                        F.col("cell").alias("v"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("chi2")
+    )
+    return scored.crossJoin(F.broadcast(folded)).select(
+        "seg", "pri", "o", "e", "cell",
+        F.col("chi2").cast("double").alias("chi2"),
+    )
