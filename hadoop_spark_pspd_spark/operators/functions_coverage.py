@@ -535,3 +535,106 @@ def q_listagg_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("statuses"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_percentile_cont_manual",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ),
+        params AS (
+            SELECT event_type, n,
+                   ((n - 1) * 9) // 10 + 1 AS k_lo,
+                   CASE WHEN ((n - 1) * 9) % 10 = 0
+                        THEN ((n - 1) * 9) // 10 + 1
+                        ELSE ((n - 1) * 9) // 10 + 2 END AS k_hi,
+                   CAST(((n - 1) * 9) % 10 AS DOUBLE) / 10.0 AS frac
+            FROM (SELECT DISTINCT event_type, n FROM ranked)
+        )
+        SELECT p.event_type, p.n,
+               lo.value AS v_lo, hi.value AS v_hi,
+               lo.value + (hi.value - lo.value) * p.frac AS p90
+        FROM params p
+        JOIN ranked lo ON lo.event_type = p.event_type AND lo.rn = p.k_lo
+        JOIN ranked hi ON hi.event_type = p.event_type AND hi.rn = p.k_hi
+    """,
+    doc="ANSI PERCENTILE_CONT(0.9) rebuilt from first principles so the "
+        "interpolation is cross-engine bit-deterministic (the built-ins' "
+        "internal accumulation orders differ between engines): target "
+        "rank h = (n-1)*0.9 handled as the EXACT integer pair "
+        "(9(n-1) div 10, 9(n-1) mod 10) — Spark `div` == DuckDB `//` — "
+        "the bracketing values are raw stored doubles picked by a "
+        "(value, event_id) total order, frac is one exact-int division, "
+        "and the interpolation lo + (hi-lo)*frac is a fixed 3-op IEEE "
+        "sequence. One (type)-partitioned window pass (state bounded per "
+        "type; two-level like the cusum pattern at extreme scale) plus "
+        "two keyed joins against the single bracket row each.",
+    tags=("relational", "stats"),
+)
+def q_percentile_cont_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    w_rn = W.partitionBy("event_type").orderBy("value", "event_id")
+    w_n = W.partitionBy("event_type")
+    ranked = t.events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rn).cast("bigint").alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    params = (
+        ranked.select("event_type", "n")
+        .distinct()
+        .select(
+            "event_type",
+            "n",
+            F.expr("((n - 1) * 9) div 10 + 1").alias("k_lo"),
+            F.when(
+                F.expr("((n - 1) * 9) % 10") == 0,
+                F.expr("((n - 1) * 9) div 10 + 1"),
+            )
+            .otherwise(F.expr("((n - 1) * 9) div 10 + 2"))
+            .alias("k_hi"),
+            (
+                F.expr("((n - 1) * 9) % 10").cast("double") / F.lit(10.0)
+            ).alias("frac"),
+        )
+    )
+    lo = ranked.select(
+        F.col("event_type").alias("et_lo"),
+        F.col("rn").alias("rn_lo"),
+        F.col("value").alias("v_lo"),
+    )
+    hi = ranked.select(
+        F.col("event_type").alias("et_hi"),
+        F.col("rn").alias("rn_hi"),
+        F.col("value").alias("v_hi"),
+    )
+    return (
+        params.join(
+            lo,
+            (F.col("event_type") == F.col("et_lo"))
+            & (F.col("k_lo") == F.col("rn_lo")),
+        )
+        .join(
+            hi,
+            (F.col("event_type") == F.col("et_hi"))
+            & (F.col("k_hi") == F.col("rn_hi")),
+        )
+        .select(
+            "event_type",
+            "n",
+            "v_lo",
+            "v_hi",
+            (
+                F.col("v_lo")
+                + (F.col("v_hi") - F.col("v_lo")) * F.col("frac")
+            ).alias("p90"),
+        )
+    )
