@@ -752,10 +752,12 @@ _PREF_Q = 1 << 20
         "a double; ties break on doc_id, opposite directions on the two "
         "ends so a tiny stratum can't pair a doc with itself, and equal-"
         "score pairs are dropped (chosen must STRICTLY outscore "
-        "rejected). Plan: one scan computing tokens/hits map-side, two "
-        "row_number windows sharing one (lang, source) Exchange, and a "
-        "self-join on the k-bounded survivors — group state never "
-        "exceeds documents-per-stratum.",
+        "rejected). Plan: tokens/hits compute map-side; both row_number "
+        "windows share one (lang, source) Exchange, and the self-join's "
+        "two sides re-derive partition-local window passes from that "
+        "shared Exchange (CPU x2 on the dimension-scale scored relation, "
+        "zero extra shuffles — verified in the formatted plan); group "
+        "state never exceeds documents-per-stratum.",
     tags=("ml", "text"),
 )
 def ml_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
