@@ -1088,3 +1088,87 @@ def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk.select(
         "start", *[f"n{j}" for j in range(1, _WALK_STEPS + 1)]
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=_EDGES_ORACLE + """
+        , directed3 AS (
+            SELECT s1 AS src FROM edges
+            UNION ALL
+            SELECT s2 FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM directed3 GROUP BY src
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges
+            FROM deg
+        ),
+        tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS triangles
+            FROM edges e1
+            JOIN edges e2 ON e1.s2 = e2.s1
+            JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+        )
+        SELECT a.n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+               a.wedges, t.triangles,
+               CASE WHEN a.wedges > 0
+                    THEN CAST(3 * t.triangles AS DOUBLE)
+                         / CAST(a.wedges AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS global_cc
+        FROM agg a CROSS JOIN tri t
+    """,
+    doc="Global clustering coefficient (transitivity) of the "
+        "mutual-top-8 graph: 3*triangles / wedges, where wedges = "
+        "sum over nodes of C(d, 2) — both exact integers (d <= 8 by the "
+        "sparsification; d(d-1)/2 is integral so the in-SUM division is "
+        "exact), the ratio is one correctly-rounded double division, and "
+        "a triangle-free/star graph zero-guards wedges = 0 identically. "
+        "Plan: degree agg on the k-bounded survivor set + the same "
+        "V*64-bounded ordered-wedge triangle join as q_triangle_count; "
+        "the fact-scale build's three references dedupe via "
+        "ReuseExchange (the assortativity A/B rule — no explicit cache).",
+    tags=("graph", "stats"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = cooccurrence_edges(spark, sf_dir)
+    nodes_dir = edges.selectExpr("s1 AS src").unionAll(
+        edges.selectExpr("s2 AS src")
+    )
+    deg = nodes_dir.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    agg = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("wedges"),
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            e3,
+            (F.col("e3.s1") == F.col("e1.s1"))
+            & (F.col("e3.s2") == F.col("e2.s2")),
+        )
+        .agg(F.count("*").alias("triangles"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    cc = F.when(
+        F.col("wedges") > 0,
+        (F.lit(3) * F.col("triangles")).cast("double")
+        / F.col("wedges").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        agg.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes", "n_edges", "wedges", "triangles",
+            cc.alias("global_cc"),
+        )
+    )

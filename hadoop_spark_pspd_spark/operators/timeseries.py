@@ -585,3 +585,56 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dt_us")
         ).alias("twa"),
     )
+
+
+@register(
+    "ts_seasonal_profile",
+    oracle="""
+        WITH base AS (
+            SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+                   CAST(value AS DECIMAL(18,4)) AS v
+            FROM events
+        ),
+        per AS (
+            SELECT event_type, hod,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS sum_value
+            FROM base GROUP BY event_type, hod
+        ),
+        tot AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS total_n
+            FROM base GROUP BY event_type
+        )
+        SELECT p.event_type, p.hod, p.n,
+               p.sum_value / p.n AS mean_value,
+               CAST(p.n AS DOUBLE) / t.total_n AS share
+        FROM per p JOIN tot t ON t.event_type = p.event_type
+    """,
+    doc="Hour-of-day seasonal profile per event type (the diurnal shape "
+        "an anomaly baseline conditions on): event count, exact-decimal "
+        "mean value, and traffic share per (type, 0..23) bucket. Both "
+        "ratios are exact-sum / exact-int single divisions; hour() under "
+        "the pinned UTC session tz is identical cross-engine. Two "
+        "map-side-combined aggs over a 24-bucket key space — fixed-width "
+        "mergeable state at any corpus size.",
+    tags=("timeseries",),
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    base = t.events.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    per = base.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )
+    tot = base.groupBy("event_type").agg(F.count("*").alias("total_n"))
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hod",
+        "n",
+        (F.col("sum_value") / F.col("n")).alias("mean_value"),
+        (F.col("n").cast("double") / F.col("total_n")).alias("share"),
+    )
