@@ -600,3 +600,50 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(final.collect(), final.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "stream_dedup_windowed_counts",
+    oracle="""
+        SELECT window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM (
+            SELECT DISTINCT user_id, event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start
+            FROM events
+        )
+        GROUP BY window_start, event_type
+    """,
+    doc="CHAINED stateful streaming (two state stores in one query — the "
+        "multiple-stateful-operator capability): per-hour rate-capped "
+        "activity counts, computed as dropDuplicates on (user, type, "
+        "hour) feeding a streaming aggregation downstream. The dedup key "
+        "includes the hour bucket, so the downstream count is "
+        "survivor-independent (arrival order can pick any duplicate — "
+        "they all carry the same bucket) and equals the batch DISTINCT "
+        "oracle deterministically. State sizing: dedup state is one "
+        "entry per active (user, type, hour) — watermark-expirable on "
+        "unbounded streams — and the agg state is the bounded bucket "
+        "grid; both shuffle once on their own keys.",
+    tags=("streaming",),
+)
+def stream_dedup_windowed_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pin_session_conf(spark)
+    source = _events_stream(spark, sf_dir)
+
+    def transform(df: DataFrame) -> DataFrame:
+        hourly = df.select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        )
+        deduped = hourly.dropDuplicates(
+            ["user_id", "event_type", "window_start"]
+        )
+        return deduped.groupBy("window_start", "event_type").agg(
+            F.count("*").alias("n_active")
+        )
+
+    return run_bounded_stream(spark, source, transform, "complete")
