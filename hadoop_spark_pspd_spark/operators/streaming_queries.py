@@ -647,3 +647,57 @@ def stream_dedup_windowed_counts(
         )
 
     return run_bounded_stream(spark, source, transform, "complete")
+
+
+@register(
+    "stream_chained_window_aggs",
+    oracle="""
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        mx AS (SELECT max(ts) AS max_ts FROM events)
+        SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day_start,
+               event_type,
+               CAST(SUM(n) AS BIGINT) AS n_day
+        FROM hourly CROSS JOIN mx
+        GROUP BY 1, 2, mx.max_ts
+        HAVING CAST(date_trunc('day', h) AS TIMESTAMP) + INTERVAL 1 DAY
+               <= mx.max_ts
+    """,
+    doc="CHAINED streaming window aggregations (Spark's "
+        "multi-aggregation path, window_time() re-windowing): hourly "
+        "counts roll up into daily counts inside ONE streaming query — "
+        "the hierarchical continuous-rollup shape a metrics store runs. "
+        "Append mode is required (the chained-agg correctness rule), so "
+        "the query emits exactly the CLOSED day windows: end <= the "
+        "final watermark (max event time, 0s delay). The oracle encodes "
+        "that contract — day windows whose end exceeds max(ts) are "
+        "withheld by watermark semantics, not missing data. Both window "
+        "states are bounded bucket grids; each agg shuffles once on its "
+        "own keys.",
+    tags=("streaming",),
+)
+def stream_chained_window_aggs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pin_session_conf(spark)
+    source = _events_stream(spark, sf_dir)
+
+    def transform(df: DataFrame) -> DataFrame:
+        hourly = (
+            df.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        return hourly.groupBy(
+            F.window(F.window_time("window"), "1 day"), "event_type"
+        ).agg(F.sum("n").alias("n_day"))
+
+    result = run_bounded_stream(spark, source, transform, "append")
+    return result.select(
+        F.col("window.start").alias("day_start"),
+        "event_type",
+        F.col("n_day"),
+    )
