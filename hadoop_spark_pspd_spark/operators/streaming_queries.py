@@ -22,16 +22,29 @@ _sink_counter = itertools.count()
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded file-source replay of the events table (ns-ts normalized)."""
+    """Bounded file-source replay of the events table (ns-ts normalized).
+
+    Handles BOTH physical layouts: events.parquet as a single file (the
+    driver's testdata) and as a Spark-written DIRECTORY of part files
+    (replicated/simulated dirs). The glob formulation alone silently
+    matches ZERO files in the directory layout — the file-stream source
+    treats pathGlobFilter entries as file names — which would make every
+    streaming query return an empty (wrong) result instead of failing.
+    """
+    import os
+
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    # the file stream source wants a directory: scan sf_dir with a glob
-    # pinned to the events table file
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single file: the file stream source wants a directory — scan
+        # sf_dir with a glob pinned to the events table file
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_event_ts(stream)
 
 
