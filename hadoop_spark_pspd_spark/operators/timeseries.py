@@ -638,3 +638,73 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_value") / F.col("n")).alias("mean_value"),
         (F.col("n").cast("double") / F.col("total_n")).alias("share"),
     )
+
+
+@register(
+    "ts_moving_median",
+    oracle="""
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        windowed AS (
+            SELECT event_type, hour, n,
+                   list_sort(list(n) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   )) AS w
+            FROM hourly
+        )
+        SELECT event_type, hour, n,
+               CAST(len(w) AS BIGINT) AS w_size,
+               CASE WHEN len(w) % 2 = 1
+                    THEN CAST(w[(len(w) + 1) // 2] AS DOUBLE)
+                    ELSE (CAST(w[len(w) // 2] AS DOUBLE)
+                          + CAST(w[len(w) // 2 + 1] AS DOUBLE)) / 2.0
+               END AS moving_median
+        FROM windowed
+    """,
+    doc="5-bucket moving median of hourly counts per type — the "
+        "robust smoother a spike-tolerant anomaly baseline uses instead "
+        "of a moving mean. Computed from first principles (collect the "
+        "ROWS frame, sort, pick) because the engines' built-in windowed "
+        "median/interpolation internals differ: odd frames pick a raw "
+        "integer, even frames average two integers (a dyadic .5-exact "
+        "double), so every output is bit-deterministic. Frame state is "
+        "5 values; one (type)-partitioned window pass over the tiny "
+        "hourly rollup.",
+    tags=("timeseries", "stats"),
+)
+def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-4, W.currentRow)
+    )
+    windowed = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sort_array(F.collect_list("n").over(w)).alias("w"),
+    )
+    size = F.size("w")
+    odd = F.element_at(F.col("w"), ((size + 1) / 2).cast("int"))
+    lo = F.element_at(F.col("w"), (size / 2).cast("int"))
+    hi = F.element_at(F.col("w"), (size / 2 + 1).cast("int"))
+    med = F.when(size % 2 == 1, odd.cast("double")).otherwise(
+        (lo.cast("double") + hi.cast("double")) / F.lit(2.0)
+    )
+    return windowed.select(
+        "event_type",
+        "hour",
+        "n",
+        size.cast("bigint").alias("w_size"),
+        med.alias("moving_median"),
+    )
