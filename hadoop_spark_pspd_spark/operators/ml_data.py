@@ -1052,3 +1052,99 @@ def ml_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg", "pri", "o", "e", "cell",
         F.col("chi2").cast("double").alias("chi2"),
     )
+
+
+@register(
+    "ml_auc_exact",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 16.0)
+                        AS BIGINT) AS s,
+                   CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+            FROM embeddings
+        ),
+        grp AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS c,
+                   CAST(SUM(y) AS BIGINT) AS cp
+            FROM scored GROUP BY s
+        ),
+        ranked AS (
+            SELECT s, c, cp,
+                   CAST(coalesce(SUM(c) OVER (
+                       ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS before
+            FROM grp
+        ),
+        tot AS (
+            SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(count(*) - SUM(y) AS BIGINT) AS n_neg
+            FROM scored
+        ),
+        agg AS (
+            SELECT CAST(SUM(cp * (2 * (before + 1) + c - 1)) AS BIGINT)
+                       AS two_ranksum
+            FROM ranked
+        )
+        SELECT t.n_pos, t.n_neg,
+               a.two_ranksum - t.n_pos * (t.n_pos + 1) AS u2,
+               CASE WHEN t.n_pos > 0 AND t.n_neg > 0
+                    THEN CAST(a.two_ranksum - t.n_pos * (t.n_pos + 1)
+                              AS DOUBLE)
+                         / CAST(2 * t.n_pos * t.n_neg AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS auc
+        FROM agg a CROSS JOIN tot t
+    """,
+    doc="Exact ROC AUC via the Mann-Whitney rank-sum identity, with "
+        "proper midrank tie handling done in INTEGER arithmetic: scores "
+        "are bucketed (floor(e1*16) — floor of one exact double product, "
+        "deliberately coarse so ties exercise the midrank path), each "
+        "tied group contributes cp * (2*(rank_start) + c - 1) in "
+        "HALF-rank units, so two_ranksum and U2 = 2U are exact int64 "
+        "and AUC is ONE correctly-rounded division — no per-pair "
+        "comparisons (the naive O(n_pos*n_neg) definition) and no "
+        "float rank averaging. Single-class corpora zero-guard to 0. "
+        "Plan: one grouped count per score bucket, one bounded "
+        "value-ordered window over buckets (not rows), two scalar aggs "
+        "— AUC over 100 TB of scores costs one shuffle of the bucket "
+        "histogram.",
+    tags=("ml", "stats"),
+)
+def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    e1 = F.col("embedding").getItem(0).cast("double")
+    scored = t.embeddings.select(
+        F.floor(e1 * F.lit(16.0)).cast("bigint").alias("s"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("y"),
+    )
+    grp = scored.groupBy("s").agg(
+        F.count("*").alias("c"), F.sum("y").alias("cp")
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    ranked = grp.select(
+        "s",
+        "c",
+        "cp",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("before"),
+    )
+    tot = scored.agg(
+        F.sum("y").alias("n_pos"),
+        (F.count("*") - F.sum("y")).alias("n_neg"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("cp")
+            * (2 * (F.col("before") + 1) + F.col("c") - 1)
+        ).alias("two_ranksum")
+    )
+    u2 = F.col("two_ranksum") - F.col("n_pos") * (F.col("n_pos") + 1)
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        u2.cast("double")
+        / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n_pos", "n_neg", u2.alias("u2"), auc.alias("auc")
+    )

@@ -182,3 +182,57 @@ def test_skyline_matches_bruteforce_dominance(spark):
     )
     con.close()
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def auc_fixture_sf(tmp_path_factory, spark):
+    """Scores engineered so floor(e1*16) gives buckets [1,1,2,3] with
+    labels [even, odd, even, odd] -> hand-computed AUC 0.625 (ties
+    exercise the midrank path), plus a second corpus variant check."""
+    d = tmp_path_factory.mktemp("auc_fixture_sf")
+    # e1 values: bucket = floor(e1*16): 0.07->1, 0.09->1, 0.14->2, 0.2->3
+    rows = [
+        (0, [0.07] + [0.0] * 63, 0),   # even label -> negative
+        (1, [0.09] + [0.0] * 63, 1),   # odd  label -> positive
+        (2, [0.14] + [0.0] * 63, 2),   # negative
+        (3, [0.20] + [0.0] * 63, 3),   # positive
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def single_class_sf(tmp_path_factory, spark):
+    d = tmp_path_factory.mktemp("single_class_sf")
+    rows = [(i, [0.1 * i] + [0.0] * 63, 2 * i) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_auc_known_answer_with_midranks(spark, auc_fixture_sf):
+    srows, drows = _run_both(
+        "ml_auc_exact", spark, auc_fixture_sf, ("embeddings",)
+    )
+    assert srows == drows
+    row = REGISTRY["ml_auc_exact"].fn(spark, auc_fixture_sf).collect()[0]
+    # midranks: tied bucket 1 -> 1.5 each; positives at 1.5 and 4
+    # U = (1.5 + 4) - 2*3/2 = 2.5 ; AUC = 2.5 / (2*2) = 0.625
+    assert row["n_pos"] == 2 and row["n_neg"] == 2
+    assert row["u2"] == 5  # 2U
+    assert row["auc"] == 0.625
+
+
+def test_auc_single_class_guard(spark, single_class_sf):
+    srows, drows = _run_both(
+        "ml_auc_exact", spark, single_class_sf, ("embeddings",)
+    )
+    assert srows == drows
+    row = REGISTRY["ml_auc_exact"].fn(spark, single_class_sf).collect()[0]
+    assert row["n_pos"] == 0
+    assert row["auc"] == 0.0  # guarded, not NULL/NaN
