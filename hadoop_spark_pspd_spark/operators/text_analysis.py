@@ -597,3 +597,94 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("lang_total").cast("double"))
         .alias("frac"),
     )
+
+
+@register(
+    "ml_cohens_kappa",
+    oracle=f"""
+        WITH pred AS ({_langid_pred_sql()}),
+        joined AS (
+            SELECT d.lang AS truth, p.predicted_lang AS pred
+            FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+        ),
+        marg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN truth = pred THEN 1 ELSE 0 END)
+                        AS BIGINT) AS agree
+            FROM joined
+        ),
+        byc AS (
+            SELECT cls, CAST(SUM(rt) AS BIGINT) AS r,
+                   CAST(SUM(pc) AS BIGINT) AS c
+            FROM (
+                SELECT truth AS cls, 1 AS rt, 0 AS pc FROM joined
+                UNION ALL
+                SELECT pred, 0, 1 FROM joined
+            ) GROUP BY cls
+        ),
+        chance AS (
+            SELECT CAST(SUM(r * c) AS BIGINT) AS s FROM byc
+        )
+        SELECT m.n, m.agree, ch.s AS chance_weight,
+               CASE WHEN CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+                         - CAST(ch.s AS DOUBLE) <> 0
+                    THEN (CAST(m.agree AS DOUBLE) * CAST(m.n AS DOUBLE)
+                          - CAST(ch.s AS DOUBLE))
+                         / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+                            - CAST(ch.s AS DOUBLE))
+                    ELSE CAST(0 AS DOUBLE) END AS kappa
+        FROM marg m CROSS JOIN chance ch
+    """,
+    doc="Cohen's kappa between the marker-token language-ID prediction "
+        "and the stored lang labels — chance-corrected agreement, the "
+        "weak-labeler quality gate of an annotation pipeline. Algebra "
+        "kept rational: kappa = (po - pe)/(1 - pe) is multiplied "
+        "through by n^2, giving (agree*n - S)/(n^2 - S) with "
+        "S = sum over classes of row*col marginal products — agree, n, "
+        "S all exact int64, the numerator/denominator formed by the "
+        "IDENTICAL double products both sides (exact below 2^53), one "
+        "final division, and a degenerate single-class corpus "
+        "(pe = 1 -> denominator 0) guards to 0 identically. Plan: one "
+        "doc join, one union-pivoted marginal agg, two scalar rows.",
+    tags=("ml", "stats", "text"),
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pred = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    joined = pred.join(
+        t.documents.select("doc_id", F.col("lang").alias("truth")),
+        "doc_id",
+    ).select("truth", F.col("predicted_lang").alias("pred"))
+    marg = joined.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("truth") == F.col("pred"), 1).otherwise(0))
+        .alias("agree"),
+    )
+    byc = (
+        joined.select(
+            F.col("truth").alias("cls"), F.lit(1).alias("rt"),
+            F.lit(0).alias("pc"),
+        )
+        .unionAll(
+            joined.select(
+                F.col("pred").alias("cls"), F.lit(0).alias("rt"),
+                F.lit(1).alias("pc"),
+            )
+        )
+        .groupBy("cls")
+        .agg(F.sum("rt").alias("r"), F.sum("pc").alias("c"))
+    )
+    chance = byc.agg(F.sum(F.col("r") * F.col("c")).alias("s"))
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    agree_d = F.col("agree").cast("double")
+    den = n_d * n_d - s_d
+    kappa = F.when(
+        den != 0, (agree_d * n_d - s_d) / den
+    ).otherwise(F.lit(0.0))
+    return marg.crossJoin(F.broadcast(chance)).select(
+        "n",
+        "agree",
+        F.col("s").alias("chance_weight"),
+        kappa.alias("kappa"),
+    )
