@@ -1148,3 +1148,125 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.crossJoin(F.broadcast(tot)).select(
         "n_pos", "n_neg", u2.alias("u2"), auc.alias("auc")
     )
+
+
+def _spearman_rank_sql(var: str) -> str:
+    """2x-midrank assignment for one variable over the metrics CTE."""
+    return f"""
+            SELECT {var} AS v,
+                   2 * CAST(coalesce(SUM(c) OVER (
+                       ORDER BY {var}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) + CAST(c AS BIGINT) + 1 AS mr2
+            FROM (
+                SELECT {var}, CAST(count(*) AS BIGINT) AS c
+                FROM metrics GROUP BY {var}
+            )"""
+
+
+@register(
+    "ml_spearman_corr",
+    oracle=f"""
+        WITH metrics AS (
+            SELECT o.o_custkey AS custkey,
+                   CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS x,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS y
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey
+        ),
+        rx AS ({_spearman_rank_sql("x")}),
+        ry AS ({_spearman_rank_sql("y")}),
+        paired AS (
+            SELECT rx.mr2 AS a, ry.mr2 AS b
+            FROM metrics m
+            JOIN rx ON rx.v = m.x
+            JOIN ry ON ry.v = m.y
+        ),
+        sums AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(a) AS BIGINT) AS sa,
+                   CAST(SUM(b) AS BIGINT) AS sb,
+                   CAST(SUM(a * a) AS BIGINT) AS saa,
+                   CAST(SUM(b * b) AS BIGINT) AS sbb,
+                   CAST(SUM(a * b) AS BIGINT) AS sab
+            FROM paired
+        )
+        SELECT n,
+               n * sab - sa * sb AS num,
+               n * saa - sa * sa AS va,
+               n * sbb - sb * sb AS vb,
+               CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+                    THEN CAST(n * sab - sa * sb AS DOUBLE)
+                         / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                            * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+                    ELSE CAST(0 AS DOUBLE) END AS spearman
+        FROM sums
+    """,
+    doc="Spearman rank correlation between per-customer order count and "
+        "total quantity: Pearson over 2x-MIDRANKS, where each tied value "
+        "group's doubled midrank 2*rank_start + c - 1 + 2 is an exact "
+        "int64 (the ml_auc_exact identity) — proper tie handling with "
+        "zero float rank averaging. The six moment sums are exact "
+        "integers, r is the identical sqrt/mul/div IEEE expression both "
+        "sides (the ts_autocorr_lag recipe), constant variables guard "
+        "to 0. Rank assignment runs over the VALUE HISTOGRAM (one "
+        "bounded value-ordered window per variable), then joins back by "
+        "value — rank-correlating 100 TB costs two histogram shuffles, "
+        "not a global row sort. Overflow bound: n*saa <= 4n^3 needs "
+        "n < 2^20.3 distinct... customers; bucket the ranks past that.",
+    tags=("ml", "stats"),
+)
+def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    metrics = (
+        t.orders.join(
+            t.lineitem, t.lineitem.l_orderkey == t.orders.o_orderkey
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("x"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("y"),
+        )
+    )
+
+    def ranks(var: str) -> DataFrame:
+        hist = metrics.groupBy(var).agg(F.count("*").alias("c"))
+        w = W.orderBy(var).rowsBetween(W.unboundedPreceding, -1)
+        return hist.select(
+            F.col(var).alias("v"),
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias("mr2"),
+        )
+
+    rx = ranks("x").withColumnRenamed("mr2", "a")
+    ry = ranks("y").withColumnRenamed("mr2", "b")
+    paired = (
+        metrics.join(F.broadcast(rx), metrics.x == rx.v)
+        .join(F.broadcast(ry), metrics.y == ry.v)
+        .select("a", "b")
+    )
+    sums = paired.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    va = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    r = F.when(
+        (va > 0) & (vb > 0),
+        num.cast("double")
+        / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
+    ).otherwise(F.lit(0.0))
+    return sums.select(
+        "n", num.alias("num"), va.alias("va"), vb.alias("vb"),
+        r.alias("spearman"),
+    )
