@@ -1270,3 +1270,109 @@ def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", num.alias("num"), va.alias("va"), vb.alias("vb"),
         r.alias("spearman"),
     )
+
+
+@register(
+    "ml_ks_statistic",
+    oracle="""
+        WITH scored AS (
+            SELECT CAST(floor(CAST(value AS DOUBLE) * 16.0) AS BIGINT) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+            FROM events
+            WHERE event_type IN ('purchase', 'click')
+        ),
+        hist AS (
+            SELECT s, CAST(SUM(a) AS BIGINT) AS ca,
+                   CAST(SUM(b) AS BIGINT) AS cb
+            FROM scored GROUP BY s
+        ),
+        cum AS (
+            SELECT s,
+                   CAST(SUM(ca) OVER w AS BIGINT) AS ca_cum,
+                   CAST(SUM(cb) OVER w AS BIGINT) AS cb_cum
+            FROM hist
+            WINDOW w AS (ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        tot AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS na,
+                   CAST(SUM(b) AS BIGINT) AS nb
+            FROM scored
+        ),
+        gaps AS (
+            SELECT s, abs(ca_cum * t.nb - cb_cum * t.na) AS gap,
+                   t.na, t.nb
+            FROM cum CROSS JOIN tot t
+        )
+        SELECT s AS ks_bucket, na, nb, gap AS d_num,
+               CASE WHEN na > 0 AND nb > 0
+                    THEN CAST(gap AS DOUBLE) / CAST(na * nb AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS ks
+        FROM (
+            SELECT *, row_number() OVER (ORDER BY gap DESC, s) AS rk
+            FROM gaps
+        ) WHERE rk = 1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic between the purchase "
+        "and click value distributions (the drift test a feature-"
+        "monitoring pipeline runs between cohorts): D = max over "
+        "thresholds of |F_a - F_b|, computed entirely in integers by "
+        "cross-multiplying the cumulative counts (|ca_cum*nb - "
+        "cb_cum*na| — the common-denominator trick), so the max and its "
+        "argmax bucket are exact and the final KS value is one "
+        "correctly-rounded division. Values are bucketed by "
+        "floor(value*16) (one exact double product) and the CDFs walk "
+        "the bucket HISTOGRAM with one value-ordered window — at 100 TB "
+        "the window state is #buckets, never #rows. Empty cohorts guard "
+        "to 0.",
+    tags=("ml", "stats"),
+)
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    scored = t.events.where(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.floor(F.col("value").cast("double") * F.lit(16.0))
+        .cast("bigint")
+        .alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("b"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "s",
+        F.sum("ca").over(w).alias("ca_cum"),
+        F.sum("cb").over(w).alias("cb_cum"),
+    )
+    tot = scored.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "s",
+        F.abs(
+            F.col("ca_cum") * F.col("nb") - F.col("cb_cum") * F.col("na")
+        ).alias("gap"),
+        "na",
+        "nb",
+    )
+    pick = W.orderBy(F.col("gap").desc(), "s")
+    ks = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.col("gap").cast("double")
+        / (F.col("na") * F.col("nb")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        gaps.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("s").alias("ks_bucket"),
+            "na",
+            "nb",
+            F.col("gap").alias("d_num"),
+            ks.alias("ks"),
+        )
+    )
