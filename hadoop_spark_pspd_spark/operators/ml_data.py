@@ -1191,16 +1191,33 @@ def _spearman_rank_sql(var: str) -> str:
                    CAST(SUM(a * b) AS BIGINT) AS sab
             FROM paired
         )
+        , dec AS (
+            SELECT n,
+                   CAST(n AS DECIMAL(38,0)) AS nd,
+                   CAST(sa AS DECIMAL(38,0)) AS sad,
+                   CAST(sb AS DECIMAL(38,0)) AS sbd,
+                   CAST(saa AS DECIMAL(38,0)) AS saad,
+                   CAST(sbb AS DECIMAL(38,0)) AS sbbd,
+                   CAST(sab AS DECIMAL(38,0)) AS sabd
+            FROM sums
+        )
         SELECT n,
-               n * sab - sa * sb AS num,
-               n * saa - sa * sa AS va,
-               n * sbb - sb * sb AS vb,
-               CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
-                    THEN CAST(n * sab - sa * sb AS DOUBLE)
-                         / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
-                            * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+               CAST(CAST(nd * sabd - sad * sbd AS VARCHAR) AS DOUBLE)
+                   AS num,
+               CAST(CAST(nd * saad - sad * sad AS VARCHAR) AS DOUBLE)
+                   AS va,
+               CAST(CAST(nd * sbbd - sbd * sbd AS VARCHAR) AS DOUBLE)
+                   AS vb,
+               CASE WHEN nd * saad - sad * sad > 0
+                     AND nd * sbbd - sbd * sbd > 0
+                    THEN CAST(CAST(nd * sabd - sad * sbd AS VARCHAR)
+                              AS DOUBLE)
+                         / (sqrt(CAST(CAST(nd * saad - sad * sad
+                                           AS VARCHAR) AS DOUBLE))
+                            * sqrt(CAST(CAST(nd * sbbd - sbd * sbd
+                                             AS VARCHAR) AS DOUBLE)))
                     ELSE CAST(0 AS DOUBLE) END AS spearman
-        FROM sums
+        FROM dec
     """,
     doc="Spearman rank correlation between per-customer order count and "
         "total quantity: Pearson over 2x-MIDRANKS, where each tied value "
@@ -1212,8 +1229,11 @@ def _spearman_rank_sql(var: str) -> str:
         "to 0. Rank assignment runs over the VALUE HISTOGRAM (one "
         "bounded value-ordered window per variable), then joins back by "
         "value — rank-correlating 100 TB costs two histogram shuffles, "
-        "not a global row sort. Overflow bound: n*saa <= 4n^3 needs "
-        "n < 2^20.3 distinct... customers; bucket the ranks past that.",
+        "not a global row sort. The moment PRODUCTS (n*saa <= 4n^4) "
+        "overflow int64 past ~39k rows, so they are formed in "
+        "DECIMAL(38,0) — exact to 10^38, good to ~10^9 rows — and cross "
+        "to double via the exact decimal's shortest-string value "
+        "(correctly-rounded identically in both engines).",
     tags=("ml", "stats"),
 )
 def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1258,16 +1278,20 @@ def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("b") * F.col("b")).alias("sbb"),
         F.sum(F.col("a") * F.col("b")).alias("sab"),
     )
-    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
-    va = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
-    vb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = d("n") * d("sab") - d("sa") * d("sb")
+    va = d("n") * d("saa") - d("sa") * d("sa")
+    vb = d("n") * d("sbb") - d("sb") * d("sb")
     r = F.when(
         (va > 0) & (vb > 0),
         num.cast("double")
         / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
     ).otherwise(F.lit(0.0))
     return sums.select(
-        "n", num.alias("num"), va.alias("va"), vb.alias("vb"),
+        "n",
+        num.cast("double").alias("num"),
+        va.cast("double").alias("va"),
+        vb.cast("double").alias("vb"),
         r.alias("spearman"),
     )
 
