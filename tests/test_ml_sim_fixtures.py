@@ -236,3 +236,41 @@ def test_auc_single_class_guard(spark, single_class_sf):
     row = REGISTRY["ml_auc_exact"].fn(spark, single_class_sf).collect()[0]
     assert row["n_pos"] == 0
     assert row["auc"] == 0.0  # guarded, not NULL/NaN
+
+
+def test_spearman_perfect_monotone_is_exactly_one(spark, tmp_path):
+    """x and y perfectly rank-aligned (with ties) -> spearman == 1.0
+    exactly: the decimal moment products make va == vb == num."""
+    d = tmp_path / "sp_sf"
+    d.mkdir()
+    # customers 1..6, orders shaped so n_orders and total_qty are
+    # co-monotone with a tie pair: (1,10) (1,10) (2,20) (2,20) (3,30) (4,40)
+    orders, lineitem, ok = [], [], 0
+    shapes = [(1, 10), (1, 10), (2, 20), (2, 20), (3, 30), (4, 40)]
+    for cust, (n_ord, qty) in enumerate(shapes, start=1):
+        per_order = qty // n_ord
+        for j in range(n_ord):
+            ok += 1
+            orders.append((ok, cust, "O", 1.0, None, "1-URGENT"))
+            lineitem.append((ok, 1, 1, 1, float(per_order), 1.0, 0.0,
+                             0.0, "N", "O", None))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    spark.createDataFrame(
+        lineitem,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    srows, drows = _run_both(
+        "ml_spearman_corr", spark, str(d), ("orders", "lineitem")
+    )
+    assert srows == drows
+    row = REGISTRY["ml_spearman_corr"].fn(spark, str(d)).collect()[0]
+    assert row["n"] == 6
+    assert row["va"] == row["vb"] == row["num"]
+    assert row["spearman"] == 1.0
