@@ -320,3 +320,81 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pv").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "ml_wilson_bounds",
+    oracle="""
+        WITH arms AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        )
+        SELECT segment, n, pos,
+               CAST(pos + 2 AS DOUBLE) / CAST(n + 4 AS DOUBLE)
+                   AS wilson_center,
+               CAST(pos + 2 AS DOUBLE) / CAST(n + 4 AS DOUBLE)
+               - 2.0 * sqrt(CAST(pos * (n - pos) + n AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               * CAST(n AS DOUBLE)))
+                     * (CAST(n AS DOUBLE) / CAST(n + 4 AS DOUBLE))
+                   AS wilson_lo,
+               CAST(pos + 2 AS DOUBLE) / CAST(n + 4 AS DOUBLE)
+               + 2.0 * sqrt(CAST(pos * (n - pos) + n AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               * CAST(n AS DOUBLE)))
+                     * (CAST(n AS DOUBLE) / CAST(n + 4 AS DOUBLE))
+                   AS wilson_hi
+        FROM arms
+    """,
+    doc="Wilson score interval (z = 2, i.e. ~95.45%) for the per-segment "
+        "URGENT-order rate — the small-sample-safe confidence readout an "
+        "experimentation platform reports instead of the naive Wald "
+        "interval. Choosing INTEGER z makes the algebra rational: the "
+        "center collapses to the Agresti-Coull (pos+2)/(n+4) — one exact "
+        "division — and the half-width is a FIXED op sequence "
+        "(2*sqrt((pos(n-pos)+n)/n^3) * n/(n+4)) over 2^53-exact integer "
+        "terms, so both engines produce bit-identical doubles with no "
+        "quantization. The z=2 trick generalizes: any integer z keeps "
+        "z^2 exact. Plan: one fact-dim join + one segment agg.",
+    tags=("ml", "stats"),
+)
+def ml_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    arms = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                .otherwise(0)
+            ).alias("pos"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    center = (F.col("pos") + 2).cast("double") / (F.col("n") + 4).cast(
+        "double"
+    )
+    hw = (
+        F.lit(2.0)
+        * F.sqrt(
+            (F.col("pos") * (F.col("n") - F.col("pos")) + F.col("n"))
+            .cast("double")
+            / (n_d * n_d * n_d)
+        )
+        * (n_d / (F.col("n") + 4).cast("double"))
+    )
+    return arms.select(
+        "segment",
+        "n",
+        "pos",
+        center.alias("wilson_center"),
+        (center - hw).alias("wilson_lo"),
+        (center + hw).alias("wilson_hi"),
+    )
