@@ -688,3 +688,181 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("chance_weight"),
         kappa.alias("kappa"),
     )
+
+
+@register(
+    "ml_f1_scores",
+    oracle=f"""
+        WITH pred AS ({_langid_pred_sql()}),
+        joined AS (
+            SELECT d.lang AS truth, p.predicted_lang AS pred
+            FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+        ),
+        classes AS (
+            SELECT DISTINCT truth AS cls FROM joined
+            UNION
+            SELECT DISTINCT pred FROM joined
+        ),
+        per AS (
+            SELECT c.cls,
+                   CAST(SUM(CASE WHEN j.truth = c.cls AND j.pred = c.cls
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN j.truth <> c.cls AND j.pred = c.cls
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN j.truth = c.cls AND j.pred <> c.cls
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+            FROM classes c CROSS JOIN joined j
+            GROUP BY c.cls
+        )
+        SELECT cls, tp, fp, fn,
+               CASE WHEN tp + fp > 0
+                    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS precision_,
+               CASE WHEN tp + fn > 0
+                    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS recall_,
+               CASE WHEN 2 * tp + fp + fn > 0
+                    THEN CAST(2 * tp AS DOUBLE)
+                         / CAST(2 * tp + fp + fn AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS f1
+        FROM per
+    """,
+    doc="Per-class precision / recall / F1 of the language-ID weak "
+        "labeler against stored labels. The F1 chain rule 2PR/(P+R) is "
+        "algebraically collapsed to the SINGLE exact rational "
+        "2*TP/(2*TP+FP+FN), so every emitted metric is exactly one "
+        "correctly-rounded division of int64 counts — no chained float "
+        "arithmetic to drift, and never-predicted / absent classes "
+        "zero-guard all three identically. The per-class counts come "
+        "from one bounded classes x rows expansion (|classes| <= 5) — "
+        "at scale, compute the (truth, pred) contingency FIRST and "
+        "expand that bounded matrix instead.",
+    tags=("ml", "stats", "text"),
+)
+def ml_f1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pred = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    joined = pred.join(
+        t.documents.select("doc_id", F.col("lang").alias("truth")),
+        "doc_id",
+    ).select("truth", F.col("predicted_lang").alias("pred"))
+    classes = (
+        joined.select(F.col("truth").alias("cls"))
+        .union(joined.select(F.col("pred").alias("cls")))
+        .distinct()
+    )
+    j = joined.crossJoin(F.broadcast(classes))
+    per = j.groupBy("cls").agg(
+        F.sum(
+            F.when(
+                (F.col("truth") == F.col("cls"))
+                & (F.col("pred") == F.col("cls")),
+                1,
+            ).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(
+                (F.col("truth") != F.col("cls"))
+                & (F.col("pred") == F.col("cls")),
+                1,
+            ).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(
+                (F.col("truth") == F.col("cls"))
+                & (F.col("pred") != F.col("cls")),
+                1,
+            ).otherwise(0)
+        ).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(
+        tp + fp > 0, tp.cast("double") / (tp + fp).cast("double")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        tp + fn > 0, tp.cast("double") / (tp + fn).cast("double")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        2 * tp + fp + fn > 0,
+        (2 * tp).cast("double") / (2 * tp + fp + fn).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        "cls", "tp", "fp", "fn",
+        prec.alias("precision_"),
+        rec.alias("recall_"),
+        f1.alias("f1"),
+    )
+
+
+@register(
+    "ml_mcc",
+    oracle=f"""
+        WITH pred AS ({_langid_pred_sql()}),
+        cm AS (
+            SELECT CAST(SUM(CASE WHEN d.lang = 'en'
+                                  AND p.predicted_lang = 'en'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN d.lang <> 'en'
+                                  AND p.predicted_lang = 'en'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN d.lang = 'en'
+                                  AND p.predicted_lang <> 'en'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN d.lang <> 'en'
+                                  AND p.predicted_lang <> 'en'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+        ),
+        dec AS (
+            SELECT tp, fp, fn, tn,
+                   CAST(tp AS DECIMAL(38,0)) * CAST(tn AS DECIMAL(38,0))
+                   - CAST(fp AS DECIMAL(38,0)) * CAST(fn AS DECIMAL(38,0))
+                       AS num,
+                   (CAST(tp + fp AS DECIMAL(38,0)))
+                   * (CAST(tp + fn AS DECIMAL(38,0)))
+                   * (CAST(tn + fp AS DECIMAL(38,0)))
+                   * (CAST(tn + fn AS DECIMAL(38,0))) AS den
+            FROM cm
+        )
+        SELECT tp, fp, fn, tn,
+               CASE WHEN den > 0
+                    THEN CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                         / sqrt(CAST(CAST(den AS VARCHAR) AS DOUBLE))
+                    ELSE CAST(0 AS DOUBLE) END AS mcc
+        FROM dec
+    """,
+    doc="Matthews correlation coefficient of the is-English detector "
+        "(langid vs stored labels) — the single-number binary-classifier "
+        "quality score robust to class imbalance. num = TP*TN - FP*FN "
+        "and the 4-marginal product are formed in DECIMAL(38,0) (the "
+        "marginal product reaches n^4 — int64 dies past ~55k docs, the "
+        "spearman lesson applied PREEMPTIVELY), cross to double via the "
+        "exact decimal's shortest string, and MCC is num / sqrt(den) — "
+        "two correctly-rounded ops. A degenerate marginal (any empty "
+        "row/column) guards to 0 identically. One join + one 4-counter "
+        "scalar agg.",
+    tags=("ml", "stats", "text"),
+)
+def ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pred = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    joined = pred.join(
+        t.documents.select("doc_id", F.col("lang").alias("truth")),
+        "doc_id",
+    )
+    is_t = F.col("truth") == "en"
+    is_p = F.col("predicted_lang") == "en"
+    cm = joined.agg(
+        F.sum(F.when(is_t & is_p, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~is_t & is_p, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(is_t & ~is_p, 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~is_t & ~is_p, 1).otherwise(0)).alias("tn"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    num = d(tp) * d(tn) - d(fp) * d(fn)
+    den = d(tp + fp) * d(tp + fn) * d(tn + fp) * d(tn + fn)
+    mcc = F.when(
+        den > 0, num.cast("double") / F.sqrt(den.cast("double"))
+    ).otherwise(F.lit(0.0))
+    return cm.select("tp", "fp", "fn", "tn", mcc.alias("mcc"))
