@@ -398,3 +398,99 @@ def ml_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (center - hw).alias("wilson_lo"),
         (center + hw).alias("wilson_hi"),
     )
+
+
+@register(
+    "q_runs_test",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   CASE WHEN CAST(value AS DOUBLE) > 100.0
+                        THEN 1 ELSE 0 END AS x,
+                   lag(CASE WHEN CAST(value AS DOUBLE) > 100.0
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) AS px
+            FROM events
+        ),
+        stat AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS n1,
+                   CAST(count(*) - SUM(x) AS BIGINT) AS n2,
+                   CAST(1 + SUM(CASE WHEN px IS NOT NULL AND x <> px
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS runs
+            FROM seq GROUP BY event_type
+        ),
+        dec AS (
+            SELECT event_type, n, n1, n2, runs,
+                   CAST(2 AS DECIMAL(38,0)) * n1 * n2
+                   * (CAST(2 AS DECIMAL(38,0)) * n1 * n2 - n) AS vnum,
+                   CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                   * (CAST(n AS DECIMAL(38,0)) - 1) AS vden
+            FROM stat
+        )
+        SELECT event_type, n, n1, n2, runs,
+               1.0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)
+                   AS expected_runs,
+               CASE WHEN vnum > 0
+                    THEN (CAST(runs AS DOUBLE)
+                          - (1.0 + CAST(2 * n1 * n2 AS DOUBLE)
+                                   / CAST(n AS DOUBLE)))
+                         / sqrt(CAST(CAST(vnum AS VARCHAR) AS DOUBLE)
+                                / CAST(CAST(vden AS VARCHAR) AS DOUBLE))
+                    ELSE CAST(0 AS DOUBLE) END AS z_stat
+        FROM dec
+    """,
+    doc="Wald-Wolfowitz runs test per event type: is the above/below-100 "
+        "value sequence (ordered by the (ts, event_id) total order) "
+        "random, or does it cluster? runs = 1 + sign-change count (one "
+        "lag window, exact int), expected runs 1 + 2*n1*n2/n is one "
+        "exact division (2*n1*n2 <= n^2/2 fits int64 to ~4e9 rows), and "
+        "the variance numerator (~n^4) is formed in DECIMAL(38,0) with "
+        "shortest-string double crossing (the spearman/MCC rule); z is "
+        "then a fixed sub/div/sqrt sequence, degenerate one-class "
+        "series guard to 0. The window partitions by type — two-level "
+        "(per-day + boundary stitch) at extreme scale, the cusum "
+        "pattern.",
+    tags=("stats", "timeseries"),
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    x = F.when(F.col("value").cast("double") > 100.0, 1).otherwise(0)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "event_type", x.alias("x"), F.lag(x).over(w).alias("px")
+    )
+    stat = seq.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("n1"),
+        (F.count("*") - F.sum("x")).alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("px").isNotNull()
+                    & (F.col("x") != F.col("px")),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n, n1, n2 = F.col("n"), F.col("n1"), F.col("n2")
+    vnum = d(F.lit(2)) * d(n1) * d(n2) * (d(F.lit(2)) * d(n1) * d(n2) - d(n))
+    vden = d(n) * d(n) * (d(n) - 1)
+    expected = F.lit(1.0) + (2 * n1 * n2).cast("double") / n.cast("double")
+    z = F.when(
+        vnum > 0,
+        (F.col("runs").cast("double") - expected)
+        / F.sqrt(vnum.cast("double") / vden.cast("double")),
+    ).otherwise(F.lit(0.0))
+    return stat.select(
+        "event_type", "n", "n1", "n2", "runs",
+        expected.alias("expected_runs"),
+        z.alias("z_stat"),
+    )
