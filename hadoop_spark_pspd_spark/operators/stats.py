@@ -494,3 +494,63 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected_runs"),
         z.alias("z_stat"),
     )
+
+
+@register(
+    "q_benford_digits",
+    oracle="""
+        WITH cents AS (
+            SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                        AS BIGINT) AS c
+            FROM orders
+            WHERE CAST(o_totalprice AS DOUBLE) >= 0.01
+        ),
+        digits AS (
+            SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+                       AS leading_digit
+            FROM cents
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM digits)
+        SELECT d.leading_digit,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(*) AS DOUBLE) / t.n AS share
+        FROM digits d CROSS JOIN tot t
+        GROUP BY d.leading_digit, t.n
+    """,
+    doc="Benford's-law audit of order totals: the leading-digit "
+        "distribution a fraud/anomaly screen compares against "
+        "log10(1+1/d). Digit extraction avoids every float-formatting "
+        "trap: totals become integer cents via ONE fixed op sequence "
+        "(floor(x*100 + 0.5) — floor is correctly rounded, no rounding-"
+        "mode divergence), and the leading digit is the first character "
+        "of the INTEGER's string — integer-to-string is unambiguous "
+        "cross-engine, unlike double formatting. Share is one exact "
+        "division (the expected Benford curve itself is transcendental, "
+        "so it stays out of the hashed output — compare downstream). "
+        "One map-side digit projection + a 9-bucket agg.",
+    tags=("stats",),
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    c = F.floor(
+        F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    digits = (
+        t.orders.where(F.col("o_totalprice").cast("double") >= 0.01)
+        .select(
+            F.substring(c.cast("string"), 1, 1)
+            .cast("int")
+            .alias("leading_digit")
+        )
+    )
+    tot = digits.agg(F.count("*").alias("n"))
+    return (
+        digits.groupBy("leading_digit")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "leading_digit",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n")).alias("share"),
+        )
+    )
