@@ -554,3 +554,77 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt").cast("double") / F.col("n")).alias("share"),
         )
     )
+
+
+@register(
+    "q_abc_classification",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey AS partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS r
+            FROM lineitem GROUP BY l_partkey
+        ),
+        cum AS (
+            SELECT partkey, r,
+                   SUM(r) OVER (ORDER BY r DESC, partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cr,
+                   SUM(r) OVER () AS total
+            FROM rev
+        ),
+        classed AS (
+            SELECT partkey,
+                   CASE WHEN cr * 10 <= total * 8 THEN 'A'
+                        WHEN cr * 20 <= total * 19 THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   r
+            FROM cum
+        )
+        SELECT abc_class,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE) AS class_revenue
+        FROM classed
+        GROUP BY abc_class
+    """,
+    doc="ABC inventory classification: parts ranked by exact-decimal "
+        "revenue, class A = the prefix holding <= 80% of cumulative "
+        "revenue, B to 95%, C the tail. The 80/95 boundaries are tested "
+        "by DECIMAL CROSS-MULTIPLICATION (cr*10 <= total*8, cr*20 <= "
+        "total*19) — exact integer-scaled decimal comparisons, so a "
+        "part sitting ulp-close to a share boundary can NEVER classify "
+        "differently across engines the way a double cum/total ratio "
+        "could. The running sum is one value-ordered window over the "
+        "parts dimension (two-level per the cusum pattern at extreme "
+        "scale); output is the 3-row class profile.",
+    tags=("stats", "relational"),
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    rev = t.lineitem.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("r")
+    )
+    w_cum = W.orderBy(F.col("r").desc(), "partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    cum = rev.select(
+        "partkey",
+        "r",
+        F.sum("r").over(w_cum).alias("cr"),
+        F.sum("r").over(w_all).alias("total"),
+    )
+    cls = (
+        F.when(F.col("cr") * 10 <= F.col("total") * 8, "A")
+        .when(F.col("cr") * 20 <= F.col("total") * 19, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.select(cls.alias("abc_class"), "r")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+    )
