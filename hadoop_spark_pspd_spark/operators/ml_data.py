@@ -1468,3 +1468,105 @@ def ml_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("total_spend"),
         (num / den).alias("gini"),
     )
+
+
+@register(
+    "q_decile_lift",
+    oracle="""
+        WITH scored AS (
+            SELECT vec_id,
+                   CAST(floor(CAST(embedding[1] AS DOUBLE) * 16.0)
+                        AS BIGINT) AS s,
+                   CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+            FROM embeddings
+        ),
+        tiled AS (
+            SELECT y, ntile(10) OVER (ORDER BY s DESC, vec_id) AS decile
+            FROM scored
+        ),
+        per AS (
+            SELECT CAST(decile AS INTEGER) AS decile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS pos
+            FROM tiled GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile, n, pos,
+                   CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+                   CAST(SUM(pos) OVER w AS BIGINT) AS cum_pos,
+                   CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+                   CAST(SUM(pos) OVER () AS BIGINT) AS tot_pos
+            FROM per
+            WINDOW w AS (ORDER BY decile
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT decile, n, pos, cum_n, cum_pos,
+               CASE WHEN tot_pos > 0
+                    THEN CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS capture,
+               CASE WHEN cum_n * tot_pos > 0
+                    THEN CAST(cum_pos * tot_n AS DOUBLE)
+                         / CAST(cum_n * tot_pos AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS lift
+        FROM cum
+    """,
+    doc="Decile lift / gains table for the bucketed embedding score "
+        "against the odd-label target — the business-facing readout of "
+        "ml_auc_exact's ranking quality (top-decile capture and lift "
+        "drive campaign sizing). ntile(10) over the UNIQUE total order "
+        "(score desc, vec_id) is deterministic in both engines "
+        "(SQL-standard equal buckets, remainder to the first); capture "
+        "is one exact division and lift is cross-multiplied to the "
+        "single division (cum_pos*tot_n)/(cum_n*tot_pos) of exact int64 "
+        "products (<= n^2), zero-guarded for empty targets. The global "
+        "ntile sorts the scored DIMENSION — at fact scale assign "
+        "deciles from the score histogram's cumulative counts instead "
+        "(the ml_auc_exact pattern).",
+    tags=("ml", "stats"),
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    e1 = F.col("embedding").getItem(0).cast("double")
+    scored = t.embeddings.select(
+        "vec_id",
+        F.floor(e1 * F.lit(16.0)).cast("bigint").alias("s"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("y"),
+    )
+    tiled = scored.select(
+        "y",
+        F.ntile(10)
+        .over(W.orderBy(F.col("s").desc(), "vec_id"))
+        .cast("int")
+        .alias("decile"),
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("y").alias("pos")
+    )
+    w_cum = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    cum = per.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("pos").over(w_cum).alias("cum_pos"),
+        F.sum("n").over(w_all).alias("tot_n"),
+        F.sum("pos").over(w_all).alias("tot_pos"),
+    )
+    capture = F.when(
+        F.col("tot_pos") > 0,
+        F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double"),
+    ).otherwise(F.lit(0.0))
+    lift = F.when(
+        F.col("cum_n") * F.col("tot_pos") > 0,
+        (F.col("cum_pos") * F.col("tot_n")).cast("double")
+        / (F.col("cum_n") * F.col("tot_pos")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return cum.select(
+        "decile", "n", "pos", "cum_n", "cum_pos",
+        capture.alias("capture"), lift.alias("lift"),
+    )
