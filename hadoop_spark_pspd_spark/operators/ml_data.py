@@ -1570,3 +1570,84 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile", "n", "pos", "cum_n", "cum_pos",
         capture.alias("capture"), lift.alias("lift"),
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey AS custkey,
+                   max(o_orderdate) AS last_order,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        anchor AS (SELECT max(o_orderdate) AS now FROM orders),
+        rfm AS (
+            SELECT custkey,
+                   CAST(date_diff('day', last_order, a.now) AS BIGINT)
+                       AS recency_days,
+                   frequency, monetary,
+                   ntile(5) OVER (ORDER BY
+                       date_diff('day', last_order, a.now), custkey)
+                       AS r_score,
+                   ntile(5) OVER (ORDER BY frequency DESC, custkey)
+                       AS f_score,
+                   ntile(5) OVER (ORDER BY monetary DESC, custkey)
+                       AS m_score
+            FROM base CROSS JOIN anchor a
+        )
+        SELECT CAST(r_score AS INTEGER) AS r_score,
+               CAST(f_score AS INTEGER) AS f_score,
+               CAST(m_score AS INTEGER) AS m_score,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(CAST(SUM(monetary) AS VARCHAR) AS DOUBLE)
+                   AS segment_revenue
+        FROM rfm
+        GROUP BY r_score, f_score, m_score
+    """,
+    doc="RFM segmentation (recency / frequency / monetary — the "
+        "classic CRM scoring grid): per customer, integer day-recency "
+        "against the corpus max date, order count, and exact-decimal "
+        "spend, each quintiled by ntile(5) over a UNIQUE total order "
+        "(metric, custkey) — deterministic in both engines, score 1 = "
+        "best (most recent / most frequent / highest spend). Output is "
+        "the up-to-125-cell segment grid with exact counts and decimal "
+        "revenue. Three dimension-scale ntile sorts (histogram-"
+        "assignable at extreme scale, the ml_auc_exact pattern) + one "
+        "bounded grid agg.",
+    tags=("ml", "relational"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    base = t.orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias(
+            "monetary"
+        ),
+    )
+    anchor = t.orders.agg(F.max("o_orderdate").alias("now"))
+    rfm = base.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.datediff(F.col("now"), F.col("last_order"))
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r = F.ntile(5).over(W.orderBy("recency_days", "custkey"))
+    f_ = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "custkey"))
+    m = F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "custkey"))
+    scored = rfm.select(
+        "monetary",
+        r.cast("int").alias("r_score"),
+        f_.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("monetary").cast("double").alias("segment_revenue"),
+    )
