@@ -17,43 +17,96 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# max edge rows resolved by the single-task exact kernel; bounds the
+# final task at ~64 MB of int64 pairs and <1 s of vectorized numpy
+_LOCAL_CC_EDGE_CAP = 4_000_000
+
+
+def _cc_kernel(batches):
+    """Exact connected components over one partition's (u, v) edge rows:
+    vectorized hash-to-min (np.minimum.at scatter + pointer halving),
+    treating edges as undirected. Emits (node, label=component min) for
+    every node in the partition. O(E log V) numpy work, no Python loop
+    over edges."""
+    import numpy as np
+    import pandas as pd
+
+    us, vs = [], []
+    for pdf in batches:
+        us.append(pdf["u"].to_numpy(dtype=np.int64))
+        vs.append(pdf["v"].to_numpy(dtype=np.int64))
+    if not us or not sum(len(a) for a in us):
+        yield pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"),
+             "label": pd.Series([], dtype="int64")}
+        )
+        return
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    # np.unique sorts ascending, so index order == node-id order and the
+    # component's min index maps back to the component's min node id
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, ui, lab[vi])
+        np.minimum.at(lab, vi, lab[ui])
+        lab = np.minimum(lab, lab[lab])
+        if np.array_equal(lab, old):
+            break
+    # resolve forest pointers to roots (min of component)
+    while True:
+        nl = lab[lab]
+        if np.array_equal(nl, lab):
+            break
+        lab = nl
+    yield pd.DataFrame(
+        {"node": pd.Series(nodes, dtype="int64"),
+         "label": pd.Series(nodes[lab], dtype="int64")}
+    )
+
+
 def min_label_components(edges: DataFrame) -> DataFrame:
     """``edges`` is a directed edge list with columns (u, v) containing
     BOTH orientations of every undirected edge. Returns (node, label)
     where label is the component's minimum node id. Only nodes that
     appear in ``edges`` are returned — callers join back to the full
-    entity table for singleton handling."""
-    labels = (
-        edges.select(F.col("u").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+    entity table for singleton handling.
+
+    Design (replaced the per-round join loop in round 6): iterative
+    label propagation needs graph-DIAMETER (or with pointer halving,
+    log-diameter) Spark rounds, and in local mode every round costs a
+    multi-second stage wall regardless of data size — a 1,840-edge
+    cosine-chain graph burned 52 s. Instead, run PARTITION-LOCAL exact
+    CC (vectorized numpy hash-to-min inside mapInPandas) and emit each
+    partition's (node, local_min) star edges: stars preserve the
+    partition subgraph's connectivity, and nodes shared across
+    partitions splice the stars together, so the union is an
+    equivalence-preserving CONTRACTION of the input (all nodes kept,
+    edge rows collapse toward one star per component). Repeat until the
+    edge set fits _LOCAL_CC_EDGE_CAP, then one single-task kernel pass
+    labels every node exactly. Small graphs resolve in 2 jobs total; a
+    100 TB edge set takes O(log) contraction levels of ~2M-row tasks
+    with a per-level shuffle — no diameter dependence, no driver-side
+    state beyond a per-level count."""
+    work = edges.select(
+        F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v")
     )
-    while True:
-        nbr = (
-            edges.join(labels, edges["v"] == labels["node"])
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_min"))
+    n = work.count()
+    for _ in range(6):
+        if n <= _LOCAL_CC_EDGE_CAP:
+            break
+        parts = n // 2_000_000 + 1
+        work = (
+            work.repartition(parts)
+            .mapInPandas(_cc_kernel, "node long, label long")
+            .distinct()
+            .toDF("u", "v")
+            .localCheckpoint(eager=False)
         )
-        new_labels = (
-            labels.join(nbr, labels["node"] == nbr["u"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nbr_min"), F.col("label")),
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
+        n = work.count()
+    return work.coalesce(1).mapInPandas(_cc_kernel, "node long, label long")
 
 
 def star_contraction_components(edges: DataFrame) -> DataFrame:

@@ -399,11 +399,10 @@ _CLUSTER_ORACLE = f"""
     "dedup_clusters",
     oracle=_CLUSTER_ORACLE,
     doc="Near-dup cluster assignment: connected components over the "
-        "verified Jaccard>=0.8 pair graph via iterative min-label "
-        "propagation (each round: label <- min(label, neighbors' labels); "
-        "converges in graph-diameter rounds — near-dup components are "
-        "quasi-cliques, so 2-3 rounds in practice). Per-round lineage is "
-        "truncated with localCheckpoint so the plan stays bounded. Oracle: "
+        "verified Jaccard>=0.8 pair graph via partition-local contraction "
+        "CC (vectorized numpy hash-to-min per partition; shared nodes "
+        "splice partitions; O(log) contraction levels, no diameter "
+        "dependence — see functions/graph.min_label_components). Oracle: "
         "DuckDB recursive-CTE reachability closure. The keep-list for a "
         "dedup pipeline is then doc_id == cluster_id.",
 )
@@ -498,11 +497,12 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Near-dup cluster assignment via alternating large-star/small-star "
         "contraction (Kiveris et al., SoCC'14) over the same verified "
         "Jaccard>=0.8 pair graph as dedup_clusters — identical output "
-        "(same recursive-CTE oracle), different convergence envelope: "
-        "min-label propagation needs graph-DIAMETER rounds (fine for "
-        "quasi-clique near-dup components, pathological for chains), "
-        "star contraction needs O(log^2 n) rounds on ANY topology, which "
-        "is what a 100 TB graph of unknown shape requires. Each round is "
+        "(same recursive-CTE oracle), different execution shape: the "
+        "default path contracts inside numpy kernels and splices via "
+        "shared nodes, while star contraction keeps every step as pure "
+        "DataFrame aggregations/joins — O(log^2 n) rounds on ANY "
+        "topology with no Python stage at all, the variant to prefer "
+        "when executor Python workers are the bottleneck. Each round is "
         "two aggregations + two joins on a monotonically shrinking edge "
         "set, lineage truncated per round.",
 )

@@ -798,7 +798,7 @@ def neardup_candidates(
     """,
     doc="SemDeDup-style semantic dedup over embeddings: cosine near-dup "
         "pairs (the provably-complete cell-pair prefilter above) -> "
-        "connected components via distributed min-label propagation -> "
+        "connected components via partition-local contraction CC -> "
         "keep one representative (min vec_id) per semantic cluster. "
         "Singleton vectors are their own clusters, so the output is a "
         "full keep/drop list over the corpus — the composed operator a "

@@ -239,7 +239,7 @@ def q_name_blocking_er(spark: SparkSession, sf_dir: str) -> DataFrame:
         "names from transitively chaining the whole table into one "
         "cluster — a real ER rule, not just string distance); pairs "
         "come from deletion-neighborhood blocking (never O(n^2)) -> "
-        "connected components via distributed min-label propagation -> "
+        "connected components via partition-local contraction CC -> "
         "one surviving record per entity cluster with deterministic "
         "survivorship rules (canonical key = min custkey, name from the "
         "canonical member, acctbal = exact MAX — a comparison, not an "

@@ -238,3 +238,65 @@ def test_star_contraction_matches_union_find(spark):
         r.node: r.label for r in star_contraction_components(both).collect()
     }
     assert got == want
+
+
+def test_min_label_components_matches_union_find(spark):
+    """Contraction-based CC (partition-local numpy kernels spliced by
+    shared nodes) must agree with a driver-side union-find on the same
+    adversarial topologies as the star-contraction test — a long chain
+    (the shape that made the old per-round join loop diameter-bound),
+    disjoint cliques, and a random clump — BOTH through the direct
+    single-task path and through the multi-level contraction path
+    (cap lowered so the splice logic actually runs)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hadoop_spark_pspd_spark.functions import graph as G
+
+    edges = [(i, i + 1) for i in range(40)]  # chain, diameter 40
+    edges += [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+    rng = random.Random(29)
+    edges += [
+        (rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for n in list(parent):
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(v) for _, v in comps.items() for n in v}
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    both = df.union(
+        df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).repartition(8)  # scatter edges so partition-local CC is partial
+
+    got = {r.node: r.label for r in G.min_label_components(both).collect()}
+    assert got == want
+
+    # force the contraction loop: cap below the edge count so at least
+    # one partition-local star-contraction level runs before the final
+    # single-task pass
+    old_cap = G._LOCAL_CC_EDGE_CAP
+    try:
+        G._LOCAL_CC_EDGE_CAP = 16
+        got2 = {
+            r.node: r.label for r in G.min_label_components(both).collect()
+        }
+    finally:
+        G._LOCAL_CC_EDGE_CAP = old_cap
+    assert got2 == want
