@@ -820,3 +820,105 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text") >= AUDIO_WIN
     ).select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     return payloads.mapInPandas(_audio_vad, schema=VAD_SCHEMA)
+
+
+TILE_BYTES = 64  # one "8x8 pixel block" of the opaque payload
+
+
+@register(
+    "mm_image_tiles",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   strlen(text) // {TILE_BYTES} AS n_tiles
+            FROM documents WHERE strlen(text) >= {TILE_BYTES}
+        ), pos AS (
+            SELECT doc_id, hx, unnest(range(0, n_tiles)) AS i
+            FROM d
+        ), tiles AS (
+            SELECT doc_id,
+                   md5(substr(hx, CAST(i * {TILE_BYTES * 2} + 1 AS INTEGER),
+                       {TILE_BYTES * 2})) AS fp
+            FROM pos
+        ), dupfp AS (
+            SELECT fp FROM tiles
+            GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+        ), per_doc AS (
+            SELECT t.doc_id,
+                   CAST(SUM(CASE WHEN f.fp IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_tiles
+            FROM tiles t LEFT JOIN dupfp f USING (fp)
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id, CAST(d.n_tiles AS BIGINT) AS n_tiles,
+               p.n_dup_tiles,
+               CAST(p.n_dup_tiles AS DOUBLE)
+                   / CAST(d.n_tiles AS DOUBLE) AS dup_frac
+        FROM d JOIN per_doc p USING (doc_id)
+    """,
+    doc="Sub-image tile dedup — the watermark/logo/borrowed-crop "
+        "detector an image-corpus curation pipeline runs BELOW whole-"
+        "image hashing: the opaque payload (utf-8 bytes standing in for "
+        "the decoded raster, the mm_binary_features convention) splits "
+        "into fixed 64-byte tiles (8x8 pixel blocks), each tile "
+        "fingerprinted with md5; a tile is duplicated when its "
+        "fingerprint appears in >= 2 DISTINCT documents, and each doc "
+        "reports its duplicated-tile count and fraction. Byte-defined "
+        "cross-engine (octet_length == DuckDB strlen; tiles sliced from "
+        "the hex encoding at 128-char stride). Plan: linear tile "
+        "explode (bounded 2x blowup of the scan), one fingerprint "
+        "groupBy, one broadcast-size semi-join back — no pairwise "
+        "comparison ever materializes, so 100 TB of images cost two "
+        "shuffles of tile-row volume.",
+    tags=("multimodal", "dedup"),
+)
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    d = (
+        t.documents.filter(F.octet_length("text") >= TILE_BYTES)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.hex(F.encode("text", "utf-8")).alias("hx"),
+            F.expr(
+                f"CAST(octet_length(text) AS BIGINT) div {TILE_BYTES}"
+            ).alias("n_tiles"),
+        )
+    )
+    tiles = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tiles") - 1),
+                lambda i: F.md5(
+                    F.col("hx").substr(
+                        i * (TILE_BYTES * 2) + 1, F.lit(TILE_BYTES * 2)
+                    )
+                ),
+            )
+        ).alias("fp"),
+    )
+    dupfp = (
+        tiles.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    per_doc = (
+        tiles.join(dupfp, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_tiles"))
+    )
+    return (
+        d.select("doc_id", "n_tiles")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tiles",
+            F.coalesce("n_dup_tiles", F.lit(0)).alias("n_dup_tiles"),
+            (
+                F.coalesce("n_dup_tiles", F.lit(0)).cast("double")
+                / F.col("n_tiles").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

@@ -628,3 +628,257 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("r").cast("double").alias("class_revenue"),
         )
     )
+
+
+_RAND_B = 64  # randomization replicas; p-value resolution 1/65
+
+
+@register(
+    "ml_randomization_test",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS is_a,
+                   CAST(floor(CAST(value AS DOUBLE)
+                              * CAST(1024 AS DOUBLE)) AS BIGINT) AS xq
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ), obs AS (
+            SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+                   CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN is_a = 1 THEN xq ELSE 0 END)
+                        AS DECIMAL(38,0)) AS s_a,
+                   CAST(SUM(CASE WHEN is_a = 0 THEN xq ELSE 0 END)
+                        AS DECIMAL(38,0)) AS s_b
+            FROM base
+        ), obs2 AS (
+            SELECT n_a, n_b,
+                   s_a * CAST(n_b AS DECIMAL(38,0))
+                   - s_b * CAST(n_a AS DECIMAL(38,0)) AS t_obs
+            FROM obs
+        ), reps AS (
+            SELECT r.b, base.xq,
+                   CAST(('0x' || substr(md5(CAST(base.event_id AS VARCHAR)
+                        || ':' || CAST(r.b AS VARCHAR)), 1, 13))
+                        AS UBIGINT) % 2 AS g
+            FROM base, (SELECT unnest(range(0, {_RAND_B})) AS b) r
+        ), rep_stats AS (
+            SELECT b,
+                   CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+                        AS DECIMAL(38,0)) AS na,
+                   CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                        AS DECIMAL(38,0)) AS nb,
+                   CAST(SUM(CASE WHEN g = 0 THEN xq ELSE 0 END)
+                        AS DECIMAL(38,0)) AS sa,
+                   CAST(SUM(CASE WHEN g = 1 THEN xq ELSE 0 END)
+                        AS DECIMAL(38,0)) AS sb
+            FROM reps GROUP BY b
+        ), tb AS (SELECT b, sa * nb - sb * na AS t_b FROM rep_stats)
+        SELECT o.n_a, o.n_b,
+               CAST(CAST(o.t_obs AS VARCHAR) AS DOUBLE) AS t_obs,
+               CAST(SUM(CASE WHEN abs(t.t_b) >= abs(o.t_obs)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+               CAST(1 + SUM(CASE WHEN abs(t.t_b) >= abs(o.t_obs)
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST({_RAND_B} + 1 AS DOUBLE) AS p_value
+        FROM tb t, obs2 o
+        GROUP BY o.n_a, o.n_b, o.t_obs
+    """,
+    doc="Two-sample randomization test (purchase vs click event values) "
+        "with md5-DERANDOMIZED reassignment: replica b sends each row to "
+        "pseudo-group A iff the 52-bit md5(event_id:b) hash is even, and "
+        "the test statistic is the CROSS-MULTIPLIED mean gap "
+        "s_a*n_b - s_b*n_a over floor(value*1024)-quantized integers "
+        "(1024 is a power of two, so the quantization multiply is exact) "
+        "— every statistic is an exact DECIMAL(38,0) integer, every "
+        "comparison |T_b| >= |T_obs| is exact, and the one emitted "
+        "double division (1+n_extreme)/65 is a single correctly-rounded "
+        "op. This is the resampling-inference engine piece: the same "
+        "explode(0..B-1) + one groupBy shape carries bootstrap CIs and "
+        "permutation tests at any scale — B*|rows| map-side work, ONE "
+        "shuffle of B partial rows, no per-replica jobs.",
+    tags=("ml", "stats"),
+)
+def ml_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = t.events.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_a"),
+        F.floor(F.col("value").cast("double") * F.lit(1024.0))
+        .cast("long")
+        .alias("xq"),
+    )
+    obs = (
+        base.agg(
+            F.sum("is_a").cast("bigint").alias("n_a"),
+            (F.count("*") - F.sum("is_a")).cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("is_a") == 1, F.col("xq")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("s_a"),
+            F.sum(F.when(F.col("is_a") == 0, F.col("xq")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("s_b"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            (
+                F.col("s_a") * d38(F.col("n_b"))
+                - F.col("s_b") * d38(F.col("n_a"))
+            ).alias("t_obs"),
+        )
+    )
+    reps = base.select(
+        "event_id",
+        "xq",
+        F.explode(F.sequence(F.lit(0), F.lit(_RAND_B - 1))).alias("b"),
+    ).select(
+        "b",
+        "xq",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("event_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        ).alias("g"),
+    )
+    tb = (
+        reps.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("na"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("nb"),
+            F.sum(F.when(F.col("g") == 0, F.col("xq")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("sa"),
+            F.sum(F.when(F.col("g") == 1, F.col("xq")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("sb"),
+        )
+        .select(
+            (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+            .alias("t_b")
+        )
+    )
+    extreme = F.when(
+        F.abs(F.col("t_b")) >= F.abs(F.col("t_obs")), 1
+    ).otherwise(0)
+    return (
+        tb.crossJoin(F.broadcast(obs))
+        .groupBy("n_a", "n_b", "t_obs")
+        .agg(F.sum(extreme).cast("bigint").alias("n_extreme"))
+        .select(
+            "n_a",
+            "n_b",
+            F.col("t_obs").cast("string").cast("double").alias("t_obs"),
+            "n_extreme",
+            (
+                (F.lit(1) + F.col("n_extreme")).cast("double")
+                / F.lit(float(_RAND_B + 1))
+            ).alias("p_value"),
+        )
+    )
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle="""
+        WITH cells AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(month(o.o_orderdate) AS INTEGER) AS mon,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT segment, mon, n, pos,
+                   (pos * 256) // n AS p_num
+            FROM cells
+        )
+        SELECT segment, mon, n, pos,
+               CAST(p_num AS DOUBLE) / CAST(256 AS DOUBLE) AS p_hat,
+               CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS obs_rate,
+               CAST(pos * (256 - p_num) * (256 - p_num)
+                    + (n - pos) * p_num * p_num AS DOUBLE)
+                   / CAST(n * 65536 AS DOUBLE) AS brier_cell,
+               (CAST(p_num AS DOUBLE) / CAST(256 AS DOUBLE)
+                - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(p_num AS DOUBLE) / CAST(256 AS DOUBLE)
+                  - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                   AS reliability_cell
+        FROM scored
+    """,
+    doc="Per-cell Brier-score calibration readout for the historical-"
+        "rate predictor of URGENT orders over (segment, order month) "
+        "cells: the cell's predicted probability is the DYADIC rational "
+        "(pos*256 div n)/256 — exact integer division (Spark div == "
+        "DuckDB //) onto a power-of-two grid, so p_hat, the per-cell "
+        "Brier numerator pos*(256-p)^2 + (n-pos)*p^2 (exact int64 while "
+        "n < 2^37), and its /(n*65536) division are all deterministic "
+        "IEEE ops with identical order in both engines. reliability_cell "
+        "is the squared calibration gap (p_hat - obs_rate)^2, the "
+        "per-cell term of Murphy's reliability decomposition; weighting "
+        "by n and summing reconstructs REL, and the same grid carries "
+        "resolution/uncertainty. Plan: one fact-dim join + one agg.",
+    tags=("ml", "stats"),
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cells = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                .otherwise(0)
+            ).cast("bigint").alias("pos"),
+        )
+    )
+    scored = cells.withColumn(
+        "p_num", F.expr("(pos * 256) div n")
+    )
+    p_hat = F.col("p_num").cast("double") / F.lit(256.0)
+    obs = F.col("pos").cast("double") / F.col("n").cast("double")
+    q = F.lit(256) - F.col("p_num")
+    brier_num = (
+        F.col("pos") * q * q
+        + (F.col("n") - F.col("pos")) * F.col("p_num") * F.col("p_num")
+    )
+    return scored.select(
+        "segment",
+        "mon",
+        "n",
+        "pos",
+        p_hat.alias("p_hat"),
+        obs.alias("obs_rate"),
+        (
+            brier_num.cast("double")
+            / (F.col("n") * F.lit(65536)).cast("double")
+        ).alias("brier_cell"),
+        ((p_hat - obs) * (p_hat - obs)).alias("reliability_cell"),
+    )

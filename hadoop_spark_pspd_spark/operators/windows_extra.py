@@ -328,3 +328,76 @@ def q_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_islands"),
         F.max("island_len").cast("long").alias("longest_island"),
     )
+
+
+@register(
+    "q_fifo_allocation",
+    oracle="""
+        WITH alloc AS (
+            SELECT o.o_custkey, o.o_orderkey,
+                   CAST(o.o_totalprice AS DECIMAL(18,4)) AS price,
+                   CAST(c.c_acctbal AS DECIMAL(18,4)) AS budget,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) OVER (
+                       PARTITION BY o.o_custkey
+                       ORDER BY o.o_orderdate, o.o_orderkey
+                   ) AS cum
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(price AS VARCHAR) AS DOUBLE) AS price,
+               CASE WHEN cum <= budget THEN 'funded'
+                    WHEN cum - price < budget THEN 'partial'
+                    ELSE 'unfunded' END AS status,
+               CAST(CAST(greatest(
+                   CAST(0 AS DECIMAL(18,4)),
+                   least(price, budget - (cum - price))
+               ) AS VARCHAR) AS DOUBLE) AS funded_amt
+        FROM alloc
+    """,
+    doc="FIFO budget allocation — the oldest-first matching pattern "
+        "behind inventory costing, payment application, and quota "
+        "spend: each customer's account balance funds their orders in "
+        "orderdate order (orderkey tie-break), so an order is fully "
+        "funded while the running total stays under budget, the "
+        "crossing order is partially funded with the exact remainder, "
+        "and everything after is unfunded. One window sum turns the "
+        "sequential-sounding allocation into a single per-key scan — "
+        "funded_amt = clamp(budget - prior_cum, 0, price) needs no "
+        "recursion. All money math is exact DECIMAL(18,4) (window sums "
+        "included) in both engines; outputs cross to double through the "
+        "shortest-string hop. Scale: one hash shuffle on custkey, "
+        "per-customer order counts are bounded, no global sort.",
+    tags=("relational", "window"),
+)
+def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    alloc = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            dec(F.col("o_totalprice")).alias("price"),
+            dec(F.col("c_acctbal")).alias("budget"),
+            F.sum(dec(F.col("o_totalprice"))).over(w).alias("cum"),
+        )
+    )
+    prior = F.col("cum") - F.col("price")
+    status = (
+        F.when(F.col("cum") <= F.col("budget"), "funded")
+        .when(prior < F.col("budget"), "partial")
+        .otherwise("unfunded")
+    )
+    funded = F.greatest(
+        F.lit(0).cast("decimal(18,4)"),
+        F.least(F.col("price"), F.col("budget") - prior),
+    )
+    return alloc.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("price").cast("double").alias("price"),
+        status.alias("status"),
+        funded.cast("double").alias("funded_amt"),
+    )

@@ -316,3 +316,161 @@ def test_ewma_exact_dyadic_against_fractions(spark, tmp_path):
         )
         assert Fraction(got[i][2]) == want, (i, got[i][2], want)
     spark.catalog.clearCache()
+
+
+# ------------------------------------------------- randomization test
+
+
+def test_randomization_test_identical_groups(spark, tmp_path):
+    """With purchase and click values drawn identically AND symmetric
+    (every value appears once in each group), t_obs is exactly 0, so
+    every replica satisfies |T_b| >= |t_obs| and the p-value is exactly
+    1.0 — the test must not reject a true null by construction."""
+    import datetime as dt
+
+    from hadoop_spark_pspd_spark.operators.stats import (
+        ml_randomization_test,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        v = float(1 + (i % 50))
+        rows.append((2 * i, t0, 1, "purchase", v, "{}"))
+        rows.append((2 * i + 1, t0, 1, "click", v, "{}"))
+    sf = str(tmp_path / "rt0")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    out = ml_randomization_test(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["t_obs"] == 0.0
+    assert r["n_extreme"] == 64
+    assert r["p_value"] == 1.0
+    assert r["n_a"] == 200 and r["n_b"] == 200
+
+
+def test_randomization_test_detects_separation(spark, tmp_path):
+    """With purchase values far above click values, no md5 pseudo-split
+    should reproduce the observed gap: p-value = 1/65 (the resolution
+    floor of B=64 replicas)."""
+    import datetime as dt
+
+    from hadoop_spark_pspd_spark.operators.stats import (
+        ml_randomization_test,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        rows.append((2 * i, t0, 1, "purchase", 1000.0 + i % 7, "{}"))
+        rows.append((2 * i + 1, t0, 1, "click", 1.0 + i % 7, "{}"))
+    sf = str(tmp_path / "rt1")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    r = ml_randomization_test(spark, sf).collect()[0]
+    assert r["n_extreme"] == 0
+    assert r["p_value"] == 1.0 / 65.0
+
+
+# ---------------------------------------------- brier decomposition
+
+
+def test_brier_matches_python_reference(spark, sf_dir):
+    """brier_cell and reliability_cell must equal the exact formulas
+    recomputed in python from the cell's (n, pos) — and the dyadic
+    p_hat must sit within 1/256 below the observed rate (floor onto
+    the /256 grid never overshoots)."""
+    from hadoop_spark_pspd_spark.operators.stats import (
+        ml_brier_decomposition,
+    )
+
+    for r in ml_brier_decomposition(spark, sf_dir).collect():
+        n, pos = r["n"], r["pos"]
+        p_num = (pos * 256) // n
+        p_hat = p_num / 256.0
+        assert r["p_hat"] == p_hat
+        assert 0.0 <= r["obs_rate"] - p_hat < 1.0 / 256.0
+        brier = (pos * (256 - p_num) ** 2 + (n - pos) * p_num**2) / (
+            n * 65536
+        )
+        assert r["brier_cell"] == brier
+        rel = (p_hat - pos / n) ** 2
+        assert r["reliability_cell"] == rel
+
+
+# -------------------------------------------------- fifo allocation
+
+
+def test_fifo_allocation_invariants(spark, sf_dir):
+    """Per customer: funded total == clamp(budget, 0, total price);
+    statuses are a monotone funded* partial? unfunded* sequence in
+    allocation order; 0 <= funded_amt <= price everywhere."""
+    from collections import defaultdict
+
+    from hadoop_spark_pspd_spark.operators.windows_extra import (
+        q_fifo_allocation,
+    )
+    from hadoop_spark_pspd_spark.catalog import Tables
+
+    rows = q_fifo_allocation(spark, sf_dir).collect()
+    t = Tables(spark, sf_dir)
+    budgets = {
+        r["c_custkey"]: float(r["c_acctbal"])
+        for r in t.customer.select("c_custkey", "c_acctbal").collect()
+    }
+    dates = {
+        r["o_orderkey"]: (r["o_orderdate"], r["o_orderkey"])
+        for r in t.orders.select("o_orderkey", "o_orderdate").collect()
+    }
+    per_cust = defaultdict(list)
+    for r in rows:
+        assert -1e-9 <= r["funded_amt"] <= r["price"] + 1e-9
+        per_cust[r["o_custkey"]].append(r)
+    rank = {"funded": 0, "partial": 1, "unfunded": 2}
+    for ck, rs in per_cust.items():
+        rs.sort(key=lambda r: dates[r["o_orderkey"]])
+        seq = [rank[r["status"]] for r in rs]
+        assert seq == sorted(seq), f"non-monotone statuses for {ck}"
+        assert seq.count(1) <= 1
+        funded_total = sum(r["funded_amt"] for r in rs)
+        want = min(max(budgets[ck], 0.0), sum(r["price"] for r in rs))
+        assert abs(funded_total - want) < 1e-6
+
+
+# --------------------------------------------------- image tiles
+
+
+def test_image_tiles_counts_shared_blocks(spark, tmp_path):
+    """Two docs sharing one tile-aligned 64-byte block (and nothing
+    else) each report exactly that block as duplicated; a third doc
+    with unique bytes reports zero."""
+    from hadoop_spark_pspd_spark.operators.multimodal import (
+        mm_image_tiles,
+    )
+
+    shared = "S" * 64
+    doc_a = shared + "a" * 64 + "b" * 64          # 3 tiles, 1 shared
+    doc_b = "c" * 64 + shared + "d" * 32          # 2 tiles + ragged tail
+    doc_c = "e" * 64 + "f" * 64                   # 2 tiles, none shared
+    sf = str(tmp_path / "tiles")
+    spark.createDataFrame(
+        [(1, doc_a, "en", "web", len(doc_a)),
+         (2, doc_b, "en", "web", len(doc_b)),
+         (3, doc_c, "en", "web", len(doc_c))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tiles"], r["n_dup_tiles"], r["dup_frac"])
+        for r in mm_image_tiles(spark, sf).collect()
+    }
+    assert got[1] == (3, 1, 1.0 / 3.0)
+    assert got[2] == (2, 1, 0.5)   # ragged 32-byte tail is not a tile
+    assert got[3] == (2, 0, 0.0)
