@@ -882,3 +882,357 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("brier_cell"),
         ((p_hat - obs) * (p_hat - obs)).alias("reliability_cell"),
     )
+
+
+def _poisson1_thresholds(max_w: int = 8) -> list[int]:
+    """floor(CDF_k(Poisson(1)) * 2^52) for k = 0..max_w-1, as exact int
+    literals. Computed ONCE here in Python and embedded verbatim in both
+    the Spark expression and the DuckDB oracle, so the transcendental
+    e^-1 never has to agree across engines — only the comparison of a
+    52-bit integer hash against these shared literals does."""
+    import math
+
+    out, acc, p = [], 0.0, math.exp(-1.0)
+    for k in range(max_w):
+        acc += p
+        out.append(min(int(acc * (1 << 52)), (1 << 52) - 1))
+        p /= k + 1
+    return out
+
+
+_BOOT_B = 64
+_POIS_T = _poisson1_thresholds()
+
+
+def _boot_weight_sql(h: str) -> str:
+    """CASE chain mapping a 52-bit hash to a Poisson(1) draw — same
+    string works as a Spark SQL expr and inside the DuckDB oracle."""
+    whens = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {whens} ELSE {len(_POIS_T)} END"
+
+
+@register(
+    "ml_poisson_bootstrap",
+    oracle=f"""
+        WITH reps AS (
+            SELECT r.b,
+                   CAST(o.o_totalprice AS DECIMAL(18,4)) AS price,
+                   {_boot_weight_sql(
+                       "CAST(('0x' || substr(md5(CAST(o.o_orderkey AS "
+                       "VARCHAR) || ':' || CAST(r.b AS VARCHAR)), 1, 13)) "
+                       "AS UBIGINT)"
+                   )} AS w
+            FROM orders o, (SELECT unnest(range(0, {_BOOT_B})) AS b) r
+        ), ests AS (
+            SELECT b,
+                   CAST(CAST(CAST(SUM(w * price) AS DECIMAL(38,4))
+                             AS VARCHAR) AS DOUBLE)
+                   / CAST(CASE WHEN SUM(w) = 0 THEN 1
+                               ELSE SUM(w) END AS DOUBLE) AS est
+            FROM reps GROUP BY b
+        ), ranked AS (
+            SELECT est, row_number() OVER (ORDER BY est, b) AS rn
+            FROM ests
+        ), obs AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                             AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS mean_obs
+            FROM orders
+        )
+        SELECT o.n_orders, o.mean_obs,
+               MIN(CASE WHEN r.rn = 2 THEN r.est END) AS boot_lo,
+               MIN(CASE WHEN r.rn = {_BOOT_B - 1} THEN r.est END)
+                   AS boot_hi
+        FROM ranked r, obs o
+        GROUP BY o.n_orders, o.mean_obs
+    """,
+    doc="Poisson bootstrap CI for the mean order price — THE "
+        "distributed bootstrap (Chamandy et al., Google): classical "
+        "resampling needs n draws per replica from one urn (impossible "
+        "map-side); weighting each row Poisson(1) per replica is "
+        "asymptotically equivalent and embarrassingly parallel. Here "
+        "the draw is md5-DERANDOMIZED: replica b gives row k the "
+        "weight whose Poisson(1) CDF bucket contains the 52-bit "
+        "md5(orderkey:b) hash — the CDF thresholds are Python-computed "
+        "integer literals shared by both engines, so e^-1 never has to "
+        "reproduce cross-engine. Replica means are exact-decimal sums "
+        "over integer weights divided once; the ~95% interval is the "
+        "2nd/63rd order statistic of the B=64 replica means (the 64-row "
+        "ranking window is constant-size — not a data-scale sort). One "
+        "explode + ONE shuffle of B partial rows carries any corpus "
+        "size.",
+    tags=("ml", "stats"),
+)
+def ml_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    reps = t.orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).withColumn(
+        "w",
+        F.expr(
+            _boot_weight_sql(
+                "CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), "
+                "':', CAST(b AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+            )
+        ),
+    )
+    ests = reps.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("price"))
+            .cast("decimal(38,4)")
+            .cast("string")
+            .cast("double")
+            / F.when(F.sum("w") == 0, 1)
+            .otherwise(F.sum("w"))
+            .cast("double")
+        ).alias("est")
+    )
+    ranked = ests.select(
+        "est",
+        F.row_number().over(W.orderBy("est", "b")).alias("rn"),
+    )
+    obs = t.orders.agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .cast("string")
+            .cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_obs"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(obs))
+        .groupBy("n_orders", "mean_obs")
+        .agg(
+            F.min(F.when(F.col("rn") == 2, F.col("est"))).alias("boot_lo"),
+            F.min(
+                F.when(F.col("rn") == _BOOT_B - 1, F.col("est"))
+            ).alias("boot_hi"),
+        )
+        .select("n_orders", "mean_obs", "boot_lo", "boot_hi")
+    )
+
+
+@register(
+    "ml_cuped_adjustment",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c.c_custkey AS ck,
+                   CAST(c.c_custkey % 2 AS INTEGER) AS arm,
+                   CAST(COALESCE(SUM(CASE WHEN o.o_orderdate
+                                 < DATE '1995-01-01'
+                                 THEN CAST(o.o_totalprice AS DECIMAL(18,4))
+                                 END), 0) * 10000 AS BIGINT) AS xq,
+                   CAST(COALESCE(SUM(CASE WHEN o.o_orderdate
+                                 >= DATE '1995-01-01'
+                                 THEN CAST(o.o_totalprice AS DECIMAL(18,4))
+                                 END), 0) * 10000 AS BIGINT) AS yq
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ), pooled AS (
+            SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(xq) AS DECIMAL(38,0)) AS sx,
+                   CAST(SUM(CAST(xq AS DECIMAL(38,0))
+                            * CAST(xq AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sxx,
+                   CAST(SUM(CAST(xq AS DECIMAL(38,0))
+                            * CAST(yq AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sxy,
+                   CAST(SUM(yq) AS DECIMAL(38,0)) AS sy
+            FROM per_cust
+        ), theta_t AS (
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+                   CASE WHEN n * sxx - sx * sx = 0
+                        THEN CAST(0 AS DOUBLE)
+                        ELSE CAST(CAST(n * sxy - sx * sy AS VARCHAR)
+                                  AS DOUBLE)
+                             / CAST(CAST(n * sxx - sx * sx AS VARCHAR)
+                                    AS DOUBLE)
+                   END AS theta
+            FROM pooled
+        ), arms AS (
+            SELECT arm,
+                   CAST(count(*) AS DECIMAL(38,0)) AS na,
+                   CAST(SUM(xq) AS DECIMAL(38,0)) AS sxa,
+                   CAST(SUM(yq) AS DECIMAL(38,0)) AS sya,
+                   CAST(SUM(CAST(xq AS DECIMAL(38,0))
+                            * CAST(xq AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sxxa,
+                   CAST(SUM(CAST(yq AS DECIMAL(38,0))
+                            * CAST(yq AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS syya,
+                   CAST(SUM(CAST(xq AS DECIMAL(38,0))
+                            * CAST(yq AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS sxya
+            FROM per_cust GROUP BY arm
+        ), armd AS (
+            SELECT arm, CAST(na AS BIGINT) AS n_arm,
+                   CAST(CAST(na AS VARCHAR) AS DOUBLE) AS na_d,
+                   CAST(CAST(sxa AS VARCHAR) AS DOUBLE) AS sxa_d,
+                   CAST(CAST(sya AS VARCHAR) AS DOUBLE) AS sya_d,
+                   CAST(CAST(na * syya - sya * sya AS VARCHAR) AS DOUBLE)
+                       AS dy,
+                   CAST(CAST(na * sxxa - sxa * sxa AS VARCHAR) AS DOUBLE)
+                       AS dx,
+                   CAST(CAST(na * sxya - sxa * sya AS VARCHAR) AS DOUBLE)
+                       AS dxy
+            FROM arms
+        )
+        SELECT a.arm, a.n_arm,
+               a.sya_d / a.na_d / CAST(10000 AS DOUBLE) AS ybar,
+               a.sya_d / a.na_d / CAST(10000 AS DOUBLE)
+               - t.theta * ((a.sxa_d / a.na_d
+                             - t.sx_d / CAST(t.n AS DOUBLE))
+                            / CAST(10000 AS DOUBLE)) AS ybar_adj,
+               a.dy / (CASE WHEN a.na_d * (a.na_d - CAST(1 AS DOUBLE)) = 0
+                            THEN CAST(1 AS DOUBLE)
+                            ELSE a.na_d * (a.na_d - CAST(1 AS DOUBLE)) END)
+                   / CAST(100000000 AS DOUBLE) AS var_y,
+               a.dy / (CASE WHEN a.na_d * (a.na_d - CAST(1 AS DOUBLE)) = 0
+                            THEN CAST(1 AS DOUBLE)
+                            ELSE a.na_d * (a.na_d - CAST(1 AS DOUBLE)) END)
+                   / CAST(100000000 AS DOUBLE)
+               - CAST(2 AS DOUBLE) * t.theta
+                 * (a.dxy / (CASE WHEN a.na_d * (a.na_d - CAST(1 AS DOUBLE))
+                                       = 0
+                                  THEN CAST(1 AS DOUBLE)
+                                  ELSE a.na_d * (a.na_d - CAST(1 AS DOUBLE))
+                             END) / CAST(100000000 AS DOUBLE))
+               + t.theta * t.theta
+                 * (a.dx / (CASE WHEN a.na_d * (a.na_d - CAST(1 AS DOUBLE))
+                                      = 0
+                                 THEN CAST(1 AS DOUBLE)
+                                 ELSE a.na_d * (a.na_d - CAST(1 AS DOUBLE))
+                            END) / CAST(100000000 AS DOUBLE)) AS var_y_adj,
+               t.theta AS theta
+        FROM armd a, theta_t t
+    """,
+    doc="CUPED variance reduction for an A/B readout (Deng et al., "
+        "WSDM'13): the experiment metric Y (each customer's 1995+ "
+        "spend) is adjusted by the pre-experiment covariate X (pre-1995 "
+        "spend), theta = cov(X,Y)/var(X) pooled across arms (custkey "
+        "parity). Hash-exactness: per-customer spends quantize to "
+        "integer 1e-4 currency units (a scale-4 decimal times 10^4 is "
+        "integral — exact), every moment and every n*sab - sa*sb "
+        "numerator is a DECIMAL(38,0) integer (the spearman recipe), "
+        "and each emitted double is one fixed op sequence over their "
+        "shortest-string crossings — never a sum of adjusted per-row "
+        "doubles, since ybar_adj and var(Y_adj) = var(Y) - 2*theta*cov "
+        "+ theta^2*var(X) are algebraic in the moments. theta is "
+        "scale-invariant (X and Y share the 10^4 factor), real units "
+        "return via one power-of-ten division per output, and the "
+        "var(X)=0 / n=1 degeneracies are guarded identically in both "
+        "engines. Plan: one fact-dim join, two moment aggs — map-side "
+        "combinable at any scale.",
+    tags=("ml", "stats"),
+)
+def ml_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    pre = F.when(
+        F.col("o_orderdate") < F.lit("1995-01-01").cast("date"), price
+    )
+    post = F.when(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"), price
+    )
+    per_cust = (
+        t.customer.join(
+            t.orders, t.orders.o_custkey == t.customer.c_custkey, "left"
+        )
+        .groupBy(
+            F.col("c_custkey").alias("ck"),
+            (F.col("c_custkey") % 2).cast("int").alias("arm"),
+        )
+        .agg(
+            (F.coalesce(F.sum(pre), F.lit(0)) * 10000)
+            .cast("long")
+            .alias("xq"),
+            (F.coalesce(F.sum(post), F.lit(0)) * 10000)
+            .cast("long")
+            .alias("yq"),
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s2d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    xq, yq = d38(F.col("xq")), d38(F.col("yq"))
+    pooled = per_cust.agg(
+        d38(F.count("*")).alias("n"),
+        d38(F.sum("xq")).alias("sx"),
+        d38(F.sum(xq * xq)).alias("sxx"),
+        d38(F.sum(xq * yq)).alias("sxy"),
+        d38(F.sum("yq")).alias("sy"),
+    )
+    theta_t = pooled.select(
+        F.col("n").cast("bigint").alias("n"),
+        s2d(F.col("sx")).alias("sx_d"),
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0,
+            F.lit(0.0),
+        )
+        .otherwise(
+            s2d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / s2d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        )
+        .alias("theta"),
+    )
+    arms = per_cust.groupBy("arm").agg(
+        d38(F.count("*")).alias("na"),
+        d38(F.sum("xq")).alias("sxa"),
+        d38(F.sum("yq")).alias("sya"),
+        d38(F.sum(xq * xq)).alias("sxxa"),
+        d38(F.sum(yq * yq)).alias("syya"),
+        d38(F.sum(xq * yq)).alias("sxya"),
+    )
+    armd = arms.select(
+        "arm",
+        F.col("na").cast("bigint").alias("n_arm"),
+        s2d(F.col("na")).alias("na_d"),
+        s2d(F.col("sxa")).alias("sxa_d"),
+        s2d(F.col("sya")).alias("sya_d"),
+        s2d(
+            F.col("na") * F.col("syya") - F.col("sya") * F.col("sya")
+        ).alias("dy"),
+        s2d(
+            F.col("na") * F.col("sxxa") - F.col("sxa") * F.col("sxa")
+        ).alias("dx"),
+        s2d(
+            F.col("na") * F.col("sxya") - F.col("sxa") * F.col("sya")
+        ).alias("dxy"),
+    )
+    ten4 = F.lit(10000.0)
+    ten8 = F.lit(100000000.0)
+    na_d = F.col("na_d")
+    denom = na_d * (na_d - F.lit(1.0))
+    dguard = F.when(denom == 0.0, F.lit(1.0)).otherwise(denom)
+    ybar = F.col("sya_d") / na_d / ten4
+    var_y = F.col("dy") / dguard / ten8
+    cov_a = F.col("dxy") / dguard / ten8
+    var_xa = F.col("dx") / dguard / ten8
+    th = F.col("theta")
+    return armd.crossJoin(F.broadcast(theta_t)).select(
+        "arm",
+        "n_arm",
+        ybar.alias("ybar"),
+        (
+            ybar
+            - th
+            * (
+                (F.col("sxa_d") / na_d - F.col("sx_d") / F.col("n").cast("double"))
+                / ten4
+            )
+        ).alias("ybar_adj"),
+        var_y.alias("var_y"),
+        (var_y - F.lit(2.0) * th * cov_a + th * th * var_xa).alias(
+            "var_y_adj"
+        ),
+        th.alias("theta"),
+    )

@@ -474,3 +474,179 @@ def test_image_tiles_counts_shared_blocks(spark, tmp_path):
     assert got[1] == (3, 1, 1.0 / 3.0)
     assert got[2] == (2, 1, 0.5)   # ragged 32-byte tail is not a tile
     assert got[3] == (2, 0, 0.0)
+
+
+# ------------------------------------------------ poisson bootstrap
+
+
+def test_poisson_bootstrap_matches_python_replay(spark, sf_dir):
+    """Replay the md5-derandomized Poisson draw and the exact-decimal
+    replica means in pure python; the emitted mean and order-statistic
+    CI must match bit-for-bit."""
+    import hashlib
+    from decimal import Decimal
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.stats import (
+        _BOOT_B, _POIS_T, ml_poisson_bootstrap,
+    )
+
+    t = Tables(spark, sf_dir)
+    orders = [
+        (r["o_orderkey"], Decimal(str(r["o_totalprice"])))
+        for r in t.orders.select("o_orderkey", "o_totalprice").collect()
+    ]
+
+    def weight(key: int, b: int) -> int:
+        h = int(
+            hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:13], 16
+        )
+        for w, thr in enumerate(_POIS_T):
+            if h < thr:
+                return w
+        return len(_POIS_T)
+
+    ests = []
+    for b in range(_BOOT_B):
+        s, n = Decimal(0), 0
+        for key, price in orders:
+            w = weight(key, b)
+            s += w * price
+            n += w
+        ests.append((float(s) if s == s.to_integral_value() or True
+                     else 0.0, b, s, n))
+    # exact decimal -> shortest string -> double, then one division
+    vals = sorted(
+        (float(str(s)) / float(n if n else 1), b)
+        for _, b, s, n in ests
+    )
+    want_lo, want_hi = vals[1][0], vals[_BOOT_B - 2][0]
+    total = sum(p for _, p in orders)
+    want_mean = float(str(total)) / float(len(orders))
+
+    r = ml_poisson_bootstrap(spark, sf_dir).collect()[0]
+    assert r["n_orders"] == len(orders)
+    assert r["mean_obs"] == want_mean
+    assert (r["boot_lo"], r["boot_hi"]) == (want_lo, want_hi)
+    assert r["boot_lo"] <= r["mean_obs"] <= r["boot_hi"]
+
+
+# ---------------------------------------------------------- cuped
+
+
+def test_cuped_matches_python_replay(spark, sf_dir):
+    """Recompute the quantized moments and the fixed double op sequence
+    in python ints/floats; every emitted column must match exactly, and
+    the pooled-theta adjustment must not increase pooled variance."""
+    import datetime as dt
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.stats import (
+        ml_cuped_adjustment,
+    )
+
+    t = Tables(spark, sf_dir)
+    cut = dt.date(1995, 1, 1)
+    per = defaultdict(lambda: [Decimal(0), Decimal(0)])
+    for r in t.orders.select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect():
+        od = r["o_orderdate"]
+        if isinstance(od, dt.datetime):
+            od = od.date()
+        slot = 0 if od < cut else 1
+        per[r["o_custkey"]][slot] += Decimal(str(r["o_totalprice"]))
+    rows = []
+    for r in t.customer.select("c_custkey").collect():
+        ck = r["c_custkey"]
+        x, y = per.get(ck, [Decimal(0), Decimal(0)])
+        rows.append((ck % 2, int(x * 10000), int(y * 10000)))
+
+    n = len(rows)
+    sx = sum(x for _, x, _ in rows)
+    sy = sum(y for _, _, y in rows)
+    sxx = sum(x * x for _, x, _ in rows)
+    sxy = sum(x * y for _, x, y in rows)
+    den = n * sxx - sx * sx
+    theta = (
+        0.0 if den == 0
+        else float(str(n * sxy - sx * sy)) / float(str(den))
+    )
+    want = {}
+    for arm in (0, 1):
+        ar = [(x, y) for a, x, y in rows if a == arm]
+        na = len(ar)
+        sxa = sum(x for x, _ in ar)
+        sya = sum(y for _, y in ar)
+        sxxa = sum(x * x for x, _ in ar)
+        syya = sum(y * y for _, y in ar)
+        sxya = sum(x * y for x, y in ar)
+        na_d = float(str(na))
+        dg = na_d * (na_d - 1.0) or 1.0
+        ybar = float(str(sya)) / na_d / 10000.0
+        var_y = float(str(na * syya - sya * sya)) / dg / 1e8
+        cov = float(str(na * sxya - sxa * sya)) / dg / 1e8
+        var_x = float(str(na * sxxa - sxa * sxa)) / dg / 1e8
+        want[arm] = (
+            na,
+            ybar,
+            ybar - theta * ((float(str(sxa)) / na_d
+                             - float(str(sx)) / float(str(n))) / 10000.0),
+            var_y,
+            var_y - 2.0 * theta * cov + theta * theta * var_x,
+            theta,
+        )
+    got = {
+        r["arm"]: (
+            r["n_arm"], r["ybar"], r["ybar_adj"], r["var_y"],
+            r["var_y_adj"], r["theta"],
+        )
+        for r in ml_cuped_adjustment(spark, sf_dir).collect()
+    }
+    assert got == want
+    # pooled variance must not increase (theta is the pooled minimizer)
+    n0, n1 = want[0][0], want[1][0]
+    pooled_y = (want[0][3] * (n0 - 1) + want[1][3] * (n1 - 1))
+    pooled_adj = (want[0][4] * (n0 - 1) + want[1][4] * (n1 - 1))
+    assert pooled_adj <= pooled_y + 1e-9
+
+
+# ------------------------------------------------------- rich club
+
+
+def test_richclub_reference_and_monotone_sets(spark, sf_dir):
+    """phi(k) recomputed from the edge list in python must match; the
+    rich set sizes must be non-increasing in k and phi bounded in
+    [0, 1]."""
+    from hadoop_spark_pspd_spark.operators.graph import (
+        cooccurrence_edges, graph_richclub,
+    )
+
+    edges = [
+        (r["s1"], r["s2"])
+        for r in cooccurrence_edges(spark, sf_dir).collect()
+    ]
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    got = {
+        r["k"]: (r["n_rich"], r["e_rich"], r["phi"])
+        for r in graph_richclub(spark, sf_dir).collect()
+    }
+    prev_n = None
+    for k in (2, 4, 8, 16, 32):
+        rich = {v for v, d in deg.items() if d > k}
+        e_rich = sum(1 for a, b in edges if a in rich and b in rich)
+        n_rich = len(rich)
+        phi = (
+            2.0 * e_rich / (n_rich * (n_rich - 1))
+            if n_rich >= 2 else 0.0
+        )
+        assert got[k] == (n_rich, e_rich, phi)
+        assert 0.0 <= got[k][2] <= 1.0
+        if prev_n is not None:
+            assert n_rich <= prev_n
+        prev_n = n_rich
