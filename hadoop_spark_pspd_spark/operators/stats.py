@@ -731,7 +731,11 @@ def ml_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t_obs"),
         )
     )
-    reps = base.select(
+    # pre-explosion repartition: the 64x replica explode plus per-row
+    # md5 is CPU-bound — spread the narrow base across every core first
+    reps = base.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "event_id",
         "xq",
         F.explode(F.sequence(F.lit(0), F.lit(_RAND_B - 1))).alias("b"),
@@ -970,7 +974,12 @@ def ml_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = Tables(spark, sf_dir)
-    reps = t.orders.select(
+    # pre-explosion repartition (the sketch_theta_kmv lesson): a small
+    # parquet arrives as 1-2 splits and the 64x replica explode plus
+    # per-row md5 is CPU-bound — spread it across every core first
+    reps = t.orders.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
