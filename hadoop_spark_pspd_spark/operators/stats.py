@@ -1245,3 +1245,102 @@ def ml_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         th.alias("theta"),
     )
+
+
+@register(
+    "ml_att_stratified",
+    oracle="""
+        WITH units AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(month(o.o_orderdate) AS INTEGER) AS mon,
+                   CASE WHEN o.o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END AS treated,
+                   CAST(o.o_totalprice AS DECIMAL(18,4)) AS y
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), cells AS (
+            SELECT segment, mon,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(treated) AS BIGINT) AS n_t,
+                   CAST(count(*) - SUM(treated) AS BIGINT) AS n_c,
+                   CAST(SUM(CASE WHEN treated = 1 THEN y END)
+                        AS DECIMAL(38,4)) AS sy_t,
+                   CAST(SUM(CASE WHEN treated = 0 THEN y END)
+                        AS DECIMAL(38,4)) AS sy_c
+            FROM units GROUP BY segment, mon
+        )
+        SELECT segment, mon,
+               CAST((n_t * 256) // n AS BIGINT) AS p_num,
+               n_t, n_c,
+               CAST(CAST(sy_t AS VARCHAR) AS DOUBLE)
+                   / CAST(n_t AS DOUBLE) AS ybar_t,
+               CAST(CAST(sy_c AS VARCHAR) AS DOUBLE)
+                   / CAST(n_c AS DOUBLE) AS ybar_c,
+               CAST(CAST(sy_t AS VARCHAR) AS DOUBLE)
+                   / CAST(n_t AS DOUBLE)
+               - CAST(CAST(sy_c AS VARCHAR) AS DOUBLE)
+                   / CAST(n_c AS DOUBLE) AS att_cell
+        FROM cells
+        WHERE n_t >= 1 AND n_c >= 1
+    """,
+    doc="Stratified average-treatment-effect-on-the-treated estimator: "
+        "URGENT orders (treated) vs the rest, stratified on the "
+        "(segment, order month) propensity grid — with a DISCRETE "
+        "propensity score, nearest-score matching degenerates exactly "
+        "to within-stratum comparison, so this IS propensity matching "
+        "without the quadratic pair search. Off-support strata (no "
+        "treated or no control units) are dropped, standard PSM "
+        "practice. p_num/256 is the same exact-integer-division dyadic "
+        "score as ml_brier_decomposition; cell means are exact decimal "
+        "sums over one division each, att_cell their fixed-sequence "
+        "difference. The overall ATT is the n_t-weighted mean of "
+        "att_cell — left to the reader because a cross-cell double sum "
+        "would be order-dependent; the per-cell decomposition is the "
+        "audit view anyway. Plan: one fact-dim join + one agg.",
+    tags=("ml", "stats"),
+)
+def ml_att_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    treated = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    y = F.col("o_totalprice").cast("decimal(18,4)")
+    cells = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+            treated.alias("treated"),
+            y.alias("y"),
+        )
+        .groupBy("segment", "mon")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("treated").cast("bigint").alias("n_t"),
+            (F.count("*") - F.sum("treated")).cast("bigint").alias("n_c"),
+            F.sum(F.when(F.col("treated") == 1, F.col("y")))
+            .cast("decimal(38,4)")
+            .alias("sy_t"),
+            F.sum(F.when(F.col("treated") == 0, F.col("y")))
+            .cast("decimal(38,4)")
+            .alias("sy_c"),
+        )
+    )
+    ybar_t = F.col("sy_t").cast("string").cast("double") / F.col(
+        "n_t"
+    ).cast("double")
+    ybar_c = F.col("sy_c").cast("string").cast("double") / F.col(
+        "n_c"
+    ).cast("double")
+    return (
+        cells.filter((F.col("n_t") >= 1) & (F.col("n_c") >= 1))
+        .select(
+            "segment",
+            "mon",
+            F.expr("(n_t * 256) div n").cast("bigint").alias("p_num"),
+            "n_t",
+            "n_c",
+            ybar_t.alias("ybar_t"),
+            ybar_c.alias("ybar_c"),
+            (ybar_t - ybar_c).alias("att_cell"),
+        )
+    )

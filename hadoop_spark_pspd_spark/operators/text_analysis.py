@@ -866,3 +866,101 @@ def ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         den > 0, num.cast("double") / F.sqrt(den.cast("double"))
     ).otherwise(F.lit(0.0))
     return cm.select("tp", "fp", "fn", "tn", mcc.alias("mcc"))
+
+
+_COLL_MIN_SUPPORT = 5
+_COLL_TOPK = 50
+
+
+@register(
+    "text_collocations",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                       '[ \\t\\n\\r\\f]+'), x -> x <> '') AS ws
+            FROM documents
+        ), bg AS (
+            SELECT ws[i] AS w1, ws[i + 1] AS w2
+            FROM (
+                SELECT ws, unnest(range(1, len(ws))) AS i
+                FROM toks WHERE len(ws) >= 2
+            )
+        ), bgc AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+            FROM bg GROUP BY w1, w2
+        ), uni AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS c
+            FROM (
+                SELECT unnest(list_filter(string_split_regex(lower(text),
+                    '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS word
+                FROM documents
+            ) GROUP BY word
+        ), scored AS (
+            SELECT b.w1 || ' ' || b.w2 AS bigram, b.c_xy,
+                   u1.c AS c_x, u2.c AS c_y,
+                   round(CAST(2 * b.c_xy AS DOUBLE)
+                         / CAST(u1.c + u2.c AS DOUBLE), 6) AS dice
+            FROM bgc b
+            JOIN uni u1 ON u1.word = b.w1
+            JOIN uni u2 ON u2.word = b.w2
+            WHERE b.c_xy >= {_COLL_MIN_SUPPORT}
+        )
+        SELECT bigram, c_xy, c_x, c_y, dice
+        FROM scored
+        ORDER BY dice DESC, bigram
+        LIMIT {_COLL_TOPK}
+    """,
+    doc="Collocation mining: the top-50 word bigrams by DICE coefficient "
+        "2*c_xy/(c_x + c_y) with support >= 5 — the phrase detector a "
+        "tokenizer-training pipeline runs to decide which word pairs "
+        "merge into single vocabulary units (word2vec's phrase pass uses "
+        "the same counts). Dice is chosen over PMI deliberately: it is "
+        "a single division of exact integers onto a [0,1] score, so the "
+        "round-to-6 ranking convention applies with no transcendentals. "
+        "Ranking ties break on the bigram string; the global top-k is "
+        "orderBy+limit (TakeOrderedAndProject — per-partition pruned, "
+        "never a single-partition window). Plan: one bigram agg, one "
+        "unigram agg, two hash joins on the word key.",
+    tags=("text",),
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_ngrams, words_exploded
+
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.lower(F.col("text")))
+    bg = t.documents.select(
+        F.explode(word_ngrams(toks, 2)).alias("bigram")
+    ).select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    uni = (
+        t.documents.select(words_exploded(F.lower(F.col("text"))))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    scored = (
+        bgc.filter(F.col("c_xy") >= _COLL_MIN_SUPPORT)
+        .join(
+            uni.select(F.col("word").alias("w1"), F.col("c").alias("c_x")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("word").alias("w2"), F.col("c").alias("c_y")),
+            "w2",
+        )
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                (2 * F.col("c_xy")).cast("double")
+                / (F.col("c_x") + F.col("c_y")).cast("double"),
+                6,
+            ).alias("dice"),
+        )
+    )
+    return scored.orderBy(F.desc("dice"), "bigram").limit(_COLL_TOPK)

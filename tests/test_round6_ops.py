@@ -650,3 +650,88 @@ def test_richclub_reference_and_monotone_sets(spark, sf_dir):
         if prev_n is not None:
             assert n_rich <= prev_n
         prev_n = n_rich
+
+
+# ----------------------------------------------------- collocations
+
+
+def test_collocations_python_reference(spark, sf_dir):
+    """Top-50 Dice-ranked bigrams recomputed in pure python from the
+    same whitespace tokenization must match exactly (counts, score,
+    and the tie-broken ranking cutoff)."""
+    from collections import Counter
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.text_analysis import (
+        _COLL_MIN_SUPPORT, _COLL_TOPK, text_collocations,
+    )
+
+    t = Tables(spark, sf_dir)
+    uni, bg = Counter(), Counter()
+    for r in t.documents.select("text").collect():
+        ws = [w for w in r["text"].lower().split() if w]
+        uni.update(ws)
+        bg.update(zip(ws, ws[1:]))
+    scored = [
+        (round(2.0 * c / (uni[a] + uni[b]), 6), f"{a} {b}",
+         c, uni[a], uni[b])
+        for (a, b), c in bg.items() if c >= _COLL_MIN_SUPPORT
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    want = [
+        (bgm, c, cx, cy, d) for d, bgm, c, cx, cy in scored[:_COLL_TOPK]
+    ]
+    got = [
+        (r["bigram"], r["c_xy"], r["c_x"], r["c_y"], r["dice"])
+        for r in text_collocations(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+# ------------------------------------------------- stratified ATT
+
+
+def test_att_stratified_python_reference(spark, sf_dir):
+    """Per-stratum treated/control means and the att gap recomputed
+    from Decimal sums must match bit-for-bit; off-support strata must
+    be absent."""
+    import datetime as dt
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.stats import ml_att_stratified
+
+    t = Tables(spark, sf_dir)
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in t.customer.select("c_custkey", "c_mktsegment").collect()
+    }
+    cells = defaultdict(lambda: [0, 0, Decimal(0), Decimal(0)])
+    for r in t.orders.select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    ).collect():
+        od = r["o_orderdate"]
+        mon = (od if isinstance(od, dt.date) else od.date()).month
+        key = (seg[r["o_custkey"]], mon)
+        tr = 1 if r["o_orderpriority"] == "1-URGENT" else 0
+        c = cells[key]
+        c[tr] += 1
+        c[2 + tr] += Decimal(str(r["o_totalprice"]))
+    want = {}
+    for (sg, mon), (n_c, n_t, sy_c, sy_t) in cells.items():
+        if n_t >= 1 and n_c >= 1:
+            yb_t = float(str(sy_t)) / float(n_t)
+            yb_c = float(str(sy_c)) / float(n_c)
+            want[(sg, mon)] = (
+                (n_t * 256) // (n_t + n_c), n_t, n_c,
+                yb_t, yb_c, yb_t - yb_c,
+            )
+    got = {
+        (r["segment"], r["mon"]): (
+            r["p_num"], r["n_t"], r["n_c"],
+            r["ybar_t"], r["ybar_c"], r["att_cell"],
+        )
+        for r in ml_att_stratified(spark, sf_dir).collect()
+    }
+    assert got == want
