@@ -1230,3 +1230,29 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ef").isNotNull().alias("is_dup"),
         )
     )
+
+
+@register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+        WITH lab AS ({_CLUSTER_ORACLE})
+        SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+            FROM lab GROUP BY cluster_id
+        ) GROUP BY size
+    """,
+    doc="Near-dup cluster SIZE distribution — the curation report that "
+        "decides dedup policy (a corpus of pairs needs different "
+        "handling than one with thousand-document clone families, and "
+        "the histogram is the evidence). Two tiny aggregations over the "
+        "dedup_clusters labeling (partition-local contraction CC); "
+        "covers only documents that appear in a verified near-dup pair, "
+        "matching the dedup_clusters contract. Oracle: size histogram "
+        "over the identical recursive-CTE closure.",
+    tags=("dedup",),
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))

@@ -922,3 +922,78 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "mm_byte_chisq",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   CAST(strlen(text) AS BIGINT) AS n
+            FROM documents WHERE strlen(text) >= 1
+        ), bytes AS (
+            SELECT doc_id, n,
+                   substr(hx, CAST(2 * i - 1 AS INTEGER), 2) AS bp
+            FROM (SELECT doc_id, hx, n, unnest(range(1, n + 1)) AS i
+                  FROM d)
+        ), hist AS (
+            SELECT doc_id, n, bp, CAST(count(*) AS BIGINT) AS c
+            FROM bytes GROUP BY doc_id, n, bp
+        )
+        SELECT doc_id, n,
+               CAST(256 * SUM(c * c) - n * n AS BIGINT) AS chisq_key,
+               CAST(256 * SUM(c * c) - n * n AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS chisq,
+               CAST(count(*) AS BIGINT) AS n_distinct_bytes
+        FROM hist GROUP BY doc_id, n
+    """,
+    doc="Byte-histogram chi-square uniformity statistic per payload — "
+        "the compressibility screen a media-ingest pipeline runs BEFORE "
+        "spending decode/transcode CPU: already-compressed or encrypted "
+        "blobs have near-uniform byte histograms (chisq ~ 255), "
+        "structured/text payloads score orders of magnitude higher. "
+        "The statistic collapses to pure integers: chi2 = "
+        "(256*sum(c_b^2) - n^2)/n, exact in int64 for payloads to 2^26 "
+        "bytes (sum c^2 <= n^2 <= 2^52, x256 < 2^63), one final "
+        "division. Spark side is a single Arrow-batched mapInPandas "
+        "numpy bincount — map-only, zero shuffles, the oracle replays "
+        "the histogram relationally over hex pairs.",
+    tags=("multimodal",),
+)
+def mm_byte_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    payloads = t.documents.filter(F.octet_length("text") >= 1).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def _chisq(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, ns, keys, chis, nd = [], [], [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                n = int(arr.size)
+                c = np.bincount(arr, minlength=256).astype(np.int64)
+                ssq = int((c * c).sum())
+                key = 256 * ssq - n * n
+                ids.append(did)
+                ns.append(n)
+                keys.append(key)
+                chis.append(float(key) / float(n))
+                nd.append(int((c > 0).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "n": pd.Series(ns, dtype="int64"),
+                 "chisq_key": pd.Series(keys, dtype="int64"),
+                 "chisq": pd.Series(chis, dtype="float64"),
+                 "n_distinct_bytes": pd.Series(nd, dtype="int64")}
+            )
+
+    return payloads.mapInPandas(
+        _chisq,
+        "doc_id long, n long, chisq_key long, chisq double, "
+        "n_distinct_bytes long",
+    )

@@ -708,3 +708,77 @@ def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         size.cast("bigint").alias("w_size"),
         med.alias("moving_median"),
     )
+
+
+_DONCHIAN_W = 24  # trailing window (hours), current bar excluded
+
+
+@register(
+    "ts_channel_breakout",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), chan AS (
+            SELECT event_type, hour, n,
+                   CAST(max(n) OVER w AS BIGINT) AS ch_hi,
+                   CAST(min(n) OVER w AS BIGINT) AS ch_lo
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN {_DONCHIAN_W} PRECEDING
+                                  AND 1 PRECEDING)
+        )
+        SELECT event_type, hour, n, ch_hi, ch_lo,
+               CASE WHEN ch_hi IS NULL THEN 0
+                    WHEN n > ch_hi THEN 1
+                    WHEN n < ch_lo THEN -1
+                    ELSE 0 END AS breakout
+        FROM chan
+    """,
+    doc="Donchian channel breakout flags over hourly event counts: the "
+        "channel is the max/min count of the trailing 24 bars (current "
+        "bar excluded — the standard turtle-trading rule, also the "
+        "volume-anomaly alert an ops pipeline fires on traffic spikes/"
+        "cliffs). Pure integer window aggregates over a ROWS frame with "
+        "a unique (event_type, hour) ordering; the first bars of each "
+        "series have an empty frame -> NULL channel -> flag 0, encoded "
+        "identically in both engines. One agg + one window over the "
+        "same partitioning = two exchanges total; per-series state is "
+        "the 24-row frame, never the whole series.",
+    tags=("timeseries",),
+)
+def ts_channel_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_DONCHIAN_W, -1)
+    )
+    chan = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.max("n").over(w).alias("ch_hi"),
+        F.min("n").over(w).alias("ch_lo"),
+    )
+    breakout = (
+        F.when(F.col("ch_hi").isNull(), 0)
+        .when(F.col("n") > F.col("ch_hi"), 1)
+        .when(F.col("n") < F.col("ch_lo"), -1)
+        .otherwise(0)
+    )
+    return chan.select(
+        "event_type", "hour", "n", "ch_hi", "ch_lo",
+        breakout.alias("breakout"),
+    )

@@ -735,3 +735,107 @@ def test_att_stratified_python_reference(spark, sf_dir):
         for r in ml_att_stratified(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------- channel breakout
+
+
+def test_channel_breakout_crafted_series(spark, tmp_path):
+    """A crafted hourly series with a known spike and cliff: the spike
+    hour must flag +1 against the trailing-24 max, the cliff hour -1,
+    the first hour (empty frame) 0, and steady hours 0."""
+    import datetime as dt
+
+    from hadoop_spark_pspd_spark.operators.timeseries import (
+        ts_channel_breakout,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    # hours 0..29: 5 events/hour, except hour 27 spikes to 9 and hour
+    # 28 drops to 1
+    for h in range(30):
+        n = 9 if h == 27 else (1 if h == 28 else 5)
+        for _ in range(n):
+            rows.append(
+                (eid, base + dt.timedelta(hours=h), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    sf = str(tmp_path / "chan")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r["hour"].hour + 24 * (r["hour"].day - 1): r["breakout"]
+        for r in ts_channel_breakout(spark, sf).collect()
+    }
+    assert got[0] == 0          # empty frame
+    assert got[27] == 1         # spike above trailing max of 5
+    assert got[28] == -1        # cliff below trailing min
+    assert all(got[h] == 0 for h in range(1, 27))
+
+
+# ------------------------------------------------------- byte chisq
+
+
+def test_byte_chisq_known_histograms(spark, tmp_path):
+    """Exact chi-square keys for crafted payloads: a single repeated
+    byte maximizes concentration (key = 255*n^2), a perfectly uniform
+    256-byte cycle over the printable subset... uses the exact integer
+    formula recomputed in python."""
+    import numpy as np
+
+    from hadoop_spark_pspd_spark.operators.multimodal import mm_byte_chisq
+
+    docs = [
+        (1, "a" * 100),                      # one byte, maximal skew
+        (2, "".join(chr(33 + (i % 64)) for i in range(640))),  # uniform-64
+        (3, "xy"),
+    ]
+    sf = str(tmp_path / "chisq")
+    spark.createDataFrame(
+        [(d, t, "en", "web", len(t)) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n"], r["chisq_key"], r["chisq"],
+                      r["n_distinct_bytes"])
+        for r in mm_byte_chisq(spark, sf).collect()
+    }
+    for did, txt in docs:
+        arr = np.frombuffer(txt.encode(), dtype=np.uint8)
+        n = arr.size
+        c = np.bincount(arr, minlength=256).astype(np.int64)
+        key = int(256 * (c * c).sum() - n * n)
+        assert got[did] == (n, key, key / n, int((c > 0).sum()))
+    # analytic checks: all-same-byte -> key = 255*n^2
+    assert got[1][1] == 255 * 100 * 100
+    # 640 bytes spread evenly over 64 values (10 each):
+    # key = 256*64*100 - 640^2
+    assert got[2][1] == 256 * 64 * 100 - 640 * 640
+
+
+# -------------------------------------------------- cluster sizes
+
+
+def test_cluster_sizes_consistent_with_clusters(spark, sf_dir):
+    """The histogram must be exactly the size distribution of the
+    dedup_clusters labeling (same session, same data)."""
+    from collections import Counter
+
+    from hadoop_spark_pspd_spark.operators.dedup import (
+        dedup_cluster_sizes, dedup_clusters,
+    )
+
+    labs = Counter(
+        r["cluster_id"] for r in dedup_clusters(spark, sf_dir).collect()
+    )
+    want = Counter(labs.values())
+    got = {
+        r["size"]: r["n_clusters"]
+        for r in dedup_cluster_sizes(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    spark.catalog.clearCache()
