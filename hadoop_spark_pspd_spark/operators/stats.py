@@ -1344,3 +1344,140 @@ def ml_att_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ybar_t - ybar_c).alias("att_cell"),
         )
     )
+
+
+_LC_T = 1 << 52
+_LC_TRAIN_CAP = 3 * (_LC_T // 4)  # bottom 75% of hash space trains
+_LC_FRACS = (8, 4, 2, 1)  # denominators: train share = 3/4 / d
+
+
+@register(
+    "ml_learning_curve",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT c.c_mktsegment AS segment,
+                   CASE WHEN o.o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END AS pos,
+                   CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)),
+                        1, 13)) AS UBIGINT) AS h
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), test AS (
+            SELECT segment,
+                   CAST(count(*) AS BIGINT) AS n_t,
+                   CAST(SUM(pos) AS BIGINT) AS pos_t
+            FROM hashed WHERE h >= {_LC_TRAIN_CAP}
+            GROUP BY segment
+        ), fracs AS (
+            SELECT unnest([{", ".join(str(d) for d in _LC_FRACS)}]) AS d
+        ), train AS (
+            SELECT f.d, s.segment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(s.pos) AS BIGINT) AS pos
+            FROM hashed s JOIN fracs f
+              ON s.h < {_LC_TRAIN_CAP} // f.d
+            GROUP BY f.d, s.segment
+        ), scored AS (
+            SELECT t.segment, f.d,
+                   t.n_t, t.pos_t,
+                   COALESCE((tr.pos * 256) // tr.n, 128) AS p_num,
+                   COALESCE(tr.n, 0) AS n_train_s
+            FROM test t
+            CROSS JOIN fracs f
+            LEFT JOIN train tr ON tr.d = f.d AND tr.segment = t.segment
+        )
+        SELECT d AS frac_denom,
+               CAST(SUM(n_train_s) AS BIGINT) AS n_train,
+               CAST(SUM(n_t) AS BIGINT) AS n_test,
+               CAST(SUM(pos_t * (256 - p_num) * (256 - p_num)
+                        + (n_t - pos_t) * p_num * p_num) AS BIGINT)
+                   AS brier_key,
+               CAST(SUM(pos_t * (256 - p_num) * (256 - p_num)
+                        + (n_t - pos_t) * p_num * p_num) AS DOUBLE)
+               / (CAST(SUM(n_t) AS DOUBLE) * CAST(65536 AS DOUBLE))
+                   AS brier
+        FROM scored
+        GROUP BY d
+    """,
+    doc="Learning-curve evaluation — the data-scaling readout that "
+        "decides whether to buy more labels: train the per-segment "
+        "URGENT-rate predictor on nested md5-hash-bucketed subsets "
+        "(1/8, 1/4, 1/2, all of the 75% train split — NESTED because "
+        "the same 52-bit hash orders every subset, so each point adds "
+        "data rather than resampling) and score each on the fixed "
+        "held-out 25% by the integer Brier key of "
+        "ml_brier_decomposition's /256 dyadic grid. Unseen segments "
+        "fall back to the p=0.5 prior (p_num 128) identically in both "
+        "engines. The whole curve is ONE scan + two bounded aggs: "
+        "per-(fraction, segment) counts are sufficient statistics, so "
+        "no per-row rescoring or replica explosion of the test set.",
+    tags=("ml", "stats"),
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    hashed = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("pos"),
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    test = (
+        hashed.filter(F.col("h") >= _LC_TRAIN_CAP)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_t"),
+            F.sum("pos").cast("bigint").alias("pos_t"),
+        )
+    )
+    fracs = spark.createDataFrame(
+        [(d,) for d in _LC_FRACS], "d int"
+    )
+    train = (
+        hashed.crossJoin(F.broadcast(fracs))
+        .filter(F.col("h") < F.expr(f"{_LC_TRAIN_CAP}L div d"))
+        .groupBy("d", "segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pos").cast("bigint").alias("pos"),
+        )
+    )
+    scored = (
+        test.crossJoin(F.broadcast(fracs))
+        .join(F.broadcast(train), ["d", "segment"], "left")
+        .select(
+            "d",
+            "n_t",
+            "pos_t",
+            F.coalesce(
+                F.expr("(pos * 256) div n"), F.lit(128)
+            ).alias("p_num"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_train_s"),
+        )
+    )
+    qk = F.lit(256) - F.col("p_num")
+    key = F.col("pos_t") * qk * qk + (
+        F.col("n_t") - F.col("pos_t")
+    ) * F.col("p_num") * F.col("p_num")
+    return (
+        scored.groupBy(F.col("d").alias("frac_denom"))
+        .agg(
+            F.sum("n_train_s").cast("bigint").alias("n_train"),
+            F.sum("n_t").cast("bigint").alias("n_test"),
+            F.sum(key).cast("bigint").alias("brier_key"),
+            (
+                F.sum(key).cast("double")
+                / (F.sum("n_t").cast("double") * F.lit(65536.0))
+            ).alias("brier"),
+        )
+    )

@@ -964,3 +964,81 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("dice"), "bigram").limit(_COLL_TOPK)
+
+
+@register(
+    "text_postings_dgaps",
+    oracle="""
+        WITH posting AS (
+            SELECT DISTINCT word, doc_id FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text),
+                           '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS word
+                FROM documents
+            )
+        ), gaps AS (
+            SELECT word,
+                   COALESCE(
+                       doc_id - lag(doc_id) OVER (PARTITION BY word
+                                                  ORDER BY doc_id),
+                       doc_id + 1
+                   ) AS gap
+            FROM posting
+        )
+        SELECT word,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(SUM(strlen(bin(gap))) AS BIGINT) AS total_bits,
+               CAST(SUM(strlen(bin(gap))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_bits,
+               CAST(max(gap) AS BIGINT) AS max_gap
+        FROM gaps
+        GROUP BY word
+        HAVING count(*) >= 5
+    """,
+    doc="Posting-list delta-gap compressibility profile — the estimate "
+        "an inverted-index builder reads before picking a postings "
+        "codec (vbyte/PFOR/Elias): per term (df >= 5), the sorted "
+        "doc_id deltas' total and average BINARY MAGNITUDE in bits "
+        "(length of the gap's binary representation = the payload bits "
+        "a gamma/vbyte code would spend; frequent terms have small "
+        "gaps, rare terms cost ~log2(N) bits each). Pure integers: "
+        "gaps from one lag window per term (first posting encodes "
+        "doc_id+1 so every gap is positive), bits via length(bin(x)) "
+        "in both engines, one exact total/df division. Plan: distinct "
+        "(word, doc) -> one word-partitioned window -> one agg; "
+        "posting lists shuffle once.",
+    tags=("text",),
+)
+def text_postings_dgaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from ..functions.text import words_exploded
+
+    t = Tables(spark, sf_dir)
+    posting = (
+        t.documents.select(
+            "doc_id", words_exploded(F.lower(F.col("text")))
+        )
+        .distinct()
+    )
+    w = W.partitionBy("word").orderBy("doc_id")
+    gaps = posting.select(
+        "word",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(w),
+            F.col("doc_id") + 1,
+        ).alias("gap"),
+    )
+    bits = F.length(F.bin(F.col("gap")))
+    return (
+        gaps.groupBy("word")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum(bits).cast("bigint").alias("total_bits"),
+            (
+                F.sum(bits).cast("double") / F.count("*").cast("double")
+            ).alias("avg_bits"),
+            F.max("gap").cast("bigint").alias("max_gap"),
+        )
+        .filter(F.col("df") >= 5)
+    )

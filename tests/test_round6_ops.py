@@ -839,3 +839,130 @@ def test_cluster_sizes_consistent_with_clusters(spark, sf_dir):
     }
     assert got == dict(want)
     spark.catalog.clearCache()
+
+
+# -------------------------------------------------- int8 recall
+
+
+def test_int8_recall_perfect_on_wellseparated(spark, tmp_path):
+    """With EQUAL-NORM clusters far apart and exactly 5 same-cluster
+    candidates per query, both rankings (integer SQ8 dot and exact
+    cosine) must pick the same-cluster set: recall exactly 1.0 for
+    every query. Equal norms matter — unnormalized dot is
+    magnitude-sensitive, so mixed-norm clusters could legitimately
+    disagree with cosine; and clusters of >k+1 members could
+    legitimately reorder near-ties under quantization."""
+    import numpy as np
+
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        sim_int8_recall,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 64))
+    centers = 10.0 * centers / np.linalg.norm(
+        centers, axis=1, keepdims=True
+    )
+    rows = []
+    for c in range(10):
+        member_ids = [c] + [10 + c * 5 + j for j in range(5)]
+        for vid in member_ids:
+            v = centers[c] + rng.uniform(-0.005, 0.005, 64)
+            rows.append((vid, [float(x) for x in v], c))
+    sf = str(tmp_path / "sq8")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    out = sim_int8_recall(spark, sf).collect()
+    assert len(out) == 10
+    assert all(r["recall_at_k"] == 1.0 for r in out)
+
+
+# ------------------------------------------------- postings d-gaps
+
+
+def test_postings_dgaps_python_reference(spark, sf_dir):
+    """Bit totals recomputed from the posting lists in python must
+    match exactly (bin-length magnitude coding, first gap doc_id+1)."""
+    from collections import defaultdict
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.text_analysis import (
+        text_postings_dgaps,
+    )
+
+    t = Tables(spark, sf_dir)
+    posts = defaultdict(set)
+    for r in t.documents.select("doc_id", "text").collect():
+        for w in set(r["text"].lower().split()):
+            if w:
+                posts[w].add(r["doc_id"])
+    want = {}
+    for w, ids in posts.items():
+        if len(ids) < 5:
+            continue
+        ordered = sorted(ids)
+        gaps = [ordered[0] + 1] + [
+            b - a for a, b in zip(ordered, ordered[1:])
+        ]
+        bits = [len(bin(g)) - 2 for g in gaps]
+        want[w] = (
+            len(gaps), sum(bits), sum(bits) / len(gaps), max(gaps)
+        )
+    got = {
+        r["word"]: (r["df"], r["total_bits"], r["avg_bits"], r["max_gap"])
+        for r in text_postings_dgaps(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------------ learning curve
+
+
+def test_learning_curve_nested_and_monotone_train(spark, sf_dir):
+    """Train sizes must be strictly nested (monotone in the fraction),
+    the test size constant across fractions, and the full-data point
+    must equal a python replay of the hash split + dyadic scorer."""
+    import hashlib
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.stats import (
+        _LC_TRAIN_CAP, ml_learning_curve,
+    )
+
+    got = {
+        r["frac_denom"]: (
+            r["n_train"], r["n_test"], r["brier_key"], r["brier"]
+        )
+        for r in ml_learning_curve(spark, sf_dir).collect()
+    }
+    assert set(got) == {1, 2, 4, 8}
+    assert got[8][0] <= got[4][0] <= got[2][0] <= got[1][0]
+    assert len({v[1] for v in got.values()}) == 1  # same test set
+
+    t = Tables(spark, sf_dir)
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in t.customer.select("c_custkey", "c_mktsegment").collect()
+    }
+    train, test = {}, {}
+    for r in t.orders.select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).collect():
+        h = int(
+            hashlib.md5(str(r["o_orderkey"]).encode()).hexdigest()[:13],
+            16,
+        )
+        s = seg[r["o_custkey"]]
+        p = 1 if r["o_orderpriority"] == "1-URGENT" else 0
+        d = train if h < _LC_TRAIN_CAP else test
+        n, pos = d.get(s, (0, 0))
+        d[s] = (n + 1, pos + p)
+    key, n_test, n_train = 0, 0, 0
+    for s, (n_t, pos_t) in test.items():
+        n, pos = train.get(s, (0, 0))
+        p_num = (pos * 256) // n if n else 128
+        key += pos_t * (256 - p_num) ** 2 + (n_t - pos_t) * p_num**2
+        n_test += n_t
+    n_train = sum(n for n, _ in train.values())
+    assert got[1] == (n_train, n_test, key, key / (n_test * 65536))
