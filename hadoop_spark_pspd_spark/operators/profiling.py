@@ -604,3 +604,52 @@ def q_privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.lit(2.0) * ratio - F.lit(0.5)).alias("est_rate"),
         true_ratio.alias("true_rate"),
     )
+
+
+_LDIV = 3  # minimum distinct sensitive values per quasi-id group
+
+
+@register(
+    "q_l_diversity",
+    oracle=f"""
+        WITH grp AS (
+            SELECT c_nationkey,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS group_size,
+                   CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+            FROM customer
+            GROUP BY 1, 2
+        )
+        SELECT c_nationkey, bal_bucket, group_size, l,
+               l < {_LDIV} AS violates
+        FROM grp
+    """,
+    doc="l-diversity audit — k-anonymity's necessary companion: a "
+        "quasi-identifier group can be large (k-anonymous) yet leak the "
+        "sensitive attribute if every member shares one value, so each "
+        "(nation, balance-bucket) group reports its count of DISTINCT "
+        "sensitive values (market segment) and a violates flag at "
+        "l < 3. Same quasi-id grid as q_k_anonymity, one extra "
+        "count-distinct — the pair together is the release gate a "
+        "privacy review runs before publishing a microdata extract. "
+        "One agg, exact integers.",
+    tags=("privacy",),
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    grp = t.customer.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias(
+            "bal_bucket"
+        ),
+    ).agg(
+        F.count("*").alias("group_size"),
+        F.count_distinct("c_mktsegment").alias("l"),
+    )
+    return grp.select(
+        "c_nationkey",
+        "bal_bucket",
+        "group_size",
+        "l",
+        (F.col("l") < _LDIV).alias("violates"),
+    )

@@ -2660,3 +2660,80 @@ def sim_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_overlap").cast("double") / TOP_K).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "sim_lsh_recall",
+    oracle=f"""
+        WITH lsh AS ({_ann_lsh_oracle()}),
+        full_rank AS (
+            SELECT query_id, candidate_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_cosine_sql("q", "c")} DESC, c.vec_id
+                       ) AS rk
+                FROM embeddings q
+                JOIN embeddings c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rk <= {TOP_K}
+        ), counts AS (
+            SELECT l.query_id,
+                   CAST(count(*) AS BIGINT) AS n_returned,
+                   CAST(SUM(CASE WHEN f.candidate_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+            FROM lsh l
+            LEFT JOIN full_rank f USING (query_id, candidate_id)
+            GROUP BY l.query_id
+        )
+        SELECT q.vec_id AS query_id,
+               COALESCE(c.n_returned, 0) AS n_returned,
+               COALESCE(c.n_overlap, 0) AS n_overlap,
+               CAST(COALESCE(c.n_overlap, 0) AS DOUBLE) / {TOP_K}
+                   AS recall_at_k
+        FROM (SELECT vec_id FROM embeddings
+              WHERE vec_id < {N_QUERIES}) q
+        LEFT JOIN counts c ON c.query_id = q.vec_id
+    """,
+    doc="LSH index quality audit: recall@k of sim_ann_lsh's bucketed "
+        "candidates-then-rerank result against the exact brute-force "
+        "cosine top-k, per query — the measurement that tunes "
+        "tables x bits before an index ships (completing the ANN-eval "
+        "triple: matryoshka widths, int8 codes, and now the LSH index "
+        "itself). Queries whose buckets return fewer than k candidates "
+        "surface with n_returned < k instead of silently inflating "
+        "recall. Both sides are already hash-deterministic (fixed-point "
+        "hyperplane signs, round-6 rerank, id tie-breaks), so the "
+        "composition inherits exactness; the oracle nests the identical "
+        "LSH SQL as a CTE.",
+    tags=("similarity",),
+)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    lsh = sim_ann_lsh(spark, sf_dir).select("query_id", "candidate_id")
+    queries = t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+    full5 = cosine_topk(queries, t.embeddings, TOP_K).select(
+        "query_id", "candidate_id", F.lit(1).alias("hit")
+    )
+    counts = (
+        lsh.join(F.broadcast(full5), ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_returned"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / TOP_K
+            ).alias("recall_at_k"),
+        )
+    )

@@ -1481,3 +1481,77 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("brier"),
         )
     )
+
+
+@register(
+    "ml_fairness_parity",
+    oracle="""
+        WITH grp AS (
+            SELECT c.c_nationkey AS nation,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_all,
+                   CAST(SUM(pos) AS BIGINT) AS pos_all
+            FROM grp
+        )
+        SELECT g.nation, g.n, g.pos,
+               CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE) AS rate,
+               CAST(t.pos_all AS DOUBLE) / CAST(t.n_all AS DOUBLE)
+                   AS rate_overall,
+               CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE)
+               - CAST(t.pos_all AS DOUBLE) / CAST(t.n_all AS DOUBLE)
+                   AS parity_gap,
+               CAST(g.pos * t.n_all - t.pos_all * g.n AS BIGINT)
+                   AS gap_key
+        FROM grp g, tot t
+    """,
+    doc="Demographic-parity fairness audit of the URGENT-order rate "
+        "across nation groups — the per-group selection-rate readout a "
+        "model-governance review requires before a decision system "
+        "ships. Per-group and overall rates are exact-integer ratios "
+        "(one division each); parity_gap is their fixed-sequence "
+        "difference, and gap_key = pos_g*n_all - pos_all*n_g is the "
+        "same comparison CROSS-MULTIPLIED into an exact integer, so "
+        "downstream thresholding (|gap| > eps) can run with zero float "
+        "ambiguity — the ml_randomization_test statistic applied to "
+        "group equity. One fact-dim join + one agg; groups broadcast.",
+    tags=("ml", "stats"),
+)
+def ml_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    grp = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                .otherwise(0)
+            ).cast("bigint").alias("pos"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("pos").cast("bigint").alias("pos_all"),
+    )
+    rate = F.col("pos").cast("double") / F.col("n").cast("double")
+    rate_all = F.col("pos_all").cast("double") / F.col("n_all").cast(
+        "double"
+    )
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "n",
+        "pos",
+        rate.alias("rate"),
+        rate_all.alias("rate_overall"),
+        (rate - rate_all).alias("parity_gap"),
+        (
+            F.col("pos") * F.col("n_all") - F.col("pos_all") * F.col("n")
+        ).cast("bigint").alias("gap_key"),
+    )

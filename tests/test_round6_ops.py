@@ -966,3 +966,92 @@ def test_learning_curve_nested_and_monotone_train(spark, sf_dir):
         n_test += n_t
     n_train = sum(n for n, _ in train.values())
     assert got[1] == (n_train, n_test, key, key / (n_test * 65536))
+
+
+# --------------------------------------------------- lsh recall
+
+
+def test_lsh_recall_bounds_and_consistency(spark, sf_dir):
+    """recall_at_k must equal |lsh_topk intersect exact_topk| / k
+    recomputed from the two registered queries, n_returned <= k, and
+    every query id < N_QUERIES must appear exactly once."""
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        N_QUERIES, TOP_K, cosine_topk, sim_ann_lsh, sim_lsh_recall,
+    )
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from pyspark.sql import functions as F
+
+    t = Tables(spark, sf_dir)
+    lsh = {
+        (r["query_id"], r["candidate_id"])
+        for r in sim_ann_lsh(spark, sf_dir).collect()
+    }
+    queries = t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+    exact = {
+        (r["query_id"], r["candidate_id"])
+        for r in cosine_topk(queries, t.embeddings, TOP_K).collect()
+    }
+    got = {r["query_id"]: r for r in sim_lsh_recall(spark, sf_dir).collect()}
+    assert len(got) == N_QUERIES
+    for q, r in got.items():
+        mine = {c for (qq, c) in lsh if qq == q}
+        truth = {c for (qq, c) in exact if qq == q}
+        assert r["n_returned"] == len(mine) <= TOP_K
+        assert r["n_overlap"] == len(mine & truth)
+        assert r["recall_at_k"] == len(mine & truth) / TOP_K
+    spark.catalog.clearCache()
+
+
+# ------------------------------------------------ fairness parity
+
+
+def test_fairness_parity_identities(spark, sf_dir):
+    """gap_key sign must agree with parity_gap sign, totals must be
+    consistent, and the n-weighted sum of gap_keys must be exactly 0
+    (a telescoping identity of the cross-multiplied form)."""
+    from hadoop_spark_pspd_spark.operators.stats import ml_fairness_parity
+
+    rows = ml_fairness_parity(spark, sf_dir).collect()
+    n_all = sum(r["n"] for r in rows)
+    pos_all = sum(r["pos"] for r in rows)
+    assert sum(r["pos"] * n_all - pos_all * r["n"] for r in rows) == 0
+    for r in rows:
+        assert r["gap_key"] == r["pos"] * n_all - pos_all * r["n"]
+        if r["gap_key"] > 0:
+            assert r["parity_gap"] > 0
+        elif r["gap_key"] < 0:
+            assert r["parity_gap"] < 0
+        else:
+            assert r["parity_gap"] == 0.0
+
+
+# -------------------------------------------------- l-diversity
+
+
+def test_l_diversity_crafted_homogeneous_group(spark, tmp_path):
+    """A group that is k-anonymous (large) but sensitive-homogeneous
+    must flag violates=True; a small diverse group must not."""
+    from hadoop_spark_pspd_spark.operators.profiling import q_l_diversity
+
+    rows = []
+    # nation 1, bucket 0: 10 members, ALL segment 'AUTOMOBILE' -> l=1
+    for i in range(10):
+        rows.append((i, f"c{i}", "addr", 1, "p", 100.0, "AUTOMOBILE", ""))
+    # nation 2, bucket 0: 4 members, 4 distinct segments -> l=4
+    for j, seg in enumerate(
+        ["BUILDING", "MACHINERY", "FURNITURE", "HOUSEHOLD"]
+    ):
+        rows.append((100 + j, f"d{j}", "addr", 2, "p", 100.0, seg, ""))
+    sf = str(tmp_path / "ldiv")
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_address string, "
+        "c_nationkey long, c_phone string, c_acctbal double, "
+        "c_mktsegment string, c_comment string",
+    ).write.parquet(f"{sf}/customer.parquet")
+    got = {
+        (r["c_nationkey"], r["bal_bucket"]): (r["l"], r["violates"])
+        for r in q_l_diversity(spark, sf).collect()
+    }
+    assert got[(1, 0)] == (1, True)
+    assert got[(2, 0)] == (4, False)
