@@ -354,3 +354,110 @@ def sim_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+
+
+_DRIFT_FP = 1 << 40  # fixed-point quantum for cross-centroid products
+
+
+@register(
+    "ml_embedding_drift",
+    oracle=f"""
+        WITH ex AS (
+            SELECT label, unnest(embedding) AS x,
+                   unnest(range(1, {_DIM} + 1)) AS dim
+            FROM embeddings
+        ), cl AS (
+            SELECT label, dim,
+                   CAST(CAST(SUM(CAST(CAST(x AS VARCHAR)
+                        AS DECIMAL(27,14))) AS VARCHAR) AS DOUBLE)
+                       / count(*) AS c,
+                   CAST(count(*) AS BIGINT) AS n_vecs
+            FROM ex GROUP BY label, dim
+        ), cg AS (
+            SELECT dim,
+                   CAST(CAST(SUM(CAST(CAST(x AS VARCHAR)
+                        AS DECIMAL(27,14))) AS VARCHAR) AS DOUBLE)
+                       / count(*) AS g
+            FROM ex GROUP BY dim
+        ), terms AS (
+            SELECT cl.label, cl.n_vecs,
+                   CAST(floor(cl.c * cg.g * {float(_DRIFT_FP)})
+                        AS BIGINT) AS t_lg,
+                   CAST(floor(cl.c * cl.c * {float(_DRIFT_FP)})
+                        AS BIGINT) AS t_ll,
+                   CAST(floor(cg.g * cg.g * {float(_DRIFT_FP)})
+                        AS BIGINT) AS t_gg
+            FROM cl JOIN cg USING (dim)
+        ), sums AS (
+            SELECT label, max(n_vecs) AS n_vecs,
+                   CAST(SUM(t_lg) AS BIGINT) AS dot_q,
+                   CAST(SUM(t_ll) AS BIGINT) AS nl_q,
+                   CAST(SUM(t_gg) AS BIGINT) AS ng_q
+            FROM terms GROUP BY label
+        )
+        SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+               dot_q, nl_q, ng_q,
+               CAST(dot_q AS DOUBLE)
+               / sqrt(CASE WHEN CAST(nl_q AS DOUBLE)
+                                * CAST(ng_q AS DOUBLE) = 0
+                           THEN CAST(1 AS DOUBLE)
+                           ELSE CAST(nl_q AS DOUBLE)
+                                * CAST(ng_q AS DOUBLE) END)
+                   AS cos_to_global
+        FROM sums
+    """,
+    doc="Per-label embedding drift against the corpus centroid — the "
+        "observability check a feature-store owner runs when a model's "
+        "inputs may have shifted (a label whose centroid swings away "
+        "from the global mean flags a regime change or an upstream "
+        "encoder bump). Centroid coordinates are exact-decimal means "
+        "(the q_label_centroids recipe); the cross-centroid dot and "
+        "norms are summed in 2^-40 FIXED POINT (the Gram/pagerank "
+        "trick) so the 64-term reductions are order-free integers, and "
+        "the final cosine is one sqrt/div sequence over those exact "
+        "ints with the zero-norm degeneracy guarded identically. Two "
+        "aggs over one unnest — the same scan serves both centroid "
+        "levels.",
+    tags=("ml", "similarity"),
+)
+def ml_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        "label", F.posexplode("embedding").alias("d0", "x")
+    ).select("label", (F.col("d0") + 1).alias("dim"), "x")
+    dmean = (
+        F.sum(F.col("x").cast("string").cast("decimal(27,14)"))
+        .cast("string")
+        .cast("double")
+    )
+    cl = ex.groupBy("label", "dim").agg(
+        (dmean / F.count("*")).alias("c"),
+        F.count("*").alias("n_vecs"),
+    )
+    cg = ex.groupBy("dim").agg((dmean / F.count("*")).alias("g"))
+    fp = float(_DRIFT_FP)
+    terms = cl.join(cg, "dim").select(
+        "label",
+        "n_vecs",
+        F.floor(F.col("c") * F.col("g") * fp).cast("bigint").alias("t_lg"),
+        F.floor(F.col("c") * F.col("c") * fp).cast("bigint").alias("t_ll"),
+        F.floor(F.col("g") * F.col("g") * fp).cast("bigint").alias("t_gg"),
+    )
+    sums = terms.groupBy("label").agg(
+        F.max("n_vecs").cast("bigint").alias("n_vecs"),
+        F.sum("t_lg").cast("bigint").alias("dot_q"),
+        F.sum("t_ll").cast("bigint").alias("nl_q"),
+        F.sum("t_gg").cast("bigint").alias("ng_q"),
+    )
+    den = F.col("nl_q").cast("double") * F.col("ng_q").cast("double")
+    return sums.select(
+        "label",
+        "n_vecs",
+        "dot_q",
+        "nl_q",
+        "ng_q",
+        (
+            F.col("dot_q").cast("double")
+            / F.sqrt(F.when(den == 0.0, F.lit(1.0)).otherwise(den))
+        ).alias("cos_to_global"),
+    )

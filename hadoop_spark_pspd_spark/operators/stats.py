@@ -1555,3 +1555,180 @@ def ml_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos") * F.col("n_all") - F.col("pos_all") * F.col("n")
         ).cast("bigint").alias("gap_key"),
     )
+
+
+_CF_T = 1 << 52
+_CF_TRAIN = _CF_T // 2          # [0, T/2) trains the predictor
+_CF_CAL = 3 * (_CF_T // 4)      # [T/2, 3T/4) calibrates; rest tests
+_CF_ALPHAS = (8, 9)             # coverage targets in tenths
+
+
+@register(
+    "ml_conformal_interval",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT o.o_orderkey, c.c_mktsegment AS segment,
+                   CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,4))
+                        AS VARCHAR) AS DOUBLE) AS y,
+                   CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)),
+                        1, 13)) AS UBIGINT) AS h
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), pred AS (
+            SELECT segment,
+                   CAST(CAST(SUM(CAST(CAST(y AS VARCHAR)
+                        AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS p
+            FROM hashed WHERE h < {_CF_TRAIN}
+            GROUP BY segment
+        ), resid AS (
+            SELECT s.o_orderkey, s.h,
+                   CAST(floor(abs(s.y - p.p) * CAST(100 AS DOUBLE))
+                        AS BIGINT) AS rq
+            FROM hashed s JOIN pred p USING (segment)
+            WHERE s.h >= {_CF_TRAIN}
+        ), hist AS (
+            SELECT rq, CAST(count(*) AS BIGINT) AS cnt
+            FROM resid WHERE h < {_CF_CAL}
+            GROUP BY rq
+        ), cum AS (
+            SELECT rq,
+                   CAST(SUM(cnt) OVER (ORDER BY rq) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS n_cal
+            FROM hist
+        ), alphas AS (
+            SELECT unnest([{", ".join(str(a) for a in _CF_ALPHAS)}])
+                       AS alpha_tenths
+        ), qhat AS (
+            SELECT a.alpha_tenths, c.n_cal,
+                   min(CASE WHEN c.cum >= least(c.n_cal,
+                                ((c.n_cal + 1) * a.alpha_tenths) // 10)
+                            THEN c.rq END) AS q_cents
+            FROM cum c, alphas a
+            GROUP BY a.alpha_tenths, c.n_cal
+        ), test AS (
+            SELECT rq FROM resid WHERE h >= {_CF_CAL}
+        )
+        SELECT q.alpha_tenths, q.n_cal,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(q.q_cents AS BIGINT) AS q_cents,
+               CAST(SUM(CASE WHEN t.rq <= q.q_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_covered,
+               CAST(SUM(CASE WHEN t.rq <= q.q_cents THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+        FROM test t, qhat q
+        GROUP BY q.alpha_tenths, q.n_cal, q.q_cents
+    """,
+    doc="Split-conformal prediction intervals for the per-segment mean "
+        "spend predictor — the distribution-free uncertainty wrapper "
+        "(Vovk; popularized for ML eval) a serving system ships instead "
+        "of hoping residuals are Gaussian: train/calibrate/test on "
+        "disjoint md5-hash slices, take the ceil((n+1)*alpha)-th "
+        "smallest calibration residual (EXACT order statistic over "
+        "cent-quantized integers, capped at n_cal) as the half-width, "
+        "and report held-out coverage, which the conformal guarantee "
+        "lower-bounds by alpha. Every comparison is integer-exact; the "
+        "only doubles are the predictor means and one coverage ratio "
+        "(fixed op sequences). The rank runs over the residual VALUE "
+        "HISTOGRAM (the spearman recipe) — the ordered window walks "
+        "distinct cent values, never a global row sort of the "
+        "calibration slice.",
+    tags=("ml", "stats"),
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    hashed = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
+        )
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice")
+            .cast("decimal(18,4)")
+            .cast("string")
+            .cast("double")
+            .alias("y"),
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    pred = (
+        hashed.filter(F.col("h") < _CF_TRAIN)
+        .groupBy("segment")
+        .agg(
+            (
+                F.sum(F.col("y").cast("string").cast("decimal(18,4)"))
+                .cast("string")
+                .cast("double")
+                / F.count("*").cast("double")
+            ).alias("p")
+        )
+    )
+    resid = (
+        hashed.filter(F.col("h") >= _CF_TRAIN)
+        .join(F.broadcast(pred), "segment")
+        .select(
+            "o_orderkey",
+            "h",
+            F.floor(F.abs(F.col("y") - F.col("p")) * F.lit(100.0))
+            .cast("bigint")
+            .alias("rq"),
+        )
+    )
+    hist = (
+        resid.filter(F.col("h") < _CF_CAL)
+        .groupBy("rq")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = hist.select(
+        "rq",
+        F.sum("cnt").over(W.orderBy("rq")).cast("bigint").alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).cast("bigint").alias("n_cal"),
+    )
+    alphas = spark.createDataFrame(
+        [(a,) for a in _CF_ALPHAS], "alpha_tenths int"
+    )
+    qhat = (
+        cum.crossJoin(F.broadcast(alphas))
+        .groupBy("alpha_tenths", "n_cal")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.least(
+                        F.col("n_cal"),
+                        F.expr("((n_cal + 1) * alpha_tenths) div 10"),
+                    ),
+                    F.col("rq"),
+                )
+            ).alias("q_cents")
+        )
+    )
+    test = resid.filter(F.col("h") >= _CF_CAL).select("rq")
+    covered = F.when(F.col("rq") <= F.col("q_cents"), 1).otherwise(0)
+    return (
+        test.crossJoin(F.broadcast(qhat))
+        .groupBy("alpha_tenths", "n_cal", "q_cents")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(covered).cast("bigint").alias("n_covered"),
+            (
+                F.sum(covered).cast("double") / F.count("*").cast("double")
+            ).alias("coverage"),
+        )
+        .select(
+            "alpha_tenths",
+            "n_cal",
+            "n_test",
+            F.col("q_cents").cast("bigint").alias("q_cents"),
+            "n_covered",
+            "coverage",
+        )
+    )

@@ -1055,3 +1055,106 @@ def test_l_diversity_crafted_homogeneous_group(spark, tmp_path):
     }
     assert got[(1, 0)] == (1, True)
     assert got[(2, 0)] == (4, False)
+
+
+# ------------------------------------------------ embedding drift
+
+
+def test_embedding_drift_crafted_directions(spark, tmp_path):
+    """Two labels pointing in nearly opposite directions: the global
+    centroid sits between them, and each label's cosine-to-global must
+    carry the right sign; a label exactly aligned with the global mean
+    scores ~1."""
+    import numpy as np
+
+    from hadoop_spark_pspd_spark.operators.clustering import (
+        ml_embedding_drift,
+    )
+
+    d = 64
+    e1 = np.zeros(d); e1[0] = 1.0
+    e2 = np.zeros(d); e2[0] = -1.0; e2[1] = 0.2
+    rows = []
+    vid = 0
+    for lab, base, n in ((0, e1, 20), (1, e2, 10)):
+        for _ in range(n):
+            rows.append((vid, [float(x) for x in base], lab))
+            vid += 1
+    sf = str(tmp_path / "drift")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    got = {
+        r["label"]: r for r in ml_embedding_drift(spark, sf).collect()
+    }
+    # global mean = (20*e1 + 10*e2)/30 -> positive x component, so
+    # label 0 (pure +x) agrees and label 1 (mostly -x) opposes
+    assert got[0]["cos_to_global"] > 0.9
+    assert got[1]["cos_to_global"] < 0.0
+    assert got[0]["n_vecs"] == 20 and got[1]["n_vecs"] == 10
+
+
+# ---------------------------------------------- conformal interval
+
+
+def test_conformal_coverage_guarantee_and_quantile(spark, sf_dir):
+    """Coverage must meet the conformal lower bound alpha - slack on
+    the held-out slice, q_cents must equal the python-replayed exact
+    order statistic, and the 90% width must dominate the 80% width."""
+    import hashlib
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.stats import (
+        _CF_CAL, _CF_TRAIN, ml_conformal_interval,
+    )
+
+    got = {
+        r["alpha_tenths"]: r
+        for r in ml_conformal_interval(spark, sf_dir).collect()
+    }
+    assert set(got) == {8, 9}
+    assert got[9]["q_cents"] >= got[8]["q_cents"]
+    for a, r in got.items():
+        # finite-sample conformal bound minus a small-n allowance
+        assert r["coverage"] >= a / 10 - 0.05
+
+    # python replay of the full pipeline at smoke scale
+    t = Tables(spark, sf_dir)
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in t.customer.select("c_custkey", "c_mktsegment").collect()
+    }
+    from decimal import Decimal
+    from collections import defaultdict
+
+    train = defaultdict(lambda: [Decimal(0), 0])
+    rows = []
+    for r in t.orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).collect():
+        h = int(
+            hashlib.md5(str(r["o_orderkey"]).encode()).hexdigest()[:13],
+            16,
+        )
+        s = seg[r["o_custkey"]]
+        y = Decimal(str(r["o_totalprice"]))
+        rows.append((r["o_orderkey"], s, y, h))
+        if h < _CF_TRAIN:
+            tr = train[s]
+            tr[0] += y
+            tr[1] += 1
+    pred = {
+        s: float(str(tot)) / float(n) for s, (tot, n) in train.items()
+    }
+    import math
+
+    cal = sorted(
+        math.floor(abs(float(str(y)) - pred[s]) * 100.0)
+        for k, s, y, h in rows
+        if _CF_TRAIN <= h < _CF_CAL
+    )
+    n_cal = len(cal)
+    for a, r in got.items():
+        k = min(n_cal, ((n_cal + 1) * a) // 10)
+        assert r["q_cents"] == cal[k - 1]
+        assert r["n_cal"] == n_cal
