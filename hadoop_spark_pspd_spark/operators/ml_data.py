@@ -1651,3 +1651,111 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.sum("monetary").cast("double").alias("segment_revenue"),
     )
+
+
+_CF_TOPN = 5  # neighbors kept per item
+
+
+@register(
+    "ml_item_cf",
+    oracle=f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), item_n AS (
+            SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS c
+            FROM baskets GROUP BY 1
+        ), pair_c AS (
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   CAST(count(*) AS BIGINT) AS c_ab
+            FROM baskets a
+            JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ), sym AS (
+            SELECT item_a AS item, item_b AS nbr, c_ab FROM pair_c
+            UNION ALL
+            SELECT item_b, item_a, c_ab FROM pair_c
+        ), scored AS (
+            SELECT s.item, s.nbr, s.c_ab,
+                   round(CAST(s.c_ab AS DOUBLE)
+                         / sqrt(CAST(na.c AS DOUBLE)
+                                * CAST(nb.c AS DOUBLE)), 6) AS sim
+            FROM sym s
+            JOIN item_n na ON na.item = s.item
+            JOIN item_n nb ON nb.item = s.nbr
+            WHERE s.c_ab >= 2
+        )
+        SELECT item, nbr, c_ab, sim FROM (
+            SELECT item, nbr, c_ab, sim,
+                   row_number() OVER (PARTITION BY item
+                                      ORDER BY sim DESC, nbr) AS rk
+            FROM scored
+        ) WHERE rk <= {_CF_TOPN}
+    """,
+    doc="Item-item collaborative filtering (the Amazon-style 'customers "
+        "who bought X also bought Y' recommender): co-purchase counts "
+        "over order baskets -> cosine similarity on the implicit 0/1 "
+        "basket matrix, sim(a,b) = c_ab / sqrt(c_a * c_b), top-5 "
+        "neighbors per item at support >= 2. Counts are exact integers, "
+        "the similarity is one fixed sqrt/div sequence rounded to 6 "
+        "before ranking with an item-id tie-break (the repo similarity "
+        "convention). Pair volume is bounded by per-order basket size "
+        "(~7 lineitems -> <=21 unordered pairs per order), so the "
+        "self-join is linear in lineitem at any corpus scale — the same "
+        "shape as the supplier co-occurrence graph, never user x user.",
+    tags=("ml",),
+)
+def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    baskets = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    item_n = baskets.groupBy(
+        F.col("l_partkey").alias("item")
+    ).agg(F.count("*").alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_c = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+    )
+    sym = pair_c.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("nbr"), "c_ab"
+    ).union(
+        pair_c.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("nbr"),
+            "c_ab",
+        )
+    )
+    scored = (
+        sym.filter(F.col("c_ab") >= 2)
+        .join(item_n.select(F.col("item"), F.col("c").alias("ca")), "item")
+        .join(
+            item_n.select(F.col("item").alias("nbr"), F.col("c").alias("cb")),
+            "nbr",
+        )
+        .select(
+            "item",
+            "nbr",
+            "c_ab",
+            F.round(
+                F.col("c_ab").cast("double")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb").cast("double")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("item").orderBy(F.desc("sim"), F.asc("nbr"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CF_TOPN)
+        .select("item", "nbr", "c_ab", "sim")
+    )

@@ -1732,3 +1732,58 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+@register(
+    "ml_srm_check",
+    oracle="""
+        WITH arms AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n_a, n_b,
+               CAST((n_a - n_b) * (n_a - n_b) AS BIGINT) AS srm_key,
+               CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                   / CAST(CASE WHEN n_a + n_b = 0 THEN 1
+                               ELSE n_a + n_b END AS DOUBLE) AS srm_chi2,
+               (n_a - n_b) * (n_a - n_b) > 16 * (n_a + n_b) AS flagged
+        FROM arms
+    """,
+    doc="Sample-ratio-mismatch guardrail — the FIRST check every A/B "
+        "readout must pass (a biased assignment invalidates all "
+        "downstream stats): per event_type, the chi-square statistic of "
+        "the observed 50/50 user_id-parity split, "
+        "(n_a - n_b)^2 / (n_a + n_b), with the alert thresholded in "
+        "PURE INTEGERS ((n_a-n_b)^2 > 16*(n_a+n_b), i.e. chi2 > 16 ~ "
+        "|z| > 4, the industry SRM alarm level) so the flag never "
+        "depends on a float comparison. One aggregation; the emitted "
+        "chi2 is a single guarded division.",
+    tags=("ml", "stats"),
+)
+def ml_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    arms = t.events.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    tot = F.col("n_a") + F.col("n_b")
+    return arms.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (d * d).cast("bigint").alias("srm_key"),
+        (
+            (d * d).cast("double")
+            / F.when(tot == 0, 1).otherwise(tot).cast("double")
+        ).alias("srm_chi2"),
+        (d * d > 16 * tot).alias("flagged"),
+    )

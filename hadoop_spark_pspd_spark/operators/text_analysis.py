@@ -1042,3 +1042,75 @@ def text_postings_dgaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 5)
     )
+
+
+@register(
+    "text_readability",
+    oracle="""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text,
+                       '[ \\t\\n\\r\\f]+'), x -> x <> '')) AS BIGINT)
+                       AS n_words,
+                   CAST(greatest(len(regexp_extract_all(text, '[.!?]+')),
+                       1) AS BIGINT) AS n_sents,
+                   CAST(greatest(len(regexp_extract_all(lower(text),
+                       '[aeiouy]+')), 1) AS BIGINT) AS n_syll
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_sents, n_syll,
+               CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE)
+                 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+               - CAST(84.6 AS DOUBLE)
+                 * (CAST(n_syll AS DOUBLE) / CAST(greatest(n_words, 1)
+                                                  AS DOUBLE))
+                   AS flesch
+        FROM feats
+    """,
+    doc="Flesch reading-ease score per document — the readability "
+        "feature quality-filter pipelines mix into curation scores "
+        "(very low readability correlates with boilerplate/code/spam). "
+        "Syllables are approximated by vowel-group count (the standard "
+        "regex surrogate, identical RE2 pattern in both engines), "
+        "sentences by terminal-punctuation runs; both are floored at 1 "
+        "and the words denominator is guarded, so every ratio is an "
+        "exact-integer division and the score one fixed constant-"
+        "weighted op sequence — deterministic despite the non-dyadic "
+        "Flesch constants, because both engines parse the identical "
+        "decimal literals to the same doubles and apply the same op "
+        "order. Map-only: zero shuffles.",
+    tags=("text",),
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    n_words = F.size(tokens(F.col("text"))).cast("bigint")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("bigint")
+    n_syll = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+        ),
+        F.lit(1),
+    ).cast("bigint")
+    feats = t.documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+        - F.lit(84.6)
+        * (
+            F.col("n_syll").cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1)).cast("double")
+        )
+    )
+    return feats.select(
+        "doc_id", "n_words", "n_sents", "n_syll", flesch.alias("flesch")
+    )

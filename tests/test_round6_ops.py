@@ -1158,3 +1158,122 @@ def test_conformal_coverage_guarantee_and_quantile(spark, sf_dir):
         k = min(n_cal, ((n_cal + 1) * a) // 10)
         assert r["q_cents"] == cal[k - 1]
         assert r["n_cal"] == n_cal
+
+
+# ----------------------------------------------------- item CF
+
+
+def test_item_cf_python_reference(spark, sf_dir):
+    """Top-5 cosine neighbors per item recomputed from the basket sets
+    in python must match exactly (counts, rounded sims, tie-broken
+    ranking cutoff)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.ml_data import (
+        _CF_TOPN, ml_item_cf,
+    )
+
+    t = Tables(spark, sf_dir)
+    baskets = defaultdict(set)
+    for r in t.lineitem.select("l_orderkey", "l_partkey").collect():
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    item_n, pair_c = Counter(), Counter()
+    for items in baskets.values():
+        item_n.update(items)
+        s = sorted(items)
+        for i, x in enumerate(s):
+            for y in s[i + 1:]:
+                pair_c[(x, y)] += 1
+    nbrs = defaultdict(list)
+    for (x, y), c in pair_c.items():
+        if c < 2:
+            continue
+        sim = round(c / math.sqrt(item_n[x] * item_n[y]), 6)
+        nbrs[x].append((-sim, y, c))
+        nbrs[y].append((-sim, x, c))
+    want = set()
+    for item, cands in nbrs.items():
+        cands.sort()
+        for negsim, nbr, c in cands[:_CF_TOPN]:
+            want.add((item, nbr, c, -negsim))
+    got = {
+        (r["item"], r["nbr"], r["c_ab"], r["sim"])
+        for r in ml_item_cf(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+# -------------------------------------------------- readability
+
+
+def test_readability_crafted_docs(spark, tmp_path):
+    """Known feature counts: simple short sentences score high; a
+    single long polysyllabic run scores lower; zero-sentence text is
+    floored, never a division by zero."""
+    from hadoop_spark_pspd_spark.operators.text_analysis import (
+        text_readability,
+    )
+
+    docs = [
+        (1, "The cat sat. The dog ran. It was fun."),
+        (2, "extraordinarily incomprehensible organizational "
+            "responsibilities notwithstanding"),
+        (3, "no terminal punctuation here at all"),
+    ]
+    sf = str(tmp_path / "read")
+    spark.createDataFrame(
+        [(d, t_, "en", "web", len(t_)) for d, t_ in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r for r in text_readability(spark, sf).collect()}
+    assert got[1]["n_sents"] == 3
+    assert got[3]["n_sents"] == 1  # floored
+    assert got[1]["flesch"] > got[2]["flesch"]
+    import re
+
+    for did, txt in docs:
+        words = len([w for w in txt.split() if w])
+        sents = max(len(re.findall(r"[.!?]+", txt)), 1)
+        syll = max(len(re.findall(r"[aeiouy]+", txt.lower())), 1)
+        want = (
+            206.835 - 1.015 * (words / sents)
+            - 84.6 * (syll / max(words, 1))
+        )
+        assert got[did]["flesch"] == want
+        assert (got[did]["n_words"], got[did]["n_syll"]) == (words, syll)
+
+
+# ---------------------------------------------------- SRM check
+
+
+def test_srm_check_balanced_and_rigged(spark, tmp_path):
+    """A perfectly balanced split must not flag; a rigged 9:1 split
+    must flag (chi2 far above 16); keys replay exactly."""
+    import datetime as dt
+
+    from hadoop_spark_pspd_spark.operators.stats import ml_srm_check
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for i in range(500):  # balanced: alternating parity
+        rows.append((eid, t0, i, "click", 1.0, "{}")); eid += 1
+    for i in range(500):  # rigged: 90% even users
+        uid = 2 * i if i % 10 else 2 * i + 1
+        rows.append((eid, t0, uid, "view", 1.0, "{}")); eid += 1
+    sf = str(tmp_path / "srm")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {r["event_type"]: r for r in ml_srm_check(spark, sf).collect()}
+    c = got["click"]
+    assert (c["n_a"], c["n_b"]) == (250, 250)
+    assert not c["flagged"] and c["srm_key"] == 0
+    v = got["view"]
+    assert (v["n_a"], v["n_b"]) == (450, 50)
+    assert v["flagged"]
+    assert v["srm_key"] == (450 - 50) ** 2
+    assert v["srm_chi2"] == 400 * 400 / 500
