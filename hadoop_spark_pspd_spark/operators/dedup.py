@@ -1256,3 +1256,53 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = dedup_clusters(spark, sf_dir)
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("size"))
     return sizes.groupBy("size").agg(F.count("*").alias("n_clusters"))
+
+
+@register(
+    "dedup_keep_longest",
+    oracle=f"""
+        WITH lab AS ({_CLUSTER_ORACLE}),
+        members AS (
+            SELECT l.cluster_id, l.doc_id,
+                   CAST(strlen(d.text) AS BIGINT) AS n_bytes
+            FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+        )
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(max(n_bytes) AS BIGINT) AS keep_bytes,
+               min(CASE WHEN n_bytes = mx THEN doc_id END) AS keep_id
+        FROM (
+            SELECT *, max(n_bytes) OVER (PARTITION BY cluster_id) AS mx
+            FROM members
+        )
+        GROUP BY cluster_id
+    """,
+    doc="Content-aware survivorship for near-dup clusters: keep the "
+        "LONGEST member (byte length; min doc_id tie-break) instead of "
+        "the min-id one — the policy curation pipelines actually want, "
+        "since near-dups are usually truncations/excerpts of one "
+        "fuller document and dropping the long copy loses content. "
+        "Same contraction-CC labeling as dedup_clusters; the argmax is "
+        "a max-comparison (no arithmetic, hash-trivial). Byte-defined "
+        "length (octet_length == DuckDB strlen).",
+    tags=("dedup",),
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    labels = dedup_clusters(spark, sf_dir).select(
+        F.col("doc_id"), F.col("cluster_id")
+    )
+    members = labels.join(
+        t.documents.select(
+            "doc_id", F.octet_length("text").cast("bigint").alias("n_bytes")
+        ),
+        "doc_id",
+    )
+    return members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max("n_bytes").alias("keep_bytes"),
+        F.min_by(
+            F.col("doc_id"),
+            F.struct((-F.col("n_bytes")).alias("a"), F.col("doc_id").alias("b")),
+        ).alias("keep_id"),
+    )

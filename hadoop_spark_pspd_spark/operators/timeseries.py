@@ -782,3 +782,75 @@ def ts_channel_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "hour", "n", "ch_hi", "ch_lo",
         breakout.alias("breakout"),
     )
+
+
+_BT_LAG_H = 168  # seasonal-naive horizon: same hour last week
+
+
+@register(
+    "ts_backtest_mae",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), joined AS (
+            SELECT a.event_type, a.n,
+                   f.n AS forecast
+            FROM hourly a
+            JOIN hourly f
+              ON f.event_type = a.event_type
+             AND f.hour = a.hour - INTERVAL {_BT_LAG_H} HOUR
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_forecasts,
+               CAST(SUM(abs(n - forecast)) AS BIGINT) AS abs_err_total,
+               CAST(SUM(abs(n - forecast)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS mae,
+               CAST(SUM(CASE WHEN n = forecast THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact
+        FROM joined GROUP BY event_type
+    """,
+    doc="Rolling-origin backtest of the seasonal-naive forecaster "
+        "(forecast = same hour last week) over hourly event counts — "
+        "the baseline every demand-forecasting system must beat, "
+        "evaluated the way a forecasting platform actually scores "
+        "models: walk forward, score only hours whose seasonal lag "
+        "exists. Errors are |count - lag| INTEGER sums (MAE needs no "
+        "float accumulation, unlike RMSE), one exact division at the "
+        "end. Implemented as a self-equi-join on the shifted hour "
+        "rather than a 168-row window frame: one hash join beats "
+        "carrying a week of per-series window state, and hours missing "
+        "from the lag side drop out exactly like the oracle's inner "
+        "join. Two shuffles total.",
+    tags=("timeseries", "ml"),
+)
+def ts_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    fc = hourly.select(
+        "event_type",
+        (F.col("hour") + F.expr(f"INTERVAL {_BT_LAG_H} HOURS")).alias(
+            "hour"
+        ),
+        F.col("n").alias("forecast"),
+    )
+    joined = hourly.join(fc, ["event_type", "hour"])
+    err = F.abs(F.col("n") - F.col("forecast"))
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_forecasts"),
+        F.sum(err).cast("bigint").alias("abs_err_total"),
+        (F.sum(err).cast("double") / F.count("*").cast("double")).alias(
+            "mae"
+        ),
+        F.sum(F.when(F.col("n") == F.col("forecast"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+    )

@@ -1277,3 +1277,81 @@ def test_srm_check_balanced_and_rigged(spark, tmp_path):
     assert v["flagged"]
     assert v["srm_key"] == (450 - 50) ** 2
     assert v["srm_chi2"] == 400 * 400 / 500
+
+
+# ------------------------------------------------- backtest MAE
+
+
+def test_backtest_mae_crafted_seasonal_series(spark, tmp_path):
+    """A series that repeats weekly except one anomalous hour: MAE
+    must equal exactly the planted deviation / forecastable hours, and
+    a series shorter than the lag must produce no forecasts."""
+    import datetime as dt
+
+    from hadoop_spark_pspd_spark.operators.timeseries import (
+        _BT_LAG_H, ts_backtest_mae,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # 2 weeks of perfectly repeating hourly counts (i % 24 // 8 + 1
+    # events), except hour 200 gets 5 extra events
+    for h in range(2 * _BT_LAG_H):
+        n = (h % 24) // 8 + 1 + (5 if h == 200 else 0)
+        for _ in range(n):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    # short series: only 3 hours -> no lagged forecast possible
+    for h in range(3):
+        rows.append(
+            (eid, t0 + dt.timedelta(hours=h), 1, "error", 1.0, "{}")
+        )
+        eid += 1
+    sf = str(tmp_path / "bt")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {r["event_type"]: r for r in ts_backtest_mae(spark, sf).collect()}
+    c = got["click"]
+    assert c["n_forecasts"] == _BT_LAG_H
+    assert c["abs_err_total"] == 5       # the single planted anomaly
+    assert c["mae"] == 5 / _BT_LAG_H
+    assert c["n_exact"] == _BT_LAG_H - 1
+    assert "error" not in got            # sub-lag series drops out
+
+
+# --------------------------------------------- keep-longest dedup
+
+
+def test_keep_longest_picks_longest_member(spark, sf_dir):
+    """For every cluster the keeper must be the byte-longest member
+    (min doc_id among ties) of the dedup_clusters labeling."""
+    from collections import defaultdict
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.dedup import (
+        dedup_clusters, dedup_keep_longest,
+    )
+
+    t = Tables(spark, sf_dir)
+    nb = {
+        r["doc_id"]: len(r["text"].encode())
+        for r in t.documents.select("doc_id", "text").collect()
+    }
+    clusters = defaultdict(list)
+    for r in dedup_clusters(spark, sf_dir).collect():
+        clusters[r["cluster_id"]].append(r["doc_id"])
+    want = {}
+    for cid, docs in clusters.items():
+        best = min(docs, key=lambda d: (-nb[d], d))
+        want[cid] = (len(docs), nb[best], best)
+    got = {
+        r["cluster_id"]: (r["n_members"], r["keep_bytes"], r["keep_id"])
+        for r in dedup_keep_longest(spark, sf_dir).collect()
+    }
+    assert got == want
+    spark.catalog.clearCache()
