@@ -1759,3 +1759,95 @@ def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _CF_TOPN)
         .select("item", "nbr", "c_ab", "sim")
     )
+
+
+@register(
+    "ml_cf_coverage",
+    oracle=f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), item_n AS (
+            SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS c
+            FROM baskets GROUP BY 1
+        ), pair_c AS (
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   CAST(count(*) AS BIGINT) AS c_ab
+            FROM baskets a
+            JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ), covered AS (
+            SELECT DISTINCT item FROM (
+                SELECT item_a AS item FROM pair_c WHERE c_ab >= 2
+                UNION ALL
+                SELECT item_b FROM pair_c WHERE c_ab >= 2
+            )
+        ), nums AS (
+            SELECT CAST((SELECT count(*) FROM part) AS BIGINT)
+                       AS n_catalog,
+                   CAST((SELECT count(*) FROM item_n) AS BIGINT)
+                       AS n_purchased,
+                   CAST((SELECT count(*) FROM covered) AS BIGINT)
+                       AS n_with_recs
+        )
+        SELECT n_catalog, n_purchased, n_with_recs,
+               CAST(n_with_recs AS DOUBLE) / CAST(n_catalog AS DOUBLE)
+                   AS catalog_coverage,
+               CAST(n_with_recs AS DOUBLE) / CAST(n_purchased AS DOUBLE)
+                   AS purchased_coverage
+        FROM nums
+    """,
+    doc="Recommender catalog-coverage readout — the cold-start health "
+        "metric reviewed alongside accuracy (a recommender that covers "
+        "20% of the catalog funnels all traffic to head items no "
+        "matter how good its precision is): how many catalog items "
+        "were ever purchased, how many clear ml_item_cf's support "
+        "threshold and therefore have at least one neighbor, and both "
+        "coverage ratios (exact-integer divisions). Same bounded "
+        "basket-pair aggregation as ml_item_cf; three scalar "
+        "subqueries fold to one row.",
+    tags=("ml",),
+)
+def ml_cf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    baskets = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    item_n = baskets.groupBy(
+        F.col("l_partkey").alias("item")
+    ).agg(F.count("*").alias("c"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_c = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    covered = (
+        pair_c.select(F.col("item_a").alias("item"))
+        .union(pair_c.select(F.col("item_b").alias("item")))
+        .distinct()
+    )
+    nums = (
+        t.part.agg(F.count("*").alias("n_catalog"))
+        .crossJoin(item_n.agg(F.count("*").alias("n_purchased")))
+        .crossJoin(covered.agg(F.count("*").alias("n_with_recs")))
+    )
+    return nums.select(
+        "n_catalog",
+        "n_purchased",
+        "n_with_recs",
+        (
+            F.col("n_with_recs").cast("double")
+            / F.col("n_catalog").cast("double")
+        ).alias("catalog_coverage"),
+        (
+            F.col("n_with_recs").cast("double")
+            / F.col("n_purchased").cast("double")
+        ).alias("purchased_coverage"),
+    )

@@ -653,3 +653,60 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l",
         (F.col("l") < _LDIV).alias("violates"),
     )
+
+
+@register(
+    "q_key_skew_profile",
+    oracle="""
+        WITH per_key AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS rows_per_key
+            FROM orders GROUP BY o_custkey
+        ), hist AS (
+            SELECT rows_per_key, CAST(count(*) AS BIGINT) AS n_keys
+            FROM per_key GROUP BY rows_per_key
+        ), summary AS (
+            SELECT CAST(SUM(rows_per_key * n_keys) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_keys) AS BIGINT) AS n_keys_total,
+                   CAST(MAX(rows_per_key) AS BIGINT) AS max_per_key
+            FROM hist
+        )
+        SELECT h.rows_per_key, h.n_keys,
+               s.max_per_key,
+               CAST(s.max_per_key * s.n_keys_total AS DOUBLE)
+                   / CAST(s.n_rows AS DOUBLE) AS skew_factor
+        FROM hist h, summary s
+    """,
+    doc="Join-key skew profile for orders.o_custkey — the diagnostic "
+        "that decides whether a shuffle join needs salting or an AQE "
+        "skew split BEFORE the job ships: the rows-per-key histogram "
+        "plus the skew factor max_per_key / mean_per_key (cross-"
+        "multiplied as max*n_keys/n_rows — one exact division; a "
+        "factor near 1 is uniform, >> 1 means one hot key dominates "
+        "a reducer). Two aggregations over one scan; the histogram is "
+        "bounded by the distinct per-key counts, not the key count.",
+    tags=("profiling",),
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_key = t.orders.groupBy("o_custkey").agg(
+        F.count("*").alias("rows_per_key")
+    )
+    hist = per_key.groupBy("rows_per_key").agg(
+        F.count("*").alias("n_keys")
+    )
+    summary = hist.agg(
+        F.sum(F.col("rows_per_key") * F.col("n_keys"))
+        .cast("bigint")
+        .alias("n_rows"),
+        F.sum("n_keys").cast("bigint").alias("n_keys_total"),
+        F.max("rows_per_key").cast("bigint").alias("max_per_key"),
+    )
+    return hist.crossJoin(F.broadcast(summary)).select(
+        "rows_per_key",
+        "n_keys",
+        "max_per_key",
+        (
+            (F.col("max_per_key") * F.col("n_keys_total")).cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_factor"),
+    )

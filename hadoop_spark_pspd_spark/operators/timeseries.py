@@ -854,3 +854,63 @@ def ts_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_exact"),
     )
+
+
+@register(
+    "ts_missing_hours",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour
+            FROM events GROUP BY 1, 2
+        ), spans AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_observed,
+                   CAST((epoch(CAST(max(hour) AS TIMESTAMP))
+                         - epoch(CAST(min(hour) AS TIMESTAMP)))
+                        AS BIGINT) // 3600 + 1 AS n_expected
+            FROM hourly GROUP BY event_type
+        )
+        SELECT event_type, n_observed,
+               CAST(n_expected AS BIGINT) AS n_expected,
+               CAST(n_expected - n_observed AS BIGINT) AS n_missing,
+               CAST(n_expected - n_observed AS DOUBLE)
+                   / CAST(n_expected AS DOUBLE) AS missing_frac
+        FROM spans
+    """,
+    doc="Hourly-continuity audit per event series — the freshness/"
+        "completeness check a data-SLA monitor runs on every ingested "
+        "stream: expected hours = span between first and last observed "
+        "hour (epoch-second arithmetic, integer division by 3600 — "
+        "Spark unix_timestamp == DuckDB epoch under the pinned UTC "
+        "session), observed = distinct hours present, missing = the "
+        "gap count that pages the on-call. All integers plus one exact "
+        "division. One agg over the distinct (type, hour) grid.",
+    tags=("timeseries", "profiling"),
+)
+def ts_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    hourly = t.events.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).distinct()
+    spans = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_observed"),
+        (
+            (
+                F.unix_timestamp(F.max("hour"))
+                - F.unix_timestamp(F.min("hour"))
+            )
+            / 3600
+        ).cast("bigint").alias("span_h"),
+    )
+    n_expected = F.col("span_h") + 1
+    return spans.select(
+        "event_type",
+        "n_observed",
+        n_expected.cast("bigint").alias("n_expected"),
+        (n_expected - F.col("n_observed")).cast("bigint").alias("n_missing"),
+        (
+            (n_expected - F.col("n_observed")).cast("double")
+            / n_expected.cast("double")
+        ).alias("missing_frac"),
+    )

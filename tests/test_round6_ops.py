@@ -1355,3 +1355,83 @@ def test_keep_longest_picks_longest_member(spark, sf_dir):
     }
     assert got == want
     spark.catalog.clearCache()
+
+
+# ------------------------------------------------ key skew profile
+
+
+def test_key_skew_profile_identities(spark, sf_dir):
+    """Histogram mass must reconstruct the orders row count, and
+    skew_factor must equal max/mean recomputed from the histogram."""
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.profiling import (
+        q_key_skew_profile,
+    )
+
+    t = Tables(spark, sf_dir)
+    n_orders = t.orders.count()
+    rows = q_key_skew_profile(spark, sf_dir).collect()
+    n_rows = sum(r["rows_per_key"] * r["n_keys"] for r in rows)
+    n_keys = sum(r["n_keys"] for r in rows)
+    mx = max(r["rows_per_key"] for r in rows)
+    assert n_rows == n_orders
+    for r in rows:
+        assert r["max_per_key"] == mx
+        assert r["skew_factor"] == mx * n_keys / n_rows
+
+
+# ------------------------------------------------- missing hours
+
+
+def test_missing_hours_crafted_gaps(spark, tmp_path):
+    """A series with two planted missing hours must report exactly
+    those; a gapless series reports zero."""
+    import datetime as dt
+
+    from hadoop_spark_pspd_spark.operators.timeseries import (
+        ts_missing_hours,
+    )
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows, eid = [], 0
+    for h in range(48):
+        if h in (10, 30):
+            continue  # planted gaps
+        rows.append((eid, t0 + dt.timedelta(hours=h), 1, "click", 1.0, "{}"))
+        eid += 1
+    for h in range(24):
+        rows.append((eid, t0 + dt.timedelta(hours=h), 1, "view", 1.0, "{}"))
+        eid += 1
+    sf = str(tmp_path / "gaps")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {r["event_type"]: r for r in ts_missing_hours(spark, sf).collect()}
+    c = got["click"]
+    assert (c["n_expected"], c["n_observed"], c["n_missing"]) == (48, 46, 2)
+    v = got["view"]
+    assert (v["n_expected"], v["n_missing"]) == (24, 0)
+
+
+# -------------------------------------------------- CF coverage
+
+
+def test_cf_coverage_consistent_with_item_cf(spark, sf_dir):
+    """n_with_recs must equal the count of distinct items ml_item_cf
+    emits recommendations for, and coverage ratios must replay."""
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.ml_data import (
+        ml_cf_coverage, ml_item_cf,
+    )
+
+    t = Tables(spark, sf_dir)
+    items_with = {
+        r["item"] for r in ml_item_cf(spark, sf_dir).collect()
+    }
+    r = ml_cf_coverage(spark, sf_dir).collect()[0]
+    assert r["n_with_recs"] == len(items_with)
+    assert r["n_catalog"] == t.part.count()
+    assert r["catalog_coverage"] == len(items_with) / r["n_catalog"]
+    assert r["purchased_coverage"] == len(items_with) / r["n_purchased"]
