@@ -1265,3 +1265,109 @@ def graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
             phi.alias("phi"),
         )
     )
+
+
+_KATZ_ROUNDS = 6  # attenuation beta = 1/2, truncated at 6 hops
+
+
+def _katz_oracle() -> str:
+    """Unrolled MATERIALIZED CTEs replaying the exact integer recursion
+    p_{{k+1}}(v) = sum over edges (u, v) of p_k(u), with the katz key
+    accumulating p_k(v) * 2^(ROUNDS - k) — every quantity is an exact
+    path count times a power of two, so the centrality is an int64."""
+    steps = []
+    for k in range(1, _KATZ_ROUNDS + 1):
+        steps.append(f"""
+        , p{k} AS MATERIALIZED (
+            SELECT b.v AS node, CAST(SUM(p.c) AS BIGINT) AS c
+            FROM p{k - 1} p JOIN bidir b ON b.u = p.node
+            GROUP BY b.v
+        )""")
+    acc = " + ".join(
+        f"COALESCE(p{k}.c, 0) * {1 << (_KATZ_ROUNDS - k)}"
+        for k in range(1, _KATZ_ROUNDS + 1)
+    )
+    joins = "\n            ".join(
+        f"LEFT JOIN p{k} ON p{k}.node = n.node"
+        for k in range(1, _KATZ_ROUNDS + 1)
+    )
+    return f"""
+        , bidir AS MATERIALIZED (
+            SELECT s1 AS u, s2 AS v FROM edges
+            UNION ALL
+            SELECT s2, s1 FROM edges
+        ), p0 AS MATERIALIZED (
+            SELECT node, CAST(1 AS BIGINT) AS c
+            FROM (SELECT DISTINCT u AS node FROM bidir)
+        ){"".join(steps)}
+        SELECT n.node,
+               CAST({acc} AS BIGINT) AS katz_q,
+               CAST({acc} AS DOUBLE) / {float(1 << _KATZ_ROUNDS)}
+                   AS katz
+        FROM p0 n
+            {joins}
+    """
+
+
+@register(
+    "graph_katz_centrality",
+    oracle=_EDGES_ORACLE + _katz_oracle(),
+    doc="Katz centrality with attenuation beta = 1/2 truncated at 6 "
+        "hops over the sparsified co-occurrence graph: katz(v) = "
+        "sum_k beta^k * (number of k-walks ending at v). Choosing a "
+        "POWER-OF-TWO attenuation makes every term an integer walk "
+        "count times 2^(6-k), so the whole centrality is an exact "
+        "int64 key (emitted alongside the /2^6 double) — no fixed-"
+        "point scaffolding needed, walk counts are bounded by "
+        "degree^k <= 8^6 per node on the mutual-top-8 graph. Six "
+        "join+groupBy rounds over the V*8 edge list, lineage cut "
+        "lazily; the oracle unrolls the same recursion as MATERIALIZED "
+        "CTEs. Complements PageRank (random-walk stationary mass) with "
+        "the walk-counting centrality family.",
+    tags=("graph",),
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = cooccurrence_edges(spark, sf_dir)
+    bidir = (
+        edges.select(F.col("s1").alias("u"), F.col("s2").alias("v"))
+        .union(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    p = (
+        bidir.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("c", F.lit(1).cast("bigint"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = p.select("node")
+    acc = p.select(
+        "node",
+        (F.col("c") * F.lit(0)).alias("katz_q"),  # walks of length >= 1 only
+    )
+    for k in range(1, _KATZ_ROUNDS + 1):
+        p = (
+            bidir.join(p, bidir["u"] == p["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        acc = (
+            acc.join(p.withColumnRenamed("c", "ck"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("katz_q")
+                    + F.coalesce(F.col("ck"), F.lit(0))
+                    * F.lit(1 << (_KATZ_ROUNDS - k)).cast("bigint")
+                ).alias("katz_q"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return nodes.join(acc, "node", "left").select(
+        "node",
+        F.coalesce("katz_q", F.lit(0)).cast("bigint").alias("katz_q"),
+        (
+            F.coalesce("katz_q", F.lit(0)).cast("double")
+            / F.lit(float(1 << _KATZ_ROUNDS))
+        ).alias("katz"),
+    )

@@ -1703,6 +1703,7 @@ _CF_TOPN = 5  # neighbors kept per item
         "(~7 lineitems -> <=21 unordered pairs per order), so the "
         "self-join is linear in lineitem at any corpus scale — the same "
         "shape as the supplier co-occurrence graph, never user x user.",
+    bench=True,
     tags=("ml",),
 )
 def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1435,3 +1435,41 @@ def test_cf_coverage_consistent_with_item_cf(spark, sf_dir):
     assert r["n_catalog"] == t.part.count()
     assert r["catalog_coverage"] == len(items_with) / r["n_catalog"]
     assert r["purchased_coverage"] == len(items_with) / r["n_purchased"]
+
+
+# ------------------------------------------------ katz centrality
+
+
+def test_katz_python_reference_on_crafted_graph(spark, sf_dir):
+    """katz_q recomputed from the edge list by integer matrix-free walk
+    counting must match exactly for every node."""
+    from collections import defaultdict
+
+    from hadoop_spark_pspd_spark.operators.graph import (
+        _KATZ_ROUNDS, cooccurrence_edges, graph_katz_centrality,
+    )
+
+    adj = defaultdict(list)
+    nodes = set()
+    for r in cooccurrence_edges(spark, sf_dir).collect():
+        adj[r["s1"]].append(r["s2"])
+        adj[r["s2"]].append(r["s1"])
+        nodes.update((r["s1"], r["s2"]))
+    p = {v: 1 for v in nodes}
+    katz = {v: 0 for v in nodes}
+    for k in range(1, _KATZ_ROUNDS + 1):
+        nxt = defaultdict(int)
+        for u, c in p.items():
+            for v in adj[u]:
+                nxt[v] += c
+        p = dict(nxt)
+        w = 1 << (_KATZ_ROUNDS - k)
+        for v, c in p.items():
+            katz[v] += c * w
+    got = {
+        r["node"]: (r["katz_q"], r["katz"])
+        for r in graph_katz_centrality(spark, sf_dir).collect()
+    }
+    want = {v: (q, q / float(1 << _KATZ_ROUNDS)) for v, q in katz.items()}
+    assert got == want
+    spark.catalog.clearCache()
