@@ -1852,3 +1852,72 @@ def ml_cf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_purchased").cast("double")
         ).alias("purchased_coverage"),
     )
+
+
+_LEAK_T = 1 << 52
+_LEAK_TRAIN = 3 * (_LEAK_T // 4)  # 75/25 md5 split
+
+
+def _leakage_oracle() -> str:
+    from .dedup import _JACCARD_ORACLE
+
+    return f"""
+        WITH pairs AS (
+            {_JACCARD_ORACLE}
+        ), tagged AS (
+            SELECT p.doc_a, p.doc_b,
+                   (CAST(('0x' || substr(md5(CAST(p.doc_a AS VARCHAR)),
+                        1, 13)) AS UBIGINT) < {_LEAK_TRAIN}) AS a_train,
+                   (CAST(('0x' || substr(md5(CAST(p.doc_b AS VARCHAR)),
+                        1, 13)) AS UBIGINT) < {_LEAK_TRAIN}) AS b_train
+            FROM pairs p
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN a_train <> b_train THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cross_split,
+               CAST(SUM(CASE WHEN a_train <> b_train THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+                   / CAST(CASE WHEN count(*) = 0 THEN 1
+                               ELSE count(*) END AS DOUBLE) AS leak_frac
+        FROM tagged
+    """
+
+
+@register(
+    "ml_holdout_leakage",
+    oracle=_leakage_oracle(),
+    doc="Train/test leakage audit — the check that catches the classic "
+        "eval bug where near-duplicate documents straddle a random "
+        "split and the model 'generalizes' to test items it memorized "
+        "from train: count verified Jaccard>=0.8 near-dup pairs whose "
+        "endpoints land on opposite sides of the 75/25 md5 document "
+        "split. A nonzero leak_frac means dedup must run BEFORE "
+        "splitting (the SemDeDup/C4 ordering). Composes the exact "
+        "near-dup pair SQL with the md5 split predicate; all counts "
+        "exact, one guarded division. The pair generation is the "
+        "bounded LSH path on the Spark side (same shared oracle as "
+        "dedup_minhash_lsh).",
+    tags=("ml", "dedup"),
+)
+def ml_holdout_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    h = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(F.col(c).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    tagged = pairs.select(
+        (h("doc_a") < F.lit(_LEAK_TRAIN)).alias("a_train"),
+        (h("doc_b") < F.lit(_LEAK_TRAIN)).alias("b_train"),
+    )
+    cross = F.when(F.col("a_train") != F.col("b_train"), 1).otherwise(0)
+    return tagged.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(cross).cast("bigint").alias("n_cross_split"),
+        (
+            F.sum(cross).cast("double")
+            / F.when(F.count("*") == 0, 1)
+            .otherwise(F.count("*"))
+            .cast("double")
+        ).alias("leak_frac"),
+    )

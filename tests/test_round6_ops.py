@@ -1473,3 +1473,34 @@ def test_katz_python_reference_on_crafted_graph(spark, sf_dir):
     want = {v: (q, q / float(1 << _KATZ_ROUNDS)) for v, q in katz.items()}
     assert got == want
     spark.catalog.clearCache()
+
+
+# --------------------------------------------------- holdout leakage
+
+
+def test_holdout_leakage_counts_cross_pairs(spark, sf_dir):
+    """n_cross_split recomputed from the minhash pair list and the md5
+    split predicate in python must match exactly."""
+    import hashlib
+
+    from hadoop_spark_pspd_spark.operators.dedup import dedup_minhash_lsh
+    from hadoop_spark_pspd_spark.operators.ml_data import (
+        _LEAK_TRAIN, ml_holdout_leakage,
+    )
+
+    def is_train(doc_id: int) -> bool:
+        return (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16)
+            < _LEAK_TRAIN
+        )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    cross = sum(1 for a, b in pairs if is_train(a) != is_train(b))
+    r = ml_holdout_leakage(spark, sf_dir).collect()[0]
+    assert r["n_pairs"] == len(pairs)
+    assert r["n_cross_split"] == cross
+    assert r["leak_frac"] == cross / max(len(pairs), 1)
+    spark.catalog.clearCache()
