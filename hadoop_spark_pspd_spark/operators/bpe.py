@@ -514,39 +514,81 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, n_bytes long, n_tokens long, "
             "bytes_per_token double",
         )
-    hx = F.hex(F.col("text").cast("binary"))
-    # 0-byte docs: sequence(1, 0) is the DESCENDING [1, 0] — two phantom
-    # empty symbols, n_tokens=2 for an empty doc — while the oracle's
-    # range(1, 1) is empty and its inner join drops the doc. Drop them
-    # up front (matching the oracle) — an empty doc has no tokens.
+    # 0-byte docs: the oracle's range(1, 1) is empty and its inner join
+    # drops the doc — drop them up front; an empty doc has no tokens.
     docs = t.documents.filter(F.octet_length("text") >= 1).repartition(
-        # small parquet = ONE input split; the per-byte posexplode is
+        # small parquet = ONE input split; the encode kernel is
         # CPU-bound, so spread it first (no-op cost at real scale)
         spark.sparkContext.defaultParallelism
     )
-    state = (
-        docs.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.octet_length("text")),
-                    lambda i: F.substring(hx, i * 2 - 1, F.lit(2)),
+    # rules in SYMBOL-ID space: initial ids are byte values, merge r
+    # creates id 256+r; a merged symbol's hex is the concatenation of
+    # its parts' hex, so the id table is rebuilt exactly from the rule
+    # list (numpy closure — not a literal expression tree, per the
+    # Catalyst-OOM rule in CLAUDE.md)
+    id_map = {f"{b:02X}": b for b in range(256)}
+    rule_ids = []
+    for rank, a, b, _freq in merges:
+        new_id = 256 + rank
+        rule_ids.append((id_map[a], id_map[b], new_id))
+        id_map[a + b] = new_id
+
+    def _encode_counts(batches):
+        import numpy as np
+        import pandas as pd
+
+        SEP = -1
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "n_tokens": pd.Series([], dtype="int64")}
                 )
-            ).alias("p0", "sym"),
-        )
-        .select(
-            "doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "sym"
-        )
-        .localCheckpoint()
-    )
-    # batch non-interacting rules (typically 12 rounds -> ~4-6 passes):
-    # each batch is one simultaneous window pass provably equal to its
-    # rules' sequential application (see _batch_merges)
-    for batch in _batch_merges(merges):
-        state = _apply_merge_batch(state, batch, "doc_id")
-    n_tok = state.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens")
-    )
+                continue
+            seqs = [
+                np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int32)
+                for p in pdf["payload"]
+            ]
+            parts = []
+            for sq in seqs:
+                parts.append(sq)
+                parts.append(np.array([SEP], dtype=np.int32))
+            arr = np.concatenate(parts)[:-1]
+            for a_id, b_id, new_id in rule_ids:
+                if arr.size < 2:
+                    break
+                m = (arr[:-1] == a_id) & (arr[1:] == b_id)
+                if not m.any():
+                    continue
+                # greedy left-to-right non-overlap: within each run of
+                # consecutive matches take every other one from the start
+                idx = np.arange(m.size)
+                starts = m & np.concatenate(([True], ~m[:-1]))
+                runstart = np.maximum.accumulate(
+                    np.where(starts, idx, -1)
+                )
+                take = m & (((idx - runstart) & 1) == 0)
+                pos = np.nonzero(take)[0]
+                arr[pos] = new_id
+                arr = np.delete(arr, pos + 1)
+            sep_pos = np.nonzero(arr == SEP)[0]
+            bounds = np.concatenate(([-1], sep_pos, [arr.size]))
+            counts = np.diff(bounds) - 1
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "n_tokens": pd.Series(counts, dtype="int64")}
+            )
+
+    # ONE shuffle-free linear pass: tokenization is per-document-local,
+    # so the former 4-6 chained window passes (each a full sort+shuffle
+    # of the 1-row-per-BYTE symbol table) collapse into an Arrow-batched
+    # numpy kernel applying the 12 rules sequentially per partition —
+    # same greedy-non-overlap semantics, pinned by the unchanged oracle
+    # (18 s -> ~4 s at sf0.1). Docs are separated by a sentinel id no
+    # rule can match, so merges never cross documents.
+    n_tok = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    ).mapInPandas(_encode_counts, "doc_id long, n_tokens long")
     base = t.documents.select(
         "doc_id", F.octet_length("text").cast("long").alias("n_bytes")
     )
