@@ -1715,26 +1715,21 @@ def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("item")
     ).agg(F.count("*").alias("c"))
     a, b = baskets.alias("a"), baskets.alias("b")
-    pair_c = (
+    # both orientations emitted by the JOIN (!=, not <) so ONE
+    # aggregation produces the symmetric neighbor table — the union of
+    # a <-trimmed pair table duplicated the whole basket-join lineage
+    # (11 shuffles -> 8; same rows, since (a,b) and (b,a) counts match)
+    sym = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
         )
         .groupBy(
-            F.col("a.l_partkey").alias("item_a"),
-            F.col("b.l_partkey").alias("item_b"),
+            F.col("a.l_partkey").alias("item"),
+            F.col("b.l_partkey").alias("nbr"),
         )
         .agg(F.count("*").alias("c_ab"))
-    )
-    sym = pair_c.select(
-        F.col("item_a").alias("item"), F.col("item_b").alias("nbr"), "c_ab"
-    ).union(
-        pair_c.select(
-            F.col("item_b").alias("item"),
-            F.col("item_a").alias("nbr"),
-            "c_ab",
-        )
     )
     scored = (
         sym.filter(F.col("c_ab") >= 2)
