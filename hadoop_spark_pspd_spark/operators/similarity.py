@@ -2737,3 +2737,78 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "sim_pq_recall",
+    oracle=f"""
+        WITH pq AS ({_pq_oracle()}),
+        full_rank AS (
+            SELECT query_id, candidate_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_cosine_sql("q", "c")} DESC, c.vec_id
+                       ) AS rk
+                FROM embeddings q
+                JOIN embeddings c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rk <= {TOP_K}
+        ), counts AS (
+            SELECT p.query_id,
+                   CAST(count(*) AS BIGINT) AS n_returned,
+                   CAST(SUM(CASE WHEN f.candidate_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+            FROM pq p
+            LEFT JOIN full_rank f USING (query_id, candidate_id)
+            GROUP BY p.query_id
+        )
+        SELECT q.vec_id AS query_id,
+               COALESCE(c.n_returned, 0) AS n_returned,
+               COALESCE(c.n_overlap, 0) AS n_overlap,
+               CAST(COALESCE(c.n_overlap, 0) AS DOUBLE) / {TOP_K}
+                   AS recall_at_k
+        FROM (SELECT vec_id FROM embeddings
+              WHERE vec_id < {N_QUERIES}) q
+        LEFT JOIN counts c ON c.query_id = q.vec_id
+    """,
+    doc="PQ index quality audit: recall@k of sim_ann_pq's ADC-scan-"
+        "then-rerank result against the exact brute-force cosine top-k "
+        "per query — closing the ANN-eval QUADRUPLE (matryoshka widths, "
+        "int8 codes, LSH tables, and now the product quantizer), so "
+        "every approximate index in the engine ships with its accuracy "
+        "measurement as a first-class oracled query. Composition "
+        "inherits exactness from the deterministic codebooks and "
+        "round-6 rerank; the oracle nests the full PQ-training replay "
+        "SQL as a CTE.",
+    tags=("similarity",),
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    pq = sim_ann_pq(spark, sf_dir).select("query_id", "candidate_id")
+    queries = t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+    full5 = cosine_topk(queries, t.embeddings, TOP_K).select(
+        "query_id", "candidate_id", F.lit(1).alias("hit")
+    )
+    counts = (
+        pq.join(F.broadcast(full5), ["query_id", "candidate_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_returned"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / TOP_K
+            ).alias("recall_at_k"),
+        )
+    )

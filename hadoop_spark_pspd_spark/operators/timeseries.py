@@ -914,3 +914,112 @@ def ts_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n_expected.cast("double")
         ).alias("missing_frac"),
     )
+
+
+@register(
+    "ts_anomaly_seasonal",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), joined AS (
+            SELECT a.event_type, a.hour, a.n,
+                   f.n AS forecast,
+                   a.n - f.n AS resid,
+                   abs(a.n - f.n) AS a_resid
+            FROM hourly a
+            JOIN hourly f
+              ON f.event_type = a.event_type
+             AND f.hour = a.hour - INTERVAL {_BT_LAG_H} HOUR
+        ), hist AS (
+            SELECT event_type, a_resid,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM joined GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, a_resid,
+                   SUM(cnt) OVER (PARTITION BY event_type
+                                  ORDER BY a_resid) AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS tot
+            FROM hist
+        ), mad AS (
+            SELECT event_type,
+                   CAST(min(CASE WHEN 2 * cum >= tot
+                                 THEN a_resid END) AS BIGINT) AS mad
+            FROM cum GROUP BY event_type
+        )
+        SELECT j.event_type, j.hour, j.n, j.forecast,
+               CAST(j.resid AS BIGINT) AS resid,
+               m.mad,
+               j.a_resid > 4 * (CASE WHEN m.mad = 0 THEN 1
+                                     ELSE m.mad END) AS flagged
+        FROM joined j JOIN mad m USING (event_type)
+    """,
+    doc="Seasonality-aware anomaly flags: residual = hourly count minus "
+        "the same hour last week (the ts_backtest_mae forecaster), "
+        "flagged when |residual| exceeds 4x the series' MEDIAN absolute "
+        "residual — robust to the heavy-tailed residuals that wreck "
+        "z-score rules, and seasonal where the Donchian breakout is "
+        "level-only. The MAD is an exact integer order statistic over "
+        "the |residual| VALUE HISTOGRAM (2*cum >= n on the bucket "
+        "cumsum — never a row sort), the zero-MAD degenerate series "
+        "(perfectly repeating) is guarded to 1 identically in both "
+        "engines, and the flag is a pure integer comparison. Three "
+        "aggs + one bounded window over distinct residual values.",
+    tags=("timeseries", "ml"),
+)
+def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    fc = hourly.select(
+        "event_type",
+        (F.col("hour") + F.expr(f"INTERVAL {_BT_LAG_H} HOURS")).alias(
+            "hour"
+        ),
+        F.col("n").alias("forecast"),
+    )
+    joined = hourly.join(fc, ["event_type", "hour"]).select(
+        "event_type",
+        "hour",
+        "n",
+        "forecast",
+        (F.col("n") - F.col("forecast")).alias("resid"),
+        F.abs(F.col("n") - F.col("forecast")).alias("a_resid"),
+    )
+    hist = joined.groupBy("event_type", "a_resid").agg(
+        F.count("*").alias("cnt")
+    )
+    cum = hist.select(
+        "event_type",
+        "a_resid",
+        F.sum("cnt")
+        .over(W.partitionBy("event_type").orderBy("a_resid"))
+        .alias("cum"),
+        F.sum("cnt").over(W.partitionBy("event_type")).alias("tot"),
+    )
+    mad = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("tot"), F.col("a_resid"))
+        )
+        .cast("bigint")
+        .alias("mad")
+    )
+    guard = F.when(F.col("mad") == 0, 1).otherwise(F.col("mad"))
+    return joined.join(mad, "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        "forecast",
+        F.col("resid").cast("bigint").alias("resid"),
+        "mad",
+        (F.col("a_resid") > 4 * guard).alias("flagged"),
+    )

@@ -1504,3 +1504,77 @@ def test_holdout_leakage_counts_cross_pairs(spark, sf_dir):
     assert r["n_cross_split"] == cross
     assert r["leak_frac"] == cross / max(len(pairs), 1)
     spark.catalog.clearCache()
+
+
+# ----------------------------------------------------- PQ recall
+
+
+def test_pq_recall_consistent_with_components(spark, sf_dir):
+    """recall_at_k must equal the overlap of sim_ann_pq's emitted set
+    with the exact cosine top-k, per query, and every query must
+    appear exactly once."""
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        N_QUERIES, TOP_K, cosine_topk, sim_ann_pq, sim_pq_recall,
+    )
+    from pyspark.sql import functions as F
+
+    t = Tables(spark, sf_dir)
+    pq = {
+        (r["query_id"], r["candidate_id"])
+        for r in sim_ann_pq(spark, sf_dir).collect()
+    }
+    queries = t.embeddings.filter(F.col("vec_id") < N_QUERIES)
+    exact = {
+        (r["query_id"], r["candidate_id"])
+        for r in cosine_topk(queries, t.embeddings, TOP_K).collect()
+    }
+    got = {r["query_id"]: r for r in sim_pq_recall(spark, sf_dir).collect()}
+    assert len(got) == N_QUERIES
+    for q, r in got.items():
+        mine = {c for (qq, c) in pq if qq == q}
+        truth = {c for (qq, c) in exact if qq == q}
+        assert r["n_overlap"] == len(mine & truth)
+        assert r["recall_at_k"] == len(mine & truth) / TOP_K
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------- seasonal anomaly
+
+
+def test_seasonal_anomaly_planted_spike(spark, tmp_path):
+    """A weekly-repeating series with one planted spike: the spike hour
+    must be the ONLY flagged hour, its residual must equal the planted
+    deviation, and the MAD of an otherwise perfectly repeating series
+    is 0 (guarded to 1)."""
+    import datetime as dt
+
+    from hadoop_spark_pspd_spark.operators.timeseries import (
+        _BT_LAG_H, ts_anomaly_seasonal,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h in range(2 * _BT_LAG_H):
+        n = (h % 24) // 8 + 1 + (30 if h == 200 else 0)
+        for _ in range(n):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    sf = str(tmp_path / "anom")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r["hour"]: r for r in ts_anomaly_seasonal(spark, sf).collect()
+    }
+    flagged = [h for h, r in got.items() if r["flagged"]]
+    spike_hour = t0 + dt.timedelta(hours=200)
+    # hour 200 deviates +30 from last week; its echo at hour 368 is
+    # beyond the 336-hour series, so the spike is the ONLY flag
+    assert flagged == [spike_hour]
+    assert got[spike_hour]["resid"] == 30
+    assert got[spike_hour]["mad"] == 0  # all other residuals are 0
