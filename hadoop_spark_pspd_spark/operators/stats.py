@@ -1787,3 +1787,130 @@ def ml_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("srm_chi2"),
         (d * d > 16 * tot).alias("flagged"),
     )
+
+
+@register(
+    "ml_qini_curve",
+    oracle="""
+        WITH units AS (
+            SELECT c.c_custkey AS ck,
+                   CAST(c.c_custkey % 2 AS INTEGER) AS treated,
+                   CAST(COALESCE(SUM(CASE WHEN o.o_orderdate
+                                 < DATE '1995-01-01'
+                                 THEN CAST(o.o_totalprice AS DECIMAL(18,4))
+                                 END), 0) * 10000 AS BIGINT) AS score_q,
+                   CAST(MAX(CASE WHEN o.o_orderdate >= DATE '1995-01-01'
+                                  AND o.o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT treated, pos,
+                   ntile(10) OVER (ORDER BY score_q DESC, ck) AS decile
+            FROM units
+        ), per_decile AS (
+            SELECT decile,
+                   CAST(SUM(treated) AS BIGINT) AS n_t,
+                   CAST(count(*) - SUM(treated) AS BIGINT) AS n_c,
+                   CAST(SUM(CASE WHEN treated = 1 THEN pos ELSE 0 END)
+                        AS BIGINT) AS pos_t,
+                   CAST(SUM(CASE WHEN treated = 0 THEN pos ELSE 0 END)
+                        AS BIGINT) AS pos_c
+            FROM ranked GROUP BY decile
+        ), cum AS (
+            SELECT decile,
+                   CAST(SUM(n_t) OVER w AS BIGINT) AS cn_t,
+                   CAST(SUM(n_c) OVER w AS BIGINT) AS cn_c,
+                   CAST(SUM(pos_t) OVER w AS BIGINT) AS cpos_t,
+                   CAST(SUM(pos_c) OVER w AS BIGINT) AS cpos_c
+            FROM per_decile
+            WINDOW w AS (ORDER BY decile)
+        )
+        SELECT decile, cn_t, cn_c, cpos_t, cpos_c,
+               CAST(cpos_t * cn_c - cpos_c * cn_t AS BIGINT) AS qini_num,
+               CAST(cpos_t * cn_c - cpos_c * cn_t AS DOUBLE)
+                   / CAST(CASE WHEN cn_c = 0 THEN 1 ELSE cn_c END
+                          AS DOUBLE) AS qini
+        FROM cum
+    """,
+    doc="Qini curve — the uplift-modeling evaluation (Radcliffe): rank "
+        "customers by a targeting score (pre-1995 spend, quantized to "
+        "exact 1e-4 integer units), cut into ntile(10) deciles over a "
+        "UNIQUE total order, and report the cumulative incremental-"
+        "response curve qini(k) = cum_pos_treated - cum_pos_control * "
+        "cum_n_t/cum_n_c for the custkey-parity treatment. The "
+        "numerator is emitted CROSS-MULTIPLIED as an exact integer "
+        "(the fairness-parity trick) next to the one guarded division; "
+        "random targeting gives qini ~ 0 at every k, so the curve's "
+        "lift above zero is the model's value. Plan: one fact-dim agg, "
+        "one decile window over a unique key, one 10-row cumsum.",
+    tags=("ml", "stats"),
+)
+def ml_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    pre = F.when(
+        F.col("o_orderdate") < F.lit("1995-01-01").cast("date"), price
+    )
+    post_urgent = F.when(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderpriority") == "1-URGENT"),
+        1,
+    ).otherwise(0)
+    units = (
+        t.customer.join(
+            t.orders, t.orders.o_custkey == t.customer.c_custkey, "left"
+        )
+        .groupBy(
+            F.col("c_custkey").alias("ck"),
+            (F.col("c_custkey") % 2).cast("int").alias("treated"),
+        )
+        .agg(
+            (F.coalesce(F.sum(pre), F.lit(0)) * 10000)
+            .cast("long")
+            .alias("score_q"),
+            F.max(post_urgent).cast("bigint").alias("pos"),
+        )
+    )
+    ranked = units.select(
+        "treated",
+        "pos",
+        F.ntile(10)
+        .over(W.orderBy(F.desc("score_q"), F.asc("ck")))
+        .alias("decile"),
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.sum("treated").cast("bigint").alias("n_t"),
+        (F.count("*") - F.sum("treated")).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("pos")).otherwise(0))
+        .cast("bigint")
+        .alias("pos_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("pos")).otherwise(0))
+        .cast("bigint")
+        .alias("pos_c"),
+    )
+    w = W.orderBy("decile")
+    cum = per_decile.select(
+        "decile",
+        F.sum("n_t").over(w).cast("bigint").alias("cn_t"),
+        F.sum("n_c").over(w).cast("bigint").alias("cn_c"),
+        F.sum("pos_t").over(w).cast("bigint").alias("cpos_t"),
+        F.sum("pos_c").over(w).cast("bigint").alias("cpos_c"),
+    )
+    num = F.col("cpos_t") * F.col("cn_c") - F.col("cpos_c") * F.col("cn_t")
+    return cum.select(
+        "decile",
+        "cn_t",
+        "cn_c",
+        "cpos_t",
+        "cpos_c",
+        num.cast("bigint").alias("qini_num"),
+        (
+            num.cast("double")
+            / F.when(F.col("cn_c") == 0, 1)
+            .otherwise(F.col("cn_c"))
+            .cast("double")
+        ).alias("qini"),
+    )

@@ -1578,3 +1578,65 @@ def test_seasonal_anomaly_planted_spike(spark, tmp_path):
     assert flagged == [spike_hour]
     assert got[spike_hour]["resid"] == 30
     assert got[spike_hour]["mad"] == 0  # all other residuals are 0
+
+
+# ------------------------------------------------------ qini curve
+
+
+def test_qini_python_replay(spark, sf_dir):
+    """The full curve recomputed in python (same quantized score, same
+    unique-order deciles, same cross-multiplied cumulative form) must
+    match bit-for-bit; the final decile's qini_num telescopes to the
+    full-population treated/control contrast."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.stats import ml_qini_curve
+
+    t = Tables(spark, sf_dir)
+    cut = dt.date(1995, 1, 1)
+    agg = {}
+    for r in t.customer.select("c_custkey").collect():
+        agg[r["c_custkey"]] = [Decimal(0), 0]
+    for r in t.orders.select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    ).collect():
+        od = r["o_orderdate"]
+        if isinstance(od, dt.datetime):
+            od = od.date()
+        a = agg[r["o_custkey"]]
+        if od < cut:
+            a[0] += Decimal(str(r["o_totalprice"]))
+        elif r["o_orderpriority"] == "1-URGENT":
+            a[1] = 1
+    units = sorted(
+        (-int(x * 10000), ck, ck % 2, pos)
+        for ck, (x, pos) in agg.items()
+    )
+    n = len(units)
+    want = {}
+    cn_t = cn_c = cpos_t = cpos_c = 0
+    for d in range(1, 11):
+        lo = (d - 1) * n // 10 + min(d - 1, n % 10)
+        hi = d * n // 10 + min(d, n % 10)
+        for _, _, tr, pos in units[lo:hi]:
+            if tr == 1:
+                cn_t += 1
+                cpos_t += pos
+            else:
+                cn_c += 1
+                cpos_c += pos
+        num = cpos_t * cn_c - cpos_c * cn_t
+        want[d] = (
+            cn_t, cn_c, cpos_t, cpos_c, num,
+            num / (cn_c if cn_c else 1),
+        )
+    got = {
+        r["decile"]: (
+            r["cn_t"], r["cn_c"], r["cpos_t"], r["cpos_c"],
+            r["qini_num"], r["qini"],
+        )
+        for r in ml_qini_curve(spark, sf_dir).collect()
+    }
+    assert got == want
