@@ -997,3 +997,143 @@ def mm_byte_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n long, chisq_key long, chisq double, "
         "n_distinct_bytes long",
     )
+
+
+_VID_JACCARD = 0.5
+_VID_DF_CAP = 100  # signatures shared by more docs are too common to index
+
+
+@register(
+    "mm_video_neardup",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   CAST(strlen(text) AS BIGINT) AS n
+            FROM documents WHERE strlen(text) >= {SHOT_FRAME}
+        ), pos AS (
+            SELECT doc_id,
+                   CAST(unnest(range(1,
+                        (n // {SHOT_FRAME}) * {SHOT_FRAME} + 1))
+                        AS BIGINT) AS pos
+            FROM d
+        ), v AS MATERIALIZED (
+            SELECT p.doc_id, (p.pos - 1) // {SHOT_FRAME} AS frame,
+                   CAST(CAST(('0x' || substr(d.hx,
+                        CAST(2 * p.pos - 1 AS INTEGER), 2)) AS UBIGINT)
+                        AS BIGINT) AS s
+            FROM pos p JOIN d ON p.doc_id = d.doc_id
+        ), sigset AS MATERIALIZED (
+            SELECT DISTINCT doc_id, sig FROM (
+                SELECT doc_id, frame, CAST(SUM(s) AS BIGINT) AS sig
+                FROM v GROUP BY doc_id, frame
+            )
+        ), rare AS (
+            SELECT sig FROM sigset
+            GROUP BY sig HAVING count(*) <= {_VID_DF_CAP}
+        ), idx AS (
+            SELECT s.doc_id, s.sig FROM sigset s JOIN rare USING (sig)
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS nsig
+            FROM sigset GROUP BY doc_id
+        ), pair_common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM idx a JOIN idx b
+              ON a.sig = b.sig AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(c AS DOUBLE)
+                     / CAST(sa.nsig + sb.nsig - c AS DOUBLE), 6)
+                   AS jaccard
+        FROM pair_common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE)
+              / CAST(sa.nsig + sb.nsig - c AS DOUBLE) >= {_VID_JACCARD}
+    """,
+    doc="Whole-video near-duplicate pairs: each payload's DISTINCT set "
+        "of 64-byte frame signatures (the mm_video_shot_boundaries "
+        "framing) is Jaccard-compared via an inverted index on the "
+        "signature value, df <= 100 cap bounding the candidate join "
+        "(the dedup_containment recipe) — re-encoded, trimmed, or "
+        "re-containered copies of the same footage keep most frame "
+        "signatures even when byte-level hashes all change, which is "
+        "why video dedup runs at the frame-fingerprint level. "
+        "Candidate volume is O(sum df^2) with df capped, never video x "
+        "video; jaccard is one exact division rounded to 6. Real codec "
+        "decode sits behind the decode_media stub; byte frames stand "
+        "in for decoded-frame perceptual hashes.",
+    tags=("multimodal", "dedup"),
+)
+def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    payloads = (
+        t.documents.filter(F.octet_length("text") >= SHOT_FRAME)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+
+    def _sigsets(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                nf = arr.size // SHOT_FRAME
+                fr = (
+                    arr[: nf * SHOT_FRAME]
+                    .reshape(nf, SHOT_FRAME)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                for s in np.unique(fr):
+                    ids.append(did)
+                    sigs.append(int(s))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "sig": pd.Series(sigs, dtype="int64")}
+            )
+
+    sigset = payloads.mapInPandas(
+        _sigsets, "doc_id long, sig long"
+    ).cache()
+    rare = (
+        sigset.groupBy("sig")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _VID_DF_CAP)
+        .select("sig")
+    )
+    idx = sigset.join(rare, "sig")
+    sizes = sigset.groupBy("doc_id").agg(F.count("*").alias("nsig"))
+    a, b = idx.alias("a"), idx.alias("b")
+    pair_common = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    ).cast("double")
+    return (
+        pair_common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsig").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsig").alias("nb")),
+            "doc_b",
+        )
+        .filter(jac >= _VID_JACCARD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1023,3 +1023,55 @@ def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad",
         (F.col("a_resid") > 4 * guard).alias("flagged"),
     )
+
+
+@register(
+    "ts_load_profile",
+    oracle="""
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(dayofweek(hour) AS INTEGER) AS dow,
+               CAST(hour(hour) AS INTEGER) AS hod,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+               CAST(quantile_disc(n, 0.95) AS BIGINT) AS p95,
+               CAST(max(n) AS BIGINT) AS peak
+        FROM hourly
+        GROUP BY 1, 2
+    """,
+    doc="Hour-of-week load profile — the capacity-planning readout an "
+        "autoscaler or on-call rota is sized from: for each (day-of-"
+        "week, hour-of-day) bucket, the median, p95, and peak of total "
+        "hourly event counts across the observed weeks. Percentiles "
+        "are DISCRETE (actual observed counts — percentile_disc == "
+        "DuckDB quantile_disc, exact by construction, no "
+        "interpolation); day-of-week is aligned across engines (Spark "
+        "dayofweek is 1-7 Sunday-first, DuckDB 0-6 — Spark emits "
+        "dayofweek - 1). Two aggs; the profile is a fixed 168-row "
+        "table at any scale.",
+    tags=("timeseries", "profiling"),
+)
+def ts_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    return (
+        hourly.groupBy(
+            (F.dayofweek("hour") - 1).cast("int").alias("dow"),
+            F.hour("hour").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+            .cast("bigint")
+            .alias("p50"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n)")
+            .cast("bigint")
+            .alias("p95"),
+            F.max("n").cast("bigint").alias("peak"),
+        )
+    )

@@ -1640,3 +1640,86 @@ def test_qini_python_replay(spark, sf_dir):
         for r in ml_qini_curve(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# ----------------------------------------------------- load profile
+
+
+def test_load_profile_python_reference(spark, sf_dir):
+    """Per-(dow, hod) discrete percentiles recomputed in python must
+    match, using the same Sunday-first 0-6 day convention."""
+    import math
+    from collections import Counter, defaultdict
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.timeseries import (
+        ts_load_profile,
+    )
+
+    t = Tables(spark, sf_dir)
+    hourly = Counter()
+    for r in t.events.select("ts").collect():
+        ts = r["ts"]
+        hourly[ts.replace(minute=0, second=0, microsecond=0)] += 1
+    buckets = defaultdict(list)
+    for h, n in hourly.items():
+        dow = (h.weekday() + 1) % 7  # python Monday=0 -> Sunday-first 0
+        buckets[(dow, h.hour)].append(n)
+
+    def disc(vals, q):
+        s = sorted(vals)
+        return s[max(0, math.ceil(q * len(s)) - 1)]
+
+    got = {
+        (r["dow"], r["hod"]): (
+            r["n_samples"], r["p50"], r["p95"], r["peak"]
+        )
+        for r in ts_load_profile(spark, sf_dir).collect()
+    }
+    want = {
+        k: (len(v), disc(v, 0.5), disc(v, 0.95), max(v))
+        for k, v in buckets.items()
+    }
+    assert got == want
+
+
+# ------------------------------------------------- video near-dup
+
+
+def test_video_neardup_planted_trim(spark, tmp_path):
+    """A video and its trimmed copy (10% of frames cut) must pair with
+    the expected Jaccard; unrelated videos must not pair."""
+    import hashlib
+
+    from hadoop_spark_pspd_spark.operators.multimodal import (
+        SHOT_FRAME, mm_video_neardup,
+    )
+
+    # build 'frames' with distinct content so signatures are unique
+    def frames(seed, k):
+        out = []
+        for i in range(k):
+            h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            out.append((h * 5)[:SHOT_FRAME])
+        return out
+
+    f1 = frames("vidA", 40)
+    full = "".join(f1)                     # 40 frames
+    trimmed = "".join(f1[4:])              # 36 frames, all shared
+    other = "".join(frames("vidB", 40))
+    sf = str(tmp_path / "vids")
+    spark.createDataFrame(
+        [(1, full, "en", "web", len(full)),
+         (2, trimmed, "en", "web", len(trimmed)),
+         (3, other, "en", "web", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in mm_video_neardup(spark, sf).collect()
+    }
+    # signatures may collide across distinct frames (256-byte sums),
+    # so bound rather than pin: the trim pair must be present and high
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] >= 0.8
+    assert (1, 3) not in pairs and (2, 3) not in pairs
