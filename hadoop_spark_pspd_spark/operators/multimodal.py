@@ -1137,3 +1137,126 @@ def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _VID_JACCARD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "mm_audio_snr",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   CAST(strlen(text) AS BIGINT) AS n
+            FROM documents WHERE strlen(text) >= {AUDIO_WIN}
+        ), pos AS (
+            SELECT doc_id,
+                   CAST(unnest(range(1, (n // {AUDIO_WIN}) * {AUDIO_WIN} + 1))
+                        AS BIGINT) AS pos
+            FROM d
+        ), v AS MATERIALIZED (
+            SELECT p.doc_id, (p.pos - 1) // {AUDIO_WIN} AS win,
+                   CAST(CAST(('0x' || substr(d.hx,
+                        CAST(2 * p.pos - 1 AS INTEGER), 2)) AS UBIGINT)
+                        AS BIGINT) - 128 AS s
+            FROM pos p JOIN d USING (doc_id)
+        ), w AS MATERIALIZED (
+            SELECT doc_id, win, CAST(SUM(s * s) AS BIGINT) AS energy
+            FROM v GROUP BY doc_id, win
+        ), tot AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+                   CAST(SUM(energy) AS BIGINT) AS total
+            FROM w GROUP BY doc_id
+        ), split AS (
+            SELECT w.doc_id,
+                   CAST(SUM(CASE WHEN w.energy * t.nw > t.total
+                                 THEN w.energy ELSE 0 END)
+                        AS BIGINT) AS sig_energy,
+                   CAST(SUM(CASE WHEN w.energy * t.nw > t.total
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sig,
+                   CAST(SUM(CASE WHEN w.energy * t.nw > t.total
+                                 THEN 0 ELSE w.energy END)
+                        AS BIGINT) AS noise_energy,
+                   CAST(SUM(CASE WHEN w.energy * t.nw > t.total
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS n_noise
+            FROM w JOIN tot t USING (doc_id)
+            GROUP BY w.doc_id
+        )
+        SELECT doc_id, n_sig, n_noise, sig_energy, noise_energy,
+               CAST(sig_energy * n_noise AS BIGINT) AS snr_num,
+               CAST(noise_energy * n_sig AS BIGINT) AS snr_den,
+               CAST(sig_energy * n_noise AS DOUBLE)
+                   / CAST(CASE WHEN noise_energy * n_sig = 0 THEN 1
+                               ELSE noise_energy * n_sig END AS DOUBLE)
+                   AS snr
+        FROM split
+    """,
+    doc="Per-payload signal-to-noise ratio over the mm_audio_vad "
+        "window split — the recording-quality screen an audio-corpus "
+        "pipeline gates on before paying for transcription (SNR near 1 "
+        "means the 'speech' windows are barely above the floor): mean "
+        "active-window energy over mean inactive-window energy, "
+        "emitted CROSS-MULTIPLIED as exact integers "
+        "(sig_energy*n_noise / noise_energy*n_sig — one guarded "
+        "division; energies are exact int sums of (byte-128)^2, the "
+        "active test is the same integer cross-multiplied mean test as "
+        "VAD). Map-reduce only: one window agg + one per-doc agg. The "
+        "int64 payload-size bound (255^2 * n^2-scale products) holds "
+        "to ~2^23 bytes, the documented mm payload cap.",
+    tags=("multimodal",),
+)
+def mm_audio_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    payloads = (
+        t.documents.filter(F.octet_length("text") >= AUDIO_WIN)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+
+    def _snr(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_sig", "n_noise", "sig_energy",
+                    "noise_energy")}
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                nw = arr.size // AUDIO_WIN
+                s = (
+                    arr[: nw * AUDIO_WIN]
+                    .reshape(nw, AUDIO_WIN)
+                    .astype(np.int64)
+                    - 128
+                )
+                e = (s * s).sum(axis=1)
+                total = int(e.sum())
+                active = e * nw > total
+                out["doc_id"].append(did)
+                out["n_sig"].append(int(active.sum()))
+                out["n_noise"].append(int((~active).sum()))
+                out["sig_energy"].append(int(e[active].sum()))
+                out["noise_energy"].append(int(e[~active].sum()))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in out.items()}
+            )
+
+    split = payloads.mapInPandas(
+        _snr,
+        "doc_id long, n_sig long, n_noise long, sig_energy long, "
+        "noise_energy long",
+    )
+    num = F.col("sig_energy") * F.col("n_noise")
+    den = F.col("noise_energy") * F.col("n_sig")
+    return split.select(
+        "doc_id",
+        "n_sig",
+        "n_noise",
+        "sig_energy",
+        "noise_energy",
+        num.cast("bigint").alias("snr_num"),
+        den.cast("bigint").alias("snr_den"),
+        (
+            num.cast("double")
+            / F.when(den == 0, 1).otherwise(den).cast("double")
+        ).alias("snr"),
+    )

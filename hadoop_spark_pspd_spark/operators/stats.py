@@ -1914,3 +1914,132 @@ def ml_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         ).alias("qini"),
     )
+
+
+# integer z boundaries per weekly look (Pocock-flavored, conservative
+# early): crossing |z| > bound at look k stops the experiment
+_GS_BOUNDS = (3, 3, 2, 2)
+
+
+@register(
+    "ml_group_sequential",
+    oracle=f"""
+        WITH base AS (
+            SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS conv,
+                   (CAST(floor(epoch(ts)) AS BIGINT)
+                    - (SELECT CAST(floor(epoch(min(ts))) AS BIGINT)
+                       FROM events)) // 604800 + 1 AS week
+            FROM events
+        ), looks AS (
+            SELECT l.k,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                        AS BIGINT) AS c_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                        AS BIGINT) AS c_b
+            FROM base, (SELECT unnest(range(1, {len(_GS_BOUNDS)} + 1))
+                        AS k) l
+            WHERE base.week <= l.k
+            GROUP BY l.k
+        ), stats AS (
+            SELECT k, n_a, n_b, c_a, c_b,
+                   CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS gap,
+                   sqrt((CAST(c_a + c_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                        * (CAST(1 AS DOUBLE)
+                           - CAST(c_a + c_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                        * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                       AS se
+            FROM looks
+        )
+        SELECT k, n_a, n_b, c_a, c_b,
+               CASE WHEN se = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE gap / se END AS z,
+               abs(CASE WHEN se = 0 THEN CAST(0 AS DOUBLE)
+                        ELSE gap / se END)
+                   > CAST([{", ".join(str(b) for b in _GS_BOUNDS)}][k]
+                          AS DOUBLE) AS crossed
+        FROM stats
+    """,
+    doc="Group-sequential A/B monitoring — the peeking-safe readout an "
+        "experimentation platform shows while a test runs: at each of "
+        "4 weekly looks, the CUMULATIVE two-proportion z statistic "
+        "(purchase conversion, user-parity arms) against a per-look "
+        "INTEGER boundary schedule (3,3,2,2 — Pocock-flavored, "
+        "conservative early, so repeated peeking cannot inflate the "
+        "false-positive rate the way fixed z=2 at every look does). "
+        "Counts are exact integers; z is the q_ab_test fixed op "
+        "sequence (sqrt correctly rounded) with the zero-SE degenerate "
+        "look guarded identically; boundary crossing compares against "
+        "integer literals. One scan x 4 cumulative looks via a "
+        "broadcast look table — no per-look rescans.",
+    tags=("ml", "stats"),
+)
+def ml_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    min_ts = t.events.agg(F.min("ts").alias("m"))
+    base = t.events.crossJoin(F.broadcast(min_ts)).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("conv"),
+        (
+            F.expr(
+                "(unix_timestamp(ts) - unix_timestamp(m)) div 604800"
+            )
+            + 1
+        ).alias("week"),
+    )
+    looks_t = spark.createDataFrame(
+        [(k,) for k in range(1, len(_GS_BOUNDS) + 1)], "k int"
+    )
+    looks = (
+        base.crossJoin(F.broadcast(looks_t))
+        .filter(F.col("week") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+            .cast("bigint")
+            .alias("c_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+            .cast("bigint")
+            .alias("c_b"),
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    gap = F.col("c_a").cast("double") / na - F.col("c_b").cast(
+        "double"
+    ) / nb
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    z = F.when(se == 0.0, F.lit(0.0)).otherwise(gap / se)
+    bound = F.element_at(
+        F.array(*[F.lit(float(b)) for b in _GS_BOUNDS]), F.col("k")
+    )
+    return looks.select(
+        "k",
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        z.alias("z"),
+        (F.abs(z) > bound).alias("crossed"),
+    )

@@ -1723,3 +1723,62 @@ def test_video_neardup_planted_trim(spark, tmp_path):
     assert (1, 2) in pairs
     assert pairs[(1, 2)] >= 0.8
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# ------------------------------------------- group-sequential test
+
+
+def test_group_sequential_cumulative_and_boundaries(spark, sf_dir):
+    """Look counts must be cumulative (monotone), z must replay from
+    the counts via the fixed op sequence, and crossed must equal the
+    integer-boundary comparison."""
+    import math
+
+    from hadoop_spark_pspd_spark.operators.stats import (
+        _GS_BOUNDS, ml_group_sequential,
+    )
+
+    rows = sorted(
+        ml_group_sequential(spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == list(range(1, len(_GS_BOUNDS) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_a"] >= prev["n_a"] and cur["n_b"] >= prev["n_b"]
+        assert cur["c_a"] >= prev["c_a"] and cur["c_b"] >= prev["c_b"]
+    for r in rows:
+        na, nb = float(r["n_a"]), float(r["n_b"])
+        pooled = float(r["c_a"] + r["c_b"]) / float(r["n_a"] + r["n_b"])
+        gap = r["c_a"] / na - r["c_b"] / nb
+        se = math.sqrt(pooled * (1.0 - pooled) * (1.0 / na + 1.0 / nb))
+        z = 0.0 if se == 0 else gap / se
+        assert r["z"] == z
+        assert r["crossed"] == (abs(z) > _GS_BOUNDS[r["k"] - 1])
+
+
+# --------------------------------------------------- audio SNR
+
+
+def test_audio_snr_crafted_payload(spark, tmp_path):
+    """A payload of known silence and loud windows: SNR must equal the
+    exact cross-multiplied energy ratio, and energy splits must
+    replay."""
+    from hadoop_spark_pspd_spark.operators.multimodal import (
+        AUDIO_WIN, mm_audio_snr,
+    )
+
+    silence = "\x7e" * AUDIO_WIN            # |s| = 2 per sample
+    loud = "\x21" * AUDIO_WIN               # |s| = 95 per sample
+    d0 = silence * 6 + loud * 2             # 8 windows, 2 active
+    sf = str(tmp_path / "snr")
+    spark.createDataFrame(
+        [(1, d0, "en", "web", len(d0))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    r = mm_audio_snr(spark, sf).collect()[0]
+    e_sil = AUDIO_WIN * 4          # (126-128)^2 = 4 per sample
+    e_loud = AUDIO_WIN * 95 * 95   # (33-128)^2 = 9025
+    assert (r["n_sig"], r["n_noise"]) == (2, 6)
+    assert r["sig_energy"] == 2 * e_loud
+    assert r["noise_energy"] == 6 * e_sil
+    assert r["snr"] == (2 * e_loud * 6) / (6 * e_sil * 2)
