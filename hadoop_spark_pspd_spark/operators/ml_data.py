@@ -1916,3 +1916,95 @@ def ml_holdout_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         ).alias("leak_frac"),
     )
+
+
+@register(
+    "ml_cohort_ltv",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   CAST(date_trunc('month', MIN(o_orderdate)) AS DATE)
+                       AS cohort
+            FROM orders GROUP BY o_custkey
+        ), cohort_sizes AS (
+            SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+            FROM firsts GROUP BY cohort
+        ), spend AS (
+            SELECT f.cohort,
+                   CAST((year(o.o_orderdate) - year(f.cohort)) * 12
+                        + (month(o.o_orderdate) - month(f.cohort))
+                        AS INTEGER) AS age,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4)))
+                        AS DECIMAL(38,4)) AS rev
+            FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT cohort, age,
+                   CAST(SUM(CAST(rev * 10000 AS BIGINT)) OVER (
+                       PARTITION BY cohort ORDER BY age
+                   ) AS BIGINT) AS cum_rev_q
+            FROM spend
+        )
+        SELECT c.cohort, c.age, s.n_customers, c.cum_rev_q,
+               CAST(c.cum_rev_q AS DOUBLE)
+                   / CAST(s.n_customers AS DOUBLE)
+                   / CAST(10000 AS DOUBLE) AS ltv_per_customer
+        FROM cum c JOIN cohort_sizes s USING (cohort)
+    """,
+    doc="Cohort lifetime-value curve — the growth-analytics readout "
+        "next to the retention triangle: customers cohorted by "
+        "first-order month, revenue accumulated by cohort age in "
+        "months, LTV = cumulative revenue / cohort size. Monetary sums "
+        "quantize to exact 1e-4 integer units BEFORE the cumulative "
+        "window (a decimal window sum would be exact too, but the "
+        "integer form sidesteps the round-5 HUGEINT window-type drift "
+        "class outright); age is pure year/month integer arithmetic; "
+        "ltv is two exact divisions. Plan: one first-order agg, one "
+        "fact agg, one bounded per-cohort cumsum.",
+    tags=("ml", "behavioral"),
+)
+def ml_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    firsts = t.orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate"))
+        .cast("date")
+        .alias("cohort")
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count("*").alias("n_customers")
+    )
+    age = (
+        (F.year("o_orderdate") - F.year("cohort")) * 12
+        + (F.month("o_orderdate") - F.month("cohort"))
+    ).cast("int")
+    spend = (
+        t.orders.join(firsts, "o_custkey")
+        .groupBy("cohort", age.alias("age"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("rev")
+        )
+    )
+    w = W.partitionBy("cohort").orderBy("age")
+    cum = spend.select(
+        "cohort",
+        "age",
+        F.sum((F.col("rev") * 10000).cast("bigint"))
+        .over(w)
+        .cast("bigint")
+        .alias("cum_rev_q"),
+    )
+    return cum.join(sizes, "cohort").select(
+        "cohort",
+        "age",
+        "n_customers",
+        "cum_rev_q",
+        (
+            F.col("cum_rev_q").cast("double")
+            / F.col("n_customers").cast("double")
+            / F.lit(10000.0)
+        ).alias("ltv_per_customer"),
+    )

@@ -1782,3 +1782,61 @@ def test_audio_snr_crafted_payload(spark, tmp_path):
     assert r["sig_energy"] == 2 * e_loud
     assert r["noise_energy"] == 6 * e_sil
     assert r["snr"] == (2 * e_loud * 6) / (6 * e_sil * 2)
+
+
+# ------------------------------------------------------ cohort LTV
+
+
+def test_cohort_ltv_python_replay(spark, sf_dir):
+    """The full (cohort, age) grid recomputed with Decimal sums in
+    python must match exactly, and LTV must be non-decreasing in age
+    within every cohort."""
+    import datetime as dt
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.ml_data import ml_cohort_ltv
+
+    t = Tables(spark, sf_dir)
+    orders = []
+    for r in t.orders.select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect():
+        od = r["o_orderdate"]
+        if isinstance(od, dt.datetime):
+            od = od.date()
+        orders.append((r["o_custkey"], od, Decimal(str(r["o_totalprice"]))))
+    first = {}
+    for ck, od, _ in orders:
+        m = od.replace(day=1)
+        if ck not in first or m < first[ck]:
+            first[ck] = m
+    sizes = defaultdict(int)
+    for m in first.values():
+        sizes[m] += 1
+    rev = defaultdict(Decimal)
+    for ck, od, p in orders:
+        c = first[ck]
+        age = (od.year - c.year) * 12 + (od.month - c.month)
+        rev[(c, age)] += p
+    want = {}
+    for c in sizes:
+        cum = 0
+        for age in sorted(a for (cc, a) in rev if cc == c):
+            cum += int(rev[(c, age)] * 10000)
+            want[(c, age)] = (
+                sizes[c], cum, cum / sizes[c] / 10000.0
+            )
+    got = {
+        (r["cohort"], r["age"]): (
+            r["n_customers"], r["cum_rev_q"], r["ltv_per_customer"]
+        )
+        for r in ml_cohort_ltv(spark, sf_dir).collect()
+    }
+    assert got == want
+    by_cohort = defaultdict(list)
+    for (c, age), (_, _, ltv) in sorted(got.items()):
+        by_cohort[c].append(ltv)
+    for vals in by_cohort.values():
+        assert vals == sorted(vals)
