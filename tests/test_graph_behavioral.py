@@ -300,3 +300,38 @@ def test_min_label_components_matches_union_find(spark):
     finally:
         G._LOCAL_CC_EDGE_CAP = old_cap
     assert got2 == want
+
+
+def test_min_label_components_degenerate_edges(spark):
+    """Robustness classes the generated pair data can't produce:
+    duplicate edges, self-loops, a two-node component, and an edge set
+    exactly AT the local cap (boundary: must take the single-task
+    path, not contraction)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_spark_pspd_spark.functions import graph as G
+
+    edges = [
+        (1, 2), (2, 1), (1, 2), (2, 1),   # duplicated both ways
+        (3, 3),                            # self-loop: own component
+        (4, 5), (5, 4),
+        (5, 6), (6, 5),
+    ]
+    df = spark.createDataFrame(edges, "u long, v long").repartition(4)
+    got = {r.node: r.label for r in G.min_label_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4, 6: 4}
+
+    # cap boundary: n_edges == cap must NOT trigger a contraction level
+    old = G._LOCAL_CC_EDGE_CAP
+    try:
+        G._LOCAL_CC_EDGE_CAP = len(edges)
+        got2 = {
+            r.node: r.label for r in G.min_label_components(df).collect()
+        }
+        G._LOCAL_CC_EDGE_CAP = len(edges) - 1  # one below: contraction
+        got3 = {
+            r.node: r.label for r in G.min_label_components(df).collect()
+        }
+    finally:
+        G._LOCAL_CC_EDGE_CAP = old
+    assert got2 == got and got3 == got
