@@ -1111,7 +1111,7 @@ def ml_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ml", "stats"),
 )
 def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..functions.ranking import with_running_sums_dist
 
     t = Tables(spark, sf_dir)
     e1 = F.col("embedding").getItem(0).cast("double")
@@ -1122,13 +1122,11 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = scored.groupBy("s").agg(
         F.count("*").alias("c"), F.sum("y").alias("cp")
     )
-    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
-    ranked = grp.select(
-        "s",
-        "c",
-        "cp",
-        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("before"),
-    )
+    # exclusive cumsum over the bucket histogram, distributed (range
+    # repartition + per-partition window — no unpartitioned WindowExec)
+    ranked = with_running_sums_dist(
+        grp, [F.col("s").asc()], ["c"], prefix="before_", inclusive=False
+    ).withColumnRenamed("before_c", "before")
     tot = scored.agg(
         F.sum("y").alias("n_pos"),
         (F.count("*") - F.sum("y")).alias("n_neg"),
@@ -1237,8 +1235,6 @@ def _spearman_rank_sql(var: str) -> str:
     tags=("ml", "stats"),
 )
 def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     t = Tables(spark, sf_dir)
     metrics = (
         t.orders.join(
@@ -1252,15 +1248,19 @@ def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ranks(var: str) -> DataFrame:
+        from ..functions.ranking import with_running_sums_dist
+
         hist = metrics.groupBy(var).agg(F.count("*").alias("c"))
-        w = W.orderBy(var).rowsBetween(W.unboundedPreceding, -1)
-        return hist.select(
+        cum = with_running_sums_dist(
+            hist,
+            [F.col(var).asc()],
+            ["c"],
+            prefix="pre_",
+            inclusive=False,
+        )
+        return cum.select(
             F.col(var).alias("v"),
-            (
-                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
-                + F.col("c")
-                + 1
-            ).alias("mr2"),
+            (2 * F.col("pre_c") + F.col("c") + 1).alias("mr2"),
         )
 
     rx = ranks("x").withColumnRenamed("mr2", "a")
@@ -1353,7 +1353,7 @@ def ml_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ml", "stats"),
 )
 def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..functions.ranking import with_running_sums_dist
 
     t = Tables(spark, sf_dir)
     scored = t.events.where(
@@ -1368,11 +1368,15 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = scored.groupBy("s").agg(
         F.sum("a").alias("ca"), F.sum("b").alias("cb")
     )
-    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = hist.select(
+    # distributed inclusive cumsum over the value histogram (no
+    # unpartitioned window), then a windowless argmax: max over the
+    # (gap, -s) struct realizes ORDER BY gap DESC, s ASC pick-first
+    cum = with_running_sums_dist(
+        hist, [F.col("s").asc()], ["ca", "cb"], prefix="cum_"
+    ).select(
         "s",
-        F.sum("ca").over(w).alias("ca_cum"),
-        F.sum("cb").over(w).alias("cb_cum"),
+        F.col("cum_ca").alias("ca_cum"),
+        F.col("cum_cb").alias("cb_cum"),
     )
     tot = scored.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
     gaps = cum.crossJoin(F.broadcast(tot)).select(
@@ -1383,22 +1387,32 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "na",
         "nb",
     )
-    pick = W.orderBy(F.col("gap").desc(), "s")
+    best = gaps.agg(
+        F.max(
+            F.struct(
+                F.col("gap"),
+                (-F.col("s")).alias("neg_s"),
+                F.col("na"),
+                F.col("nb"),
+            )
+        ).alias("m")
+    ).select(
+        (-F.col("m.neg_s")).alias("s"),
+        F.col("m.gap").alias("gap"),
+        F.col("m.na").alias("na"),
+        F.col("m.nb").alias("nb"),
+    )
     ks = F.when(
         (F.col("na") > 0) & (F.col("nb") > 0),
         F.col("gap").cast("double")
         / (F.col("na") * F.col("nb")).cast("double"),
     ).otherwise(F.lit(0.0))
-    return (
-        gaps.withColumn("rk", F.row_number().over(pick))
-        .where(F.col("rk") == 1)
-        .select(
-            F.col("s").alias("ks_bucket"),
-            "na",
-            "nb",
-            F.col("gap").alias("d_num"),
-            ks.alias("ks"),
-        )
+    return best.select(
+        F.col("s").alias("ks_bucket"),
+        "na",
+        "nb",
+        F.col("gap").alias("d_num"),
+        ks.alias("ks"),
     )
 
 
@@ -1436,26 +1450,22 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order is total anyway), both operands reach double through the "
         "shortest-string hop, and G is one correctly-rounded division. "
         "n*sum and (n+1)*sum stay inside DECIMAL(38,4) to ~10^15 "
-        "customers x 10^8 spend. The global rank is a single window "
-        "over the customer dimension — at extreme scale assign ranks "
-        "two-level (per-bucket rank + broadcast bucket-count offsets, "
-        "the cusum pattern).",
+        "customers x 10^8 spend. Ranks are assigned DISTRIBUTED "
+        "(functions/ranking.py two-level rank: range repartition + "
+        "per-partition row_number + broadcast offsets) — no "
+        "unpartitioned window over the customer dimension.",
     tags=("ml", "stats"),
 )
 def ml_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..functions.ranking import with_global_rank
 
     t = Tables(spark, sf_dir)
     spend = t.orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("x")
     )
-    ranked = spend.select(
-        "x",
-        F.row_number()
-        .over(W.orderBy("x", "custkey"))
-        .cast("bigint")
-        .alias("i"),
-    )
+    ranked = with_global_rank(
+        spend, [F.col("x").asc(), F.col("custkey").asc()], rank_col="i"
+    ).select("x", "i")
     sums = ranked.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("s"),
@@ -1518,14 +1528,19 @@ def ml_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SQL-standard equal buckets, remainder to the first); capture "
         "is one exact division and lift is cross-multiplied to the "
         "single division (cum_pos*tot_n)/(cum_n*tot_pos) of exact int64 "
-        "products (<= n^2), zero-guarded for empty targets. The global "
-        "ntile sorts the scored DIMENSION — at fact scale assign "
-        "deciles from the score histogram's cumulative counts instead "
-        "(the ml_auc_exact pattern).",
+        "products (<= n^2), zero-guarded for empty targets. Deciles "
+        "come from the DISTRIBUTED two-level rank (range repartition + "
+        "per-partition row_number + broadcast offsets + windowless "
+        "integer ntile arithmetic, functions/ranking.py) — no "
+        "unpartitioned window ever sorts the scored table on one task.",
     tags=("ml", "stats"),
 )
 def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..functions.ranking import (
+        ntile_from_rank,
+        with_global_rank,
+        with_running_sums,
+    )
 
     t = Tables(spark, sf_dir)
     e1 = F.col("embedding").getItem(0).cast("double")
@@ -1534,28 +1549,22 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(e1 * F.lit(16.0)).cast("bigint").alias("s"),
         F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("y"),
     )
-    tiled = scored.select(
+    tiled = with_global_rank(
+        scored,
+        [F.col("s").desc(), F.col("vec_id").asc()],
+        rank_col="gr",
+        total_col="n_tot",
+    ).select(
         "y",
-        F.ntile(10)
-        .over(W.orderBy(F.col("s").desc(), "vec_id"))
-        .cast("int")
-        .alias("decile"),
+        ntile_from_rank(F.col("gr"), F.col("n_tot"), 10).alias("decile"),
     )
     per = tiled.groupBy("decile").agg(
-        F.count("*").alias("n"), F.sum("y").alias("pos")
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
     )
-    w_cum = W.orderBy("decile").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    w_all = W.partitionBy()
-    cum = per.select(
-        "decile",
-        "n",
-        "pos",
-        F.sum("n").over(w_cum).alias("cum_n"),
-        F.sum("pos").over(w_cum).alias("cum_pos"),
-        F.sum("n").over(w_all).alias("tot_n"),
-        F.sum("pos").over(w_all).alias("tot_pos"),
+    # 10-row cumsum + totals, windowless
+    cum = with_running_sums(
+        per, "decile", ["n", "pos"], prefix="cum_", totals_prefix="tot_"
     )
     capture = F.when(
         F.col("tot_pos") > 0,
@@ -1613,13 +1622,14 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(metric, custkey) — deterministic in both engines, score 1 = "
         "best (most recent / most frequent / highest spend). Output is "
         "the up-to-125-cell segment grid with exact counts and decimal "
-        "revenue. Three dimension-scale ntile sorts (histogram-"
-        "assignable at extreme scale, the ml_auc_exact pattern) + one "
-        "bounded grid agg.",
+        "revenue. Three chained DISTRIBUTED two-level ranks "
+        "(functions/ranking.py: range repartition + per-partition "
+        "row_number + broadcast offsets) + one bounded grid agg — no "
+        "unpartitioned window sorts the customer dimension.",
     tags=("ml", "relational"),
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..functions.ranking import ntile_from_rank, with_global_rank
 
     t = Tables(spark, sf_dir)
     base = t.orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
@@ -1638,15 +1648,20 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    r = F.ntile(5).over(W.orderBy("recency_days", "custkey"))
-    f_ = F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "custkey"))
-    m = F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "custkey"))
-    scored = rfm.select(
-        "monetary",
-        r.cast("int").alias("r_score"),
-        f_.cast("int").alias("f_score"),
-        m.cast("int").alias("m_score"),
-    )
+    # three quintiles = three chained distributed ranks (each a range
+    # repartition + per-partition row_number; no join-back needed since
+    # the rank column rides along the chain) — zero unpartitioned windows
+    scored = rfm
+    for metric, order in (
+        ("r_score", [F.col("recency_days").asc(), F.col("custkey").asc()]),
+        ("f_score", [F.col("frequency").desc(), F.col("custkey").asc()]),
+        ("m_score", [F.col("monetary").desc(), F.col("custkey").asc()]),
+    ):
+        scored = with_global_rank(
+            scored, order, rank_col="__r", total_col="__n"
+        ).withColumn(
+            metric, ntile_from_rank(F.col("__r"), F.col("__n"), 5)
+        ).drop("__r", "__n")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),
         F.sum("monetary").cast("double").alias("segment_revenue"),

@@ -1843,11 +1843,18 @@ def ml_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(the fairness-parity trick) next to the one guarded division; "
         "random targeting gives qini ~ 0 at every k, so the curve's "
         "lift above zero is the model's value. Plan: one fact-dim agg, "
-        "one decile window over a unique key, one 10-row cumsum.",
+        "then deciles via the DISTRIBUTED two-level rank (range "
+        "repartition + per-partition row_number + broadcast offsets, "
+        "functions/ranking.py) — no unpartitioned window sorts the "
+        "customer dimension on one task — and one 10-row cumsum.",
     tags=("ml", "stats"),
 )
 def ml_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..functions.ranking import (
+        ntile_from_rank,
+        with_global_rank,
+        with_running_sums,
+    )
 
     t = Tables(spark, sf_dir)
     price = F.col("o_totalprice").cast("decimal(18,4)")
@@ -1874,12 +1881,15 @@ def ml_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(post_urgent).cast("bigint").alias("pos"),
         )
     )
-    ranked = units.select(
+    ranked = with_global_rank(
+        units,
+        [F.desc("score_q"), F.asc("ck")],
+        rank_col="gr",
+        total_col="n_tot",
+    ).select(
         "treated",
         "pos",
-        F.ntile(10)
-        .over(W.orderBy(F.desc("score_q"), F.asc("ck")))
-        .alias("decile"),
+        ntile_from_rank(F.col("gr"), F.col("n_tot"), 10).alias("decile"),
     )
     per_decile = ranked.groupBy("decile").agg(
         F.sum("treated").cast("bigint").alias("n_t"),
@@ -1891,14 +1901,10 @@ def ml_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pos_c"),
     )
-    w = W.orderBy("decile")
-    cum = per_decile.select(
-        "decile",
-        F.sum("n_t").over(w).cast("bigint").alias("cn_t"),
-        F.sum("n_c").over(w).cast("bigint").alias("cn_c"),
-        F.sum("pos_t").over(w).cast("bigint").alias("cpos_t"),
-        F.sum("pos_c").over(w).cast("bigint").alias("cpos_c"),
-    )
+    # 10-row cumsum, windowless (functions/ranking.with_running_sums)
+    cum = with_running_sums(
+        per_decile, "decile", ["n_t", "n_c", "pos_t", "pos_c"], prefix="c"
+    ).select("decile", "cn_t", "cn_c", "cpos_t", "cpos_c")
     num = F.col("cpos_t") * F.col("cn_c") - F.col("cpos_c") * F.col("cn_t")
     return cum.select(
         "decile",
@@ -1946,19 +1952,27 @@ _GS_BOUNDS = (3, 3, 2, 2)
                         AS k) l
             WHERE base.week <= l.k
             GROUP BY l.k
+        ), guarded AS (
+            -- empty-arm look: n=0 implies c=0, so dividing by the
+            -- guarded 1 yields an exact 0 rate in BOTH engines (DuckDB
+            -- x/0.0 is NULL while IEEE gives NaN — the round-5 rule)
+            SELECT k, n_a, n_b, c_a, c_b,
+                   CASE WHEN n_a = 0 THEN 1 ELSE n_a END AS dn_a,
+                   CASE WHEN n_b = 0 THEN 1 ELSE n_b END AS dn_b
+            FROM looks
         ), stats AS (
             SELECT k, n_a, n_b, c_a, c_b,
-                   CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-                   - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS gap,
+                   CAST(c_a AS DOUBLE) / CAST(dn_a AS DOUBLE)
+                   - CAST(c_b AS DOUBLE) / CAST(dn_b AS DOUBLE) AS gap,
                    sqrt((CAST(c_a + c_b AS DOUBLE)
                          / CAST(n_a + n_b AS DOUBLE))
                         * (CAST(1 AS DOUBLE)
                            - CAST(c_a + c_b AS DOUBLE)
                              / CAST(n_a + n_b AS DOUBLE))
-                        * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)
-                           + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                        * (CAST(1 AS DOUBLE) / CAST(dn_a AS DOUBLE)
+                           + CAST(1 AS DOUBLE) / CAST(dn_b AS DOUBLE)))
                        AS se
-            FROM looks
+            FROM guarded
         )
         SELECT k, n_a, n_b, c_a, c_b,
                CASE WHEN se = 0 THEN CAST(0 AS DOUBLE)
@@ -1970,6 +1984,10 @@ _GS_BOUNDS = (3, 3, 2, 2)
         FROM stats
     """,
     doc="Group-sequential A/B monitoring — the peeking-safe readout an "
+        "experimentation platform shows while a test runs. Empty-arm "
+        "looks (all rows one user-parity) guard BOTH per-arm "
+        "denominators to 1 identically in both engines (c=0 when n=0, "
+        "so the rate is an exact 0); pinned by the empty-arm fixture. "
         "experimentation platform shows while a test runs: at each of "
         "4 weekly looks, the CUMULATIVE two-proportion z statistic "
         "(purchase conversion, user-parity arms) against a per-look "
@@ -2020,7 +2038,15 @@ def ml_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c_b"),
         )
     )
-    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    # empty-arm guard: n=0 implies c=0, so /1 yields an exact 0 rate —
+    # the identical CASE lives in the oracle's `guarded` CTE (DuckDB
+    # x/0.0 is NULL where IEEE gives NaN, and se==0 can't catch NaN)
+    na = (
+        F.when(F.col("n_a") == 0, 1).otherwise(F.col("n_a")).cast("double")
+    )
+    nb = (
+        F.when(F.col("n_b") == 0, 1).otherwise(F.col("n_b")).cast("double")
+    )
     pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     ).cast("double")
