@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 # final task at ~64 MB of int64 pairs and <1 s of vectorized numpy
 _LOCAL_CC_EDGE_CAP = 4_000_000
 
+# safety bound on contraction levels: each level collapses the row set
+# to <= one star edge per distinct node, so 20 levels cover any input
+# that contracts at all; hitting it means the node set itself is bigger
+# than the single-task cap and the caller should switch algorithms
+_MAX_CC_LEVELS = 20
+
 
 def _cc_kernel(batches):
     """Exact connected components over one partition's (u, v) edge rows:
@@ -94,9 +100,22 @@ def min_label_components(edges: DataFrame) -> DataFrame:
         F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v")
     )
     n = work.count()
-    for _ in range(6):
-        if n <= _LOCAL_CC_EDGE_CAP:
-            break
+    levels = 0
+    while n > _LOCAL_CC_EDGE_CAP:
+        # contract until the star set fits the single-task cap; row
+        # count is monotone non-increasing after level 1 (each level
+        # emits one star edge per distinct node), so n >= prev means a
+        # genuine stall (e.g. the NODE set alone exceeds the cap) —
+        # refuse the silent single-task OOM instead of coalesce(1)ing
+        # an unbounded set (ADVICE r6)
+        if levels >= _MAX_CC_LEVELS:
+            raise RuntimeError(
+                f"min_label_components: {n} edge rows still exceed the "
+                f"single-task cap ({_LOCAL_CC_EDGE_CAP}) after "
+                f"{levels} contraction levels; use "
+                "star_contraction_components for graphs whose node set "
+                "alone exceeds the cap"
+            )
         parts = n // 2_000_000 + 1
         work = (
             work.repartition(parts)
@@ -105,7 +124,15 @@ def min_label_components(edges: DataFrame) -> DataFrame:
             .toDF("u", "v")
             .localCheckpoint(eager=False)
         )
-        n = work.count()
+        prev, n = n, work.count()
+        levels += 1
+        if n >= prev:
+            raise RuntimeError(
+                f"min_label_components: contraction stalled at {n} "
+                f"rows (> cap {_LOCAL_CC_EDGE_CAP}); the graph's node "
+                "set does not fit one task — use "
+                "star_contraction_components"
+            )
     return work.coalesce(1).mapInPandas(_cc_kernel, "node long, label long")
 
 

@@ -799,12 +799,19 @@ def q_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def survivors(df: DataFrame, part_cols: list) -> DataFrame:
+        # empty part_cols = the global pass over the BOUNDED survivor
+        # union; partition by the constant custkey % 1 (non-foldable,
+        # so Catalyst's window-partition elimination keeps it and
+        # WindowExec stays off its no-partition single-task warning
+        # path — the group content is identical to the unpartitioned
+        # form)
+        pcols = part_cols or [F.pmod(F.col("custkey"), F.lit(1))]
         w_bt = (
-            Window.partitionBy(*part_cols)
+            Window.partitionBy(*pcols)
             .orderBy(F.col("n_orders").desc())
             .rangeBetween(1, Window.unboundedFollowing)
         )
-        w_eq = Window.partitionBy(*part_cols, "n_orders")
+        w_eq = Window.partitionBy(*pcols, "n_orders")
         flagged = df.select(
             "custkey",
             "n_orders",

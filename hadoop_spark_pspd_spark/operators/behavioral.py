@@ -430,13 +430,25 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # distributed top-N first (TakeOrderedAndProject: per-partition k-heap,
-    # driver merge), THEN row_number over only the surviving N rows — the
-    # global-order window never sees the full rule set
+    # driver merge), THEN a windowless rank over only the surviving N rows
+    # (sorted-array posexplode — no WindowExec at all)
+    from ..functions.ranking import ranked_rows
+
     top = scored.orderBy(
         F.desc("pair_supp"), "antecedent", "consequent"
     ).limit(_RULE_TOPN)
-    win = W.orderBy(F.desc("pair_supp"), "antecedent", "consequent")
-    return top.withColumn("rn", F.row_number().over(win).cast("long"))
+    return ranked_rows(
+        top,
+        [(-F.col("pair_supp")), F.col("antecedent"), F.col("consequent")],
+        [
+            "antecedent", "consequent", "pair_supp", "ant_supp",
+            "cons_supp", "confidence", "lift",
+        ],
+        rank_col="rn",
+    ).select(
+        "antecedent", "consequent", "pair_supp", "ant_supp", "cons_supp",
+        "confidence", "lift", F.col("rn").cast("long").alias("rn"),
+    )
 
 
 @register(

@@ -18,7 +18,7 @@ YARN's retry loop, run_fault_tests.py:229-297). Spark-first design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
@@ -205,14 +205,18 @@ def kmeans_assignments(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     ).cache()
+    # first K vecs by id (distributed TakeOrdered), then a windowless
+    # 0-based index via sorted-array posexplode over the K rows
     centroids = (
         pts.orderBy("vec_id")
         .limit(K)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
-            .alias("cluster_id"),
-            F.col("emb").alias("centroid"),
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "emb"))
+            ).alias("a")
         )
+        .select(F.posexplode("a").alias("cluster_id", "e"))
+        .select("cluster_id", F.col("e.emb").alias("centroid"))
         .localCheckpoint()
     )
     for _ in range(iterations):

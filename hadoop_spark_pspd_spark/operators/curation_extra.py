@@ -623,7 +623,7 @@ _VOCAB_BUCKET = 50  # docs per growth-curve bucket
     tags=("curation",),
 )
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as _W
+    from ..functions.ranking import with_running_sums_dist
 
     t = Tables(spark, sf_dir)
     words = t.documents.select(
@@ -639,18 +639,19 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = t.documents.select(
         F.expr(f"doc_id div {_VOCAB_BUCKET}").cast("bigint").alias("bucket")
     ).distinct()
-    w = _W.orderBy("bucket").rowsBetween(
-        _W.unboundedPreceding, _W.currentRow
-    )
     joined = buckets.join(per_bucket, "bucket", "left").select(
         "bucket",
         F.coalesce(F.col("new_words"), F.lit(0)).cast("long")
         .alias("new_words"),
     )
-    return joined.select(
+    # distributed running sum over the bucket axis (no unpartitioned
+    # window — the axis grows with corpus size)
+    return with_running_sums_dist(
+        joined, [F.col("bucket").asc()], ["new_words"], prefix="c_"
+    ).select(
         "bucket",
         "new_words",
-        F.sum("new_words").over(w).cast("long").alias("vocab_size"),
+        F.col("c_new_words").cast("long").alias("vocab_size"),
     )
 
 

@@ -629,14 +629,21 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    w = W.orderBy(
+    # distributed top-K (TakeOrderedAndProject prunes per partition),
+    # then a windowless rank over the surviving K rows
+    from ..functions.ranking import ranked_rows
+
+    top = scored.orderBy(
         F.desc("jaccard"), F.desc("cn"), F.asc("s1"), F.asc("s2")
-    )
-    return (
-        scored.select(
-            "*", F.row_number().over(w).cast("long").alias("rk")
-        )
-        .filter(F.col("rk") <= _LP_K)
+    ).limit(_LP_K)
+    return ranked_rows(
+        top,
+        [-F.col("jaccard"), -F.col("cn"), F.col("s1"), F.col("s2")],
+        ["s1", "s2", "cn", "jaccard"],
+        rank_col="rk",
+    ).select(
+        "s1", "s2", "cn", "jaccard",
+        F.col("rk").cast("long").alias("rk"),
     )
 
 

@@ -681,15 +681,21 @@ def infer_tree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.expr(f"((n_r * n_r - ssq_r) * {sc}) div n_r")
         ).alias("score"),
     )
-    pick = W.orderBy("score", "j", "b")
-    return (
-        scored.withColumn("rk", F.row_number().over(pick).cast("long"))
-        .filter(F.col("rk") <= 5)
-        .select(
-            "rk", "j",
-            (F.col("b") * bw - fp).cast("long").alias("threshold_q"),
-            "n_l", "n_r", "score",
-        )
+    # the (j, b) grid is config-bounded — windowless top-5 with rank
+    # (sorted-array slice + posexplode, functions/ranking.ranked_rows)
+    from ..functions.ranking import ranked_rows
+
+    return ranked_rows(
+        scored,
+        [F.col("score"), F.col("j"), F.col("b")],
+        ["j", "b", "n_l", "n_r", "score"],
+        k=5,
+        rank_col="rk",
+    ).select(
+        F.col("rk").cast("long").alias("rk"),
+        "j",
+        (F.col("b") * bw - fp).cast("long").alias("threshold_q"),
+        "n_l", "n_r", "score",
     )
 
 

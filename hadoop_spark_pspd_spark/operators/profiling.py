@@ -510,7 +510,7 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("profiling",),
 )
 def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as _W
+    from ..functions.ranking import with_running_sums_dist
 
     t = Tables(spark, sf_dir)
     day = F.to_date(F.date_trunc("day", F.col("ts")))
@@ -523,18 +523,18 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first_day").alias("day")
     ).agg(F.count("*").alias("new_users"))
     days = t.events.select(day.alias("day")).distinct()
-    w = _W.orderBy("day").rowsBetween(
-        _W.unboundedPreceding, _W.currentRow
-    )
     joined = days.join(per_day, "day", "left").select(
         "day",
         F.coalesce(F.col("new_users"), F.lit(0)).cast("long")
         .alias("new_users"),
     )
-    return joined.select(
+    # distributed running sum over the day axis (no unpartitioned window)
+    return with_running_sums_dist(
+        joined, [F.col("day").asc()], ["new_users"], prefix="c_"
+    ).select(
         "day",
         "new_users",
-        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+        F.col("c_new_users").cast("long").alias("cum_users"),
     )
 
 

@@ -444,18 +444,35 @@ def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
                dense_rank() OVER (ORDER BY round(s_acctbal, -2) DESC) AS drnk
         FROM supplier
     """,
-    doc="rank/dense_rank global windows.",
+    doc="rank/dense_rank semantics, computed DISTRIBUTED: the total "
+        "order makes rank == row_number (two-level range rank, "
+        "functions/ranking.py); dense_rank over the rounded key is the "
+        "rank of the key among DISTINCT rounded values (histogram-"
+        "scale), broadcast-joined back — no unpartitioned window sorts "
+        "the supplier dimension on one task.",
 )
 def q_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import with_global_rank
+
     t = Tables(spark, sf_dir)
-    w1 = W.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
-    w2 = W.orderBy(F.desc(F.round(F.col("s_acctbal"), -2)))
-    return t.supplier.select(
+    base = with_global_rank(
+        t.supplier.select("s_suppkey", "s_name", "s_acctbal"),
+        [F.desc("s_acctbal"), F.asc("s_suppkey")],
+        rank_col="rnk",
+    )
+    vals = t.supplier.select(
+        F.round(F.col("s_acctbal"), -2).alias("__rv")
+    ).distinct()
+    dr = with_global_rank(vals, [F.desc("__rv")], rank_col="drnk")
+    return base.join(
+        F.broadcast(dr),
+        F.round(F.col("s_acctbal"), -2) == F.col("__rv"),
+    ).select(
         "s_suppkey",
         "s_name",
         "s_acctbal",
-        F.rank().over(w1).cast("long").alias("rnk"),
-        F.dense_rank().over(w2).cast("long").alias("drnk"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("drnk").cast("long").alias("drnk"),
     )
 
 

@@ -210,15 +210,15 @@ def q_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_row = base.withColumn(
         "within_rk", F.row_number().over(within_w).cast("bigint")
     )
-    off_w = W.orderBy("rng").rowsBetween(W.unboundedPreceding, -1)
-    offsets = (
-        base.groupBy("rng")
-        .agg(F.count("*").alias("rcnt"))
-        .select(
-            "rng",
-            F.coalesce(F.sum("rcnt").over(off_w), F.lit(0)).alias("off"),
-        )
-    )
+    from ..functions.ranking import with_running_sums_dist
+
+    offsets = with_running_sums_dist(
+        base.groupBy("rng").agg(F.count("*").alias("rcnt")),
+        [F.col("rng").asc()],
+        ["rcnt"],
+        prefix="off_",
+        inclusive=False,
+    ).select("rng", F.col("off_rcnt").alias("off"))
     n_total = t.orders.agg(F.count("*").alias("n_total"))
     ranked = (
         per_row.join(F.broadcast(offsets), "rng")
@@ -593,31 +593,40 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total*19) — exact integer-scaled decimal comparisons, so a "
         "part sitting ulp-close to a share boundary can NEVER classify "
         "differently across engines the way a double cum/total ratio "
-        "could. The running sum is one value-ordered window over the "
-        "parts dimension (two-level per the cusum pattern at extreme "
-        "scale); output is the 3-row class profile.",
+        "could. The running sum is the DISTRIBUTED two-level cumsum "
+        "(functions/ranking.with_running_sums_dist, DECIMAL(38,0) "
+        "integer units) over the parts dimension — no unpartitioned "
+        "window; output is the 3-row class profile.",
     tags=("stats", "relational"),
 )
 def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..functions.ranking import with_running_sums_dist
 
     t = Tables(spark, sf_dir)
     rev = t.lineitem.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("r")
     )
-    w_cum = W.orderBy(F.col("r").desc(), "partkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    # quantize revenue to exact 1e-4 integer units BEFORE the running
+    # sum (round-6 convention) so the distributed cumsum accumulates in
+    # DECIMAL(38,0) with no scale-capping rounding; the 80/95 boundary
+    # cross-multiplications are invariant under the positive scaling
+    rev_q = rev.withColumn(
+        "r_units", (F.col("r") * 10000).cast("decimal(38,0)")
     )
-    w_all = W.partitionBy()
-    cum = rev.select(
-        "partkey",
-        "r",
-        F.sum("r").over(w_cum).alias("cr"),
-        F.sum("r").over(w_all).alias("total"),
+    cum = with_running_sums_dist(
+        rev_q,
+        [F.col("r").desc(), F.col("partkey").asc()],
+        ["r_units"],
+        prefix="c",
+        sum_type="decimal(38,0)",
     )
+    total = rev.agg(
+        (F.sum("r") * 10000).cast("decimal(38,0)").alias("total_units")
+    )
+    cum = cum.crossJoin(F.broadcast(total))
     cls = (
-        F.when(F.col("cr") * 10 <= F.col("total") * 8, "A")
-        .when(F.col("cr") * 20 <= F.col("total") * 19, "B")
+        F.when(F.col("cr_units") * 10 <= F.col("total_units") * 8, "A")
+        .when(F.col("cr_units") * 20 <= F.col("total_units") * 19, "B")
         .otherwise("C")
     )
     return (
@@ -971,7 +980,7 @@ def _boot_weight_sql(h: str) -> str:
     tags=("ml", "stats"),
 )
 def ml_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..functions.ranking import ranked_rows
 
     t = Tables(spark, sf_dir)
     # pre-explosion repartition (the sketch_theta_kmv lesson): a small
@@ -1003,9 +1012,9 @@ def ml_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         ).alias("est")
     )
-    ranked = ests.select(
-        "est",
-        F.row_number().over(W.orderBy("est", "b")).alias("rn"),
+    # B=64 constant rows — windowless rank (sorted-array posexplode)
+    ranked = ranked_rows(
+        ests, [F.col("est"), F.col("b")], ["est"], rank_col="rn"
     )
     obs = t.orders.agg(
         F.count("*").alias("n_orders"),
@@ -1635,7 +1644,7 @@ _CF_ALPHAS = (8, 9)             # coverage targets in tenths
     tags=("ml", "stats"),
 )
 def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
+    from ..functions.ranking import with_running_sums
 
     t = Tables(spark, sf_dir)
     hashed = (
@@ -1687,10 +1696,14 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rq")
         .agg(F.count("*").alias("cnt"))
     )
-    cum = hist.select(
+    # residual cents are bounded [0, 100] — windowless small-table
+    # cumsum with grand total riding along
+    cum = with_running_sums(
+        hist, "rq", ["cnt"], prefix="cum_", totals_prefix="tot_"
+    ).select(
         "rq",
-        F.sum("cnt").over(W.orderBy("rq")).cast("bigint").alias("cum"),
-        F.sum("cnt").over(W.partitionBy()).cast("bigint").alias("n_cal"),
+        F.col("cum_cnt").cast("bigint").alias("cum"),
+        F.col("tot_cnt").cast("bigint").alias("n_cal"),
     )
     alphas = spark.createDataFrame(
         [(a,) for a in _CF_ALPHAS], "alpha_tenths int"

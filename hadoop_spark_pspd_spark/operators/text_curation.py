@@ -217,22 +217,17 @@ def text_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     per_doc = tok.withColumn("within_cum", within)
-    offsets = (
-        tok.groupBy("bucket")
-        .agg(F.sum("n_tokens").alias("btot"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("btot").over(
-                    Window.orderBy("bucket").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bucket", "offset")
-    )
+    from ..functions.ranking import with_running_sums_dist
+
+    # bucket-axis offsets via the distributed exclusive running sum
+    # (the axis grows with the corpus — no unpartitioned window)
+    offsets = with_running_sums_dist(
+        tok.groupBy("bucket").agg(F.sum("n_tokens").alias("btot")),
+        [F.col("bucket").asc()],
+        ["btot"],
+        prefix="off_",
+        inclusive=False,
+    ).select("bucket", F.col("off_btot").alias("offset"))
     cum = (F.col("offset") + F.col("within_cum")).alias("cum_tokens")
     return (
         per_doc.join(F.broadcast(offsets), "bucket")
@@ -425,16 +420,23 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("bigint").alias("n_tokens"),
         )
     )
-    from pyspark.sql.window import Window as W
+    from ..functions.ranking import ranked_rows
 
-    rk = F.row_number().over(
-        W.orderBy(F.desc("score_fx"), F.asc("doc_id"))
-    )
-    return (
-        scored.select(
-            "doc_id", "score_fx", "n_tokens", rk.cast("long").alias("rk")
-        )
-        .filter(F.col("rk") <= _DSIR_TOP)
+    # distributed top-k (TakeOrderedAndProject — the repo idiom), then
+    # a windowless rank over the surviving constant-size rows
+    top = scored.orderBy(
+        F.desc("score_fx"), F.asc("doc_id")
+    ).limit(_DSIR_TOP)
+    return ranked_rows(
+        top,
+        [-F.col("score_fx"), F.col("doc_id")],
+        ["doc_id", "score_fx", "n_tokens"],
+        rank_col="rk",
+    ).select(
+        "doc_id",
+        "score_fx",
+        "n_tokens",
+        F.col("rk").cast("long").alias("rk"),
     )
 
 
@@ -489,8 +491,6 @@ _TEMP_BUDGET = 10_000  # sample budget to allocate across sources
     tags=("text", "curation"),
 )
 def text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     t = Tables(spark, sf_dir)
     counts = t.documents.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs")
@@ -511,20 +511,19 @@ def text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rem", (F.lit(_TEMP_BUDGET) * F.col("weight_fx")) % F.col("tw")
         )
     )
-    ranked = base.select(
-        "source",
-        "n_docs",
-        "weight_fx",
-        "alloc0",
-        "tw",
-        F.row_number()
-        .over(W.orderBy(F.desc("rem"), F.asc("source")))
-        .alias("rk"),
-        F.sum("alloc0")
-        .over(W.partitionBy())
-        .cast("bigint")
-        .alias("alloc_sum"),
+    from ..functions.ranking import ranked_rows
+
+    # sources are a bounded dimension — windowless rank + a broadcast
+    # grand total instead of two unpartitioned windows
+    tot_alloc = base.agg(
+        F.sum("alloc0").cast("bigint").alias("alloc_sum")
     )
+    ranked = ranked_rows(
+        base,
+        [-F.col("rem"), F.col("source")],
+        ["source", "n_docs", "weight_fx", "alloc0", "tw"],
+        rank_col="rk",
+    ).crossJoin(F.broadcast(tot_alloc))
     return ranked.select(
         "source",
         "n_docs",
