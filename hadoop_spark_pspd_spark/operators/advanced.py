@@ -469,23 +469,32 @@ def q_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT kind, key_id, amount FROM (
             SELECT 'order' AS kind, o_orderkey AS key_id,
                    o_totalprice AS amount
-            FROM orders WHERE o_totalprice > 48000
+            FROM orders
+            WHERE o_totalprice > 48000 AND o_orderkey % 20 = 3
             UNION ALL
             SELECT 'lineitem' AS kind, l_orderkey AS key_id,
                    l_extendedprice AS amount
-            FROM lineitem WHERE l_extendedprice > 9900
+            FROM lineitem
+            WHERE l_extendedprice > 9900 AND l_orderkey % 20 = 3
         )
     """,
-    doc="UNION ALL with schema alignment (unionByName).",
+    doc="UNION ALL with schema alignment (unionByName). Deterministic "
+        "1-in-20 key sample on both branches in both engines — the "
+        "union semantics are per-row, and the unsampled form dumped "
+        "684k rows into the hash compare (11 s of the sf0.1 sweep).",
 )
 def q_union_all_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    a = t.orders.filter(F.col("o_totalprice") > 48000).select(
+    a = t.orders.filter(
+        (F.col("o_totalprice") > 48000) & (F.col("o_orderkey") % 20 == 3)
+    ).select(
         F.lit("order").alias("kind"),
         F.col("o_orderkey").alias("key_id"),
         F.col("o_totalprice").alias("amount"),
     )
-    b = t.lineitem.filter(F.col("l_extendedprice") > 9900).select(
+    b = t.lineitem.filter(
+        (F.col("l_extendedprice") > 9900) & (F.col("l_orderkey") % 20 == 3)
+    ).select(
         F.col("l_orderkey").alias("key_id"),
         F.lit("lineitem").alias("kind"),
         F.col("l_extendedprice").alias("amount"),

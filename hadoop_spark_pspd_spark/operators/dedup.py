@@ -380,8 +380,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTER_ORACLE = f"""
-    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({_JACCARD_ORACLE}),
+    edges AS MATERIALIZED (
+        -- MATERIALIZED: the recursive closure re-evaluates its join
+        -- input per iteration; inlined, the whole minhash pair query
+        -- would re-run ~diameter times (round-4 inlining trap)
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION ALL
         SELECT doc_b AS u, doc_a AS v FROM pairs

@@ -779,8 +779,12 @@ def neardup_candidates(
 @register(
     "sim_semantic_dedup",
     oracle=f"""
-        WITH RECURSIVE pairs AS ({_NEARDUP_PAIRS_SQL}),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED ({_NEARDUP_PAIRS_SQL}),
+        edges AS MATERIALIZED (
+            -- MATERIALIZED is load-bearing: the recursive reach CTE
+            -- below re-evaluates its join input EVERY iteration, and
+            -- an inlined pair query re-ran the full cosine screen ~20x
+            -- (2 s -> 48 s at sf0.1; the round-4 inlining trap)
             SELECT vec_a AS u, vec_b AS v FROM pairs
             UNION ALL
             SELECT vec_b AS u, vec_a AS v FROM pairs
