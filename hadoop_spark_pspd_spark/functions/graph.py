@@ -105,34 +105,30 @@ def min_label_components(edges: DataFrame) -> DataFrame:
         # contract until the star set fits the single-task cap; row
         # count is monotone non-increasing after level 1 (each level
         # emits one star edge per distinct node), so n >= prev means a
-        # genuine stall (e.g. the NODE set alone exceeds the cap) —
-        # refuse the silent single-task OOM instead of coalesce(1)ing
-        # an unbounded set (ADVICE r6)
-        if levels >= _MAX_CC_LEVELS:
-            raise RuntimeError(
-                f"min_label_components: {n} edge rows still exceed the "
-                f"single-task cap ({_LOCAL_CC_EDGE_CAP}) after "
-                f"{levels} contraction levels; use "
-                "star_contraction_components for graphs whose node set "
-                "alone exceeds the cap"
+        # genuine stall — the NODE set alone exceeds the cap and no
+        # amount of contraction helps. Instead of coalesce(1)ing an
+        # unbounded set into a silent single-task OOM (ADVICE r6),
+        # hand the equivalence-preserving star set to the fully
+        # distributed star-contraction algorithm, which needs no
+        # single-task pass at all.
+        stalled = levels >= _MAX_CC_LEVELS
+        if not stalled:
+            parts = n // 2_000_000 + 1
+            work = (
+                work.repartition(parts)
+                .mapInPandas(_cc_kernel, "node long, label long")
+                .distinct()
+                .toDF("u", "v")
+                .localCheckpoint(eager=False)
             )
-        parts = n // 2_000_000 + 1
-        work = (
-            work.repartition(parts)
-            .mapInPandas(_cc_kernel, "node long, label long")
-            .distinct()
-            .toDF("u", "v")
-            .localCheckpoint(eager=False)
-        )
-        prev, n = n, work.count()
-        levels += 1
-        if n >= prev:
-            raise RuntimeError(
-                f"min_label_components: contraction stalled at {n} "
-                f"rows (> cap {_LOCAL_CC_EDGE_CAP}); the graph's node "
-                "set does not fit one task — use "
-                "star_contraction_components"
+            prev, n = n, work.count()
+            levels += 1
+            stalled = n >= prev
+        if stalled and n > _LOCAL_CC_EDGE_CAP:
+            sym = work.union(
+                work.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
+            return star_contraction_components(sym)
     return work.coalesce(1).mapInPandas(_cc_kernel, "node long, label long")
 
 

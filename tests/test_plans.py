@@ -317,6 +317,29 @@ def test_samplers_plan_distributed_topk(spark):
         assert "TakeOrderedAndProject" in plan, q.__name__
 
 
+def test_dsir_and_rule_topk_plan_distributed(spark):
+    """Top-k selections whose rank rides along in the output must still
+    reduce via TakeOrderedAndProject first (VERDICT r6 #5: the old
+    row_number form leaned on the WindowGroupLimit rewrite), with the
+    rank attached windowless afterwards — no WindowExec anywhere."""
+    from hadoop_spark_pspd_spark.operators.behavioral import q_assoc_rules
+    from hadoop_spark_pspd_spark.operators.graph import (
+        graph_link_prediction,
+    )
+    from hadoop_spark_pspd_spark.operators.text_curation import (
+        text_dsir_weights,
+    )
+
+    for q in (text_dsir_weights, q_assoc_rules, graph_link_prediction):
+        plan = formatted_plan(q(spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan, q.__name__
+    # dsir and assoc-rules need no window at all; link prediction keeps
+    # the PARTITIONED top-k window inside cooccurrence_edges (legal)
+    for q in (text_dsir_weights, q_assoc_rules):
+        plan = formatted_plan(q(spark, SF_SMOKE))
+        assert "Window" not in plan, q.__name__
+
+
 def test_pit_features_is_joinless_on_the_fact_side(spark):
     """The point-in-time feature build resolves through one union+window
     timeline: the only join allowed is the broadcast of the 1-row user-

@@ -275,20 +275,23 @@ def test_group_sequential_empty_arm_parity(spark, empty_arm_sf):
 # ---------------------------------------------------------------------------
 
 
-def test_cc_stall_raises_instead_of_unbounded_single_task(
-    spark, monkeypatch
-):
+def test_cc_stall_falls_back_to_star_contraction(spark, monkeypatch):
     import hadoop_spark_pspd_spark.functions.graph as g
 
     monkeypatch.setattr(g, "_LOCAL_CC_EDGE_CAP", 2)
-    # a perfect matching: star contraction emits one row per NODE, so
-    # the row set GROWS from 3 edges to 6 stars and can never fit the
-    # cap — must raise, not coalesce(1) an unbounded set
+    # a perfect matching: contraction emits one row per NODE, so the
+    # row set GROWS from 3 edges to 6 stars and can never fit the cap —
+    # the guard must route to the fully distributed star-contraction
+    # algorithm instead of coalesce(1)ing an unbounded set, and the
+    # result must stay exact
     edges = spark.createDataFrame(
         [(0, 1), (2, 3), (4, 5)], "u long, v long"
     )
-    with pytest.raises(RuntimeError, match="stalled|exceed"):
-        g.min_label_components(edges)
+    out = {
+        r["node"]: r["label"]
+        for r in g.min_label_components(edges).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4}
 
 
 def test_cc_small_graph_still_exact(spark):
