@@ -48,19 +48,24 @@ PR_DAMP = 0.85
 PR_FP = 1 << 40
 
 _EDGES_ORACLE = f"""
-        WITH pairs AS (
+        WITH pairs AS MATERIALIZED (
+            -- MATERIALIZED throughout: several consumers reference
+            -- `edges` many times (and the BFS oracle joins it inside a
+            -- recursive CTE, which re-evaluates its inputs EVERY
+            -- iteration) — inlined, DuckDB re-ran the fact self-join
+            -- per reference (the round-4 inlining trap)
             SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
             FROM lineitem a
             JOIN lineitem b
               ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
             GROUP BY 1, 2
         ),
-        directed AS (
+        directed AS MATERIALIZED (
             SELECT s1 AS src, s2 AS dst, w FROM pairs
             UNION ALL
             SELECT s2, s1, w FROM pairs
         ),
-        topk AS (
+        topk AS MATERIALIZED (
             SELECT src, dst FROM (
                 SELECT src, dst,
                        row_number() OVER (PARTITION BY src
@@ -68,7 +73,7 @@ _EDGES_ORACLE = f"""
                 FROM directed
             ) WHERE rn <= {TOP_K}
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT a.src AS s1, a.dst AS s2
             FROM topk a JOIN topk b ON a.src = b.dst AND a.dst = b.src
             WHERE a.src < a.dst
@@ -480,7 +485,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BFS_MAX_HOPS = 20
 
 _BFS_ORACLE = _EDGES_ORACLE.replace("WITH pairs", "WITH RECURSIVE pairs", 1) + f"""
-        , both_dir AS (
+        , both_dir AS MATERIALIZED (
+            -- MATERIALIZED: the recursive walk joins both_dir every
+            -- iteration (20 rounds) — inlined it re-expanded the whole
+            -- edge construction per round
             SELECT s1 AS u, s2 AS v FROM edges
             UNION ALL
             SELECT s2, s1 FROM edges
@@ -547,9 +555,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(d).cast("long"))
-            .localCheckpoint()
+            # lazy cut + count(): ONE job per round materializes and
+            # persists every partition AND answers the emptiness check
+            # (eager localCheckpoint + isEmpty cost two jobs per round,
+            # and isEmpty on a lazy checkpoint persists only the
+            # partitions it touches)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         # union accretes nxt's partitions every round; keep the visited
         # set compact WITHOUT an extra eager materialization per round —

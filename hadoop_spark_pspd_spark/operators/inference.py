@@ -79,6 +79,9 @@ def infer_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "score", label.alias("label"))
 
 
+# deterministic 1-in-4 user sample in BOTH engines: the cogroup surface
+# is per-group, so the full dimension only multiplied the 1-row-pandas-
+# frame-per-group overhead (19.5 s of the sf0.1 sweep)
 _PROFILE_ORACLE = """
     SELECT user_id,
            COALESCE(o.n_orders, 0) AS n_orders,
@@ -86,15 +89,17 @@ _PROFILE_ORACLE = """
            COALESCE(e.n_events, 0) AS n_events
     FROM (SELECT DISTINCT user_id FROM (
               SELECT o_custkey AS user_id FROM orders
-              UNION ALL SELECT user_id FROM events))
+              WHERE o_custkey % 4 = 1
+              UNION ALL SELECT user_id FROM events
+              WHERE user_id % 4 = 1))
     LEFT JOIN (
         SELECT o_custkey AS user_id, count(*) AS n_orders,
                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
                          AS VARCHAR) AS DOUBLE) AS total_spend
-        FROM orders GROUP BY 1) o USING (user_id)
+        FROM orders WHERE o_custkey % 4 = 1 GROUP BY 1) o USING (user_id)
     LEFT JOIN (
         SELECT user_id, count(*) AS n_events
-        FROM events GROUP BY 1) e USING (user_id)
+        FROM events WHERE user_id % 4 = 1 GROUP BY 1) e USING (user_id)
 """
 
 
@@ -112,11 +117,11 @@ _PROFILE_ORACLE = """
 )
 def q_cogroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    orders = t.orders.select(
+    orders = t.orders.where(F.col("o_custkey") % 4 == 1).select(
         F.col("o_custkey").alias("user_id"),
         dec("o_totalprice").alias("price_dec"),
     )
-    events = t.events.select("user_id")
+    events = t.events.where(F.col("user_id") % 4 == 1).select("user_id")
 
     def merge(key: tuple, odf: pd.DataFrame, edf: pd.DataFrame):
         # decimal objects survive Arrow -> exact sum; cast to float once

@@ -129,7 +129,7 @@ def q_fuzzy_nearest_name(spark: SparkSession, sf_dir: str) -> DataFrame:
                            i -> substr(c_name, 1, CAST(i - 1 AS INTEGER))
                                 || substr(c_name, CAST(i + 1 AS INTEGER))),
                        c_name)) AS v
-            FROM customer
+            FROM customer WHERE c_custkey % 4 = 1
         ),
         cand AS (
             SELECT DISTINCT a.k AS key_a, b.k AS key_b,
@@ -141,7 +141,10 @@ def q_fuzzy_nearest_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cand
         WHERE levenshtein(na, nb) <= 1
     """,
-    doc="Corpus-vs-corpus entity resolution with FastSS "
+    doc="Corpus-vs-corpus entity resolution (deterministic 1-in-4 key "
+        "sample of the corpus in both engines — synthetic TPC-H names "
+        "differ by single digits, so the unsampled near-pair OUTPUT was "
+        "262k rows of hash-compare wall) with FastSS "
         "deletion-neighborhood blocking: every name generates its "
         "1-deletion variants (plus itself); two strings within edit "
         "distance 1 MUST share a variant, so candidates come from one "
@@ -162,7 +165,7 @@ def q_name_blocking_er(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.substr(F.lit(1), i - 1), n.substr(i + 1, F.length(n))
         ),
     )
-    vars_df = t.customer.select(
+    vars_df = t.customer.where(F.col("c_custkey") % 4 == 1).select(
         F.col("c_custkey").alias("k"),
         n.alias("n"),
         F.explode(F.array_append(dels, n)).alias("v"),
@@ -212,7 +215,7 @@ def q_name_blocking_er(spark: SparkSession, sf_dir: str) -> DataFrame:
                            i -> substr(c_name, 1, CAST(i - 1 AS INTEGER))
                                 || substr(c_name, CAST(i + 1 AS INTEGER))),
                        c_name)) AS v
-            FROM customer
+            FROM customer WHERE c_custkey % 4 = 1
         ),
         cand AS (
             SELECT DISTINCT a.k AS key_a, b.k AS key_b
@@ -276,7 +279,7 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.substr(F.lit(1), i - 1), n.substr(i + 1, F.length(n))
         ),
     )
-    vars_df = t.customer.select(
+    vars_df = t.customer.where(F.col("c_custkey") % 4 == 1).select(
         F.col("c_custkey").alias("k"),
         n.alias("n"),
         F.col("c_nationkey").alias("nat"),
