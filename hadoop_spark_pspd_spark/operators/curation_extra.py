@@ -749,3 +749,81 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_f2",
         "n_distinct",
     )
+
+
+_EPOCHS = 2       # training epochs to audit
+_SHUF_SHARDS = 8  # shards per epoch
+
+
+@register(
+    "text_epoch_shuffle",
+    oracle=f"""
+        WITH h AS (
+            SELECT e.epoch,
+                   CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                         || ':' || CAST(e.epoch AS VARCHAR)), 1, 13))
+                        AS UBIGINT) AS hv,
+                   CAST(strlen(d.text) AS BIGINT) AS n_bytes
+            FROM documents d,
+                 (SELECT unnest(range(0, {_EPOCHS})) AS epoch) e
+        )
+        SELECT CAST(epoch AS INTEGER) AS epoch,
+               CAST(hv % {_SHUF_SHARDS} AS INTEGER) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(min(hv) AS BIGINT) AS min_h,
+               CAST(max(hv) AS BIGINT) AS max_h
+        FROM h
+        GROUP BY 1, 2
+    """,
+    doc="Deterministic per-epoch training shuffle + shard-balance "
+        "audit: each epoch reshuffles the corpus by h = "
+        "md5(doc_id:epoch) (the cross-engine conv/UBIGINT recipe, "
+        "k=13 hex chars so h < 2^52 fits BIGINT exactly), shard = "
+        "h % 8. Emits per-(epoch, shard) doc counts, byte mass "
+        "(octet-defined), and the h-range checksum — the balance "
+        "report that validates shard assignment before a training run, "
+        "and a different deterministic permutation per epoch (the "
+        "data-order property epoch training needs). Map-side hash + "
+        "one bounded group-by; no rank, no shuffle beyond the 16-cell "
+        "agg — embarrassingly parallel at any corpus size.",
+    tags=("text", "curation"),
+)
+def text_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    epochs = F.explode(
+        F.sequence(F.lit(0), F.lit(_EPOCHS - 1))
+    ).alias("epoch")
+    base = t.documents.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        epochs,
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        base.select("epoch", "n_bytes", h.alias("hv"))
+        .groupBy(
+            F.col("epoch").cast("int").alias("epoch"),
+            (F.col("hv") % _SHUF_SHARDS).cast("int").alias("shard"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("hv").alias("min_h"),
+            F.max("hv").alias("max_h"),
+        )
+    )

@@ -160,14 +160,20 @@ def q_cogroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_user_profile_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    # same 1-in-4 user sample as the cogroup twin (shared oracle)
     o = (
-        t.orders.groupBy(F.col("o_custkey").alias("user_id"))
+        t.orders.where(F.col("o_custkey") % 4 == 1)
+        .groupBy(F.col("o_custkey").alias("user_id"))
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(dec("o_totalprice")).cast("double").alias("total_spend"),
         )
     )
-    e = t.events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    e = (
+        t.events.where(F.col("user_id") % 4 == 1)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
     return (
         o.join(e, "user_id", "full_outer")
         .select(

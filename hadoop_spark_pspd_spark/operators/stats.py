@@ -1644,7 +1644,7 @@ _CF_ALPHAS = (8, 9)             # coverage targets in tenths
     tags=("ml", "stats"),
 )
 def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.ranking import with_running_sums
+    from ..functions.ranking import with_running_sums_dist
 
     t = Tables(spark, sf_dir)
     hashed = (
@@ -1696,14 +1696,20 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rq")
         .agg(F.count("*").alias("cnt"))
     )
-    # residual cents are bounded [0, 100] — windowless small-table
-    # cumsum with grand total riding along
-    cum = with_running_sums(
-        hist, "rq", ["cnt"], prefix="cum_", totals_prefix="tot_"
-    ).select(
-        "rq",
-        F.col("cum_cnt").cast("bigint").alias("cum"),
-        F.col("tot_cnt").cast("bigint").alias("n_cal"),
+    # the residual-cent histogram is DATA-bounded (distinct cents over
+    # price residuals, ~n_cal in the worst case), so the cumsum must be
+    # the distributed two-level kernel — the single-row sorted-array HOF
+    # (with_running_sums) is O(k^2) on one thread and hit 140 s at
+    # sf0.1. Grand total rides along via a 1-row broadcast.
+    n_cal_df = hist.agg(F.sum("cnt").cast("bigint").alias("n_cal"))
+    cum = (
+        with_running_sums_dist(hist, [F.col("rq").asc()], ["cnt"], prefix="cum_")
+        .crossJoin(F.broadcast(n_cal_df))
+        .select(
+            "rq",
+            F.col("cum_cnt").cast("bigint").alias("cum"),
+            "n_cal",
+        )
     )
     alphas = spark.createDataFrame(
         [(a,) for a in _CF_ALPHAS], "alpha_tenths int"
