@@ -467,6 +467,7 @@ def _bpe_encode_oracle() -> str:
                 SELECT doc_id, hex(encode(text)) AS hx,
                        strlen(text) AS n
                 FROM documents
+                WHERE doc_id % 4 = 1
             )
         ), e0 AS MATERIALIZED (
             SELECT doc_id, pos,
@@ -516,7 +517,13 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # 0-byte docs: the oracle's range(1, 1) is empty and its inner join
     # drops the doc — drop them up front; an empty doc has no tokens.
-    docs = t.documents.filter(F.octet_length("text") >= 1).repartition(
+    # Encode a deterministic 1-in-4 doc sample in BOTH engines (training
+    # stays full-corpus): per-doc encode rows are a coverage readout, and
+    # the full-corpus oracle replay was 12.4 s of the sf0.1 sweep wall
+    # (the q_math_exact key-sample precedent).
+    docs = t.documents.filter(
+        (F.octet_length("text") >= 1) & (F.col("doc_id") % 4 == 1)
+    ).repartition(
         # small parquet = ONE input split; the encode kernel is
         # CPU-bound, so spread it first (no-op cost at real scale)
         spark.sparkContext.defaultParallelism

@@ -710,3 +710,116 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_rows").cast("double")
         ).alias("skew_factor"),
     )
+
+
+_DEL_MOD = 97  # deterministic deletion cohort: c_custkey % 97 == 0
+
+
+@register(
+    "q_deletion_propagation",
+    oracle=f"""
+        WITH del AS (
+            SELECT c_custkey AS k FROM customer
+            WHERE c_custkey % {_DEL_MOD} = 0
+        ), c AS (
+            SELECT 'customer' AS tbl,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(coalesce(SUM(CASE WHEN c_custkey % {_DEL_MOD} = 0
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_deleted
+            FROM customer
+        ), o AS (
+            SELECT 'orders' AS tbl,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(coalesce(SUM(CASE WHEN d.k IS NOT NULL
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_deleted
+            FROM orders LEFT JOIN del d ON o_custkey = d.k
+        ), l AS (
+            SELECT 'lineitem' AS tbl,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(coalesce(SUM(CASE WHEN d.k IS NOT NULL
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_deleted
+            FROM lineitem li
+            LEFT JOIN orders ON li.l_orderkey = o_orderkey
+            LEFT JOIN del d ON o_custkey = d.k
+        ), e AS (
+            SELECT 'events' AS tbl,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(coalesce(SUM(CASE WHEN user_id % {_DEL_MOD} = 0
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_deleted
+            FROM events
+        ), u AS (
+            SELECT * FROM c UNION ALL SELECT * FROM o
+            UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e
+        )
+        SELECT tbl, n_total, n_deleted,
+               CAST(n_total - n_deleted AS BIGINT) AS n_kept,
+               CAST(n_deleted AS DOUBLE)
+                   / CAST(CASE WHEN n_total = 0 THEN 1 ELSE n_total END
+                          AS DOUBLE) AS pct_deleted
+        FROM u
+    """,
+    doc="Right-to-be-forgotten deletion-impact audit — the blast-radius "
+        "report a compliance pipeline produces BEFORE executing a GDPR/"
+        "CCPA erasure batch: for a deterministic deletion cohort "
+        f"(c_custkey % {_DEL_MOD} = 0), count the rows each table loses "
+        "under the cascade customer -> orders -> lineitem plus the "
+        "direct user_id hit on events. Per table: total, deleted, "
+        "kept, fraction (guarded division, identical CASE in both "
+        "engines). Plan: the cohort is a key-predicate (map-side "
+        "evaluable on customer/events); only lineitem needs its "
+        "natural orders join to inherit the verdict — one shuffle on "
+        "the already-copartitioned orderkey; the 4-row union is "
+        "constant. At 100 TB this is exactly the shape of a real "
+        "deletion dry-run: no full-table anti-join, no per-user loop.",
+    tags=("profiling", "privacy"),
+)
+def q_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    deleted_cust = (F.col("c_custkey") % _DEL_MOD == 0).cast("long")
+    c = t.customer.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.coalesce(F.sum(deleted_cust), F.lit(0)).cast("bigint").alias("n_deleted"),
+    ).select(F.lit("customer").alias("tbl"), "n_total", "n_deleted")
+    del_orders = (F.col("o_custkey") % _DEL_MOD == 0).cast("long")
+    o = t.orders.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.coalesce(F.sum(del_orders), F.lit(0)).cast("bigint").alias("n_deleted"),
+    ).select(F.lit("orders").alias("tbl"), "n_total", "n_deleted")
+    # lineitem inherits the verdict through its parent order (the only
+    # table whose deletion status is not key-local)
+    order_flag = t.orders.select(
+        "o_orderkey", del_orders.alias("del_flag")
+    )
+    li = (
+        t.lineitem.select("l_orderkey")
+        .join(order_flag, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.coalesce(F.sum(F.coalesce(F.col("del_flag"), F.lit(0))), F.lit(0))
+            .cast("bigint")
+            .alias("n_deleted"),
+        )
+        .select(F.lit("lineitem").alias("tbl"), "n_total", "n_deleted")
+    )
+    del_events = (F.col("user_id") % _DEL_MOD == 0).cast("long")
+    e = t.events.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.coalesce(F.sum(del_events), F.lit(0)).cast("bigint").alias("n_deleted"),
+    ).select(F.lit("events").alias("tbl"), "n_total", "n_deleted")
+    u = c.unionByName(o).unionByName(li).unionByName(e)
+    denom = F.when(F.col("n_total") == 0, F.lit(1)).otherwise(
+        F.col("n_total")
+    )
+    return u.select(
+        "tbl",
+        "n_total",
+        "n_deleted",
+        (F.col("n_total") - F.col("n_deleted")).cast("bigint").alias("n_kept"),
+        (
+            F.col("n_deleted").cast("double") / denom.cast("double")
+        ).alias("pct_deleted"),
+    )

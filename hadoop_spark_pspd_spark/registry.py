@@ -80,6 +80,7 @@ def load_all() -> dict[str, EngineQuery]:
         incremental,
         inference,
         kafka_pipeline,
+        llm_extras,
         ml_data,
         multimodal,
         pareto,

@@ -188,6 +188,11 @@ def test_bpe_end_to_end_on_overlap_and_tie_adversarial_corpus(
         r["doc_id"]: (r["n_bytes"], r["n_tokens"])
         for r in text_bpe_encode(spark, sf).collect()
     }
+    # the encode query emits the deterministic 1-in-4 doc sample
+    # (training stays full-corpus); non-sampled docs must be absent
+    assert set(enc) == {d for d, _t in docs if d % 4 == 1}
     for doc_id, text in docs:
+        if doc_id % 4 != 1:
+            continue
         nb = len(text.encode("utf-8"))
         assert enc[doc_id] == (nb, encode(text)), (doc_id, text, enc[doc_id])

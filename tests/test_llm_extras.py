@@ -1,0 +1,368 @@
+"""Adversarial fixtures for the llm_extras operators — edge cases the
+generated testdata never produces (zero-padding division guard, zero
+vectors, sub-depth prompts, fully-identical / fully-disjoint sources,
+dominance tournaments), each checked ENGINE-vs-ORACLE so a cross-engine
+divergence cannot hide behind a generated-data sweep."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from hadoop_spark_pspd_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _run_both(name: str, spark, sf_dir: str, tables: tuple[str, ...]):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, sf_dir)
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
+        )
+    rel = con.sql(q.oracle)
+    scols, dcols = sdf.columns, rel.columns
+    assert sorted(c.lower() for c in scols) == sorted(
+        c.lower() for c in dcols
+    )
+    sidx = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+    didx = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
+    srows = sorted(
+        tuple(repr(_norm(r[i])) for i in sidx) for r in sdf.collect()
+    )
+    drows = sorted(
+        tuple(repr(_norm(r[i])) for i in didx) for r in rel.fetchall()
+    )
+    con.close()
+    return srows, drows
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{path}/documents.parquet")
+
+
+# ---------------------------------------------------------------- batching
+
+
+def test_length_batching_zero_pad_guard(spark, tmp_path):
+    """A source whose docs all have IDENTICAL token counts pads ZERO in
+    both orderings — the savings division must hit the pad_arrival=0
+    guard identically in both engines (DuckDB x/0.0 -> NULL vs IEEE inf,
+    the round-5 divergence class)."""
+    rows = [(i, "a b c", "en", "uniform") for i in range(5)]
+    rows += [
+        (10, "w", "en", "mixed"),
+        (11, "w x y z w x y z", "en", "mixed"),
+        (12, "w x", "en", "mixed"),
+    ]
+    sf = str(tmp_path / "lb")
+    _write_docs(spark, sf, rows)
+    srows, drows = _run_both(
+        "text_length_batching", spark, sf, ("documents",)
+    )
+    assert srows == drows
+    uniform = [r for r in srows if r[-1] == "'uniform'"] or [
+        r for r in srows if "'uniform'" in r
+    ]
+    assert uniform, srows
+    # savings column is 0.0 exactly on the zero-pad source
+    assert any("0.0" in c for c in uniform[0])
+
+
+def test_length_batching_sorted_never_worse_here(spark, tmp_path):
+    """On a single-batch-many-lengths source, sorted and arrival padding
+    agree (same single batch); on a multi-batch source with interleaved
+    lengths, sorted padding is strictly smaller."""
+    # 64 docs alternating 1-token / 9-token: arrival batches mix both
+    # lengths (pad 8 per 1-token doc), sorted batches are homogeneous
+    rows = [
+        (i, "t " * (9 if i % 2 else 1), "en", "alt") for i in range(64)
+    ]
+    sf = str(tmp_path / "lb2")
+    _write_docs(spark, sf, rows)
+    out = {
+        r["source"]: r
+        for r in REGISTRY["text_length_batching"].fn(spark, sf).collect()
+    }
+    assert out["alt"]["pad_sorted"] < out["alt"]["pad_arrival"]
+    srows, drows = _run_both(
+        "text_length_batching", spark, sf, ("documents",)
+    )
+    assert srows == drows
+
+
+# ---------------------------------------------------------------- prefix cache
+
+
+def test_prefix_cache_sub_depth_prompts(spark, tmp_path):
+    """Docs shorter than a depth are excluded from that depth's pool
+    (not padded, not counted); empty docs appear nowhere. Shared-prefix
+    counting is exact on a crafted cohort."""
+    rows = [
+        (0, "", "en", "s"),                      # 0 tokens: nowhere
+        (1, "hello", "en", "s"),                 # 1 token: nowhere (min depth 2)
+        (2, "hello world", "en", "s"),           # 2 tokens: depth 2 only
+        (3, "hello world foo bar", "en", "s"),   # 4: depths 2, 4
+        (4, "hello world foo bar", "en", "s"),   # exact dup of 3
+        (5, "hello world zzz qqq a b c d", "en", "s"),  # 8: all depths
+    ]
+    sf = str(tmp_path / "pc")
+    _write_docs(spark, sf, rows)
+    got = {
+        r["depth"]: r
+        for r in REGISTRY["sim_prefix_cache"].fn(spark, sf).collect()
+    }
+    # depth 2: docs 2,3,4,5 share prefix "hello world" -> 1 prefix, 3 hits
+    assert got[2]["n_prompts"] == 4
+    assert got[2]["n_prefixes"] == 1
+    assert got[2]["n_cached"] == 3
+    assert got[2]["tokens_saved"] == 6
+    # depth 4: docs 3,4 share; doc 5 distinct -> 2 prefixes, 1 hit
+    assert got[4]["n_prompts"] == 3
+    assert got[4]["n_prefixes"] == 2
+    assert got[4]["max_share"] == 2
+    # depth 8: only doc 5 -> no reuse
+    assert got[8]["n_prompts"] == 1
+    assert got[8]["n_cached"] == 0
+    srows, drows = _run_both("sim_prefix_cache", spark, sf, ("documents",))
+    assert srows == drows
+
+
+# ---------------------------------------------------------------- source overlap
+
+
+def test_source_overlap_identical_and_disjoint(spark, tmp_path):
+    """Two sources with the same 4-gram set give jaccard 1.0; a source
+    sharing nothing produces NO pair row (absent in both engines)."""
+    text = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, text, "en", "sa"),
+        (1, text, "en", "sb"),
+        (2, "one two three four five six", "en", "sc"),
+        (3, "tiny", "en", "sd"),  # < 4 tokens: no grams at all
+    ]
+    sf = str(tmp_path / "so")
+    _write_docs(spark, sf, rows)
+    got = {
+        (r["s1"], r["s2"]): r
+        for r in REGISTRY["text_source_overlap"].fn(spark, sf).collect()
+    }
+    assert set(got) == {("sa", "sb")}
+    assert got[("sa", "sb")]["jaccard"] == 1.0
+    assert got[("sa", "sb")]["shared"] == 2  # 5 tokens -> 2 4-grams
+    srows, drows = _run_both(
+        "text_source_overlap", spark, sf, ("documents",)
+    )
+    assert srows == drows
+
+
+# ---------------------------------------------------------------- JL projection
+
+
+def test_jl_zero_vector_guard_and_parity(spark, tmp_path):
+    """A zero embedding has |q|^2 = 0: the greatest(.., 1) guard must
+    fire identically (bucket 0) in numpy and DuckDB; negative and
+    non-dyadic float components must quantize identically."""
+    import numpy as np
+
+    from hadoop_spark_pspd_spark.operators.llm_extras import _JL_DIN
+
+    rng = np.random.default_rng(7)
+    vecs = [
+        [0.0] * _JL_DIN,                                   # zero vector
+        [(-1) ** k * 0.5 for k in range(_JL_DIN)],          # exact dyadics
+        [float(np.float32(0.1 * (k + 1))) for k in range(_JL_DIN)],
+        list(rng.standard_normal(_JL_DIN).astype(np.float32).astype(float)),
+    ]
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    sf = str(tmp_path / "jl")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    got = {
+        r["bucket"]: r
+        for r in REGISTRY["sim_random_projection_jl"].fn(spark, sf).collect()
+    }
+    assert 0 in got and got[0]["min_vec"] == 0  # zero vector -> bucket 0
+    srows, drows = _run_both(
+        "sim_random_projection_jl", spark, sf, ("embeddings",)
+    )
+    assert srows == drows
+
+
+# ---------------------------------------------------------------- Bradley-Terry
+
+
+@pytest.fixture()
+def bt_fixture(spark, tmp_path):
+    """3-nation dominance tournament: ALPHA's lineitems always out-
+    quantity BETA's, BETA's always out-quantity GAMMA's. Includes a
+    tied pair (skipped) and a same-nation pair (skipped)."""
+    sf = str(tmp_path / "bt")
+    spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA"), (2, "GAMMA")],
+        "n_nationkey long, n_name string",
+    ).coalesce(1).write.parquet(f"{sf}/nation.parquet")
+    spark.createDataFrame(
+        [(10, 0), (11, 1), (12, 2), (13, 0)],
+        "s_suppkey long, s_nationkey long",
+    ).coalesce(1).write.parquet(f"{sf}/supplier.parquet")
+    li = []
+    for o in range(6):
+        li += [
+            (o, 1, 10, Decimal("30.00")),  # ALPHA
+            (o, 2, 11, Decimal("20.00")),  # BETA
+            (o, 3, 12, Decimal("10.00")),  # GAMMA
+        ]
+    # tie (skipped) and same-nation pair (skipped)
+    li += [(100, 1, 10, Decimal("5.00")), (100, 2, 11, Decimal("5.00"))]
+    li += [(101, 1, 10, Decimal("9.00")), (101, 2, 13, Decimal("1.00"))]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_linenumber int, l_suppkey long, "
+        "l_quantity decimal(12,2)",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    return sf
+
+
+def test_bradley_terry_dominance_order_and_parity(spark, bt_fixture):
+    got = REGISTRY["ml_bradley_terry"].fn(spark, bt_fixture).collect()
+    by_rank = sorted(got, key=lambda r: r["rk"])
+    assert [r["nation"] for r in by_rank] == ["ALPHA", "BETA", "GAMMA"]
+    assert by_rank[0]["strength"] > by_rank[1]["strength"] > by_rank[2][
+        "strength"
+    ]
+    # 18 decisive comparisons: 6 orders x 3 pairs; ties/same-nation skipped
+    alpha = by_rank[0]
+    assert alpha["wins_q"] > 0
+    srows, drows = _run_both(
+        "ml_bradley_terry",
+        spark,
+        bt_fixture,
+        ("nation", "supplier", "lineitem"),
+    )
+    assert srows == drows
+
+
+def test_bradley_terry_matches_sequential_reference(spark, bt_fixture):
+    """The engine's driver-side integer MM must equal an independently
+    written reference fold (exact, no tolerance)."""
+    from hadoop_spark_pspd_spark.operators.llm_extras import (
+        _BT_CQ, _BT_FP, _BT_ITERS, _BT_S0, _BT_SMAX,
+    )
+
+    # raw decisive comparisons on the fixture, by construction:
+    # per order o in 0..5: A>B, A>G, B>G  -> 6 each; order 101: A>A skipped
+    wins = {("ALPHA", "BETA"): 6, ("ALPHA", "GAMMA"): 6, ("BETA", "GAMMA"): 6}
+    n_tot = sum(wins.values())
+    nodes = ["ALPHA", "BETA", "GAMMA"]
+    w_raw = {n: sum(v for (a, _b), v in wins.items() if a == n) for n in nodes}
+    nd: dict[tuple[str, str], int] = {}
+    for (a, b), v in wins.items():
+        nd[(a, b)] = nd.get((a, b), 0) + v
+        nd[(b, a)] = nd.get((b, a), 0) + v
+    wq = {n: (w_raw[n] * _BT_CQ) // n_tot for n in nodes}
+    nq = {k: (v * _BT_CQ) // n_tot for k, v in nd.items()}
+    s = {n: _BT_S0 for n in nodes}
+    for _ in range(_BT_ITERS):
+        t = {
+            i: sum(
+                (nq[(i, j)] * _BT_FP) // (s[i] + s[j])
+                for j in nodes
+                if (i, j) in nq
+            )
+            for i in nodes
+        }
+        s = {
+            i: min(max((wq[i] * _BT_FP) // max(t[i], 1), 1), _BT_SMAX)
+            for i in nodes
+        }
+    got = {
+        r["nation"]: r["strength"]
+        for r in REGISTRY["ml_bradley_terry"].fn(spark, bt_fixture).collect()
+    }
+    assert got == s
+
+
+def test_bradley_terry_empty_when_no_decisive_pairs(spark, tmp_path):
+    """All-tied quantities -> zero decisive matches -> empty result with
+    the declared schema (and an empty oracle side)."""
+    sf = str(tmp_path / "bt0")
+    spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA")], "n_nationkey long, n_name string"
+    ).coalesce(1).write.parquet(f"{sf}/nation.parquet")
+    spark.createDataFrame(
+        [(10, 0), (11, 1)], "s_suppkey long, s_nationkey long"
+    ).coalesce(1).write.parquet(f"{sf}/supplier.parquet")
+    spark.createDataFrame(
+        [
+            (0, 1, 10, Decimal("5.00")),
+            (0, 2, 11, Decimal("5.00")),
+        ],
+        "l_orderkey long, l_linenumber int, l_suppkey long, "
+        "l_quantity decimal(12,2)",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    df = REGISTRY["ml_bradley_terry"].fn(spark, sf)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "nation", "wins_q", "matches_q", "strength", "rk",
+    ]
+
+
+# ---------------------------------------------------------------- deletion audit
+
+
+def test_deletion_propagation_orphan_lineitem(spark, tmp_path):
+    """A lineitem whose parent order is MISSING must count as kept
+    (left-join NULL -> not deleted) identically in both engines, and a
+    table with zero rows must hit the n_total=0 division guard."""
+    sf = str(tmp_path / "delp")
+    spark.createDataFrame(
+        [(0, "x"), (97, "y"), (194, "z"), (5, "w")],
+        "c_custkey long, c_name string",
+    ).coalesce(1).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(1000, 97), (1001, 5), (1002, 194)],
+        "o_orderkey long, o_custkey long",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(1000, 1), (1001, 1), (9999, 1)],  # 9999 = orphan
+        "l_orderkey long, l_linenumber int",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [], "event_id long, user_id long",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r["tbl"]: r
+        for r in REGISTRY["q_deletion_propagation"].fn(spark, sf).collect()
+    }
+    assert got["customer"]["n_deleted"] == 3  # 0, 97, 194
+    assert got["orders"]["n_deleted"] == 2    # custkeys 97, 194
+    assert got["lineitem"]["n_deleted"] == 1  # order 1000; orphan kept
+    assert got["lineitem"]["n_kept"] == 2
+    assert got["events"]["n_total"] == 0
+    assert got["events"]["pct_deleted"] == 0.0  # guarded 0/1
+    srows, drows = _run_both(
+        "q_deletion_propagation",
+        spark,
+        sf,
+        ("customer", "orders", "lineitem", "events"),
+    )
+    assert srows == drows

@@ -142,16 +142,19 @@ def test_fixture_discriminates_char_vs_byte_mass(adversarial_sf):
 
 _BIG_TOKEN = "Q" + "abcdefgh" * 190  # 1521 bytes, whitespace-free
 
+# ids chosen so the adversarial docs land INSIDE the encode query's
+# deterministic 1-in-4 sample (doc_id % 4 == 1): empty doc, >1KB vocab
+# word, and multibyte text must all flow through the sampled encode path
 _BPE_DOCS = [
     (0, "the quick brown fox jumps over the lazy dog", "en", "s0"),
     (1, "the quick brown fox the quick brown fox", "en", "s0"),
-    (2, "", "en", "s0"),                       # empty doc (phantom-symbol)
-    (3, "pack my box with five dozen jugs", "en", "s1"),
-    (4, _BIG_TOKEN + " " + _BIG_TOKEN, "en", "s1"),   # >1KB vocab word
+    (2, "pack my box with five dozen jugs", "en", "s1"),
     (5, "the lazy dog sleeps the lazy dog barks", "en", "s1"),
-    (6, "", "en", "s1"),                       # second empty doc
+    (6, "", "en", "s1"),                        # empty doc OUTSIDE sample
     (7, "quick quick quick brown brown fox", "en", "s2"),
-    (8, "漢字 the 漢字 fox", "zh", "s2"),       # multibyte + ASCII mix
+    (9, "", "en", "s0"),                        # empty doc IN the sample
+    (13, _BIG_TOKEN + " " + _BIG_TOKEN, "en", "s1"),  # >1KB word, sampled
+    (17, "漢字 the 漢字 fox", "zh", "s2"),      # multibyte, sampled
 ]
 
 
@@ -174,8 +177,12 @@ def test_bpe_encode_empty_doc_and_giant_token_parity(
         f"{len(srows)} vs {len(drows)} rows; first diff: "
         f"{next(((a, b) for a, b in zip(srows, drows) if a != b), None)}"
     )
-    # empty docs must be ABSENT (no tokens), not present with n_tokens=2
-    assert len(srows) == len([d for d in _BPE_DOCS if d[1]])
+    # empty docs must be ABSENT (no tokens), not present with n_tokens=2;
+    # the encode query emits the deterministic 1-in-4 doc sample
+    # (doc_id % 4 == 1), training full-corpus
+    assert len(srows) == len(
+        [d for d in _BPE_DOCS if d[1] and d[0] % 4 == 1]
+    )
 
 
 def test_bpe_merges_giant_token_parity(spark, bpe_adversarial_sf):

@@ -166,6 +166,7 @@ def main() -> int:
                 )
             spark_rows = [tuple(r) for r in sdf.collect()]
             rec["spark_rows"] = len(spark_rows)
+            rec["engine_sec"] = round(time.time() - t0, 2)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             rec["err"] = f"spark: {e}"[:300]
@@ -202,6 +203,7 @@ def main() -> int:
                 )
             duck_rows = rel.fetchall()
             rec["oracle_rows"] = len(duck_rows)
+            rec["oracle_sec"] = round(time.time() - t0 - rec["engine_sec"], 2)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             rec["err"] = f"duckdb: {e}"[:300]
