@@ -929,3 +929,58 @@ def infer_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round long, j int, threshold_q long, gamma_l long, "
         "gamma_r long, sse_q long",
     )
+
+
+@register(
+    "q_arrow_byte_stats",
+    oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(max(strlen(text)) AS BIGINT) AS max_bytes
+        FROM documents
+        GROUP BY source
+    """,
+    doc="mapInArrow surface (SURVEY §2.11's Arrow-NATIVE lane, distinct "
+        "from the pandas lanes): per-document byte and codepoint masses "
+        "computed with pyarrow compute kernels directly on the Arrow "
+        "RecordBatch — zero pandas materialization, zero per-row Python "
+        "— then a grouped per-source profile. binary_length on the "
+        "utf8->binary cast == DuckDB strlen (the repo's byte-mass "
+        "convention); utf8_length == DuckDB length (codepoints). The "
+        "batch never leaves Arrow until the JVM aggregation, so this is "
+        "the cheapest Python touchpoint Spark offers — the shape a "
+        "feature extractor uses when pandas conversion is the "
+        "bottleneck.",
+)
+def q_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = Tables(spark, sf_dir)
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("source"),
+                    pc.cast(
+                        pc.binary_length(pc.cast(text, pa.binary())),
+                        pa.int64(),
+                    ),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                names=["source", "n_bytes", "n_chars"],
+            )
+
+    per_doc = t.documents.select("source", "text").mapInArrow(
+        stats, "source string, n_bytes long, n_chars long"
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.max("n_bytes").cast("bigint").alias("max_bytes"),
+    )

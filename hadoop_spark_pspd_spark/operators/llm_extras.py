@@ -603,6 +603,7 @@ def _jl_oracle() -> str:
                               * {float(_JL_Q)}) AS BIGINT) AS q
             FROM embeddings e,
                  (SELECT unnest(range(1, {_JL_DIN + 1})) AS k) kk
+            WHERE len(e.embedding) = {_JL_DIN}
         ), p AS MATERIALIZED (
             SELECT q.vec_id, s.j,
                    CAST(SUM(s.sgn * q.q) AS BIGINT) AS p
@@ -680,8 +681,13 @@ def sim_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    per_vec = t.embeddings.select("vec_id", "embedding").mapInPandas(
-        kern, "vec_id long, bucket long"
+    # ragged vectors would crash np.stack while the oracle's embedding[k]
+    # silently NULLs — define the behavior identically: project only
+    # exactly-_JL_DIN-dimensional vectors in BOTH engines
+    per_vec = (
+        t.embeddings.select("vec_id", "embedding")
+        .where(F.size("embedding") == _JL_DIN)
+        .mapInPandas(kern, "vec_id long, bucket long")
     )
     return per_vec.groupBy("bucket").agg(
         F.count("*").alias("n_vecs"),

@@ -39,21 +39,21 @@ _PIPELINE_ORACLE = f"""
                            x -> x <> '') AS w
         FROM documents
     ),
-    quality AS (
+    quality AS MATERIALIZED (
         SELECT doc_id, text, w, len(w) AS n_tokens
         FROM tok
         WHERE len(w) BETWEEN 10 AND 1000
           AND CAST({_sql_hits(STOPWORDS)} AS DOUBLE) / len(w)
               BETWEEN 0.01 AND 0.6
     ),
-    exact_keep AS (
+    exact_keep AS MATERIALIZED (
         SELECT min(doc_id) AS doc_id
         FROM quality
         GROUP BY md5(regexp_replace(lower(trim(text)),
                                     '[ \\t\\n\\r\\f]+', ' ', 'g'))
     ),
-    surv AS (SELECT q.* FROM quality q JOIN exact_keep USING (doc_id)),
-    sh AS (
+    surv AS MATERIALIZED (SELECT q.* FROM quality q JOIN exact_keep USING (doc_id)),
+    sh AS MATERIALIZED (
         SELECT DISTINCT doc_id, s FROM (
             SELECT doc_id,
                    unnest(list_transform(
@@ -62,20 +62,20 @@ _PIPELINE_ORACLE = f"""
                        AS s
             FROM surv)
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    pair_common AS (
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair_common AS MATERIALIZED (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT doc_a, doc_b
         FROM pair_common
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION ALL
         SELECT doc_b, doc_a FROM pairs

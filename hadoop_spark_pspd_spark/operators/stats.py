@@ -2088,3 +2088,106 @@ def ml_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > bound).alias("crossed"),
     )
+
+
+# power analysis constants: INTEGER z-scores (z_alpha=2 ~ two-sided 5%,
+# z_beta=1 ~ 84% power) and a DYADIC minimum detectable effect 1/64 —
+# free parameters pinned to exactly-representable values (round-6 #11)
+# so (z_a+z_b)^2 / mde^2 is the exact integer 9 * 4096 = 36864
+_PWR_Z2_OVER_MDE2 = 9 * 4096
+_PWR_MDE = 1.0 / 64.0
+
+
+@register(
+    "ml_power_analysis",
+    oracle=f"""
+        WITH du AS (
+            SELECT DISTINCT user_id FROM events
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a
+            FROM du
+        ), conv AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_conv
+            FROM events GROUP BY 1
+        ), rates AS (
+            SELECT c.event_type, c.n_conv, t.n_total, t.n_a,
+                   t.n_total - t.n_a AS n_b,
+                   CAST(c.n_conv AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                       AS p1
+            FROM conv c, tot t
+        ), sized AS (
+            SELECT *,
+                   least(p1 + {_PWR_MDE!r}, CAST(1 AS DOUBLE)) AS p2
+            FROM rates
+        )
+        SELECT event_type, n_conv, n_total, n_a, n_b,
+               CAST(ceil({_PWR_Z2_OVER_MDE2}
+                         * (p1 * (CAST(1 AS DOUBLE) - p1)
+                            + p2 * (CAST(1 AS DOUBLE) - p2)))
+                    AS BIGINT) AS n_required,
+               n_a >= CAST(ceil({_PWR_Z2_OVER_MDE2}
+                         * (p1 * (CAST(1 AS DOUBLE) - p1)
+                            + p2 * (CAST(1 AS DOUBLE) - p2)))
+                    AS BIGINT)
+               AND n_b >= CAST(ceil({_PWR_Z2_OVER_MDE2}
+                         * (p1 * (CAST(1 AS DOUBLE) - p1)
+                            + p2 * (CAST(1 AS DOUBLE) - p2)))
+                    AS BIGINT) AS powered
+        FROM sized
+    """,
+    doc="Two-proportion experiment sample-size calculator — the power "
+        "analysis an experimentation platform runs BEFORE an A/B test "
+        "(the companion of ml_srm_check / ml_group_sequential): per "
+        "event_type, baseline conversion p1 = distinct converting users "
+        "/ distinct users, target p2 = p1 + 1/64, required per-arm n = "
+        "ceil((z_a+z_b)^2 (p1(1-p1) + p2(1-p2)) / mde^2) with INTEGER "
+        "z's (2, 1) and the DYADIC mde 1/64, so the z/mde factor is the "
+        "exact integer 36864 and the whole formula is one fixed "
+        "correctly-rounded IEEE op sequence — bit-identical cross-"
+        "engine, ceil included. Achieved arm sizes come from the "
+        "user-parity split the repo's A/B queries use; powered = both "
+        "arms clear n_required. Two aggregations over one events scan; "
+        "the 5-row readout joins a 1-row broadcast total.",
+    tags=("ml", "stats"),
+)
+def ml_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_type", "user_id")
+    du = ev.select("user_id").distinct()
+    tot = du.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum((F.col("user_id") % 2 == 0).cast("long"))
+        .cast("bigint")
+        .alias("n_a"),
+    )
+    conv = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_conv")
+    )
+    p1 = F.col("n_conv").cast("double") / F.col("n_total").cast("double")
+    base = (
+        conv.crossJoin(F.broadcast(tot))
+        .withColumn("n_b", F.col("n_total") - F.col("n_a"))
+        .withColumn("p1", p1)
+        .withColumn("p2", F.least(F.col("p1") + F.lit(_PWR_MDE), F.lit(1.0)))
+    )
+    n_req = F.ceil(
+        F.lit(float(_PWR_Z2_OVER_MDE2))
+        * (
+            F.col("p1") * (F.lit(1.0) - F.col("p1"))
+            + F.col("p2") * (F.lit(1.0) - F.col("p2"))
+        )
+    ).cast("bigint")
+    return base.select(
+        "event_type",
+        "n_conv",
+        "n_total",
+        "n_a",
+        "n_b",
+        n_req.alias("n_required"),
+        (
+            (F.col("n_a") >= n_req) & (F.col("n_b") >= n_req)
+        ).alias("powered"),
+    )

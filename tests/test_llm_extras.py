@@ -366,3 +366,26 @@ def test_deletion_propagation_orphan_lineitem(spark, tmp_path):
         ("customer", "orders", "lineitem", "events"),
     )
     assert srows == drows
+
+
+def test_jl_ragged_vectors_excluded(spark, tmp_path):
+    """Vectors whose dimension differs from _JL_DIN are excluded
+    IDENTICALLY in both engines (numpy would crash on a ragged stack;
+    DuckDB's embedding[k] would silently NULL — both now filter)."""
+    from hadoop_spark_pspd_spark.operators.llm_extras import _JL_DIN
+
+    rows = [
+        (0, [0.5] * _JL_DIN, 0),        # valid
+        (1, [0.5] * (_JL_DIN - 3), 0),  # short: excluded
+        (2, [0.5] * (_JL_DIN + 2), 0),  # long: excluded
+    ]
+    sf = str(tmp_path / "jlr")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+    got = REGISTRY["sim_random_projection_jl"].fn(spark, sf).collect()
+    assert sum(r["n_vecs"] for r in got) == 1
+    srows, drows = _run_both(
+        "sim_random_projection_jl", spark, sf, ("embeddings",)
+    )
+    assert srows == drows
