@@ -389,3 +389,41 @@ def test_jl_ragged_vectors_excluded(spark, tmp_path):
         "sim_random_projection_jl", spark, sf, ("embeddings",)
     )
     assert srows == drows
+
+
+# ---------------------------------------------------------------- power analysis
+
+
+def test_power_analysis_saturated_rate_clamp(spark, tmp_path):
+    """p1 = 1.0 (every user converts) forces the p2 = least(p1 + 1/64, 1)
+    clamp: both variance terms are exactly 0, n_required is exactly 0,
+    and powered is true — identically in both engines. A second type
+    converts exactly half the users (p1 = 0.5, the variance maximum)."""
+    rows = []
+    for u in range(8):
+        rows.append((len(rows), u, "always"))       # all 8 users
+        if u < 4:
+            rows.append((len(rows), u, "half"))     # users 0-3 only
+    sf = str(tmp_path / "pwr")
+    spark.createDataFrame(
+        [(i, u, et) for i, u, et in rows],
+        "event_id long, user_id long, event_type string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["ml_power_analysis"].fn(spark, sf).collect()
+    }
+    assert got["always"]["n_required"] == 0
+    assert got["always"]["powered"] is True
+    # p1=0.5: v1=0.25, p2=0.5+1/64 -> n_req = ceil(36864*(0.25+p2*(1-p2)))
+    p2 = 0.5 + 1.0 / 64.0
+    import math
+
+    assert got["half"]["n_required"] == math.ceil(
+        36864 * (0.25 + p2 * (1 - p2))
+    )
+    assert got["half"]["powered"] is False  # only 4 users per arm
+    srows, drows = _run_both(
+        "ml_power_analysis", spark, sf, ("events",)
+    )
+    assert srows == drows
