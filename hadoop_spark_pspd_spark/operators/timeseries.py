@@ -1075,3 +1075,163 @@ def ts_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("bigint").alias("peak"),
         )
     )
+
+
+# Holt linear-trend smoothing in 2^-20 fixed point. alpha = 1/2 and
+# beta = 1/4 are DYADIC (round-6 rule: pick power-of-two free params),
+# so each update is one integer division by 2 or 4. Divisions are
+# OFFSET-PROTECTED: (v + _HOLT_OFF) div d - _HOLT_OFF/d keeps every
+# operand positive (trend can be negative), so Spark `div` and
+# DuckDB `//` agree REGARDLESS of their negative-operand semantics.
+# Exact for |v| < 2^50, i.e. daily counts per type < 2^29.
+_HOLT_FP = 1 << 20
+_HOLT_OFF = 1 << 50
+
+
+def _holt_fold_sql(arr: str) -> str:
+    lp = (
+        f"((e.x * {_HOLT_FP} + acc.l + acc.b + {_HOLT_OFF}) div 2)"
+        f" - {_HOLT_OFF // 2}"
+    )
+    return f"""
+        aggregate(
+            {arr},
+            struct(CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+                   false AS started),
+            (acc, e) -> IF(NOT acc.started,
+                struct(CAST(e.x * {_HOLT_FP} AS BIGINT) AS l,
+                       CAST(0 AS BIGINT) AS b, true AS started),
+                struct(
+                    CAST({lp} AS BIGINT) AS l,
+                    CAST((({lp} - acc.l + 3 * acc.b + {_HOLT_OFF}) div 4)
+                         - {_HOLT_OFF // 4} AS BIGINT) AS b,
+                    true AS started)))
+    """
+
+
+@register(
+    "ts_holt_forecast",
+    oracle=f"""
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(floor(epoch(min(ts))) AS BIGINT) // 86400 AS d0,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) // 86400 AS d1
+            FROM events
+        ), spine AS (
+            SELECT CAST(unnest(range(0, d1 - d0 + 1)) AS BIGINT) AS step
+            FROM bounds
+        ), types AS (
+            SELECT DISTINCT event_type FROM events
+        ), raw AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                       - (SELECT d0 FROM bounds) AS step,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), daily AS MATERIALIZED (
+            SELECT t.event_type, s.step, COALESCE(r.x, 0) AS x
+            FROM types t CROSS JOIN spine s
+            LEFT JOIN raw r
+              ON r.event_type = t.event_type AND r.step = s.step
+        ), hw(step, event_type, l, b) AS (
+            SELECT step, event_type,
+                   CAST(x * {_HOLT_FP} AS BIGINT), CAST(0 AS BIGINT)
+            FROM daily WHERE step = 0
+            UNION ALL
+            SELECT d.step, d.event_type,
+                   ((d.x * {_HOLT_FP} + h.l + h.b + {_HOLT_OFF}) // 2)
+                       - {_HOLT_OFF // 2},
+                   (((((d.x * {_HOLT_FP} + h.l + h.b + {_HOLT_OFF}) // 2)
+                       - {_HOLT_OFF // 2}) - h.l + 3 * h.b + {_HOLT_OFF})
+                      // 4) - {_HOLT_OFF // 4}
+            FROM hw h
+            JOIN daily d
+              ON d.event_type = h.event_type AND d.step = h.step + 1
+        ), last AS (
+            SELECT h.event_type, h.l, h.b
+            FROM hw h
+            JOIN (SELECT event_type, max(step) AS ms FROM hw GROUP BY 1) m
+              ON h.event_type = m.event_type AND h.step = m.ms
+        ), xl AS (
+            SELECT d.event_type, d.x AS x_last
+            FROM daily d
+            JOIN (SELECT event_type, max(step) AS ms FROM daily
+                  GROUP BY 1) m
+              ON d.event_type = m.event_type AND d.step = m.ms
+        ), nd AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1
+        )
+        SELECT l.event_type, nd.n_days, xl.x_last,
+               CAST(l.l AS BIGINT) AS level_q,
+               CAST(l.b AS BIGINT) AS trend_q,
+               CAST(l.l + l.b AS BIGINT) AS fcst_1,
+               CAST(l.l + 7 * l.b AS BIGINT) AS fcst_7
+        FROM last l
+        JOIN nd ON l.event_type = nd.event_type
+        JOIN xl ON l.event_type = xl.event_type
+    """,
+    doc="Holt double-exponential (level + trend) smoothing of daily "
+        "event counts with a 7-day-ahead forecast — the trend-aware "
+        "capacity-planning companion of ts_ewma_counts (which smooths "
+        "level only). alpha = 1/2, beta = 1/4 (dyadic free parameters), "
+        "state in 2^-20 fixed point, every update one offset-protected "
+        "integer division — exact, order-free, and replayed bit-"
+        "identically by a recursive DuckDB CTE over the same zero-"
+        "filled day spine (missing days count 0, so the recursion "
+        "depth is the calendar span, not the event count). Spark side "
+        "folds each type's bounded daily array in ONE JVM higher-order "
+        "aggregate — no window, no Python, no driver loop; the only "
+        "shuffles are the daily count agg and the 5-row final group.",
+    tags=("timeseries",),
+)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+    )
+    raw = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("d1") - F.col("d0"))
+        ).alias("step"),
+        "d0",
+    )
+    types = ev.select("event_type").distinct()
+    daily = (
+        types.crossJoin(F.broadcast(spine))
+        .join(
+            raw,
+            (F.col("day") == F.col("step") + F.col("d0"))
+            & (raw["event_type"] == types["event_type"]),
+            "left",
+        )
+        .select(
+            types["event_type"],
+            "step",
+            F.coalesce(F.col("x"), F.lit(0).cast("bigint")).alias("x"),
+        )
+    )
+    folded = daily.groupBy("event_type").agg(
+        F.expr(
+            _holt_fold_sql(
+                "array_sort(collect_list(struct(step, x)))"
+            )
+        ).alias("st"),
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max_by("x", "step").cast("bigint").alias("x_last"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        "x_last",
+        F.col("st.l").alias("level_q"),
+        F.col("st.b").alias("trend_q"),
+        (F.col("st.l") + F.col("st.b")).alias("fcst_1"),
+        (F.col("st.l") + F.lit(7) * F.col("st.b")).alias("fcst_7"),
+    )

@@ -427,3 +427,58 @@ def test_power_analysis_saturated_rate_clamp(spark, tmp_path):
         "ml_power_analysis", spark, sf, ("events",)
     )
     assert srows == drows
+
+
+# ---------------------------------------------------------------- Holt forecast
+
+
+def test_holt_forecast_negative_trend_and_gap(spark, tmp_path):
+    """A strictly DECLINING series drives the trend state negative —
+    the offset-protected integer divisions must match a sequential
+    Python reference exactly (Python // floors; the offset keeps every
+    operand positive so floor == truncate); a missing day must
+    zero-fill through the spine in both engines."""
+    from hadoop_spark_pspd_spark.operators.llm_extras import _JL_DIN  # noqa: F401
+    from hadoop_spark_pspd_spark.operators.timeseries import (
+        _HOLT_FP, _HOLT_OFF,
+    )
+
+    # day 0: 100 events, day 1: 60, day 2: MISSING (gap -> 0), day 3: 10
+    counts = {0: 100, 1: 60, 3: 10}
+    rows = []
+    eid = 0
+    for day, n in counts.items():
+        for i in range(n):
+            rows.append((eid, day * 86400 + i, eid % 7, "click"))
+            eid += 1
+    sf = str(tmp_path / "holt")
+    spark.createDataFrame(
+        [
+            (e, __import__("datetime").datetime.utcfromtimestamp(ts), u, et)
+            for e, ts, u, et in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    def div2(v):
+        return ((v + _HOLT_OFF) // 2) - _HOLT_OFF // 2
+
+    def div4(v):
+        return ((v + _HOLT_OFF) // 4) - _HOLT_OFF // 4
+
+    series = [counts.get(d, 0) for d in range(4)]
+    level = series[0] * _HOLT_FP
+    trend = 0
+    for x in series[1:]:
+        lp = div2(x * _HOLT_FP + level + trend)
+        trend = div4(lp - level + 3 * trend)
+        level = lp
+    got = REGISTRY["ts_holt_forecast"].fn(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert trend < 0  # the declining series actually exercised the path
+    assert (r["level_q"], r["trend_q"]) == (level, trend)
+    assert r["fcst_7"] == level + 7 * trend
+    assert r["n_days"] == 4 and r["x_last"] == 10
+    srows, drows = _run_both("ts_holt_forecast", spark, sf, ("events",))
+    assert srows == drows
