@@ -417,3 +417,39 @@ def test_audio_energy_is_map_side_only(spark):
     plan = formatted_plan(mm_audio_energy(spark, SF_SMOKE))
     assert "MapInPandas" in plan
     assert "Exchange" not in plan, plan
+
+
+def test_cogroup_queries_partition_on_bucket_not_key(spark):
+    """The cogroup API queries must shuffle on the 256-BUCKET, never on
+    the raw user key: per-key cogrouping pays one Python call per user
+    (the 16.6 s q_asof_join_pandas regression class)."""
+    from hadoop_spark_pspd_spark.operators.advanced import (
+        q_asof_join_pandas,
+    )
+    from hadoop_spark_pspd_spark.operators.inference import (
+        q_cogroup_profile,
+    )
+
+    for fn in (q_asof_join_pandas, q_cogroup_profile):
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        assert "FlatMapCoGroupsInPandas" in plan, fn.__name__
+        assert "hashpartitioning(bkt" in plan, fn.__name__
+        assert "hashpartitioning(user_id" not in plan, fn.__name__
+
+
+def test_corpus_subtree_pinned_single_scan(spark):
+    """text_source_overlap / text_length_batching pin their tokenized
+    corpus subtree with a lazy localCheckpoint: the consumer plan must
+    read the pinned RDD, not re-scan the parquet once per consumer
+    (8 and 6 FileScans observed before the pin)."""
+    from hadoop_spark_pspd_spark.operators.llm_extras import (
+        text_length_batching,
+        text_source_overlap,
+    )
+
+    for fn in (text_source_overlap, text_length_batching):
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        assert "Scan ExistingRDD" in plan, fn.__name__
+        assert "Scan parquet" not in plan and "FileScan" not in plan, (
+            fn.__name__
+        )
