@@ -769,12 +769,19 @@ _DEL_MOD = 97  # deterministic deletion cohort: c_custkey % 97 == 0
         "under the cascade customer -> orders -> lineitem plus the "
         "direct user_id hit on events. Per table: total, deleted, "
         "kept, fraction (guarded division, identical CASE in both "
-        "engines). Plan: the cohort is a key-predicate (map-side "
-        "evaluable on customer/events); only lineitem needs its "
-        "natural orders join to inherit the verdict — one shuffle on "
-        "the already-copartitioned orderkey; the 4-row union is "
-        "constant. At 100 TB this is exactly the shape of a real "
-        "deletion dry-run: no full-table anti-join, no per-user loop.",
+        "engines). Membership is COHORT-derived in both engines "
+        "(orders/lineitem join the customer-derived deletion set, not "
+        "a bare key predicate): an FK-orphan order whose custkey is "
+        "absent from customer is KEPT — there is no customer to erase "
+        "— matching the oracle's LEFT JOIN del semantics exactly "
+        "(round-8 ADVICE fix; orphan-order fixture pins it). Plan: "
+        "the cohort is a filtered customer projection (~1/97 of the "
+        "dimension) joined to orders once — AQE broadcasts it when it "
+        "fits; lineitem inherits through its natural orders join — "
+        "one shuffle on the already-copartitioned orderkey; the 4-row "
+        "union is constant. At 100 TB this is exactly the shape of a "
+        "real deletion dry-run: no full-table anti-join, no per-user "
+        "loop.",
     tags=("profiling", "privacy"),
 )
 def q_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,14 +791,22 @@ def q_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_total"),
         F.coalesce(F.sum(deleted_cust), F.lit(0)).cast("bigint").alias("n_deleted"),
     ).select(F.lit("customer").alias("tbl"), "n_total", "n_deleted")
-    del_orders = (F.col("o_custkey") % _DEL_MOD == 0).cast("long")
-    o = t.orders.agg(
+    # cohort membership, not a bare predicate: an orphan order whose
+    # custkey never appears in customer must be KEPT in both engines
+    del_keys = t.customer.filter(
+        F.col("c_custkey") % _DEL_MOD == 0
+    ).select(F.col("c_custkey").alias("k"))
+    orders_flagged = t.orders.select("o_orderkey", "o_custkey").join(
+        del_keys, F.col("o_custkey") == F.col("k"), "left"
+    )
+    del_orders = F.col("k").isNotNull().cast("long")
+    o = orders_flagged.agg(
         F.count("*").cast("bigint").alias("n_total"),
         F.coalesce(F.sum(del_orders), F.lit(0)).cast("bigint").alias("n_deleted"),
     ).select(F.lit("orders").alias("tbl"), "n_total", "n_deleted")
     # lineitem inherits the verdict through its parent order (the only
     # table whose deletion status is not key-local)
-    order_flag = t.orders.select(
+    order_flag = orders_flagged.select(
         "o_orderkey", del_orders.alias("del_flag")
     )
     li = (

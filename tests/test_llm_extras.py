@@ -331,19 +331,25 @@ def test_bradley_terry_empty_when_no_decisive_pairs(spark, tmp_path):
 
 def test_deletion_propagation_orphan_lineitem(spark, tmp_path):
     """A lineitem whose parent order is MISSING must count as kept
-    (left-join NULL -> not deleted) identically in both engines, and a
-    table with zero rows must hit the n_total=0 division guard."""
+    (left-join NULL -> not deleted) identically in both engines; an
+    ORPHAN ORDER whose custkey satisfies %97==0 but is absent from
+    customer must ALSO be kept (cohort membership, not the bare
+    predicate — round-8 ADVICE fix), together with its lineitems; and
+    a table with zero rows must hit the n_total=0 division guard."""
     sf = str(tmp_path / "delp")
     spark.createDataFrame(
         [(0, "x"), (97, "y"), (194, "z"), (5, "w")],
         "c_custkey long, c_name string",
     ).coalesce(1).write.parquet(f"{sf}/customer.parquet")
     spark.createDataFrame(
-        [(1000, 97), (1001, 5), (1002, 194)],
+        # 1003's custkey 291 = 3*97 satisfies the predicate but has NO
+        # customer row: an FK-orphan order that must be KEPT
+        [(1000, 97), (1001, 5), (1002, 194), (1003, 291)],
         "o_orderkey long, o_custkey long",
     ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
     spark.createDataFrame(
-        [(1000, 1), (1001, 1), (9999, 1)],  # 9999 = orphan
+        # 9999 = orphan lineitem; 1003 = child of the orphan order
+        [(1000, 1), (1001, 1), (9999, 1), (1003, 1)],
         "l_orderkey long, l_linenumber int",
     ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
     spark.createDataFrame(
@@ -354,9 +360,10 @@ def test_deletion_propagation_orphan_lineitem(spark, tmp_path):
         for r in REGISTRY["q_deletion_propagation"].fn(spark, sf).collect()
     }
     assert got["customer"]["n_deleted"] == 3  # 0, 97, 194
-    assert got["orders"]["n_deleted"] == 2    # custkeys 97, 194
-    assert got["lineitem"]["n_deleted"] == 1  # order 1000; orphan kept
-    assert got["lineitem"]["n_kept"] == 2
+    assert got["orders"]["n_deleted"] == 2    # custkeys 97, 194; NOT 291
+    assert got["orders"]["n_kept"] == 2       # custkey 5 + orphan 291
+    assert got["lineitem"]["n_deleted"] == 1  # order 1000; orphans kept
+    assert got["lineitem"]["n_kept"] == 3
     assert got["events"]["n_total"] == 0
     assert got["events"]["pct_deleted"] == 0.0  # guarded 0/1
     srows, drows = _run_both(
