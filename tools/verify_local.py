@@ -101,6 +101,43 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols):
     return problems
 
 
+# Plan-smell WARNs that must never appear during a sweep (round-7
+# verdict item 6): an unpartitioned WindowExec is a single-partition
+# global sort at scale; a trivially-true equals predicate means a
+# self-join silently degenerated to a cross-join on the ambiguous side.
+WARN_PATTERNS = (
+    "No Partition Defined for Window operation",
+    "Constructing trivially true equals predicate",
+)
+
+
+def _capture_stderr():
+    """Tee fd 2 (inherited by the Spark JVM) into a log file so JVM-side
+    WARN lines are auditable, while still reaching the console."""
+    import os
+    import subprocess
+    import tempfile
+
+    path = Path(tempfile.gettempdir()) / f"pspd_sweep_warns_{os.getpid()}.log"
+    path.write_bytes(b"")
+    console = os.dup(2)
+    tee = subprocess.Popen(
+        ["tee", str(path)], stdin=subprocess.PIPE, stdout=console
+    )
+    os.dup2(tee.stdin.fileno(), 2)
+    return path
+
+
+def _scan_warnings(path: Path, offset: int) -> list[str]:
+    try:
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            text = fh.read().decode("utf-8", "replace")
+    except OSError:
+        return []
+    return sorted({p for p in WARN_PATTERNS if p in text})
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     json_path = None
@@ -113,6 +150,7 @@ def main() -> int:
         args.remove("--plain")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    warn_log = _capture_stderr()
     reg = load_all()
     if plain:
         from pyspark.sql import SparkSession
@@ -134,9 +172,11 @@ def main() -> int:
         )
     n_pass = n_fail = n_weak = 0
     results: dict[str, dict] = {}
+    warned: dict[str, list[str]] = {}
     for name, q in sorted(reg.items()):
         if only and name not in only:
             continue
+        warn_off = warn_log.stat().st_size
         t0 = time.time()
         rec = {
             "rows_match": False, "schema_match": False, "hash_match": False,
@@ -226,7 +266,21 @@ def main() -> int:
                 f"pass  {name} ({len(spark_rows)} rows, {time.time()-t0:.1f}s)"
             )
             n_pass += 1
+        hits = _scan_warnings(warn_log, warn_off)
+        if hits:
+            warned[name] = hits
+            rec["warnings"] = hits
+    # final full-file pass catches anything tee flushed late or emitted
+    # outside a query window (session build, registry import)
+    global_hits = _scan_warnings(warn_log, 0)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only")
+    if warned:
+        for name, hits in sorted(warned.items()):
+            print(f"WARN-AUDIT  {name}: {'; '.join(hits)}")
+    if global_hits and not warned:
+        print(f"WARN-AUDIT  <unattributed>: {'; '.join(global_hits)}")
+    if global_hits or warned:
+        print("WARN-AUDIT: forbidden plan-smell warnings present — failing")
     if json_path:
         Path(json_path).write_text(json.dumps(
             {
@@ -237,13 +291,16 @@ def main() -> int:
                 "summary": {
                     "pass": n_pass, "fail": n_fail, "rows_only": n_weak,
                     "total": n_pass + n_fail + n_weak,
+                    "warn_audit": sorted(warned) or (
+                        ["<unattributed>"] if global_hits else []
+                    ),
                 },
                 "queries": results,
             },
             indent=1,
         ) + "\n")
         print(f"# wrote {json_path}")
-    return 1 if n_fail else 0
+    return 1 if (n_fail or warned or global_hits) else 0
 
 
 if __name__ == "__main__":
