@@ -1,0 +1,268 @@
+"""Pure-stdlib media codecs: PNG (zlib + struct) and WAV (wave).
+
+The reference has no media surface (it is a WordCount lab —
+`cluster/tools/run_fault_tests.py`); multimodal columns are a driver-
+contract extension. Round 7 left real decode env-gated behind Pillow;
+this module closes that gap with decoders built ONLY on the Python
+standard library, so the sandbox exercises a genuine bytes-to-pixels /
+bytes-to-samples path end-to-end:
+
+- PNG: 8-bit greyscale/RGB/RGBA, non-interlaced, per the public PNG
+  spec (RFC 2083): chunk framing with CRC-32 verification, zlib
+  inflate of the IDAT stream, and full scanline de-filtering (None /
+  Sub / Up / Average / Paeth).
+- WAV: integer PCM via the stdlib ``wave`` module (header parse +
+  frame extraction); sample decoding is little-endian two's-complement
+  per the RIFF/WAVE spec.
+
+The matching encoders exist so tests and oracled queries can build
+REAL payloads whose decoded content is computable in ANSI SQL: encode
+a deterministic pixel/sample formula, decode it back through the full
+inflate + de-filter path, and compare exact integer statistics against
+a DuckDB oracle evaluating the same formula relationally.
+
+Unsupported shapes (interlaced PNG, 16-bit depth, palette images,
+float WAV) raise ``NotImplementedError`` loudly — a real cluster flips
+``PSPD_MEDIA_DECODE=pil`` for the long-tail formats.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (8-bit depth only)
+_CHANNELS_BY_COLOR_TYPE = {0: 1, 2: 3, 6: 4}
+_COLOR_TYPE_BY_CHANNELS = {1: 0, 3: 2, 4: 6}
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 3,
+    row_filter=None,
+) -> bytes:
+    """Encode row-major 8-bit pixel bytes as a real PNG.
+
+    ``row_filter(y) -> 0..4`` selects the scanline filter (default
+    ``y % 5`` so every filter type — including Paeth — is exercised by
+    any image of >= 5 rows, making a round-trip test meaningful).
+    """
+    if channels not in _COLOR_TYPE_BY_CHANNELS:
+        raise NotImplementedError(f"channels={channels} not supported")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
+        )
+    if row_filter is None:
+        row_filter = lambda y: y % 5  # noqa: E731
+    bpp = channels
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ftype = row_filter(y)
+        raw.append(ftype)
+        if ftype == 0:  # None
+            raw.extend(row)
+        elif ftype == 1:  # Sub
+            raw.extend(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ftype == 2:  # Up
+            raw.extend((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ftype == 3:  # Average
+            raw.extend(
+                (row[i] - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        elif ftype == 4:  # Paeth
+            raw.extend(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise ValueError(f"filter type {ftype} out of range")
+        prev = row
+    ihdr = struct.pack(
+        ">IIBBBBB",
+        width,
+        height,
+        8,
+        _COLOR_TYPE_BY_CHANNELS[channels],
+        0,
+        0,
+        0,
+    )
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode a PNG: CRC-checked chunk walk, IDAT inflate, de-filter.
+
+    Returns ``{"width", "height", "channels", "pixels"}`` with pixels
+    as row-major 8-bit bytes. Supports non-interlaced 8-bit greyscale
+    (color type 0), RGB (2) and RGBA (6).
+    """
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"truncated {tag!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} (only 8 supported)")
+    if color_type not in _CHANNELS_BY_COLOR_TYPE:
+        raise NotImplementedError(f"color type {color_type}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG not supported")
+    channels = _CHANNELS_BY_COLOR_TYPE[color_type]
+    bpp = channels
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"inflated size {len(raw)} != {(stride + 1) * height}"
+        )
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        cur = bytearray(stride)
+        if ftype == 0:
+            cur[:] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                cur[i] = (line[i] + (cur[i - bpp] if i >= bpp else 0)) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                cur[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                cur[i] = (
+                    line[i]
+                    + _paeth(
+                        cur[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                ) & 0xFF
+        else:
+            raise ValueError(f"unknown scanline filter {ftype}")
+        out[y * stride : (y + 1) * stride] = cur
+        prev = bytes(cur)
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": bytes(out),
+    }
+
+
+def encode_wav(
+    samples, sample_rate: int, channels: int = 1
+) -> bytes:
+    """Encode int16 PCM samples (iterable of Python ints) as a WAV."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(data)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a WAV: header parse + int16 PCM frame extraction.
+
+    Returns ``{"n_frames", "sample_rate", "channels", "samples"}``
+    with samples as a list of Python ints (interleaved if stereo).
+    """
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_frames = w.getnframes()
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(n_frames)
+    if width != 2:
+        raise NotImplementedError(
+            f"sample width {width} bytes (only int16 PCM supported)"
+        )
+    count = len(frames) // 2
+    samples = list(struct.unpack(f"<{count}h", frames))
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "channels": channels,
+        "samples": samples,
+    }

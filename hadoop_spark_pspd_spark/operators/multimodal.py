@@ -2,13 +2,14 @@
 
 Image/audio/video are treated as opaque ``binary`` payloads with typed
 metadata. The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
-signature, partitioning — is real and tested; the actual media decode is
-STUBBED (no image/audio libs in this container): ``decode_media`` raises
-NotImplementedError unless the deterministic fake decoder is selected.
-
-The fake decoder derives width/height/etc. purely from byte length, so the
-whole pipeline (including the Pandas-UDF boundary) stays oracle-checkable
-in SQL.
+signature, partitioning — is real and tested. Decode backends
+(``decode_media``): ``stdlib`` REALLY decodes PNG (zlib inflate +
+scanline de-filter, functions/media_codecs.py) and WAV (wave module)
+with zero third-party deps — exercised end to end by the oracled
+queries in operators/media_decode.py; ``pil`` covers long-tail image
+formats on clusters with Pillow (env-gated tests); the deterministic
+byte-length ``fake`` remains for the queries whose oracles predate the
+real codecs (it keeps hashes independent of any codec).
 """
 
 from __future__ import annotations
@@ -34,13 +35,17 @@ def decode_media(
     backend: str | None = None,
 ):
     """Decode a media payload. Backend selection mirrors the external-
-    Kafka seam ($PSPD_KAFKA_BOOTSTRAP -> real broker): set
-    ``PSPD_MEDIA_DECODE=pil`` (or pass ``backend="pil"``) on a cluster
-    where Pillow is installed to route image payloads through a REAL
-    decoder; the sandbox default stays the deterministic byte-length
-    fake (no PIL/ffmpeg in this container), which every ORACLED query
-    uses so hashes never depend on an optional native lib. Env-gated
-    coverage: tests/test_media_external.py."""
+    Kafka seam ($PSPD_KAFKA_BOOTSTRAP -> real broker):
+    ``PSPD_MEDIA_DECODE=stdlib`` (or ``backend="stdlib"``) decodes REAL
+    bytes with zero third-party deps — PNG via the zlib+struct codec in
+    functions/media_codecs.py, WAV via the stdlib wave module — and
+    runs end to end in this sandbox (oracled queries:
+    mm_png_decode_stats / mm_wav_decode_stats). ``PSPD_MEDIA_DECODE=
+    pil`` routes images through Pillow on clusters that have it (long-
+    tail formats: JPEG, interlaced/palette PNG, 16-bit). The legacy
+    deterministic byte-length fake remains for queries whose oracles
+    predate the real codecs. Env-gated PIL coverage:
+    tests/test_media_external.py."""
     import os
 
     if backend is None and not fake:
@@ -48,12 +53,28 @@ def decode_media(
     if fake or backend in (None, "fake"):
         if not fake and backend is None:
             raise NotImplementedError(
-                "real media decode needs PIL/ffmpeg (not installed); "
-                "pass fake=True for the deterministic stub or set "
-                "PSPD_MEDIA_DECODE=pil where Pillow is available"
+                "no media decode backend selected; pass fake=True for "
+                "the deterministic stub, or set PSPD_MEDIA_DECODE="
+                "stdlib (PNG/WAV, zero deps) or =pil (Pillow)"
             )
         n = len(payload)
         return {"width": n % 640, "height": (n * 7) % 480}
+    if backend == "stdlib":
+        from ..functions.media_codecs import decode_png, decode_wav
+
+        if kind == "image":
+            dec = decode_png(payload)
+            return {"width": dec["width"], "height": dec["height"]}
+        if kind == "audio":
+            dec = decode_wav(payload)
+            return {
+                "n_frames": dec["n_frames"],
+                "sample_rate": dec["sample_rate"],
+                "channels": dec["channels"],
+            }
+        raise NotImplementedError(
+            f"stdlib backend decodes image(PNG)/audio(WAV), not {kind!r}"
+        )
     if backend == "pil":
         if kind != "image":
             raise NotImplementedError(
@@ -74,9 +95,11 @@ REAL_DIMS_SCHEMA = "doc_id bigint, width int, height int"
 def media_dimensions(df: DataFrame, backend: str | None = None) -> DataFrame:
     """(doc_id, payload: binary) -> real decoded (width, height) via the
     selected backend inside the SAME Arrow-batched mapInPandas plumbing
-    the fake pipeline uses — the seam a real cluster flips on with
-    PSPD_MEDIA_DECODE=pil. Not registered/oracled: output depends on the
-    decoder lib, which the sandbox lacks."""
+    the fake pipeline uses. backend="stdlib" (PNG) runs fully in this
+    sandbox; "pil" is the long-tail-format seam a real cluster flips on
+    with PSPD_MEDIA_DECODE=pil. Not registered directly — the oracled
+    decode coverage lives in operators/media_decode.py, where the
+    payload content is SQL-predictable."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

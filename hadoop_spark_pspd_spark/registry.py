@@ -81,6 +81,7 @@ def load_all() -> dict[str, EngineQuery]:
         inference,
         kafka_pipeline,
         llm_extras,
+        media_decode,
         ml_data,
         multimodal,
         pareto,
