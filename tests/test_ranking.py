@@ -5,6 +5,9 @@ plus the round-7 adversarial fixtures:
   ranked_rows against plain Python references on multi-partition data —
   these helpers replace every unpartitioned window in the repo, so they
   carry the correctness of all former global-window queries;
+* extreme leading-key skew at 10x replication (round-7 verdict item 4):
+  range-exchange partition balance + tie spreading + exact ranks when
+  95% of rows share one leading key value;
 * ml_group_sequential EMPTY-ARM fixture (all user_ids one parity): the
   per-arm rate divisions must be zero-guarded identically in both
   engines (ADVICE r6 — Spark NaN vs DuckDB NULL on x/0.0);
@@ -111,6 +114,72 @@ def test_ntile_from_rank_matches_sql_standard(spark, total, n):
         assert got[r] == _ntile_ref(r, total, n)
         # Spark's NTile may disagree with nothing — double-pin vs engine
         assert got[r] == ref[r], (r, total, n)
+
+
+# ---------------------------------------------------------------------------
+# skew stress (round-7 verdict item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_global_rank_under_extreme_leading_key_skew(spark):
+    """Leading sort key 95% one constant value at 10x replication
+    (RFM `frequency` is nearly constant at real scale). The kernel
+    range-repartitions on the FULL order including the unique
+    tie-break, so the constant-key mass must be SPLIT across range
+    boundaries — prove the per-partition balance AND exact rank
+    correctness rather than assuming the sampler handles it."""
+    base = 2_000
+    replicas = 10
+    n = base * replicas
+    p = 16
+    rows = [
+        # 95% of rows share freq=1; ids stay unique across replicas
+        (rep * base + i, 1 if i % 20 != 0 else 2 + (i % 7))
+        for rep in range(replicas)
+        for i in range(base)
+    ]
+    df = spark.createDataFrame(rows, "id long, freq long").repartition(8)
+    order = [F.desc("freq"), F.asc("id")]
+
+    # (a) balance of the kernel's own range exchange: no partition may
+    # hold more than 3x the ideal share, and the skewed key must span
+    # several partitions (ties split by the id tie-break)
+    ranged = df.repartitionByRange(p, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    assert sum(sizes.values()) == n
+    ideal = n / p
+    assert max(sizes.values()) <= 3 * ideal, sizes
+    skew_parts = {
+        r["__pid"]
+        for r in ranged.filter(F.col("freq") == 1)
+        .select("__pid")
+        .distinct()
+        .collect()
+    }
+    assert len(skew_parts) >= p // 2, (
+        f"constant leading key landed on only {len(skew_parts)} of {p} "
+        "partitions — tie-break is not spreading ties across ranges"
+    )
+
+    # (b) end-to-end rank exactness through the public kernel
+    out = with_global_rank(
+        df, order, rank_col="gr", total_col="nt", num_partitions=p
+    ).collect()
+    assert len(out) == n
+    assert all(r["nt"] == n for r in out)
+    got = sorted(out, key=lambda r: r["gr"])
+    assert [r["gr"] for r in got] == list(range(1, n + 1))
+    expect_ids = [
+        i for i, _ in sorted(rows, key=lambda r: (-r[1], r[0]))
+    ]
+    assert [r["id"] for r in got] == expect_ids
 
 
 # ---------------------------------------------------------------------------
