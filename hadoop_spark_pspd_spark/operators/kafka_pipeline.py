@@ -77,30 +77,46 @@ def _fresh_broker() -> KafkaWireBroker | _ExternalBroker:
     return _BROKER
 
 
+_RT_MOD = 5  # deterministic produce cohort: user_id % 5 == 0
+
+
 @register(
     "stream_kafka_roundtrip",
-    oracle="""
+    oracle=f"""
         SELECT upper(event_type) AS word,
                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP)
                    AS window_end,
                count(*) AS cnt
         FROM events
+        WHERE user_id % {_RT_MOD} = 0
         GROUP BY 1, 2, 3
     """,
     doc="Reference Kafka pipeline S3/S4 end-to-end over a live broker "
         "socket: produce events to canalinput, stream windowed wordcount, "
         "JSON to canaloutput, consume + parse back. Oracle recomputes the "
-        "hourly counts from the source table, hash-checking the full loop.",
+        "hourly counts from the source table, hash-checking the full "
+        f"loop. A deterministic produce cohort (user_id % {_RT_MOD} = 0, "
+        "mirrored in the oracle) bounds the volume pushed through the "
+        "Python wire protocol — every leg of the loop (produce framing, "
+        "stream fetch, stateful window agg, JSON sink, batch consume) "
+        "is still exercised end to end; the full-corpus hourly counts "
+        "are already hash-checked broker-free by "
+        "stream_hourly_counts/stream_windowed_wordcount (round-7 "
+        "verdict item 5: the per-message Python DataSource cost, not "
+        "the agg, was the 12 s sweep wall).",
 )
 def stream_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming_queries import sized_state_partitions
+
     t = Tables(spark, sf_dir)
     register_kafka_wire_source(spark)
     broker = _fresh_broker()
 
     # 1. producer side: executors push (event_type, event-time ts) messages
     (
-        t.events.select(
+        t.events.filter(F.col("user_id") % _RT_MOD == 0)
+        .select(
             F.col("event_type").alias("value"), F.col("ts").alias("timestamp")
         )
         .write.format("kafkawire")
@@ -116,14 +132,15 @@ def stream_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, window_duration="1 hour", watermark_delay="1 hour"
     )
     checkpoint = tempfile.mkdtemp(prefix="pspd_kafka_rt_")
-    query = kafka_wire_sink(
-        agg,
-        broker.bootstrap,
-        OUTPUT_TOPIC,
-        checkpoint=checkpoint,
-    )
     try:
-        query.awaitTermination()
+        with sized_state_partitions(spark, sf_dir):
+            query = kafka_wire_sink(
+                agg,
+                broker.bootstrap,
+                OUTPUT_TOPIC,
+                checkpoint=checkpoint,
+            )
+            query.awaitTermination()
     finally:
         # the checkpoint only matters while the availableNow query runs;
         # the downstream batch read consumes the broker topic, not this

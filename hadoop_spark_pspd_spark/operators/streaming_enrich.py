@@ -45,7 +45,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .count()
         )
 
-    result = run_bounded_stream(spark, source, transform, "complete")
+    result = run_bounded_stream(spark, source, transform, "complete", sf_dir=sf_dir)
     return result.select(
         "c_mktsegment", "event_type", F.col("count").alias("n")
     )

@@ -48,24 +48,88 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(stream)
 
 
+_STATE_ROWS_PER_PARTITION = 50_000
+_events_rows_cache: dict[str, int] = {}
+
+
+def _events_rows(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the events table (parquet-footer metadata count),
+    cached per sf_dir — one trivial job per sweep, not per query."""
+    if sf_dir not in _events_rows_cache:
+        _events_rows_cache[sf_dir] = spark.read.parquet(
+            f"{sf_dir}/events.parquet"
+        ).count()
+    return _events_rows_cache[sf_dir]
+
+
+def sized_state_partitions(spark: SparkSession, sf_dir: str):
+    """Temporarily size spark.sql.shuffle.partitions — which fixes the
+    STATE STORE partition count of every stateful operator started
+    under it — to the bounded replay's volume instead of the global
+    shuffle config.
+
+    Why: each stateful task pays a per-partition state-store setup cost
+    every micro-batch (a stream-stream join keeps FOUR stores per
+    partition), so 32 state partitions over ~100k rows is pure
+    overhead — measured 13.5 s -> 2.8 s on stream_stream_join at sf0.1
+    by moving 32 -> 8. The rule (~50k state rows per partition, floor
+    4, ceiling the session's shuffle config) scales the same operator
+    back up on a real cluster: at 100 TB the ceiling — the cluster-
+    sized shuffle config — is what binds, and state partitioning
+    matches the cluster again. Round-7 verdict item 5.
+    """
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        parts = max(
+            4,
+            min(
+                cap,
+                _events_rows(spark, sf_dir) // _STATE_ROWS_PER_PARTITION
+                + 1,
+            ),
+        )
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            yield parts
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return _ctx()
+
+
 def run_bounded_stream(
     spark: SparkSession,
     source: DataFrame,
     transform,
     output_mode: str = "complete",
+    sf_dir: str | None = None,
 ) -> DataFrame:
     """Drive a streaming transform over a bounded source to completion,
-    collecting results in a memory sink; returns the result as a DataFrame."""
+    collecting results in a memory sink; returns the result as a
+    DataFrame. When ``sf_dir`` is given, state-store partitioning is
+    sized to the replay volume (see sized_state_partitions)."""
     name = f"pspd_stream_sink_{next(_sink_counter)}"
-    q = (
-        transform(source)
-        .writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+
+    def _start():
+        q = (
+            transform(source)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if sf_dir is None:
+        _start()
+    else:
+        with sized_state_partitions(spark, sf_dir):
+            _start()
     return spark.table(name)
 
 
@@ -87,7 +151,7 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def transform(df: DataFrame) -> DataFrame:
         return df.groupBy(F.window("ts", "1 hour"), "event_type").count()
 
-    result = run_bounded_stream(spark, source, transform, "complete")
+    result = run_bounded_stream(spark, source, transform, "complete", sf_dir=sf_dir)
     return result.select(
         F.col("window.start").alias("window_start"),
         "event_type",
@@ -121,6 +185,7 @@ def stream_windowed_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
             df, ts_col="ts", text_col="event_type", window_duration="1 hour"
         ),
         "complete",
+        sf_dir=sf_dir,
     )
     return result.select(
         F.col("window.start").alias("window_start"),
@@ -150,7 +215,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         )
 
-    result = run_bounded_stream(spark, source, transform, "append")
+    result = run_bounded_stream(spark, source, transform, "append", sf_dir=sf_dir)
     return result.select("user_id", "event_type")
 
 
@@ -194,7 +259,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.session_window("ts", "30 minutes").alias("w")
         ).agg(F.count("*").alias("n_events"))
 
-    result = run_bounded_stream(spark, source, transform, "complete")
+    result = run_bounded_stream(spark, source, transform, "complete", sf_dir=sf_dir)
     return result.select(
         "user_id",
         F.col("w.start").alias("session_start"),
@@ -234,7 +299,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.window("ts", "1 hour", "30 minutes"), "event_type"
         ).count()
 
-    result = run_bounded_stream(spark, source, transform, "complete")
+    result = run_bounded_stream(spark, source, transform, "complete", sf_dir=sf_dir)
     return result.select(
         F.col("window.start").alias("window_start"),
         "event_type",
@@ -286,14 +351,15 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
     )
     name = f"pspd_stream_sink_{next(_sink_counter)}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_partitions(spark, sf_dir):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("c_user").alias("user_id"),
         F.col("c_id").alias("click_id"),
@@ -364,14 +430,15 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     )
     name = f"pspd_stream_sink_{next(_sink_counter)}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_partitions(spark, sf_dir):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("c_user").alias("user_id"),
         F.col("c_id").alias("click_id"),
@@ -409,7 +476,7 @@ def stream_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(3)
         )
 
-    return run_bounded_stream(spark, source, transform, "complete")
+    return run_bounded_stream(spark, source, transform, "complete", sf_dir=sf_dir)
 
 
 @register(
@@ -444,7 +511,7 @@ def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     source = _events_stream(spark, sf_dir)
     result = run_bounded_stream(
-        spark, source, user_profile_stream, "update"
+        spark, source, user_profile_stream, "update", sf_dir=sf_dir
     )
     # update-mode memory sink appends one row per user per micro-batch;
     # the LAST emission per user is the final profile
@@ -484,7 +551,7 @@ def stream_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt"),
         ).count()
 
-    partials = run_bounded_stream(spark, source, transform, "complete")
+    partials = run_bounded_stream(spark, source, transform, "complete", sf_dir=sf_dir)
     return partials.groupBy("event_type").agg(
         F.sum("count").alias("n")
     )
@@ -593,18 +660,19 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(spool)
-        .writeStream.foreachBatch(merge)
-        .option(
-            "checkpointLocation", str(base / "_checkpoint")
+    with sized_state_partitions(spark, sf_dir):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(spool)
+            .writeStream.foreachBatch(merge)
+            .option(
+                "checkpointLocation", str(base / "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     # Return the final merged state as a LAZY distributed read of the
     # last version — zero driver-side collect (round-7 verdict item 1:
     # at real scale the per-user state is itself big data). Superseded
@@ -663,7 +731,7 @@ def stream_dedup_windowed_counts(
             F.count("*").alias("n_active")
         )
 
-    return run_bounded_stream(spark, source, transform, "complete")
+    return run_bounded_stream(spark, source, transform, "complete", sf_dir=sf_dir)
 
 
 @register(
@@ -712,7 +780,7 @@ def stream_chained_window_aggs(
             F.window(F.window_time("window"), "1 day"), "event_type"
         ).agg(F.sum("n").alias("n_day"))
 
-    result = run_bounded_stream(spark, source, transform, "append")
+    result = run_bounded_stream(spark, source, transform, "append", sf_dir=sf_dir)
     return result.select(
         F.col("window.start").alias("day_start"),
         "event_type",
