@@ -171,6 +171,131 @@ def mm_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_png_roundtrip, schema=PNG_STATS_SCHEMA)
 
 
+_DS_MOD = 29
+_DS_OW, _DS_OH = 8, 6  # fixed thumbnail grid
+
+DOWNSAMPLE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_r_sum bigint, "
+    "out_g_sum bigint, out_b_sum bigint, out_wsum bigint"
+)
+
+
+def _png_downsample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "out_r_sum", "out_g_sum",
+            "out_b_sum", "out_wsum",
+        )}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            w, h = _png_dims(doc_id)
+            payload = encode_png(_png_pixels(doc_id, w, h), w, h, 3)
+            dec = decode_png(payload)
+            px = np.frombuffer(dec["pixels"], dtype=np.uint8).astype(
+                np.int64
+            ).reshape(h, w, 3)
+            # nearest-neighbor gather: src = (out * in) div out_dim —
+            # truncating integer division, identical in Python // ,
+            # Spark div and DuckDB // for non-negative operands
+            sx = np.array([(ox * w) // _DS_OW for ox in range(_DS_OW)])
+            sy = np.array([(oy * h) // _DS_OH for oy in range(_DS_OH)])
+            thumb = px[sy][:, sx]  # (OH, OW, 3) REAL resampled pixels
+            oys, oxs = np.mgrid[0:_DS_OH, 0:_DS_OW]
+            pos = 1 + oxs + oys * _DS_OW
+            ohw = _DS_OW * _DS_OH
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["out_r_sum"].append(int(thumb[:, :, 0].sum()))
+            out["out_g_sum"].append(int(thumb[:, :, 1].sum()))
+            out["out_b_sum"].append(int(thumb[:, :, 2].sum()))
+            out["out_wsum"].append(
+                int(
+                    sum(
+                        (thumb[:, :, c] * (pos + c * ohw)).sum()
+                        for c in range(3)
+                    )
+                )
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "out_r_sum": pd.Series(out["out_r_sum"], dtype="int64"),
+                "out_g_sum": pd.Series(out["out_g_sum"], dtype="int64"),
+                "out_b_sum": pd.Series(out["out_b_sum"], dtype="int64"),
+                "out_wsum": pd.Series(out["out_wsum"], dtype="int64"),
+            }
+        )
+
+
+@register(
+    "mm_png_downsample_stats",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CAST(16 + doc_id % 13 AS INTEGER) AS width,
+                   CAST(12 + doc_id % 7 AS INTEGER) AS height
+            FROM documents WHERE doc_id % {_DS_MOD} = 0
+        ), oxs AS (
+            SELECT doc_id, width, height,
+                   unnest(range(0, {_DS_OW})) AS ox
+            FROM docs
+        ), oys AS (
+            SELECT doc_id, width, height, ox,
+                   unnest(range(0, {_DS_OH})) AS oy
+            FROM oxs
+        ), mapped AS (
+            SELECT doc_id, width, height, ox, oy,
+                   (ox * width) // {_DS_OW} AS sx,
+                   (oy * height) // {_DS_OH} AS sy
+            FROM oys
+        ), px AS (
+            SELECT doc_id, width, height, ox, oy,
+                   (sx*3 + sy*7 + doc_id*13) % 256 AS r,
+                   (sx*3 + sy*7 + 11 + doc_id*13) % 256 AS g,
+                   (sx*3 + sy*7 + 22 + doc_id*13) % 256 AS b
+            FROM mapped
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM(r) AS BIGINT) AS out_r_sum,
+               CAST(SUM(g) AS BIGINT) AS out_g_sum,
+               CAST(SUM(b) AS BIGINT) AS out_b_sum,
+               CAST(SUM(
+                   r * (1 + ox + oy*{_DS_OW})
+                   + g * (1 + ox + oy*{_DS_OW} + {_DS_OW * _DS_OH})
+                   + b * (1 + ox + oy*{_DS_OW} + {2 * _DS_OW * _DS_OH})
+               ) AS BIGINT) AS out_wsum
+        FROM px
+        GROUP BY doc_id, width, height
+    """,
+    doc="REAL pixel resampling (not geometry-only like mm_resize): "
+        "decode a genuine PNG through the stdlib codec, then "
+        f"nearest-neighbor downsample to a fixed {_DS_OW}x{_DS_OH} "
+        "thumbnail by integer-exact coordinate mapping "
+        "(src = out*in div out_dim — Python //, Spark div and DuckDB "
+        "// all truncate identically on non-negative ints, the "
+        "round-6 #6 convention). The emitted sums are over the "
+        "RESAMPLED pixels, so a gather off by one pixel anywhere "
+        "fails the position-weighted checksum. The oracle maps the "
+        "same coordinates relationally and reads the pixel formula "
+        "at the mapped source positions. Same per-doc mapInPandas "
+        "scale shape as mm_png_decode_stats.",
+    tags=("multimodal",),
+)
+def mm_png_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = (
+        t.documents.select("doc_id")
+        .filter(F.col("doc_id") % _DS_MOD == 0)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return docs.mapInPandas(_png_downsample, schema=DOWNSAMPLE_SCHEMA)
+
+
 WAV_STATS_SCHEMA = (
     "doc_id bigint, n_samples int, sample_rate int, s_sum bigint, "
     "s_abs_sum bigint, s_energy bigint"
@@ -264,3 +389,83 @@ def mm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return docs.mapInPandas(_wav_roundtrip, schema=WAV_STATS_SCHEMA)
+
+
+_RMS_MOD = 37
+_RMS_WIN = 64  # samples per analysis window
+
+WAV_WINDOW_SCHEMA = (
+    "doc_id bigint, win_idx int, n_in_win int, win_energy bigint, "
+    "win_peak int"
+)
+
+
+def _wav_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "win_idx", "n_in_win", "win_energy", "win_peak"
+        )}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n, rate = _wav_params(doc_id)
+            payload = encode_wav(_wav_samples(doc_id, n), rate)
+            s = decode_wav(payload)["samples"]  # REAL decoded samples
+            for w0 in range(0, len(s), _RMS_WIN):
+                win = s[w0 : w0 + _RMS_WIN]
+                out["doc_id"].append(doc_id)
+                out["win_idx"].append(w0 // _RMS_WIN)
+                out["n_in_win"].append(len(win))
+                out["win_energy"].append(sum(v * v for v in win))
+                out["win_peak"].append(max(abs(v) for v in win))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "win_idx": pd.Series(out["win_idx"], dtype="int32"),
+                "n_in_win": pd.Series(out["n_in_win"], dtype="int32"),
+                "win_energy": pd.Series(out["win_energy"], dtype="int64"),
+                "win_peak": pd.Series(out["win_peak"], dtype="int32"),
+            }
+        )
+
+
+@register(
+    "mm_wav_window_rms",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CAST(256 + (doc_id % 5) * 64 AS INTEGER) AS n_samples
+            FROM documents WHERE doc_id % {_RMS_MOD} = 0
+        ), ss AS (
+            SELECT doc_id, unnest(range(0, n_samples)) AS i
+            FROM docs
+        ), sv AS (
+            SELECT doc_id, CAST(i // {_RMS_WIN} AS INTEGER) AS win_idx,
+                   ((i * 40503 + doc_id * 997) % 65536) - 32768 AS s
+            FROM ss
+        )
+        SELECT doc_id, win_idx,
+               CAST(count(*) AS INTEGER) AS n_in_win,
+               CAST(SUM(s * s) AS BIGINT) AS win_energy,
+               CAST(MAX(abs(s)) AS INTEGER) AS win_peak
+        FROM sv
+        GROUP BY doc_id, win_idx
+    """,
+    doc="Windowed audio feature extraction over GENUINELY decoded PCM: "
+        f"each {_RMS_WIN}-sample window of the wave-module-decoded "
+        "int16 stream emits exact integer energy (sum of squares — the "
+        "RMS numerator, left un-rooted per the no-transcendentals-in-"
+        "hashes convention) and peak amplitude. This is the real-decode "
+        "upgrade of mm_audio_energy, whose windows read raw payload "
+        "bytes; here a WAV header/frame mis-parse shifts every window "
+        "boundary and fails the hash. Oracle groups the sample formula "
+        "by i // window relationally.",
+    tags=("multimodal",),
+)
+def mm_wav_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = (
+        t.documents.select("doc_id")
+        .filter(F.col("doc_id") % _RMS_MOD == 0)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return docs.mapInPandas(_wav_windows, schema=WAV_WINDOW_SCHEMA)
