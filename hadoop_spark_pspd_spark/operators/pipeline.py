@@ -211,3 +211,173 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated_documents(spark, sf_dir).select("doc_id", "n_tokens")
+
+
+# --------------------------------------------------------------------------
+# pipeline_train_mix — the training-MIX composition (round 8)
+# --------------------------------------------------------------------------
+
+TM_BUDGET = 30_000  # token budget for the curated mix
+TM_EPOCHS = 2
+TM_SHARDS = 4
+
+
+def _tm_oracle() -> str:
+    from .text_curation import (
+        BENCH_DOCS,
+        DECON_N,
+        _SHINGLE_SQL,
+        _rate_case_sql,
+    )
+
+    return f"""
+        WITH sh AS MATERIALIZED (
+            SELECT DISTINCT doc_id, s
+            FROM ({_SHINGLE_SQL.format(nm1=DECON_N - 1)})
+        ), bench AS MATERIALIZED (
+            SELECT DISTINCT s FROM sh WHERE doc_id < {BENCH_DOCS}
+        ), contaminated AS (
+            SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+            WHERE sh.doc_id >= {BENCH_DOCS}
+        ), clean AS (
+            SELECT d.doc_id, d.lang, d.text FROM documents d
+            WHERE d.doc_id >= {BENCH_DOCS}
+              AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), mixed AS (
+            SELECT doc_id, text FROM clean
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                  < ({_rate_case_sql()})
+        ), tok AS (
+            SELECT doc_id,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(len(list_filter(
+                       string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM mixed
+        ), cum AS (
+            SELECT doc_id, n_bytes, n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM tok
+        ), kept AS (
+            SELECT * FROM cum WHERE cum_tokens <= {TM_BUDGET}
+        ), eh AS (
+            SELECT k.n_bytes, k.n_tokens, e.epoch,
+                   CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)
+                        || ':' || CAST(e.epoch AS VARCHAR)), 1, 13))
+                        AS UBIGINT) AS hv
+            FROM kept k,
+                 (SELECT unnest(range(0, {TM_EPOCHS})) AS epoch) e
+        )
+        SELECT CAST(epoch AS INTEGER) AS epoch,
+               CAST(hv % {TM_SHARDS} AS INTEGER) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM eh
+        GROUP BY 1, 2
+    """
+
+
+@register(
+    "pipeline_train_mix",
+    oracle=_tm_oracle(),
+    doc="Composed training-MIX pipeline (the companion flagship to "
+        "pipeline_curate's dedup chain): benchmark DECONTAMINATION "
+        "(drop corpus docs sharing any word-4-gram with the held-out "
+        "set; broadcast bench shingles) -> weighted MIXTURE sampling "
+        "(deterministic per-language md5 thresholds) -> TOKEN-BUDGET "
+        f"cut (docs in doc_id order until {TM_BUDGET} cumulative "
+        "tokens — the budget boundary depends on every upstream "
+        "survivor, so the composition is genuinely order-sensitive, "
+        "computed with the distributed two-level running-sum kernel, "
+        "no global window) -> per-EPOCH shard assignment "
+        "(md5(doc_id:epoch) % shards) with a per-(epoch, shard) "
+        "count/byte/token balance report. One SQL statement oracles "
+        "the whole composition. Scale: decontamination is one "
+        "broadcast semi-join over the shingle scan, mixture is "
+        "map-side, the cumsum is the range-partitioned kernel, and "
+        "the final agg is a bounded grid — every stage "
+        "shuffle-bounded at 100 TB.",
+    tags=("pipeline", "text", "curation"),
+)
+def pipeline_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import with_running_sums_dist
+    from .text_curation import (
+        BENCH_DOCS,
+        DECON_N,
+        MIXTURE_DEFAULT,
+        MIXTURE_RATES,
+    )
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", "text")
+    # stage 1: decontaminate against the held-out bench docs
+    sh = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokens(F.col("text")), DECON_N)).alias("s"),
+    ).distinct()
+    bench = (
+        sh.filter(F.col("doc_id") < BENCH_DOCS).select("s").distinct()
+    )
+    contaminated = (
+        sh.filter(F.col("doc_id") >= BENCH_DOCS)
+        .join(F.broadcast(bench), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = docs.filter(F.col("doc_id") >= BENCH_DOCS).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    # stage 2: per-language mixture sampling (map-side, derandomized)
+    rate = F.lit(MIXTURE_DEFAULT)
+    for lang, thr in MIXTURE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(thr)).otherwise(rate)
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    mixed = clean.filter(key < rate).select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    # stage 3: token-budget cut over the doc_id order (distributed
+    # two-level cumsum — no unpartitioned window)
+    cum = with_running_sums_dist(
+        mixed, [F.asc("doc_id")], ["n_tokens"], prefix="cum_"
+    )
+    kept = cum.filter(F.col("cum_n_tokens") <= TM_BUDGET)
+    # stage 4: per-epoch deterministic shard assignment + balance grid
+    base = kept.select(
+        "doc_id",
+        "n_bytes",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), F.lit(TM_EPOCHS - 1))).alias(
+            "epoch"
+        ),
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        base.select("n_bytes", "n_tokens", "epoch", hv.alias("hv"))
+        .groupBy(
+            F.col("epoch").cast("int").alias("epoch"),
+            (F.col("hv") % TM_SHARDS).cast("int").alias("shard"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

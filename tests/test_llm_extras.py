@@ -489,3 +489,61 @@ def test_holt_forecast_negative_trend_and_gap(spark, tmp_path):
     assert r["n_days"] == 4 and r["x_last"] == 10
     srows, drows = _run_both("ts_holt_forecast", spark, sf, ("events",))
     assert srows == drows
+
+
+# ------------------------------------------------------------- train-mix pipeline
+
+
+def test_train_mix_budget_boundary_and_contamination(spark, tmp_path):
+    """The composed pipeline's three cut points, fixture-pinned:
+    a doc STRADDLING the token budget is dropped (cum <= budget, not
+    cum - n_tokens < budget) identically in both engines; a corpus doc
+    sharing a 4-gram with a bench doc is decontaminated even when its
+    mixture key would keep it; bench docs never reach the output."""
+    from hadoop_spark_pspd_spark.operators.pipeline import TM_BUDGET
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        # bench doc (doc_id < 40)
+        (0, bench_text, "en", "web"),
+        # contaminated corpus doc: contains the bench 4-gram
+        (40, "alpha beta gamma delta UNIQUE tail here", "en", "web"),
+    ]
+    # 300 clean 250-token docs (unique vocab per doc, so no cross-doc
+    # bench contamination): the mixture keeps ~half, whose cumulative
+    # tokens pass the 30k budget mid-corpus — docs straddling or after
+    # the boundary are DROPPED even if a later small doc "would fit"
+    for d in range(41, 341):
+        rows.append(
+            (d, " ".join(f"w{d}_{j}" for j in range(250)), "en", "web")
+        )
+    sf = str(tmp_path / "tm")
+    _write_docs(spark, sf, rows)
+    srows, drows = _run_both(
+        "pipeline_train_mix", spark, sf, ("documents",)
+    )
+    assert srows == drows
+    # python reference for the kept set: cum runs over ALL mixture
+    # survivors in doc_id order (a dropped doc still advances cum)
+    import hashlib
+
+    def mix_keep(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[:2] < "80"
+
+    kept, cum = [], 0
+    for doc_id, text, _, _ in rows[2:]:
+        if not mix_keep(doc_id):
+            continue
+        n = len(text.split())
+        cum += n
+        if cum <= TM_BUDGET:
+            kept.append(doc_id)
+    assert 0 < len(kept) < sum(mix_keep(d) for d, *_ in rows[2:]), (
+        "fixture must exercise the budget cut"
+    )
+    # _run_both sorts columns alphabetically:
+    # epoch, n_docs, shard, total_bytes, total_tokens -> n_docs is [1]
+    total_docs = sum(int(r[1]) for r in srows) if srows else 0
+    from hadoop_spark_pspd_spark.operators.pipeline import TM_EPOCHS
+
+    assert total_docs == len(kept) * TM_EPOCHS
