@@ -105,6 +105,78 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, t.embeddings, TOP_K)
 
 
+_FILT_QUERIES = 20
+
+
+@register(
+    "sim_filtered_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, label, embedding FROM embeddings
+            WHERE vec_id < {_FILT_QUERIES}
+        ), pairs AS (
+            SELECT q.query_id, c.vec_id AS candidate_id,
+                   {_COSINE_SQL} AS sim
+            FROM q JOIN embeddings c
+              ON c.vec_id <> q.query_id AND c.label = q.label
+        ), ranked AS (
+            SELECT query_id, candidate_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, candidate_id
+                   ) AS rk,
+                   CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT)
+                       AS n_candidates
+            FROM pairs
+        )
+        SELECT query_id, candidate_id, sim, rk, n_candidates
+        FROM ranked WHERE rk <= {TOP_K}
+    """,
+    doc="FILTERED vector search (the metadata-constrained ANN shape "
+        "every retrieval stack needs: 'nearest neighbors WHERE "
+        "label = X'): exact cosine top-5 per query among same-label "
+        "candidates only, plus the per-query candidate-pool size (the "
+        "selectivity a planner uses to choose pre- vs post-filtering). "
+        "This is PRE-filtering — the label predicate joins before any "
+        "distance math, so at 100 TB the corpus scan prunes on the "
+        "metadata column (a partition/cluster key in a real layout) "
+        "and only the small query set broadcasts; post-filtering a "
+        "global top-k would mis-recall low-selectivity labels. A "
+        "query whose label has no other members yields no rows, "
+        "identically in both engines.",
+    tags=("similarity",),
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") < _FILT_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    pairs = t.embeddings.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("candidate_id"),
+        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("candidate_id")
+    )
+    wc = W.partitionBy("query_id")
+    return (
+        scored.select(
+            "*",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.count("*").over(wc).cast("long").alias("n_candidates"),
+        )
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "candidate_id", "sim", "rk", "n_candidates")
+    )
+
+
 def _hyperplanes() -> np.ndarray:
     """Seeded random hyperplanes — deterministic across runs/executors."""
     rng = np.random.default_rng(_PLANES_SEED)
