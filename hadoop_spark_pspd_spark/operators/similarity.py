@@ -177,6 +177,172 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_CRED = 1 << 20  # integer credit numerator (exact div both engines)
+_RRF_QUERIES = 5
+_RRF_LEG_K = 20  # depth of each retrieval leg
+_RRF_FINAL_K = 10
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(list_filter(
+                string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                x -> x <> '')) AS w
+            FROM documents
+        ), qt AS (
+            SELECT doc_id AS query_id, w FROM tok
+            WHERE doc_id < {_RRF_QUERIES}
+        ), lex_pairs AS (
+            SELECT qt.query_id, tok.doc_id AS candidate_id,
+                   CAST(count(*) AS BIGINT) AS overlap
+            FROM qt JOIN tok ON qt.w = tok.w
+            WHERE tok.doc_id <> qt.query_id
+            GROUP BY 1, 2
+        ), lex AS (
+            SELECT query_id, candidate_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY overlap DESC, candidate_id
+                   ) AS lex_rk
+            FROM lex_pairs
+            QUALIFY lex_rk <= {_RRF_LEG_K}
+        ), q AS (
+            SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id < {_RRF_QUERIES}
+        ), sem_pairs AS (
+            SELECT q.query_id, c.vec_id AS candidate_id,
+                   {_COSINE_SQL} AS sim
+            FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        ), sem AS (
+            SELECT query_id, candidate_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, candidate_id
+                   ) AS sem_rk
+            FROM sem_pairs
+            QUALIFY sem_rk <= {_RRF_LEG_K}
+        ), fused AS (
+            SELECT coalesce(l.query_id, s.query_id) AS query_id,
+                   coalesce(l.candidate_id, s.candidate_id)
+                       AS candidate_id,
+                   CAST(coalesce({_RRF_CRED} // ({_RRF_K} + l.lex_rk), 0)
+                        + coalesce({_RRF_CRED} // ({_RRF_K} + s.sem_rk), 0)
+                        AS BIGINT) AS rrf_q
+            FROM lex l FULL OUTER JOIN sem s
+              ON l.query_id = s.query_id
+             AND l.candidate_id = s.candidate_id
+        )
+        SELECT query_id, candidate_id, rrf_q,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_q DESC, candidate_id
+               ) AS rk
+        FROM fused
+        QUALIFY rk <= {_RRF_FINAL_K}
+    """,
+    doc="HYBRID retrieval with reciprocal-rank fusion (the standard "
+        "lexical+semantic stack: BM25-ish keyword leg fused with a "
+        "vector leg): per query doc, a token-overlap top-20 over "
+        "documents and a cosine top-20 over embeddings (vec_id == "
+        "doc_id) are fused by integer RRF credits "
+        f"(2^20 div ({_RRF_K} + rank) — Spark div == DuckDB //, exact, "
+        "so the fused score is an exact BIGINT, no 1/(k+r) float "
+        "drift), keeping the top-10. Unmatched-leg candidates get the "
+        "single-leg credit via a full outer join. Scale: both legs "
+        "broadcast only the query set; the lexical leg joins the "
+        "corpus token explode against the tiny query-token set, the "
+        "semantic leg is the brute screen (LSH-bucketed at real "
+        "scale); the fuse is a top-k-bounded outer join.",
+    tags=("similarity", "text"),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens as _tokens
+
+    t = Tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    ).distinct()
+    qt = tok.filter(F.col("doc_id") < _RRF_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    lex_pairs = (
+        tok.join(F.broadcast(qt), "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("candidate_id"))
+        .agg(F.count("*").cast("bigint").alias("overlap"))
+    )
+    w_lex = W.partitionBy("query_id").orderBy(
+        F.desc("overlap"), F.asc("candidate_id")
+    )
+    lex = (
+        lex_pairs.select(
+            "query_id",
+            "candidate_id",
+            F.row_number().over(w_lex).cast("long").alias("lex_rk"),
+        )
+        .filter(F.col("lex_rk") <= _RRF_LEG_K)
+    )
+    q = t.embeddings.filter(F.col("vec_id") < _RRF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    sem_pairs = t.embeddings.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("candidate_id"),
+        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("sim"),
+    )
+    w_sem = W.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("candidate_id")
+    )
+    sem = (
+        sem_pairs.select(
+            "query_id",
+            "candidate_id",
+            F.row_number().over(w_sem).cast("long").alias("sem_rk"),
+        )
+        .filter(F.col("sem_rk") <= _RRF_LEG_K)
+    )
+    fused = (
+        lex.alias("l")
+        .join(
+            sem.alias("s"),
+            (F.col("l.query_id") == F.col("s.query_id"))
+            & (F.col("l.candidate_id") == F.col("s.candidate_id")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("l.query_id"), F.col("s.query_id")).alias(
+                "query_id"
+            ),
+            F.coalesce(
+                F.col("l.candidate_id"), F.col("s.candidate_id")
+            ).alias("candidate_id"),
+            (
+                F.coalesce(
+                    F.expr(f"{_RRF_CRED} div ({_RRF_K} + lex_rk)"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.expr(f"{_RRF_CRED} div ({_RRF_K} + sem_rk)"),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_q"),
+        )
+    )
+    w_fin = W.partitionBy("query_id").orderBy(
+        F.desc("rrf_q"), F.asc("candidate_id")
+    )
+    return fused.select(
+        "*", F.row_number().over(w_fin).cast("long").alias("rk")
+    ).filter(F.col("rk") <= _RRF_FINAL_K)
+
+
 def _hyperplanes() -> np.ndarray:
     """Seeded random hyperplanes — deterministic across runs/executors."""
     rng = np.random.default_rng(_PLANES_SEED)
