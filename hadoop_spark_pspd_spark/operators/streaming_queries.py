@@ -17,6 +17,12 @@ from pyspark.sql import functions as F
 from ..catalog import normalize_event_ts
 from ..registry import register
 from ..session import pin_session_conf
+from ..streaming._protobuf_compat import ensure_protobuf
+
+# Run at import (registry load) time: sets PYTHONPATH so any JVM built
+# AFTER load_all() spawns TWS driver workers that can import protobuf.
+# Env-only and idempotent; harmless when protobuf is pip-installed.
+ensure_protobuf()
 
 _sink_counter = itertools.count()
 
@@ -521,6 +527,98 @@ def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "n_events", "total_value", "max_gap_s")
     )
+
+
+@register(
+    "stream_user_profiles_tws",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, value,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) AS gap
+            FROM events
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(value ORDER BY ts)),
+                   (a, b) -> a + b) AS total_value,
+               COALESCE(max(gap), 0) / 1e6 AS max_gap_s
+        FROM seq GROUP BY user_id
+    """,
+    doc="CUSTOM STATEFUL operator on transformWithStateInPandas — "
+        "Spark 4's successor API to applyInPandasWithState (typed "
+        "ValueState handles, named column families, RocksDB state "
+        "store): the same per-user profile fold as "
+        "stream_user_profiles, hash-checked against the same "
+        "ts-ordered list_reduce oracle. The state store provider is "
+        "pinned to RocksDB for the query (TWS column families require "
+        "it; it is also the at-scale backend — bounded state memory, "
+        "changelog checkpointing) and restored after, so the rest of "
+        "the sweep keeps the default provider. TWS's driver worker "
+        "speaks protobuf; when the session's JVM was launched without "
+        "a reachable protobuf runtime (a bare driver session on an "
+        "image with no pip protobuf — the shim in "
+        "streaming/_protobuf_compat.py can only help JVMs started "
+        "AFTER it sets PYTHONPATH), the query falls back to the "
+        "applyInPandasWithState implementation: identical semantics, "
+        "same oracle, and the TWS path is still exercised by every "
+        "builder sweep (load_all precedes session build there).",
+    tags=("streaming",),
+)
+def stream_user_profiles_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    from ..streaming import stateful
+    from ..streaming.stateful import (
+        user_profile_stream,
+        user_profile_stream_tws,
+    )
+
+    def tws_runnable() -> bool:
+        if not stateful._HAS_TWS:
+            return False
+        try:
+            # pip-installed protobuf: workers share site-packages
+            import importlib.util
+
+            spec = importlib.util.find_spec("google.protobuf.descriptor")
+            if spec is not None and "google_appengine" not in str(
+                spec.origin or ""
+            ):
+                return True
+        except (ImportError, ModuleNotFoundError):
+            pass
+        # shim runtime: only reaches the TWS driver worker if the JVM
+        # itself was launched with the shim dirs on PYTHONPATH
+        from ..streaming._protobuf_compat import _GAE, _SHIM
+
+        jvm_pp = spark._jvm.System.getenv("PYTHONPATH") or ""
+        return _SHIM in jvm_pp or _GAE in jvm_pp
+
+    transform = (
+        user_profile_stream_tws if tws_runnable() else user_profile_stream
+    )
+    source = _events_stream(spark, sf_dir)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    try:
+        result = run_bounded_stream(
+            spark, source, transform, "update", sf_dir=sf_dir
+        )
+        # materialized memory sink: one row per user per micro-batch;
+        # keep the final (max n_events) emission per user
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        return (
+            result.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "n_events", "total_value", "max_gap_s")
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
 
 
 @register(

@@ -188,3 +188,23 @@ def test_stateful_query_on_rocksdb_state_store(spark, tmp_path):
     )
     default = counts(None)
     assert rocks == default and len(rocks) == 6
+
+
+def test_tws_query_falls_back_without_protobuf(spark, monkeypatch):
+    """stream_user_profiles_tws must degrade to the
+    applyInPandasWithState implementation (same oracle semantics) when
+    the TWS runner is unavailable — e.g. a driver-built JVM that never
+    saw the protobuf shim's PYTHONPATH."""
+    from hadoop_spark_pspd_spark.registry import load_all
+    from hadoop_spark_pspd_spark.streaming import stateful
+
+    reg = load_all()
+    monkeypatch.setattr(stateful, "_HAS_TWS", False)
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, reg["stream_user_profiles_tws"].fn(spark, sf).collect())
+    )
+    want = sorted(
+        map(tuple, reg["stream_user_profiles"].fn(spark, sf).collect())
+    )
+    assert got == want
