@@ -2023,3 +2023,99 @@ def ml_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("ltv_per_customer"),
     )
+
+
+@register(
+    "ml_ipw_stratified",
+    oracle="""
+        WITH base AS (
+            SELECT c_mktsegment AS stratum,
+                   CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS tr,
+                   CAST(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(18,4))
+                        * 10000 AS BIGINT) AS y_q
+            FROM customer
+        ), agg AS (
+            SELECT stratum,
+                   CAST(count(*) AS BIGINT) AS n_s,
+                   CAST(coalesce(SUM(tr), 0) AS BIGINT) AS t_s,
+                   CAST(coalesce(SUM(CASE WHEN tr = 1 THEN y_q END), 0)
+                        AS BIGINT) AS y1_sum_q,
+                   CAST(coalesce(SUM(CASE WHEN tr = 0 THEN y_q END), 0)
+                        AS BIGINT) AS y0_sum_q
+            FROM base GROUP BY stratum
+        )
+        SELECT stratum, n_s, t_s, y1_sum_q, y0_sum_q,
+               CAST(t_s AS DOUBLE) / CAST(n_s AS DOUBLE) AS propensity,
+               CASE WHEN t_s = 0 OR t_s = n_s THEN NULL
+                    ELSE (CAST(y1_sum_q AS DOUBLE)
+                          / CAST(t_s * 10000 AS DOUBLE))
+                         - (CAST(y0_sum_q AS DOUBLE)
+                            / CAST((n_s - t_s) * 10000 AS DOUBLE))
+               END AS ate_s
+        FROM agg
+    """,
+    doc="Stratified inverse-propensity treatment-effect estimate (the "
+        "observational-causal companion to ml_cuped_adjustment): per "
+        "market-segment stratum, a deterministic treatment cohort "
+        "(c_custkey % 2), exact integer sufficient statistics (balance "
+        "quantized to 1e-4 units through the shortest-string "
+        "double->decimal hop), the stratum propensity t_s/n_s as one "
+        "exact-int division, and the per-stratum mean effect as a "
+        "fixed three-op IEEE expression (two exact-int divisions + one "
+        "subtraction — identical trees in both engines). Degenerate "
+        "strata (all-treated / all-control) emit NULL under an "
+        "identical CASE guard. The cross-strata pooled estimate is a "
+        "driver-trivial weighted sum of these rows when needed — the "
+        "emitted grid IS the auditable artifact. Scale: one "
+        "partial-agg shuffle to a dimension-bounded stratum grid.",
+    tags=("ml",),
+)
+def ml_ipw_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    tr = (F.col("c_custkey") % 2 == 0).cast("int")
+    y_q = (
+        F.col("c_acctbal")
+        .cast("string")
+        .cast("decimal(18,4)")
+        * 10000
+    ).cast("bigint")
+    base = t.customer.select(
+        F.col("c_mktsegment").alias("stratum"),
+        tr.alias("tr"),
+        y_q.alias("y_q"),
+    )
+    agg = base.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.coalesce(F.sum("tr"), F.lit(0)).cast("bigint").alias("t_s"),
+        F.coalesce(
+            F.sum(F.when(F.col("tr") == 1, F.col("y_q"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("y1_sum_q"),
+        F.coalesce(
+            F.sum(F.when(F.col("tr") == 0, F.col("y_q"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("y0_sum_q"),
+    )
+    degenerate = (F.col("t_s") == 0) | (F.col("t_s") == F.col("n_s"))
+    ate = (
+        F.col("y1_sum_q").cast("double")
+        / (F.col("t_s") * 10000).cast("double")
+    ) - (
+        F.col("y0_sum_q").cast("double")
+        / ((F.col("n_s") - F.col("t_s")) * 10000).cast("double")
+    )
+    return agg.select(
+        "stratum",
+        "n_s",
+        "t_s",
+        "y1_sum_q",
+        "y0_sum_q",
+        (F.col("t_s").cast("double") / F.col("n_s").cast("double")).alias(
+            "propensity"
+        ),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(ate)
+        .alias("ate_s"),
+    )

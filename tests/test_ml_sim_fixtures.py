@@ -274,3 +274,43 @@ def test_spearman_perfect_monotone_is_exactly_one(spark, tmp_path):
     assert row["n"] == 6
     assert row["va"] == row["vb"] == row["num"]
     assert row["spearman"] == 1.0
+
+
+# ------------------------------------------------------------- stratified IPW
+
+
+def test_ipw_degenerate_strata_null_guard(spark, tmp_path):
+    """All-treated and all-control strata must emit NULL ate_s under the
+    identical CASE guard in both engines (never NaN/inf — the round-5
+    x/0.0 divergence class); a mixed stratum computes the exact
+    two-division effect, and a non-dyadic balance (123.45) must survive
+    the shortest-string double->decimal quantization identically."""
+    rows = [
+        # stratum ALLT: every custkey even -> all treated
+        (2, "a", 0, 123.45, "ALLT"),
+        (4, "b", 0, -7.25, "ALLT"),
+        # stratum ALLC: every custkey odd -> all control
+        (1, "c", 0, 50.00, "ALLC"),
+        (3, "d", 0, 0.0, "ALLC"),
+        # stratum MIX: one of each
+        (6, "e", 0, 100.10, "MIX"),
+        (7, "f", 0, 0.10, "MIX"),
+    ]
+    sf = str(tmp_path / "ipw")
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(f"{sf}/customer.parquet")
+    got = {
+        r["stratum"]: r
+        for r in REGISTRY["ml_ipw_stratified"].fn(spark, sf).collect()
+    }
+    assert got["ALLT"]["ate_s"] is None and got["ALLT"]["propensity"] == 1.0
+    assert got["ALLC"]["ate_s"] is None and got["ALLC"]["propensity"] == 0.0
+    assert got["MIX"]["ate_s"] == 100.10 - 0.10
+    assert got["ALLT"]["y1_sum_q"] == 1234500 + (-72500)
+    srows, drows = _run_both(
+        "ml_ipw_stratified", spark, sf, ("customer",)
+    )
+    assert srows == drows
