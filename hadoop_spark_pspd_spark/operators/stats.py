@@ -2191,3 +2191,74 @@ def ml_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_a") >= n_req) & (F.col("n_b") >= n_req)
         ).alias("powered"),
     )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle="""
+        WITH h AS (
+            SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                         1, 13)) AS UBIGINT) AS hv
+            FROM events
+        ), scored AS (
+            SELECT hv % 256 AS p_q,
+                   CASE WHEN (hv // 256) % 256 < hv % 256
+                        THEN 1 ELSE 0 END AS y
+            FROM h
+        )
+        SELECT CAST(p_q // 16 AS INTEGER) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(coalesce(SUM(y), 0) AS BIGINT) AS n_pos,
+               CAST(coalesce(SUM(p_q), 0) AS BIGINT) AS sum_p_q,
+               CAST(coalesce(SUM(p_q), 0) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 256.0) AS mean_pred,
+               CAST(coalesce(SUM(y), 0) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS obs_rate
+        FROM scored
+        GROUP BY 1
+    """,
+    doc="Model-calibration reliability table (the eval a served "
+        "classifier gets before its scores gate anything): a "
+        "deterministic md5-derived score grid p = (h % 256)/256 "
+        "(dyadic -> every sum is an exact double) with outcomes drawn "
+        "as y = [h2 < p] from an independent hash slice (so "
+        "E[y|p] = p and the table converges to the diagonal), bucketed "
+        "into 16 score bins with per-bin count, positives, exact "
+        "fixed-point predicted mass, and the two rates as single "
+        "exact-int divisions. The per-bin |obs - pred| gaps are the "
+        "ECE numerator, computable exactly from the emitted integers. "
+        "Derandomized by the conv/UBIGINT md5 recipe (k=13), so both "
+        "engines score identical rows identically. Scale: map-side "
+        "hash + one partial-agg shuffle to a 16-row grid.",
+    tags=("ml",),
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    hv = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    scored = t.events.select(hv.alias("hv")).select(
+        (F.col("hv") % 256).alias("p_q"),
+        F.when(
+            (F.col("hv") / F.lit(256)).cast("long") % 256
+            < F.col("hv") % 256,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    return scored.groupBy(
+        F.expr("p_q div 16").cast("int").alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.coalesce(F.sum("y"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(F.sum("p_q"), F.lit(0)).cast("bigint").alias("sum_p_q"),
+        (
+            F.coalesce(F.sum("p_q"), F.lit(0)).cast("double")
+            / (F.count("*").cast("double") * F.lit(256.0))
+        ).alias("mean_pred"),
+        (
+            F.coalesce(F.sum("y"), F.lit(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("obs_rate"),
+    )
