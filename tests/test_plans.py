@@ -453,3 +453,75 @@ def test_corpus_subtree_pinned_single_scan(spark):
         assert "Scan parquet" not in plan and "FileScan" not in plan, (
             fn.__name__
         )
+
+
+def test_media_decode_queries_are_single_exchange_map_only(spark):
+    """The real-decode media queries are one explicit repartition plus
+    an Arrow-batched mapInPandas (plus, for the stats variants, one
+    partial+final agg in the oracle-side shape): no window, no join, no
+    second scan — the per-doc decode stays embarrassingly parallel."""
+    from hadoop_spark_pspd_spark.operators.media_decode import (
+        mm_png_decode_stats,
+        mm_png_downsample_stats,
+        mm_wav_decode_stats,
+        mm_wav_window_rms,
+    )
+
+    for fn in (
+        mm_png_decode_stats,
+        mm_png_downsample_stats,
+        mm_wav_decode_stats,
+        mm_wav_window_rms,
+    ):
+        plan = formatted_plan(fn(spark, SF_SMOKE))
+        assert plan.count("Exchange") <= 2, (fn.__name__, plan)
+        assert "MapInPandas" in plan, fn.__name__
+        assert "WindowExec" not in plan and "Window" not in plan.split(
+            "\n\n"
+        )[0].replace("WindowGroupLimit", ""), fn.__name__
+        assert "Join" not in plan.split("\n\n")[0], fn.__name__
+
+
+def test_stateful_streams_use_sized_state_partitions(spark):
+    """sized_state_partitions must actually reach the state store: the
+    sizing rule is min(cap, rows//50k + 1) with floor 4, and the
+    executed query's stateOperators progress must report exactly that
+    partition count; the session conf is restored afterwards. (The test
+    session's cap is 4, so sized == floor == cap here; the rule's
+    cap/floor arithmetic is asserted directly against the conf.)"""
+    import json
+
+    from hadoop_spark_pspd_spark.operators.streaming_queries import (
+        _events_rows,
+        _events_stream,
+        sized_state_partitions,
+    )
+    from pyspark.sql import functions as F2
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    cap = int(before)
+    expected = max(4, min(cap, _events_rows(spark, SF_SMOKE) // 50_000 + 1))
+    src = (
+        _events_stream(spark, SF_SMOKE)
+        .filter(F2.col("event_type") == "click")
+        .withWatermark("ts", "1 day")
+    )
+    with sized_state_partitions(spark, SF_SMOKE) as parts:
+        assert parts == expected
+        q = (
+            src.groupBy(F2.window("ts", "1 hour"))
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("pspd_state_parts_pin")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = json.loads(q.recentProgress[-1].json)
+    ops = progress["stateOperators"]
+    assert ops and all(
+        op["numShufflePartitions"] == expected for op in ops
+    ), ops
+    # and the conf is restored afterwards
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
