@@ -567,37 +567,42 @@ def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "builder sweep (load_all precedes session build there).",
     tags=("streaming",),
 )
+def _tws_runnable(spark: SparkSession) -> bool:
+    """True iff a transformWithState driver worker spawned by THIS
+    session's JVM will find a protobuf runtime: either pip-installed
+    (workers share site-packages) or the shim dirs are on the JVM's
+    inherited PYTHONPATH (only JVMs launched after ensure_protobuf)."""
+    from ..streaming import stateful
+
+    if not stateful._HAS_TWS:
+        return False
+    try:
+        import importlib.util
+
+        spec = importlib.util.find_spec("google.protobuf.descriptor")
+        if spec is not None and "google_appengine" not in str(
+            spec.origin or ""
+        ):
+            return True
+    except (ImportError, ModuleNotFoundError):
+        pass
+    from ..streaming._protobuf_compat import _GAE, _SHIM
+
+    jvm_pp = spark._jvm.System.getenv("PYTHONPATH") or ""
+    return _SHIM in jvm_pp or _GAE in jvm_pp
+
+
 def stream_user_profiles_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session_conf(spark)
-    from ..streaming import stateful
     from ..streaming.stateful import (
         user_profile_stream,
         user_profile_stream_tws,
     )
 
-    def tws_runnable() -> bool:
-        if not stateful._HAS_TWS:
-            return False
-        try:
-            # pip-installed protobuf: workers share site-packages
-            import importlib.util
-
-            spec = importlib.util.find_spec("google.protobuf.descriptor")
-            if spec is not None and "google_appengine" not in str(
-                spec.origin or ""
-            ):
-                return True
-        except (ImportError, ModuleNotFoundError):
-            pass
-        # shim runtime: only reaches the TWS driver worker if the JVM
-        # itself was launched with the shim dirs on PYTHONPATH
-        from ..streaming._protobuf_compat import _GAE, _SHIM
-
-        jvm_pp = spark._jvm.System.getenv("PYTHONPATH") or ""
-        return _SHIM in jvm_pp or _GAE in jvm_pp
-
     transform = (
-        user_profile_stream_tws if tws_runnable() else user_profile_stream
+        user_profile_stream_tws
+        if _tws_runnable(spark)
+        else user_profile_stream
     )
     source = _events_stream(spark, sf_dir)
     provider_key = "spark.sql.streaming.stateStore.providerClass"
@@ -613,6 +618,88 @@ def stream_user_profiles_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             result.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("user_id", "n_events", "total_value", "max_gap_s")
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+
+@register(
+    "stream_session_timers_tws",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq
+        ), agg AS (
+            SELECT user_id, sid,
+                   min(ts) AS session_start,
+                   max(ts) AS session_last,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY 1, 2
+        ), mx AS (SELECT max(ts) AS max_ts FROM events)
+        SELECT user_id,
+               CAST(session_start AS TIMESTAMP) AS session_start,
+               CAST(session_last AS TIMESTAMP) AS session_last,
+               n_events
+        FROM agg CROSS JOIN mx
+        WHERE (epoch_us(session_last) + 1800000000) // 1000
+              <= epoch_us(max_ts) // 1000
+    """,
+    doc="CUSTOM session windows with EVENT-TIME TIMERS on "
+        "transformWithStateInPandas — the full TWS surface (typed "
+        "ValueState + registerTimer/handleExpiredTimer): 30-minute gap "
+        "sessions per user, where gap-closed sessions emit from input "
+        "processing and still-open sessions emit when the watermark "
+        "passes last_ts + gap via a registered timer; sessions whose "
+        "gap has not elapsed at end-of-stream stay in state and do NOT "
+        "emit. Spark timers are millisecond-floored, so the oracle "
+        "encodes the exact contract: emit iff floor((last_us + "
+        "gap_us)/1000) <= floor(max_ts_us/1000) (0s watermark delay). "
+        "Falls back to the identical-semantics applyInPandasWithState "
+        "+ EventTimeTimeout lane on JVMs the protobuf shim cannot "
+        "reach (same rule: GroupState timeouts are watermark-ms "
+        "gated too). State is one (start, last, n, timer) tuple per "
+        "ACTIVE user — watermark-expired keys are freed by the timer "
+        "path, the state-boundedness property gap sessions need at "
+        "100 TB.",
+    tags=("streaming",),
+)
+def stream_session_timers_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    from ..streaming.stateful import (
+        session_gap_stream_legacy,
+        session_timer_stream,
+    )
+
+    transform = (
+        session_timer_stream
+        if _tws_runnable(spark)
+        else session_gap_stream_legacy
+    )
+    source = _events_stream(spark, sf_dir)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    try:
+        result = run_bounded_stream(
+            spark, source, transform, "append", sf_dir=sf_dir
+        )
+        return result.select(
+            "user_id",
+            F.timestamp_micros(F.col("start_us")).alias("session_start"),
+            F.timestamp_micros(F.col("last_us")).alias("session_last"),
+            "n_events",
         )
     finally:
         if old is None:

@@ -150,3 +150,159 @@ def user_profile_stream_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time TIMER sessions on transformWithStateInPandas: custom session
+# windows with gap-timeout emission — the full TWS surface (typed state +
+# registered timers). Gap-closed sessions emit from input processing
+# (deterministic in-batch); still-open sessions emit when the event-time
+# watermark passes last_ts + gap (the timer); sessions whose gap has not
+# elapsed at end-of-stream stay in state. Spark timers are MILLISECOND-
+# floored, so the emit rule is exactly
+#   floor((last_us + GAP_US)/1000) <= floor(max_ts_us/1000)
+# which the oracle encodes verbatim.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MS = 1_800_000  # 30 minutes
+_GAP_US = SESSION_GAP_MS * 1000
+
+SESSION_STATE_SCHEMA = (
+    "start_us long, last_us long, n long, timer_ms long"
+)
+SESSION_OUT_SCHEMA = "user_id long, start_us long, last_us long, n_events long"
+
+
+def _session_frame(rows):
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "start_us": pd.Series([r[1] for r in rows], dtype="int64"),
+            "last_us": pd.Series([r[2] for r in rows], dtype="int64"),
+            "n_events": pd.Series([r[3] for r in rows], dtype="int64"),
+        }
+    )
+
+
+class SessionTimerProcessor(StatefulProcessor):
+    """ValueState session accumulator + one registered event-time timer
+    per key (re-armed on every batch; the stale one deleted first)."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._handle = handle
+        self._state = handle.getValueState("sess", SESSION_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            start, last, n, timer = self._state.get()
+        else:
+            start = last = n = timer = None
+        closed: list[tuple] = []
+        uid = key[0]
+        for pdf in rows:
+            pdf = pdf.sort_values("ts")
+            for ts_us in pdf["ts"].astype("int64") // 1000:
+                ts_us = int(ts_us)
+                if last is None:
+                    start, last, n = ts_us, ts_us, 1
+                elif ts_us - last > _GAP_US:
+                    closed.append((uid, start, last, n))
+                    start, last, n = ts_us, ts_us, 1
+                else:
+                    last = max(last, ts_us)
+                    n += 1
+        if timer is not None:
+            self._handle.deleteTimer(timer)
+        new_timer = (last + _GAP_US) // 1000  # ms-floored, like Spark
+        self._handle.registerTimer(new_timer)
+        self._state.update((start, last, n, new_timer))
+        yield _session_frame(closed)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        out: list[tuple] = []
+        if self._state.exists():
+            start, last, n, timer = self._state.get()
+            if timer == expiredTimerInfo.getExpiryTimeInMs():
+                out.append((key[0], start, last, n))
+                self._state.clear()
+        yield _session_frame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def session_timer_stream(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas with EventTime timers: custom gap
+    sessions per user. Requires the RocksDB provider (column families)
+    and a watermark on ts (0s delay -> final watermark = max event
+    time, ms-floored)."""
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state"
+        ".RocksDBStateStoreProvider",
+    )
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionTimerProcessor(),
+            outputStructType=SESSION_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+def _session_gap_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState flavor of the timer sessions: GroupState +
+    EventTimeTimeout reproduces the same ms-floored emit rule."""
+    uid = key[0]
+    if state.hasTimedOut:
+        if state.exists:
+            start, last, n = state.get
+            state.remove()
+            yield _session_frame([(uid, start, last, n)])
+        else:
+            yield _session_frame([])
+        return
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = n = None
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts_us in pdf["ts"].astype("int64") // 1000:
+            ts_us = int(ts_us)
+            if last is None:
+                start, last, n = ts_us, ts_us, 1
+            elif ts_us - last > _GAP_US:
+                closed.append((uid, start, last, n))
+                start, last, n = ts_us, ts_us, 1
+            else:
+                last = max(last, ts_us)
+                n += 1
+    state.update((start, last, n))
+    state.setTimeoutTimestamp((last + _GAP_US) // 1000)
+    yield _session_frame(closed)
+
+
+def session_gap_stream_legacy(events: DataFrame) -> DataFrame:
+    """Timer-session semantics on the applyInPandasWithState API (no
+    protobuf runner needed) — the fallback lane for JVMs the TWS shim
+    cannot reach."""
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_gap_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType="start_us long, last_us long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

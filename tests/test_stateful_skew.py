@@ -208,3 +208,22 @@ def test_tws_query_falls_back_without_protobuf(spark, monkeypatch):
         map(tuple, reg["stream_user_profiles"].fn(spark, sf).collect())
     )
     assert got == want
+
+
+def test_session_timer_tws_and_legacy_agree(spark, monkeypatch):
+    """The TWS timer lane and the applyInPandasWithState fallback must
+    emit the identical session set (both ms-floor watermark-gated)."""
+    from hadoop_spark_pspd_spark.registry import load_all
+    from hadoop_spark_pspd_spark.streaming import stateful
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    tws_rows = sorted(
+        map(tuple, reg["stream_session_timers_tws"].fn(spark, sf).collect())
+    )
+    monkeypatch.setattr(stateful, "_HAS_TWS", False)
+    legacy_rows = sorted(
+        map(tuple, reg["stream_session_timers_tws"].fn(spark, sf).collect())
+    )
+    assert tws_rows == legacy_rows
+    assert tws_rows, "fixture data must produce at least one closed session"
