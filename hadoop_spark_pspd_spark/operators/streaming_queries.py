@@ -529,6 +529,31 @@ def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tws_runnable(spark: SparkSession) -> bool:
+    """True iff a transformWithState driver worker spawned by THIS
+    session's JVM will find a protobuf runtime: either pip-installed
+    (workers share site-packages) or the shim dirs are on the JVM's
+    inherited PYTHONPATH (only JVMs launched after ensure_protobuf)."""
+    from ..streaming import stateful
+
+    if not stateful._HAS_TWS:
+        return False
+    try:
+        import importlib.util
+
+        spec = importlib.util.find_spec("google.protobuf.descriptor")
+        if spec is not None and "google_appengine" not in str(
+            spec.origin or ""
+        ):
+            return True
+    except (ImportError, ModuleNotFoundError):
+        pass
+    from ..streaming._protobuf_compat import _GAE, _SHIM
+
+    jvm_pp = spark._jvm.System.getenv("PYTHONPATH") or ""
+    return _SHIM in jvm_pp or _GAE in jvm_pp
+
+
 @register(
     "stream_user_profiles_tws",
     oracle="""
@@ -567,31 +592,6 @@ def stream_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "builder sweep (load_all precedes session build there).",
     tags=("streaming",),
 )
-def _tws_runnable(spark: SparkSession) -> bool:
-    """True iff a transformWithState driver worker spawned by THIS
-    session's JVM will find a protobuf runtime: either pip-installed
-    (workers share site-packages) or the shim dirs are on the JVM's
-    inherited PYTHONPATH (only JVMs launched after ensure_protobuf)."""
-    from ..streaming import stateful
-
-    if not stateful._HAS_TWS:
-        return False
-    try:
-        import importlib.util
-
-        spec = importlib.util.find_spec("google.protobuf.descriptor")
-        if spec is not None and "google_appengine" not in str(
-            spec.origin or ""
-        ):
-            return True
-    except (ImportError, ModuleNotFoundError):
-        pass
-    from ..streaming._protobuf_compat import _GAE, _SHIM
-
-    jvm_pp = spark._jvm.System.getenv("PYTHONPATH") or ""
-    return _SHIM in jvm_pp or _GAE in jvm_pp
-
-
 def stream_user_profiles_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session_conf(spark)
     from ..streaming.stateful import (
