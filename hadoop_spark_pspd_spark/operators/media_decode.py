@@ -43,7 +43,9 @@ from ..registry import register
 
 # PNG corpus parameters — every formula below must stay expressible in
 # ANSI SQL over non-negative doc_ids (Python % == SQL % for
-# non-negative operands; generated doc_ids are always >= 0).
+# non-negative operands); the cohort predicates GUARD doc_id >= 0 in
+# BOTH engines so a hostile fixture with negative ids is excluded
+# identically rather than diverging on floor-vs-truncating %.
 _PNG_MOD = 17
 _WAV_MOD = 23
 
@@ -118,7 +120,7 @@ def _png_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             SELECT doc_id,
                    CAST(16 + doc_id % 13 AS INTEGER) AS width,
                    CAST(12 + doc_id % 7 AS INTEGER) AS height
-            FROM documents WHERE doc_id % {_PNG_MOD} = 0
+            FROM documents WHERE doc_id >= 0 AND doc_id % {_PNG_MOD} = 0
         ), xs AS (
             SELECT doc_id, width, height,
                    unnest(range(0, width)) AS x
@@ -165,7 +167,7 @@ def mm_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     docs = (
         t.documents.select("doc_id")
-        .filter(F.col("doc_id") % _PNG_MOD == 0)
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") % _PNG_MOD == 0))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return docs.mapInPandas(_png_roundtrip, schema=PNG_STATS_SCHEMA)
@@ -239,7 +241,7 @@ def _png_downsample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             SELECT doc_id,
                    CAST(16 + doc_id % 13 AS INTEGER) AS width,
                    CAST(12 + doc_id % 7 AS INTEGER) AS height
-            FROM documents WHERE doc_id % {_DS_MOD} = 0
+            FROM documents WHERE doc_id >= 0 AND doc_id % {_DS_MOD} = 0
         ), oxs AS (
             SELECT doc_id, width, height,
                    unnest(range(0, {_DS_OW})) AS ox
@@ -290,7 +292,7 @@ def mm_png_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     docs = (
         t.documents.select("doc_id")
-        .filter(F.col("doc_id") % _DS_MOD == 0)
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") % _DS_MOD == 0))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return docs.mapInPandas(_png_downsample, schema=DOWNSAMPLE_SCHEMA)
@@ -352,7 +354,7 @@ def _wav_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                    CAST(256 + (doc_id % 5) * 64 AS INTEGER) AS n_samples,
                    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER)
                        AS sample_rate
-            FROM documents WHERE doc_id % {_WAV_MOD} = 0
+            FROM documents WHERE doc_id >= 0 AND doc_id % {_WAV_MOD} = 0
         ), ss AS (
             SELECT doc_id, n_samples, sample_rate,
                    unnest(range(0, n_samples)) AS i
@@ -385,7 +387,7 @@ def mm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     docs = (
         t.documents.select("doc_id")
-        .filter(F.col("doc_id") % _WAV_MOD == 0)
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") % _WAV_MOD == 0))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return docs.mapInPandas(_wav_roundtrip, schema=WAV_STATS_SCHEMA)
@@ -434,7 +436,7 @@ def _wav_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         WITH docs AS (
             SELECT doc_id,
                    CAST(256 + (doc_id % 5) * 64 AS INTEGER) AS n_samples
-            FROM documents WHERE doc_id % {_RMS_MOD} = 0
+            FROM documents WHERE doc_id >= 0 AND doc_id % {_RMS_MOD} = 0
         ), ss AS (
             SELECT doc_id, unnest(range(0, n_samples)) AS i
             FROM docs
@@ -465,7 +467,7 @@ def mm_wav_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     docs = (
         t.documents.select("doc_id")
-        .filter(F.col("doc_id") % _RMS_MOD == 0)
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") % _RMS_MOD == 0))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return docs.mapInPandas(_wav_windows, schema=WAV_WINDOW_SCHEMA)

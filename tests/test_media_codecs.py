@@ -257,3 +257,39 @@ def test_media_dimensions_stdlib_on_executors(spark):
         for r in media_dimensions(df, backend="stdlib").collect()
     }
     assert got == {i: (4 + i, 3 + (i % 2)) for i in range(8)}
+
+
+def test_media_cohorts_exclude_negative_doc_ids(spark, tmp_path):
+    """A hostile fixture with negative doc_ids must be excluded from
+    every media cohort IDENTICALLY in both engines (Python floor-mod
+    vs SQL truncating % would otherwise diverge on -17 % 17 == 0)."""
+    import duckdb
+
+    from hadoop_spark_pspd_spark.registry import load_all
+
+    reg = load_all()
+    sf = str(tmp_path / "negids")
+    spark.createDataFrame(
+        [(-17, "t", "en", "s", 1), (-23, "t", "en", "s", 1),
+         (-29, "t", "en", "s", 1), (-37, "t", "en", "s", 1),
+         (0, "t", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    for name in (
+        "mm_png_decode_stats",
+        "mm_png_downsample_stats",
+        "mm_wav_decode_stats",
+        "mm_wav_window_rms",
+    ):
+        srows = reg[name].fn(spark, sf).collect()
+        drows = con.sql(reg[name].oracle).fetchall()
+        s_ids = sorted({r["doc_id"] for r in srows})
+        d_ids = sorted({r[0] for r in drows})
+        assert s_ids == d_ids == [0], (name, s_ids, d_ids)
+    con.close()
