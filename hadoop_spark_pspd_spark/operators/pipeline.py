@@ -240,9 +240,12 @@ def _tm_oracle() -> str:
             SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
             WHERE sh.doc_id >= {BENCH_DOCS}
         ), clean AS (
+            -- NOT EXISTS, not NOT IN: a NULL doc_id must behave like
+            -- Spark's left_anti (kept), not vacuously filter every row
             SELECT d.doc_id, d.lang, d.text FROM documents d
             WHERE d.doc_id >= {BENCH_DOCS}
-              AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+              AND NOT EXISTS (SELECT 1 FROM contaminated c
+                              WHERE c.doc_id = d.doc_id)
         ), mixed AS (
             SELECT doc_id, text FROM clean
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
