@@ -539,3 +539,202 @@ def text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("weight_fx").cast("double") / F.col("tw").cast("double"))
         .alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher" — public rule set).
+# Every rule is an exact integer count compared via CROSS-MULTIPLICATION
+# (3*n <= sum_len, never sum_len/n >= 3.0), so no division ever reaches a
+# hashed column and the booleans are bit-identical cross-engine.
+
+_GOPHER_MIN_WORDS = 5
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_STOPWORDS = ("the", "a", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_STOP = 2
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text,
+                                                  '[ \t\n\r\f]+'),
+                               x -> x <> '') AS w,
+                   strlen(text) AS nb,
+                   strlen(replace(text, '#', '')) AS nb_hash,
+                   strlen(replace(text, '...', '')) AS nb_ell
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(coalesce(list_sum(
+                       list_transform(w, x -> strlen(x))), 0)
+                       AS BIGINT) AS sum_wlen,
+                   CAST(len(list_filter(w,
+                       x -> regexp_matches(x, '[A-Za-z]')))
+                       AS BIGINT) AS n_alpha,
+                   CAST(len(list_intersect(w, [{_STOP_SQL}]))
+                       AS BIGINT) AS n_stop,
+                   CAST((nb - nb_hash)
+                        + (nb - nb_ell) // 3 AS BIGINT) AS n_symbols
+            FROM toks
+        )
+        SELECT doc_id, n_words, sum_wlen, n_alpha, n_stop, n_symbols,
+               (n_words >= {_GOPHER_MIN_WORDS}
+                AND n_words <= {_GOPHER_MAX_WORDS}) AS r_words,
+               (3 * n_words <= sum_wlen
+                AND sum_wlen <= 10 * n_words) AS r_wlen,
+               (10 * n_symbols <= n_words) AS r_symbols,
+               (5 * n_alpha >= 4 * n_words) AS r_alpha,
+               (n_stop >= {_GOPHER_MIN_STOP}) AS r_stop,
+               (n_words >= {_GOPHER_MIN_WORDS}
+                AND n_words <= {_GOPHER_MAX_WORDS}
+                AND 3 * n_words <= sum_wlen
+                AND sum_wlen <= 10 * n_words
+                AND 10 * n_symbols <= n_words
+                AND 5 * n_alpha >= 4 * n_words
+                AND n_stop >= {_GOPHER_MIN_STOP}) AS keep
+        FROM m
+    """,
+    doc="Gopher quality-filter rule battery (Rae et al. 2021, public "
+        "rule set): per-doc word-count bounds, mean-word-length bounds "
+        "(3..10 bytes), symbol-to-word ratio ('#' and '...' marks), "
+        "fraction of words with an alphabetic character >= 0.8, and "
+        ">= 2 distinct stopwords present. Every rule is an exact "
+        "integer count compared by cross-multiplication — no division "
+        "reaches the output, so the booleans are bit-identical cross-"
+        "engine. The whole plan is per-row higher-order functions over "
+        "the token array (size/aggregate/filter/array_intersect): ONE "
+        "corpus scan, ZERO shuffles — the ideal 100 TB shape for a "
+        "row-local quality gate. Word length is BYTE-defined "
+        "(octet_length == DuckDB strlen, CLAUDE.md round-4 rule). The "
+        "reference has no curation surface (WordCount lab); this "
+        "extends the LLM-pipeline north star (SURVEY §7).",
+    tags=("text", "curation"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    d = t.documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.octet_length(x).cast("bigint"),
+        ).alias("sum_wlen"),
+        F.size(
+            F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+        ).cast("bigint").alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+            )
+        ).cast("bigint").alias("n_stop"),
+        (
+            (F.octet_length("text")
+             - F.octet_length(F.replace(F.col("text"), F.lit("#"))))
+            + F.expr(
+                "(octet_length(text)"
+                " - octet_length(replace(text, '...', ''))) div 3"
+            )
+        ).cast("bigint").alias("n_symbols"),
+    )
+    r_words = (F.col("n_words") >= _GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= _GOPHER_MAX_WORDS
+    )
+    r_wlen = (3 * F.col("n_words") <= F.col("sum_wlen")) & (
+        F.col("sum_wlen") <= 10 * F.col("n_words")
+    )
+    r_symbols = 10 * F.col("n_symbols") <= F.col("n_words")
+    r_alpha = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    r_stop = F.col("n_stop") >= _GOPHER_MIN_STOP
+    return d.select(
+        "doc_id", "n_words", "sum_wlen", "n_alpha", "n_stop", "n_symbols",
+        r_words.alias("r_words"),
+        r_wlen.alias("r_wlen"),
+        r_symbols.alias("r_symbols"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (r_words & r_wlen & r_symbols & r_alpha & r_stop).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-phrase blocklist filter (the C4 "bad words" gate shape): count
+# non-overlapping occurrences of each phrase via the replace-length trick
+# — both engines replace left-to-right non-overlapping, and the length
+# delta divides the phrase length exactly, so the counts are exact ints.
+
+_BLOCK_PHRASES = ("slow scan", "big table", "drop table", "value value")
+
+
+def _block_cols_sql() -> str:
+    cols = []
+    for i, p in enumerate(_BLOCK_PHRASES, 1):
+        cols.append(
+            f"CAST((strlen(text) - strlen(replace(text, '{p}', '')))"
+            f" // {len(p)} AS BIGINT) AS hits_{i}"
+        )
+    return ",\n                   ".join(cols)
+
+
+@register(
+    "text_blocklist_hits",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       string_split_regex(text, '[ \t\n\r\f]+'),
+                       x -> x <> '')) AS BIGINT) AS n_words,
+                   {_block_cols_sql()}
+            FROM documents
+        )
+        SELECT doc_id, n_words, hits_1, hits_2, hits_3, hits_4,
+               CAST(hits_1 + hits_2 + hits_3 + hits_4 AS BIGINT)
+                   AS n_hits,
+               (hits_1 + hits_2 + hits_3 + hits_4) = 0 AS keep,
+               (20 * (hits_1 + hits_2 + hits_3 + hits_4) <= n_words)
+                   AS under_rate
+        FROM h
+    """,
+    doc="Fixed-phrase blocklist gate (the C4-style 'bad words' filter, "
+        "public recipe): per-doc non-overlapping occurrence counts of "
+        "each blocklist phrase via the replace-length trick — "
+        "(len(text) - len(replace(text, p, ''))) div len(p) is an "
+        "exact integer in both engines because replace is left-to-"
+        "right non-overlapping in both. Emits per-phrase counts, the "
+        "zero-tolerance keep flag, and a rate-based flag (20x cross-"
+        "multiplied, no division). Pure per-row string expressions: "
+        "one scan, zero shuffles, whole-stage-codegen end to end — "
+        "the gate composes with any downstream pipeline stage for "
+        "free at 100 TB.",
+    tags=("text", "curation"),
+)
+def text_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cols = [F.col("doc_id"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_words")]
+    for i, p in enumerate(_BLOCK_PHRASES, 1):
+        cols.append(
+            F.expr(
+                f"CAST((octet_length(text)"
+                f" - octet_length(replace(text, '{p}', '')))"
+                f" div {len(p)} AS BIGINT)"
+            ).alias(f"hits_{i}")
+        )
+    h = t.documents.select(*cols)
+    total = sum(
+        (F.col(f"hits_{i}") for i in range(2, len(_BLOCK_PHRASES) + 1)),
+        F.col("hits_1"),
+    )
+    return h.select(
+        "doc_id", "n_words", "hits_1", "hits_2", "hits_3", "hits_4",
+        total.cast("bigint").alias("n_hits"),
+        (total == 0).alias("keep"),
+        (20 * total <= F.col("n_words")).alias("under_rate"),
+    )
