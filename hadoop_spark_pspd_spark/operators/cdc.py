@@ -432,3 +432,122 @@ def sketch_theta_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with explicit registers (Flajolet et al. 2007, public
+# algorithm). The classic mergeable cardinality sketch, fully
+# derandomized through the md5-52-bit bridge so the register table —
+# not just the estimate — hash-matches the oracle. b = 8 -> m = 256
+# registers; the remaining 44 hash bits feed the leading-zero rank.
+
+_HLL_B = 8
+_HLL_M = 1 << _HLL_B  # 256 registers
+_HLL_WBITS = 52 - _HLL_B  # 44 rank bits
+# alpha_m * m^2 computed ONCE here and embedded as the same double
+# literal in both engines (transcendental-constant rule, round-6 #3)
+_HLL_ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M)
+
+# rho(w) = leading zeros of the 44-bit word + 1, as a pure integer
+# CASE ladder shared VERBATIM by Spark and DuckDB (no log2 anywhere):
+# rho = r iff w >= 2^(44-r) first fires at r; w = 0 -> 45.
+_HLL_RHO_CASE = "CASE " + " ".join(
+    f"WHEN w >= {1 << (_HLL_WBITS - r)} THEN {r}"
+    for r in range(1, _HLL_WBITS + 1)
+) + f" ELSE {_HLL_WBITS + 1} END"
+
+
+@register(
+    "sketch_hll_registers",
+    oracle=f"""
+        WITH h AS (
+            SELECT CAST(CAST(('0x' || substr(md5(
+                       CAST(l_partkey AS VARCHAR)), 1, 13)) AS UBIGINT)
+                       AS BIGINT) AS h
+            FROM lineitem
+        ), rw AS (
+            SELECT h % {_HLL_M} AS j, h // {_HLL_M} AS w FROM h
+        ), regs AS (
+            SELECT j, max({_HLL_RHO_CASE}) AS m_j
+            FROM rw GROUP BY j
+        ), grid AS (
+            SELECT CAST(unnest(range(0, {_HLL_M})) AS BIGINT) AS j
+        ), full_regs AS (
+            SELECT g.j,
+                   CAST(coalesce(r.m_j, 0) AS BIGINT) AS m_j
+            FROM grid g LEFT JOIN regs r ON g.j = r.j
+        ), summary AS (
+            SELECT CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v_empty,
+                   SUM(CAST(1 AS DOUBLE)
+                       / CAST(CAST(1 AS BIGINT) << m_j AS DOUBLE)) AS z_sum
+            FROM full_regs
+        ), exact AS (
+            SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+            FROM lineitem
+        )
+        SELECT f.j, f.m_j, s.v_empty, s.z_sum,
+               {_HLL_ALPHA_M2} / s.z_sum AS hll_est,
+               e.n_exact
+        FROM full_regs f CROSS JOIN summary s CROSS JOIN exact e
+    """,
+    doc="HyperLogLog cardinality sketch with EXPLICIT registers "
+        "(Flajolet, Fusy, Gandouet & Meunier 2007, public): 52-bit md5 "
+        "hashes of l_partkey split into an 8-bit register index and a "
+        "44-bit rank word; rho = leading zeros + 1 via a pure integer "
+        "CASE ladder shared verbatim by both engines (no log2); "
+        "registers are max-merged (idempotent — no distinct needed "
+        "upstream, the property that makes HLL one-pass mergeable at "
+        "100 TB). The harmonic sum's terms 2^-M_j are dyadic rationals "
+        "on the common denominator 2^45 with numerator sum < 2^53, so "
+        "the double sum is EXACT and order-free; alpha_m*m^2 is one "
+        "Python-computed literal and the estimate is a single "
+        "correctly-rounded division. Emits the 256-row register table "
+        "(merge-able state, the real production artifact) plus the raw "
+        "estimate and the exact distinct count for accuracy eval. "
+        "Spark plan: map-side partial max -> 256-group shuffle; the "
+        "empty-register grid joins broadcast.",
+    tags=("sketch",),
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    h = t.lineitem.select(
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 13),
+               16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    rw = h.select(
+        (F.col("h") % _HLL_M).alias("j"),
+        F.expr(f"h div {_HLL_M}").alias("w"),
+    )
+    regs = rw.groupBy("j").agg(
+        F.max(F.expr(_HLL_RHO_CASE)).alias("m_j_raw")
+    )
+    grid = spark.range(_HLL_M).select(F.col("id").alias("j"))
+    full_regs = grid.join(F.broadcast(regs), "j", "left").select(
+        "j", F.coalesce(F.col("m_j_raw"), F.lit(0)).cast("bigint").alias("m_j")
+    )
+    summary = full_regs.agg(
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_empty"),
+        F.sum(
+            F.expr(
+                "CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(m_j AS INT)) AS DOUBLE)"
+            )
+        ).alias("z_sum"),
+    )
+    exact = t.lineitem.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_exact")
+    )
+    return (
+        full_regs.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "j", "m_j", "v_empty", "z_sum",
+            (F.lit(float(_HLL_ALPHA_M2)) / F.col("z_sum")).alias("hll_est"),
+            "n_exact",
+        )
+    )
