@@ -266,3 +266,93 @@ def decode_wav(payload: bytes) -> dict:
         "channels": channels,
         "samples": samples,
     }
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows DIB, BITMAPINFOHEADER) — the simplest real raster format:
+# no compression, bottom-up scanlines, each row padded to a 4-byte
+# boundary, 24-bit pixels stored as little-endian BGR triples. Spec:
+# the public Windows BMP file format documentation.
+
+_BMP_HEADER_SIZE = 14
+_BMP_INFO_SIZE = 40
+
+
+def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode interleaved top-down RGB bytes as a 24-bit BI_RGB BMP.
+
+    ``pixels`` is ``height*width*3`` bytes in reading order (row 0 =
+    top). The file stores rows BOTTOM-UP with BGR channel order and
+    4-byte row padding — the three spec quirks a symmetric
+    encoder/decoder bug pair could hide, which is why the tests also
+    decode hand-built spec vectors.
+    """
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels length != width*height*3")
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        base = y * row_raw
+        for x in range(width):
+            r, g, b = pixels[base + 3 * x : base + 3 * x + 3]
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * pad
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    off = _BMP_HEADER_SIZE + _BMP_INFO_SIZE
+    import struct as _struct
+
+    info = _struct.pack(
+        "<IiiHHIIiiII",
+        _BMP_INFO_SIZE, width, height, 1, 24, 0, len(data),
+        2835, 2835, 0, 0,
+    )
+    header = _struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Decode a 24-bit uncompressed BMP to top-down RGB bytes.
+
+    Returns ``{"width", "height", "pixels"}`` with pixels interleaved
+    RGB in reading order. Validates the magic, header sizes, bit depth
+    and BI_RGB compression; anything else raises loudly (the
+    ``PSPD_MEDIA_DECODE=pil`` seam covers the long tail on a real
+    cluster).
+    """
+    import struct as _struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing BM magic)")
+    _, _fsize, _r1, _r2, off = _struct.unpack("<2sIHHI", payload[:14])
+    (info_size, width, height, planes, bpp, compression, _isize,
+     _xppm, _yppm, _clr, _clri) = _struct.unpack(
+        "<IiiHHIIiiII", payload[14:54]
+    )
+    if info_size < _BMP_INFO_SIZE:
+        raise NotImplementedError(f"BMP info header size {info_size}")
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"unsupported BMP shape: planes={planes} bpp={bpp} "
+            f"compression={compression}"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_raw = width * 3
+    stride = row_raw + ((-row_raw) % 4)
+    out = bytearray(width * height * 3)
+    for yy in range(height):
+        src = off + yy * stride
+        row = payload[src : src + row_raw]
+        if len(row) != row_raw:
+            raise ValueError("truncated BMP pixel data")
+        y = (height - 1 - yy) if bottom_up else yy
+        base = y * row_raw
+        for x in range(width):
+            b, g, r = row[3 * x : 3 * x + 3]
+            out[base + 3 * x] = r
+            out[base + 3 * x + 1] = g
+            out[base + 3 * x + 2] = b
+    return {"width": width, "height": height, "pixels": bytes(out)}

@@ -471,3 +471,145 @@ def mm_wav_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return docs.mapInPandas(_wav_windows, schema=WAV_WINDOW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# BMP — the third real decode format: uncompressed Windows DIB with the
+# three spec quirks (bottom-up rows, BGR channel order, 4-byte row
+# padding) that a symmetric encode/decode bug pair could hide; the
+# spec-vector tests in test_media_codecs.py decode hand-built bytes so
+# the codec is pinned against the FORMAT, not against itself.
+
+_BMP_MOD = 19
+
+BMP_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, r_sum bigint, g_sum bigint, "
+    "b_sum bigint, wsum bigint, pad_bytes bigint"
+)
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 13 + doc_id % 11, 9 + doc_id % 5
+
+
+def _bmp_pixels(doc_id: int, width: int, height: int) -> bytes:
+    return bytes(
+        (x * 5 + y * 11 + c * 7 + doc_id * 3) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+
+
+def _bmp_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..functions.media_codecs import decode_bmp, encode_bmp
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+            "wsum", "pad_bytes",
+        )}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            w, h = _bmp_dims(doc_id)
+            payload = encode_bmp(_bmp_pixels(doc_id, w, h), w, h)
+            dec = decode_bmp(payload)  # the REAL decode under test
+            px = np.frombuffer(dec["pixels"], dtype=np.uint8).astype(
+                np.int64
+            ).reshape(dec["height"], dec["width"], 3)
+            ys, xs = np.mgrid[0 : dec["height"], 0 : dec["width"]]
+            pos = 1 + xs + ys * dec["width"]
+            wh = dec["width"] * dec["height"]
+            out["doc_id"].append(doc_id)
+            out["width"].append(dec["width"])
+            out["height"].append(dec["height"])
+            out["r_sum"].append(int(px[:, :, 0].sum()))
+            out["g_sum"].append(int(px[:, :, 1].sum()))
+            out["b_sum"].append(int(px[:, :, 2].sum()))
+            out["wsum"].append(
+                int(
+                    sum(
+                        (px[:, :, c] * (pos + c * wh)).sum()
+                        for c in range(3)
+                    )
+                )
+            )
+            # stride padding actually present in the file — exercises
+            # the decoder's row-stride arithmetic observably
+            out["pad_bytes"].append(((-(dec["width"] * 3)) % 4) * dec["height"])
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "r_sum": pd.Series(out["r_sum"], dtype="int64"),
+                "g_sum": pd.Series(out["g_sum"], dtype="int64"),
+                "b_sum": pd.Series(out["b_sum"], dtype="int64"),
+                "wsum": pd.Series(out["wsum"], dtype="int64"),
+                "pad_bytes": pd.Series(out["pad_bytes"], dtype="int64"),
+            }
+        )
+
+
+@register(
+    "mm_bmp_decode_stats",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CAST(13 + doc_id % 11 AS INTEGER) AS width,
+                   CAST(9 + doc_id % 5 AS INTEGER) AS height
+            FROM documents WHERE doc_id >= 0 AND doc_id % {_BMP_MOD} = 0
+        ), xs AS (
+            SELECT doc_id, width, height,
+                   unnest(range(0, width)) AS x
+            FROM docs
+        ), ys AS (
+            SELECT doc_id, width, height, x,
+                   unnest(range(0, height)) AS y
+            FROM xs
+        ), px AS (
+            SELECT doc_id, width, height, x, y,
+                   (x*5 + y*11 + doc_id*3) % 256 AS r,
+                   (x*5 + y*11 + 7 + doc_id*3) % 256 AS g,
+                   (x*5 + y*11 + 14 + doc_id*3) % 256 AS b
+            FROM ys
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM(r) AS BIGINT) AS r_sum,
+               CAST(SUM(g) AS BIGINT) AS g_sum,
+               CAST(SUM(b) AS BIGINT) AS b_sum,
+               CAST(SUM(
+                   r * (1 + x + y*width)
+                   + g * (1 + x + y*width + width*height)
+                   + b * (1 + x + y*width + 2*width*height)
+               ) AS BIGINT) AS wsum,
+               CAST(((-(width * 3)) % 4 + 4) % 4 * height AS BIGINT)
+                   AS pad_bytes
+        FROM px
+        GROUP BY doc_id, width, height
+    """,
+    doc="REAL BMP decode, end to end in the sandbox: for each doc in "
+        f"the cohort (doc_id % {_BMP_MOD} = 0) a genuine 24-bit BI_RGB "
+        "Windows DIB is encoded from a deterministic pixel formula "
+        "(dims 13-23 x 9-13 so row strides hit ALL four padding "
+        "residues), then DECODED through the stdlib struct codec "
+        "(functions/media_codecs.py: magic/header validation, "
+        "bottom-up row walk, BGR->RGB, 4-byte stride). Exact integer "
+        "channel sums plus the position-weighted checksum make any "
+        "row-order/channel-order/stride defect break the hash; "
+        "pad_bytes pins the stride arithmetic observably (DuckDB % is "
+        "truncating like Python's fmod here, so the oracle re-folds "
+        "the negative residue). Same per-doc mapInPandas shape as the "
+        "PNG/WAV queries — embarrassingly parallel at 100 TB.",
+    tags=("multimodal",),
+)
+def mm_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = (
+        t.documents.select("doc_id")
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") % _BMP_MOD == 0))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return docs.mapInPandas(_bmp_roundtrip, schema=BMP_STATS_SCHEMA)

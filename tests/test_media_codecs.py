@@ -293,3 +293,81 @@ def test_media_cohorts_exclude_negative_doc_ids(spark, tmp_path):
         d_ids = sorted({r[0] for r in drows})
         assert s_ids == d_ids == [0], (name, s_ids, d_ids)
     con.close()
+
+
+# --------------------------------------------------------------------------
+# BMP spec vectors — hand-built bytes straight from the public Windows
+# DIB format description, NOT produced by encode_bmp, so a symmetric
+# encoder/decoder bug pair (both forgetting bottom-up, both swapping
+# BGR) cannot hide (round-8 technique 4).
+
+import struct
+
+from hadoop_spark_pspd_spark.functions.media_codecs import (
+    decode_bmp,
+    encode_bmp,
+)
+
+
+def _bmp_bytes(width, height, rows_on_disk):
+    """Assemble a 24-bit BI_RGB BMP from explicit on-disk row bytes."""
+    data = b"".join(rows_on_disk)
+    off = 54
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data),
+        2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return header + info + data
+
+
+def test_bmp_bottom_up_spec_vector():
+    # 1x2: top-down pixels row0=(1,2,3) row1=(4,5,6); POSITIVE height
+    # -> file stores the BOTTOM row first, channels BGR, stride pad 1
+    payload = _bmp_bytes(1, 2, [b"\x06\x05\x04\x00", b"\x03\x02\x01\x00"])
+    d = decode_bmp(payload)
+    assert (d["width"], d["height"]) == (1, 2)
+    assert d["pixels"] == bytes([1, 2, 3, 4, 5, 6])
+
+
+def test_bmp_top_down_negative_height():
+    # negative height = top-down row order per the spec
+    payload = _bmp_bytes(1, -2, [b"\x03\x02\x01\x00", b"\x06\x05\x04\x00"])
+    d = decode_bmp(payload)
+    assert (d["width"], d["height"]) == (1, 2)
+    assert d["pixels"] == bytes([1, 2, 3, 4, 5, 6])
+
+
+def test_bmp_stride_padding_spec_vector():
+    # width 3 -> raw row 9 bytes, stride 12 (pad 3); pad bytes must be
+    # skipped, not read into pixels. One row only.
+    row = bytes([9, 8, 7, 6, 5, 4, 3, 2, 1]) + b"\xaa\xbb\xcc"
+    d = decode_bmp(_bmp_bytes(3, 1, [row]))
+    assert d["pixels"] == bytes([7, 8, 9, 4, 5, 6, 1, 2, 3])
+
+
+def test_bmp_encode_matches_spec_vector():
+    # encoder output must BYTE-equal the hand-assembled file
+    payload = encode_bmp(bytes([1, 2, 3, 4, 5, 6]), 1, 2)
+    assert payload == _bmp_bytes(
+        1, 2, [b"\x06\x05\x04\x00", b"\x03\x02\x01\x00"]
+    )
+
+
+def test_bmp_rejects_non_bmp_shapes():
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG garbage")
+    # 8bpp header
+    bad = bytearray(_bmp_bytes(1, 1, [b"\x00\x00\x00\x00"]))
+    bad[28] = 8  # bpp field
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad))
+
+
+def test_bmp_roundtrip_all_pad_residues():
+    for w in (4, 5, 6, 7):  # strides pad 0,1,2,3
+        px = bytes(((i * 37) % 256) for i in range(w * 3 * 3))
+        d = decode_bmp(encode_bmp(px, w, 3))
+        assert d["pixels"] == px, w
