@@ -613,3 +613,149 @@ def mm_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return docs.mapInPandas(_bmp_roundtrip, schema=BMP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Walsh-Hadamard spectral band energies over REAL decoded audio. The
+# WHT is the exact-integer orthogonal transform (entries +-1 only), so
+# unlike an FFT its coefficients are oracle-able bit-exactly:
+# c_k = sum_n x_n * (-1)^popcount(n AND k), and Parseval's identity
+# sum_k c_k^2 = N * sum_n x_n^2 holds as an exact integer equation
+# that the output asserts per row.
+
+_WHT_MOD = 31
+_WHT_N = 64  # transform block: first 64 decoded samples
+
+WHT_SCHEMA = (
+    "doc_id bigint, n_samples int, c0 bigint, e_dc bigint, e_low bigint, "
+    "e_mid bigint, e_high bigint, parseval_ok boolean"
+)
+
+
+def _wht_params(doc_id: int) -> tuple[int, int]:
+    return 64 + (doc_id % 4) * 32, 8000 + (doc_id % 2) * 8000
+
+
+def _wht_samples(doc_id: int, n: int) -> list[int]:
+    return [
+        ((i * 31337 + doc_id * 1009) % 65536) - 32768 for i in range(n)
+    ]
+
+
+def _wht_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..functions.media_codecs import decode_wav, encode_wav
+
+    n = _WHT_N
+    grid = np.arange(n)
+    m = (grid[:, None] & grid[None, :]).astype(np.uint8)
+    parity = np.unpackbits(m[..., None], axis=-1).sum(-1) % 2
+    signs = (1 - 2 * parity.astype(np.int64))  # the +-1 Hadamard matrix
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "n_samples", "c0", "e_dc", "e_low", "e_mid",
+            "e_high", "parseval_ok",
+        )}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            ns, rate = _wht_params(doc_id)
+            payload = encode_wav(_wht_samples(doc_id, ns), rate)
+            dec = decode_wav(payload)  # REAL decode under test
+            x = np.asarray(dec["samples"][:n], dtype=np.int64)
+            c = signs @ x  # integer matmul — numpy int64, never BLAS
+            e = c * c
+            p64 = n * int((x * x).sum())
+            out["doc_id"].append(doc_id)
+            out["n_samples"].append(dec["n_frames"])
+            out["c0"].append(int(c[0]))
+            out["e_dc"].append(int(e[0]))
+            out["e_low"].append(int(e[1:8].sum()))
+            out["e_mid"].append(int(e[8:32].sum()))
+            out["e_high"].append(int(e[32:64].sum()))
+            out["parseval_ok"].append(int(e.sum()) == p64)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                "c0": pd.Series(out["c0"], dtype="int64"),
+                "e_dc": pd.Series(out["e_dc"], dtype="int64"),
+                "e_low": pd.Series(out["e_low"], dtype="int64"),
+                "e_mid": pd.Series(out["e_mid"], dtype="int64"),
+                "e_high": pd.Series(out["e_high"], dtype="int64"),
+                "parseval_ok": pd.Series(out["parseval_ok"], dtype="bool"),
+            }
+        )
+
+
+@register(
+    "mm_audio_wht_energy",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CAST(64 + (doc_id % 4) * 32 AS INTEGER) AS n_samples
+            FROM documents WHERE doc_id >= 0 AND doc_id % {_WHT_MOD} = 0
+        ), sv AS MATERIALIZED (
+            SELECT doc_id, n_samples,
+                   CAST(unnest(range(0, {_WHT_N})) AS BIGINT) AS i
+            FROM docs
+        ), s AS MATERIALIZED (
+            SELECT doc_id, n_samples, i,
+                   ((i * 31337 + doc_id * 1009) % 65536) - 32768 AS x
+            FROM sv
+        ), ks AS (
+            SELECT doc_id, CAST(unnest(range(0, {_WHT_N})) AS BIGINT) AS k
+            FROM docs
+        ), c AS (
+            SELECT ks.doc_id, ks.k,
+                   CAST(SUM(CASE WHEN CAST(bit_count(s.i & ks.k) AS INTEGER)
+                                      % 2 = 0
+                                 THEN s.x ELSE -s.x END) AS BIGINT) AS ck
+            FROM ks JOIN s ON s.doc_id = ks.doc_id
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT doc_id, max(n_samples) AS n_samples,
+                   CAST({_WHT_N} * SUM(x * x) AS BIGINT) AS p64
+            FROM s GROUP BY 1
+        )
+        SELECT c.doc_id, t.n_samples,
+               CAST(SUM(CASE WHEN k = 0 THEN ck ELSE 0 END)
+                    AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN k = 0 THEN ck*ck ELSE 0 END)
+                    AS BIGINT) AS e_dc,
+               CAST(SUM(CASE WHEN k BETWEEN 1 AND 7 THEN ck*ck ELSE 0 END)
+                    AS BIGINT) AS e_low,
+               CAST(SUM(CASE WHEN k BETWEEN 8 AND 31 THEN ck*ck ELSE 0 END)
+                    AS BIGINT) AS e_mid,
+               CAST(SUM(CASE WHEN k BETWEEN 32 AND 63 THEN ck*ck ELSE 0 END)
+                    AS BIGINT) AS e_high,
+               CAST(SUM(ck*ck) AS BIGINT) = max(t.p64) AS parseval_ok
+        FROM c JOIN tot t USING (doc_id)
+        GROUP BY c.doc_id, t.n_samples
+    """,
+    doc="Walsh-Hadamard spectral band energies over REAL decoded audio: "
+        f"for each doc in the cohort (doc_id % {_WHT_MOD} = 0) a "
+        "genuine WAV is encoded from the deterministic int16 formula, "
+        "decoded through the stdlib wave codec, and the first 64 "
+        "samples go through an exact-integer 64-point WHT "
+        "(c_k = sum x_n * (-1)^popcount(n AND k)) — the +-1 transform "
+        "whose coefficients, unlike an FFT's, are integers both "
+        "engines agree on exactly. Emits DC / low / mid / high band "
+        "energies and asserts Parseval's identity (sum c^2 = 64*sum "
+        "x^2) as an exact integer equation per row. n_samples comes "
+        "from the PARSED header. The numpy kernel is an int64 matmul "
+        "(never BLAS — integer GEMM is exact); the oracle runs the "
+        "O(N^2) definition relationally over an unnest grid with "
+        "bit_count outer-cast from DuckDB's TINYINT. Per-doc "
+        "mapInPandas, no shuffle — the standard multimodal shape.",
+    tags=("multimodal",),
+)
+def mm_audio_wht_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = (
+        t.documents.select("doc_id")
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") % _WHT_MOD == 0))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return docs.mapInPandas(_wht_energy, schema=WHT_SCHEMA)
