@@ -1239,3 +1239,172 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("st.l") + F.col("st.b")).alias("fcst_1"),
         (F.col("st.l") + F.lit(7) * F.col("st.b")).alias("fcst_7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013, public
+# thesis algorithm — the standard time-series visualization reducer).
+# Sequential in the bucket index by construction (each bucket's pick is
+# a triangle against the PREVIOUS pick and the NEXT bucket's average),
+# so the oracle is B-2 unrolled MATERIALIZED CTEs and every area is an
+# exact integer: the next-bucket average is cleared by multiplying
+# through by its point count m, giving
+#   area2m = |(xp*m - sxn)*(yc - yp) - (xp - xc)*(syn - yp*m)|.
+
+_LTTB_B = 16  # output points: 2 anchors + 14 interior buckets
+_LTTB_NB = _LTTB_B - 2
+
+
+def _lttb_oracle() -> str:
+    nb = _LTTB_NB
+    parts = [f"""
+        WITH hourly AS MATERIALIZED (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hx,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ), series AS MATERIALIZED (
+            SELECT CAST(row_number() OVER (ORDER BY hx) - 1 AS BIGINT)
+                       AS idx, hx, y
+            FROM hourly
+        ), meta AS MATERIALIZED (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM series
+        ), sel0 AS MATERIALIZED (
+            SELECT CAST(0 AS BIGINT) AS k, s.hx, s.y,
+                   CAST(0 AS BIGINT) AS area2m
+            FROM series s CROSS JOIN meta
+            WHERE s.idx = 0 AND meta.n >= {_LTTB_B}
+        )"""]
+    for k in range(1, nb + 1):
+        lo = f"1 + (({k - 1} * (meta.n - 2)) // {nb})"
+        hi = f"1 + (({k} * (meta.n - 2)) // {nb})"
+        nhi = (
+            "meta.n" if k == nb
+            else f"1 + (({k + 1} * (meta.n - 2)) // {nb})"
+        )
+        parts.append(f""", sel{k} AS MATERIALIZED (
+            SELECT CAST({k} AS BIGINT) AS k, hx, y, area2m FROM (
+                SELECT s.hx, s.y,
+                       abs( (p.hx * nx.m - nx.sxn) * (s.y - p.y)
+                          - (p.hx - s.hx) * (nx.syn - p.y * nx.m) )
+                           AS area2m
+                FROM series s
+                CROSS JOIN meta
+                CROSS JOIN (SELECT hx, y FROM sel{k - 1}) p
+                CROSS JOIN (
+                    SELECT CAST(count(*) AS BIGINT) AS m,
+                           CAST(sum(s2.hx) AS BIGINT) AS sxn,
+                           CAST(sum(s2.y) AS BIGINT) AS syn
+                    FROM series s2 CROSS JOIN meta
+                    WHERE s2.idx >= {hi.replace('meta.n', 'meta.n')}
+                      AND s2.idx < {nhi}
+                ) nx
+                WHERE s.idx >= {lo} AND s.idx < {hi}
+                  AND meta.n >= {_LTTB_B}
+                ORDER BY area2m DESC, s.hx ASC
+                LIMIT 1
+            )
+        )""")
+    parts.append(f""", tail_pt AS (
+            SELECT CAST({nb + 1} AS BIGINT) AS k, s.hx, s.y,
+                   CAST(0 AS BIGINT) AS area2m
+            FROM series s CROSS JOIN meta
+            WHERE s.idx = meta.n - 1 AND meta.n >= {_LTTB_B}
+        )
+        SELECT k, hx AS sel_hx, y AS sel_y, area2m FROM (
+            SELECT * FROM sel0
+            {" ".join(f"UNION ALL SELECT * FROM sel{i}"
+                      for i in range(1, nb + 1))}
+            UNION ALL SELECT * FROM tail_pt
+        )""")
+    return "".join(parts)
+
+
+def _lttb_kernel(pdf):  # noqa: ANN001, ANN202 — pandas in/out
+    import pandas as pd
+
+    p = pdf.sort_values("hx")
+    xs = [int(v) for v in p["hx"]]
+    ys = [int(v) for v in p["y"]]
+    n = len(xs)
+    nb = _LTTB_NB
+    cols = {"k": [], "sel_hx": [], "sel_y": [], "area2m": []}
+    if n >= _LTTB_B:
+        def emit(k, x, y, a):
+            cols["k"].append(k)
+            cols["sel_hx"].append(x)
+            cols["sel_y"].append(y)
+            cols["area2m"].append(a)
+
+        emit(0, xs[0], ys[0], 0)
+        xp, yp = xs[0], ys[0]
+        for k in range(1, nb + 1):
+            lo = 1 + ((k - 1) * (n - 2)) // nb
+            hi = 1 + (k * (n - 2)) // nb
+            nhi = n if k == nb else 1 + ((k + 1) * (n - 2)) // nb
+            m = nhi - hi
+            sxn = sum(xs[hi:nhi])
+            syn = sum(ys[hi:nhi])
+            best = None
+            for i in range(lo, hi):
+                a = abs(
+                    (xp * m - sxn) * (ys[i] - yp)
+                    - (xp - xs[i]) * (syn - yp * m)
+                )
+                # largest area, smallest hx on ties (xs is ascending,
+                # so strict > keeps the earliest maximum)
+                if best is None or a > best[0]:
+                    best = (a, xs[i], ys[i])
+            emit(k, best[1], best[2], best[0])
+            xp, yp = best[1], best[2]
+        emit(nb + 1, xs[-1], ys[-1], 0)
+    return pd.DataFrame(
+        {
+            "k": pd.Series(cols["k"], dtype="int64"),
+            "sel_hx": pd.Series(cols["sel_hx"], dtype="int64"),
+            "sel_y": pd.Series(cols["sel_y"], dtype="int64"),
+            "area2m": pd.Series(cols["area2m"], dtype="int64"),
+        }
+    )
+
+
+@register(
+    "ts_lttb_downsample",
+    oracle=_lttb_oracle(),
+    doc="Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013, "
+        "the standard dashboard decimation algorithm, public): the "
+        "hourly event-count series reduces to 16 points — two anchors "
+        "plus one pick per interior bucket maximizing the triangle "
+        "area against the previous pick and the NEXT bucket's average. "
+        "The average is cleared by multiplying through by the bucket's "
+        "point count, so every area is an EXACT BIGINT and the "
+        "sequential selection replays bit-identically as 14 unrolled "
+        "MATERIALIZED CTEs (round-4 technique). Bucket bounds use "
+        "truncating integer division (Spark div == DuckDB //); ties "
+        "break to the smallest hour. Series shorter than 16 points "
+        "emit nothing in BOTH engines (guarded identically). Scale "
+        "shape: the hourly agg is one partial-agg shuffle; the "
+        "sequential pass runs on the aggregated series, which is "
+        "TIME-SPAN-bounded (a year of hours is 8,760 rows), inside one "
+        "applyInPandas task — the same dimension-bounded-fold rule as "
+        "ml_bradley_terry. events.ts routes through "
+        "catalog.normalize_event_ts; epochs are floored before the "
+        "hour division (CLAUDE.md round-6 addendum).",
+    tags=("timeseries",),
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.select(
+            F.expr("unix_timestamp(ts) div 3600").alias("hx")
+        )
+        .groupBy("hx")
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    # one non-foldable constant group: the whole (time-bounded) series
+    # must be visible to one sequential kernel; % F.lit(1) avoids the
+    # foldable-partition elimination (q_skyline lesson, round 7)
+    grouped = hourly.withColumn("g", F.col("hx") % F.lit(1))
+    return grouped.groupBy("g").applyInPandas(
+        _lttb_kernel,
+        schema="k bigint, sel_hx bigint, sel_y bigint, area2m bigint",
+    )

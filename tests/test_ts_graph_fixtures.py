@@ -194,3 +194,63 @@ def test_assortativity_regular_graph_guard_parity(spark, cycle_graph_sf):
     assert row["s1"] == 12
     assert row["den"] == 0
     assert row["assortativity"] == 0.0  # guarded, never NULL/NaN
+
+
+# --------------------------------------------------------------------------
+# ts_lttb_downsample adversarial shapes (round-8 session):
+# * a series SHORTER than B = 16 points must emit ZERO rows in both
+#   engines (the n >= 16 guard, unreachable on generated testdata);
+# * a FLAT series (constant y) zeroes every triangle area — all picks
+#   tie at area2m = 0 and must break to the SMALLEST hour per bucket.
+
+
+@pytest.fixture(scope="module")
+def lttb_fixture_sf(tmp_path_factory, spark):
+    d = tmp_path_factory.mktemp("lttb_adversarial_sf")
+    rows = []
+    eid = 0
+    # flat series: 40 hours, exactly 3 events per hour -> every area 0
+    for h in range(40):
+        for k in range(3):
+            rows.append(_ev(eid, h, 7 + k, "flat", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+    # short series: 10 hourly buckets only (< 16 output points)
+    s = tmp_path_factory.mktemp("lttb_short_sf")
+    short = [
+        _ev(1000 + h, h, 3, "s", float(h)) for h in range(10)
+    ]
+    spark.createDataFrame(
+        short,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(s / "events.parquet"))
+    return str(d), str(s)
+
+
+def test_lttb_flat_series_tie_and_short_series_guard(spark, lttb_fixture_sf):
+    flat_sf, short_sf = lttb_fixture_sf
+    srows, drows = _run_both(
+        "ts_lttb_downsample", spark, flat_sf, ("events",)
+    )
+    assert srows == drows
+    assert len(srows) == 16
+    # flat series: every interior area2m must be exactly 0 and the
+    # tie must break to the smallest hour of each bucket
+    sdf = REGISTRY["ts_lttb_downsample"].fn(spark, flat_sf)
+    got = {r["k"]: (r["sel_hx"], r["area2m"]) for r in sdf.collect()}
+    hx0 = min(hx for hx, _ in got.values())
+    n, nb = 40, 14
+    for k in range(1, nb + 1):
+        lo = 1 + ((k - 1) * (n - 2)) // nb
+        assert got[k] == (hx0 + lo, 0), (k, got[k])
+    # short series: both engines emit nothing
+    srows, drows = _run_both(
+        "ts_lttb_downsample", spark, short_sf, ("events",)
+    )
+    assert srows == drows == []
