@@ -2119,3 +2119,135 @@ def ml_ipw_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(ate)
         .alias("ate_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic UCB1 bandit replay (Auer, Cesa-Bianchi & Fischer 2002,
+# public algorithm). Event types are the arms; each arm's reward
+# sequence is its events in (ts, event_id) order thresholded at
+# value > 35. Two determinism choices make the replay bit-identical
+# cross-engine: the exploration numerator uses floor(log2(r0 + step))
+# — an integer CONSTANT per unrolled step, never a per-row ln() — and
+# every UCB index is exactly two correctly-rounded IEEE ops
+# (int/int division, sqrt, plus one addition) over exact integer
+# state, which Python and DuckDB evaluate to the same bits
+# (round-5 technique 2).
+
+_UCB_T = 32  # UCB-phase steps after the one-pull-per-arm init
+_UCB_R0 = 16  # exploration clock offset: L = floor(log2(r0 + step))
+_UCB_THRESH = 35.0
+_UCB_MAX_PULLS = 64  # per-arm reward prefix both engines read
+
+
+def _ucb_l(step: int) -> int:
+    return (_UCB_R0 + step).bit_length() - 1
+
+
+def _ucb_oracle() -> str:
+    parts = [f"""
+        WITH rw AS MATERIALIZED (
+            SELECT event_type AS arm,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS pull,
+                   CASE WHEN value > {_UCB_THRESH} THEN 1 ELSE 0 END AS r
+            FROM events
+        ), rw2 AS MATERIALIZED (
+            SELECT arm, pull, r FROM rw WHERE pull <= {_UCB_MAX_PULLS}
+        ), st0 AS MATERIALIZED (
+            SELECT a.arm, CAST(1 AS BIGINT) AS n,
+                   CAST(coalesce(r1.r, 0) AS BIGINT) AS s
+            FROM (SELECT DISTINCT arm FROM rw2) a
+            LEFT JOIN rw2 r1 ON r1.arm = a.arm AND r1.pull = 1
+        )"""]
+    for t in range(1, _UCB_T + 1):
+        two_l = 2 * _ucb_l(t)
+        parts.append(f""", pk{t} AS MATERIALIZED (
+            SELECT arm, n, s FROM st{t - 1}
+            ORDER BY (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                      + sqrt(CAST({two_l} AS DOUBLE)
+                             / CAST(n AS DOUBLE))) DESC, arm
+            LIMIT 1
+        ), st{t} AS MATERIALIZED (
+            SELECT st.arm,
+                   CAST(st.n + CASE WHEN st.arm = p.arm THEN 1 ELSE 0 END
+                        AS BIGINT) AS n,
+                   CAST(st.s + CASE WHEN st.arm = p.arm
+                                    THEN coalesce(r2.r, 0) ELSE 0 END
+                        AS BIGINT) AS s
+            FROM st{t - 1} st
+            CROSS JOIN pk{t} p
+            LEFT JOIN rw2 r2 ON r2.arm = p.arm AND r2.pull = p.n + 1
+        )""")
+    outs = " UNION ALL ".join(
+        f"""SELECT CAST({t} AS BIGINT) AS step, p.arm,
+                   CAST(coalesce(r2.r, 0) AS BIGINT) AS r,
+                   CAST(p.n + 1 AS BIGINT) AS n_after,
+                   CAST(p.s + coalesce(r2.r, 0) AS BIGINT) AS s_after
+            FROM pk{t} p
+            LEFT JOIN rw2 r2 ON r2.arm = p.arm AND r2.pull = p.n + 1"""
+        for t in range(1, _UCB_T + 1)
+    )
+    parts.append(f" SELECT * FROM ({outs})")
+    return "".join(parts)
+
+
+@register(
+    "ml_ucb_bandit",
+    oracle=_ucb_oracle(),
+    doc="Deterministic UCB1 bandit replay (Auer et al. 2002, public): "
+        "event types are the arms, each arm's reward stream is its "
+        "events in (ts, event_id) order thresholded at value > 35, and "
+        "after one init pull per arm the policy runs 32 UCB steps. The "
+        "exploration term uses floor(log2(16 + step)) — an integer "
+        "constant baked into each unrolled oracle step, never per-row "
+        "ln() — so every index is exactly div + sqrt + add over exact "
+        "integer state: correctly-rounded IEEE ops that Python and "
+        "DuckDB agree on bit-for-bit, making even the argmax ORDER BY "
+        "deterministic (arm name breaks exact ties). The engine side "
+        "reads only the 64-pull reward prefix per arm (one partitioned "
+        "window + filter — data-scale work stays distributed) and "
+        "replays the 32-step fold on the driver over an EVENT-TYPE-"
+        "bounded table (the ml_bradley_terry dimension-bounded-fold "
+        "rule); the oracle replays the same fold as 64 MATERIALIZED "
+        "CTEs. Output is the pick sequence with exact integer state.",
+    tags=("ml",),
+)
+def ml_ucb_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    rw = (
+        t.events.select(
+            F.col("event_type").alias("arm"),
+            F.row_number().over(w).alias("pull"),
+            F.when(F.col("value") > _UCB_THRESH, 1).otherwise(0).alias("r"),
+        )
+        .filter(F.col("pull") <= _UCB_MAX_PULLS)
+    )
+    # event-type-bounded collect: <= 5 arms x 64 pulls (test_collect_audit)
+    rows = rw.collect()
+    rewards = {(r["arm"], r["pull"]): r["r"] for r in rows}
+    arms = sorted({a for a, _ in rewards})
+    n = {a: 1 for a in arms}
+    s = {a: rewards.get((a, 1), 0) for a in arms}
+    out = []
+    for step in range(1, _UCB_T + 1):
+        two_l = 2 * _ucb_l(step)
+        best = None
+        for a in arms:
+            idx = s[a] / n[a] + math.sqrt(two_l / n[a])
+            if best is None or idx > best[0] or (
+                idx == best[0] and a < best[1]
+            ):
+                best = (idx, a)
+        a = best[1]
+        r = rewards.get((a, n[a] + 1), 0)
+        n[a] += 1
+        s[a] += r
+        out.append((step, a, r, n[a], s[a]))
+    return spark.createDataFrame(
+        out, "step long, arm string, r long, n_after long, s_after long"
+    )

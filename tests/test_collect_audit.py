@@ -39,6 +39,8 @@ ALLOWED = {
     ("operators/inference.py", "infer_boosted_stumps"),
     # Bradley-Terry: nation x nation win matrix (<= 25*24 rows).
     ("operators/llm_extras.py", "ml_bradley_terry"),
+    # UCB replay: event-type-bounded reward prefix (arms x 64 pulls).
+    ("operators/ml_data.py", "ml_ucb_bandit"),
     # IVF/PQ trainers: .limit(_QUANT_SAMPLE) (constant 256) sample rows.
     ("operators/similarity.py", "_train_coarse_quantizer"),
     ("operators/similarity.py", "_train_pq_codebooks"),
