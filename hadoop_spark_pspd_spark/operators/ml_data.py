@@ -2251,3 +2251,190 @@ def ml_ucb_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "step long, arm string, r long, n_after long, s_after long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Kernel MMD^2 drift between embedding cohorts (Gretton et al., JMLR
+# 2012 — public). The degree-2 polynomial kernel k(x,y) = (c + <x,y>)^2
+# FACTORIZES: sum_ij <xi,xj>^2 = ||sum_i xi xi^T||_F^2 and
+# sum_ij <xi,xj> = |sum_i xi|^2, so the biased MMD^2 needs ONE linear
+# pass producing d sum-vector cells and d^2 Gram-moment cells per
+# cohort — never the quadratic pair join. Embeddings quantize to
+# floor(x * 64) so every moment is an exact integer; the squared-moment
+# reductions form in DECIMAL(38,0) (the ml_spearman_corr recipe) and
+# cross to double via the decimal's shortest string.
+
+_MMD_QF = 64  # power-of-two quantizer: float*64 and floor are exact
+_MMD_C = 4096  # kernel offset, scale-matched to the integer dots
+_MMD_D = 64  # embedding dimensionality
+
+
+@register(
+    "ml_mmd_drift",
+    oracle=f"""
+        WITH dims AS MATERIALIZED (
+            SELECT vec_id, vec_id % 2 AS c, a,
+                   CAST(floor(CAST(embedding[a] AS DOUBLE) * {_MMD_QF})
+                        AS BIGINT) AS q
+            FROM (SELECT vec_id, embedding,
+                         CAST(unnest(range(1, {_MMD_D + 1})) AS INTEGER)
+                             AS a
+                  FROM embeddings)
+        ), vsum AS MATERIALIZED (
+            SELECT a,
+                   CAST(coalesce(SUM(CASE WHEN c = 0 THEN q END), 0)
+                        AS DECIMAL(38,0)) AS v0,
+                   CAST(coalesce(SUM(CASE WHEN c = 1 THEN q END), 0)
+                        AS DECIMAL(38,0)) AS v1
+            FROM dims GROUP BY a
+        ), gsum AS MATERIALIZED (
+            SELECT d1.a AS a, d2.a AS b,
+                   CAST(coalesce(SUM(CASE WHEN d1.c = 0
+                                          THEN d1.q * d2.q END), 0)
+                        AS DECIMAL(38,0)) AS g0,
+                   CAST(coalesce(SUM(CASE WHEN d1.c = 1
+                                          THEN d1.q * d2.q END), 0)
+                        AS DECIMAL(38,0)) AS g1
+            FROM dims d1 JOIN dims d2 USING (vec_id)
+            GROUP BY 1, 2
+        ), cnt AS (
+            SELECT CAST(coalesce(SUM(CASE WHEN vec_id % 2 = 0
+                                          THEN 1 END), 0) AS BIGINT) AS m,
+                   CAST(coalesce(SUM(CASE WHEN vec_id % 2 = 1
+                                          THEN 1 END), 0) AS BIGINT) AS n
+            FROM embeddings
+        ), vred AS (
+            SELECT CAST(SUM(v0 * v0) AS DECIMAL(38,0)) AS va2,
+                   CAST(SUM(v1 * v1) AS DECIMAL(38,0)) AS vb2,
+                   CAST(SUM(v0 * v1) AS DECIMAL(38,0)) AS vab
+            FROM vsum
+        ), gred AS (
+            SELECT CAST(SUM(g0 * g0) AS DECIMAL(38,0)) AS qa,
+                   CAST(SUM(g1 * g1) AS DECIMAL(38,0)) AS qb,
+                   CAST(SUM(g0 * g1) AS DECIMAL(38,0)) AS qab
+            FROM gsum
+        ), terms AS (
+            SELECT cnt.m, cnt.n,
+                   CAST(CAST(CAST(2 * {_MMD_C} AS DECIMAL(38,0)) * va2
+                             + qa AS VARCHAR) AS DOUBLE)
+                       / CAST(CASE WHEN cnt.m = 0 THEN 1
+                                   ELSE cnt.m * cnt.m END AS DOUBLE) AS ta,
+                   CAST(CAST(CAST(2 * {_MMD_C} AS DECIMAL(38,0)) * vb2
+                             + qb AS VARCHAR) AS DOUBLE)
+                       / CAST(CASE WHEN cnt.n = 0 THEN 1
+                                   ELSE cnt.n * cnt.n END AS DOUBLE) AS tb,
+                   CAST(CAST(CAST(2 * {_MMD_C} AS DECIMAL(38,0)) * vab
+                             + qab AS VARCHAR) AS DOUBLE)
+                       / CAST(CASE WHEN cnt.m * cnt.n = 0 THEN 1
+                                   ELSE cnt.m * cnt.n END AS DOUBLE) AS tab,
+                   CAST(CAST(va2 AS VARCHAR) AS DOUBLE) AS va2,
+                   CAST(CAST(vb2 AS VARCHAR) AS DOUBLE) AS vb2,
+                   CAST(CAST(qa AS VARCHAR) AS DOUBLE) AS qa,
+                   CAST(CAST(qb AS VARCHAR) AS DOUBLE) AS qb
+            FROM cnt CROSS JOIN vred CROSS JOIN gred
+        )
+        SELECT m, n, va2, vb2, qa, qb, ta, tb, tab,
+               ((ta + tb) - 2 * tab) AS mmd2
+        FROM terms
+    """,
+    doc="Kernel two-sample drift test: biased MMD^2 between the even "
+        "and odd embedding cohorts under the degree-2 polynomial "
+        "kernel (c + <x,y>)^2 (Gretton et al., JMLR 2012, public). The "
+        "kernel FACTORIZES — sum_ij <xi,xj>^2 is the Frobenius norm of "
+        "the cohort's second-moment matrix and sum_ij <xi,xj> is "
+        "|sum xi|^2 — so the engine runs ONE linear pass producing 64 "
+        "sum-vector cells and 64^2 Gram cells per cohort (map-side "
+        "partial agg, d^2-bounded shuffle) instead of the O(N^2) pair "
+        "join the naive estimator needs: the property that makes exact "
+        "kernel drift testing feasible at 100 TB. Embeddings quantize "
+        "by floor(x*64) (exact float ops), every moment is an exact "
+        "integer, squared-moment reductions form in DECIMAL(38,0) and "
+        "cross to double via the shortest string; the three final "
+        "divisions and the (ta + tb) - 2*tab combination are the "
+        "identical correctly-rounded IEEE sequence in both engines, "
+        "with data-derived denominators zero-guarded identically.",
+    tags=("ml", "similarity"),
+)
+def ml_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda e: F.floor(e.cast("double") * _MMD_QF).cast("long"),
+    )
+    ex = t.embeddings.select(
+        (F.col("vec_id") % 2).alias("c"), qarr.alias("qarr")
+    )
+    dims = ex.select(
+        "c", F.posexplode("qarr").alias("a0", "q")
+    ).select("c", (F.col("a0") + 1).alias("a"), "q")
+    pairs = ex.select(
+        "c",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("qarr"),
+                    lambda xa, a: F.transform(
+                        F.col("qarr"),
+                        lambda xb, b: F.struct(
+                            (a + 1).alias("a"),
+                            (b + 1).alias("b"),
+                            (xa * xb).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e"),
+    ).select("c", "e.a", "e.b", "e.p")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    z = F.lit(0).cast("long")
+    vsum = dims.groupBy("a").agg(
+        dec(F.coalesce(F.sum(F.when(F.col("c") == 0, F.col("q"))), z))
+        .alias("v0"),
+        dec(F.coalesce(F.sum(F.when(F.col("c") == 1, F.col("q"))), z))
+        .alias("v1"),
+    )
+    gsum = pairs.groupBy("a", "b").agg(
+        dec(F.coalesce(F.sum(F.when(F.col("c") == 0, F.col("p"))), z))
+        .alias("g0"),
+        dec(F.coalesce(F.sum(F.when(F.col("c") == 1, F.col("p"))), z))
+        .alias("g1"),
+    )
+    cnt = t.embeddings.agg(
+        F.coalesce(F.sum(F.when(F.col("vec_id") % 2 == 0, 1)), F.lit(0))
+        .cast("bigint").alias("m"),
+        F.coalesce(F.sum(F.when(F.col("vec_id") % 2 == 1, 1)), F.lit(0))
+        .cast("bigint").alias("n"),
+    )
+    vred = vsum.agg(
+        dec(F.sum(F.col("v0") * F.col("v0"))).alias("va2"),
+        dec(F.sum(F.col("v1") * F.col("v1"))).alias("vb2"),
+        dec(F.sum(F.col("v0") * F.col("v1"))).alias("vab"),
+    )
+    gred = gsum.agg(
+        dec(F.sum(F.col("g0") * F.col("g0"))).alias("qa"),
+        dec(F.sum(F.col("g1") * F.col("g1"))).alias("qb"),
+        dec(F.sum(F.col("g0") * F.col("g1"))).alias("qab"),
+    )
+    ck = dec(F.lit(2 * _MMD_C))
+    g1 = lambda c: F.when(c == 0, F.lit(1).cast("bigint")).otherwise(c)  # noqa: E731
+    terms = (
+        cnt.crossJoin(F.broadcast(vred))
+        .crossJoin(F.broadcast(gred))
+        .select(
+            "m", "n",
+            ((ck * F.col("va2") + F.col("qa")).cast("double")
+             / g1(F.col("m") * F.col("m")).cast("double")).alias("ta"),
+            ((ck * F.col("vb2") + F.col("qb")).cast("double")
+             / g1(F.col("n") * F.col("n")).cast("double")).alias("tb"),
+            ((ck * F.col("vab") + F.col("qab")).cast("double")
+             / g1(F.col("m") * F.col("n")).cast("double")).alias("tab"),
+            F.col("va2").cast("double").alias("va2"),
+            F.col("vb2").cast("double").alias("vb2"),
+            F.col("qa").cast("double").alias("qa"),
+            F.col("qb").cast("double").alias("qb"),
+        )
+    )
+    return terms.select(
+        "m", "n", "va2", "vb2", "qa", "qb", "ta", "tb", "tab",
+        ((F.col("ta") + F.col("tb")) - 2 * F.col("tab")).alias("mmd2"),
+    )
