@@ -2438,3 +2438,161 @@ def ml_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", "n", "va2", "vb2", "qa", "qb", "ta", "tb", "tab",
         ((F.col("ta") + F.col("tb")) - 2 * F.col("tab")).alias("mmd2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve (Kaplan & Meier 1958, public). Time-to-
+# first-purchase per user in hours, censored at the last observed event
+# when no purchase exists. The product-limit estimator is a SEQUENTIAL
+# truncating recurrence, so it is exact-integer by construction:
+#   S_k = (S_{k-1} * (n_k - d_k)) div n_k,  S_0 = 2^30
+# (Spark div == DuckDB //, all operands non-negative; products stay
+# below 2^53 so the engine's (p - p%b)/b floor-division is exact). The
+# engine folds the DURATION histogram — time-bounded, not row-bounded —
+# inside one sorted-array HOF aggregate; the oracle replays the same
+# fold as a recursive CTE walking the histogram by row number.
+
+_KM_FX = 1 << 30
+
+
+@register(
+    "ml_kaplan_meier",
+    oracle=f"""
+        WITH RECURSIVE ev AS MATERIALIZED (
+            SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                   event_type
+            FROM events
+        ), pu AS MATERIALIZED (
+            SELECT f.user_id,
+                   CASE WHEN p.tp IS NOT NULL
+                        THEN (p.tp - f.t0) // 3600
+                        ELSE (l.tl - f.t0) // 3600 END AS t,
+                   CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS evf
+            FROM (SELECT user_id, min(es) AS t0 FROM ev GROUP BY 1) f
+            LEFT JOIN (SELECT user_id, min(es) AS tp FROM ev
+                       WHERE event_type = 'purchase' GROUP BY 1) p
+                USING (user_id)
+            JOIN (SELECT user_id, max(es) AS tl FROM ev GROUP BY 1) l
+                USING (user_id)
+        ), hist AS MATERIALIZED (
+            SELECT t, CAST(count(*) AS BIGINT) AS c_all,
+                   CAST(SUM(evf) AS BIGINT) AS d,
+                   CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn
+            FROM pu GROUP BY t
+        ), meta AS MATERIALIZED (
+            SELECT CAST(SUM(c_all) AS BIGINT) AS n FROM hist
+        ), st AS (
+            SELECT CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS consumed,
+                   CAST({_KM_FX} AS BIGINT) AS s,
+                   CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS n_risk,
+                   CAST(0 AS BIGINT) AS d
+            UNION ALL
+            SELECT h.rn, st.consumed + h.c_all,
+                   CASE WHEN h.d > 0
+                        THEN (st.s * ((m.n - st.consumed) - h.d))
+                             // (m.n - st.consumed)
+                        ELSE st.s END,
+                   h.t, m.n - st.consumed, h.d
+            FROM st
+            JOIN hist h ON h.rn = st.rn + 1
+            CROSS JOIN meta m
+        )
+        SELECT t, n_risk, d, s AS s_fx,
+               CAST(s AS DOUBLE) / {float(_KM_FX)} AS surv
+        FROM st WHERE rn >= 1 AND d > 0
+    """,
+    doc="Kaplan-Meier product-limit survival curve (public, 1958) over "
+        "time-to-first-purchase per user (hours; users with no "
+        "purchase are right-censored at their last observed event — "
+        "the retention-analysis shape). The estimator is computed as "
+        "the exact-integer truncating recurrence S_k = S_{k-1} * "
+        "(n_k - d_k) div n_k at 2^30 fixed point, so the whole curve "
+        "hash-matches: Spark div == DuckDB //, every operand is non-"
+        "negative, and the 2^30 scale keeps products under 2^53 where "
+        "the engine's (p - p%b)/b floor division is exact. The risk "
+        "set walks the DURATION histogram (time-bounded cardinality, "
+        "the LTTB rule) inside one sorted-array HOF fold — per-user "
+        "reduction is the only data-scale shuffle; the oracle replays "
+        "the fold as a recursive CTE over row-numbered histogram "
+        "steps. The reported survival double is s_fx / 2^30 — an "
+        "exact dyadic, no rounding anywhere.",
+    tags=("ml", "timeseries"),
+)
+def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id",
+        F.expr("unix_timestamp(ts)").alias("es"),
+        "event_type",
+    )
+    fe = ev.groupBy("user_id").agg(
+        F.min("es").alias("t0"), F.max("es").alias("tl")
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("tp"))
+    )
+    pu = fe.join(fp, "user_id", "left").select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.expr("(tp - t0) div 3600"),
+        ).otherwise(F.expr("(tl - t0) div 3600")).alias("t"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("evf"),
+    )
+    hist = pu.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("c_all"),
+        F.sum("evf").cast("bigint").alias("d"),
+    )
+    out_t = "array<struct<t:bigint,n_risk:bigint,d:bigint,s_fx:bigint>>"
+    acc_t = f"struct<consumed:bigint,s:bigint,out:{out_t}>"
+    one = hist.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "c_all", "d"))
+        ).alias("arr")
+    ).select(
+        "arr",
+        F.aggregate(
+            "arr", F.lit(0).cast("bigint"), lambda a, x: a + x["c_all"]
+        ).alias("n_total"),
+    )
+
+    def step(acc, x):  # noqa: ANN001, ANN202
+        n_k = F.col("n_total") - acc["consumed"]
+        p = acc["s"] * (n_k - x["d"])
+        s_new = F.when(
+            x["d"] > 0,
+            ((p - p % n_k).cast("double") / n_k.cast("double"))
+            .cast("bigint"),
+        ).otherwise(acc["s"])
+        entry = F.struct(
+            x["t"].alias("t"),
+            n_k.alias("n_risk"),
+            x["d"].alias("d"),
+            s_new.alias("s_fx"),
+        )
+        return F.struct(
+            (acc["consumed"] + x["c_all"]).alias("consumed"),
+            s_new.alias("s"),
+            F.when(
+                x["d"] > 0, F.concat(acc["out"], F.array(entry))
+            ).otherwise(acc["out"]).alias("out"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("consumed"),
+        F.lit(_KM_FX).cast("bigint").alias("s"),
+        F.array().cast(out_t).alias("out"),
+    ).cast(acc_t)
+    folded = one.select(
+        F.explode(F.aggregate("arr", init, step)["out"]).alias("e")
+    )
+    return folded.select(
+        F.col("e.t").alias("t"),
+        F.col("e.n_risk").alias("n_risk"),
+        F.col("e.d").alias("d"),
+        F.col("e.s_fx").alias("s_fx"),
+        (F.col("e.s_fx").cast("double") / F.lit(float(_KM_FX))).alias(
+            "surv"
+        ),
+    )

@@ -254,3 +254,58 @@ def test_lttb_flat_series_tie_and_short_series_guard(spark, lttb_fixture_sf):
         "ts_lttb_downsample", spark, short_sf, ("events",)
     )
     assert srows == drows == []
+
+
+# --------------------------------------------------------------------------
+# ml_kaplan_meier adversarial shapes: the generated testdata has NO
+# censored users (everyone purchases), so the censoring branch and the
+# censored-at-event-time risk-set convention are pinned here:
+# * users with no purchase leave the risk set at their last event;
+# * a censored duration EQUAL to an event duration keeps the censored
+#   user at risk at that time (counted in n_risk, not in d);
+# * a final event time where every remaining user converts drives the
+#   integer survival to exactly 0.
+
+
+@pytest.fixture(scope="module")
+def km_fixture_sf(tmp_path_factory, spark):
+    d = tmp_path_factory.mktemp("km_adversarial_sf")
+    rows = []
+    # users 0..3 purchase at hours 2, 2, 5, 5 after their first event
+    for u, ph in ((0, 2), (1, 2), (2, 5), (3, 5)):
+        rows.append(_ev(100 + 10 * u, 0, 0, "view", 1.0))
+        rows[-1] = rows[-1][:2] + (u,) + rows[-1][3:]
+        rows.append(_ev(101 + 10 * u, ph, 0, "purchase", 1.0))
+        rows[-1] = rows[-1][:2] + (u,) + rows[-1][3:]
+    # user 4: censored at hour 2 (same time as an event step, no purchase)
+    rows.append(_ev(900, 0, 0, "view", 1.0)[:2] + (4,) + ("view", 1.0, "{}"))
+    rows.append(_ev(901, 2, 0, "click", 1.0)[:2] + (4,) + ("click", 1.0, "{}"))
+    # user 5: censored at hour 9 (after every event time)
+    rows.append(_ev(910, 0, 0, "view", 1.0)[:2] + (5,) + ("view", 1.0, "{}"))
+    rows.append(_ev(911, 9, 0, "click", 1.0)[:2] + (5,) + ("click", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_kaplan_meier_censoring_parity(spark, km_fixture_sf):
+    srows, drows = _run_both(
+        "ml_kaplan_meier", spark, km_fixture_sf, ("events",)
+    )
+    assert srows == drows
+    rows = {
+        int(r["t"]): (int(r["n_risk"]), int(r["d"]), int(r["s_fx"]))
+        for r in REGISTRY["ml_kaplan_meier"].fn(spark, km_fixture_sf)
+        .collect()
+    }
+    fx = 1 << 30
+    # t=2: all 6 at risk (censored-at-2 user counted), 2 events
+    assert rows[2] == (6, 2, (fx * 4) // 6)
+    # t=5: users 2,3 and the t=9 censored user remain -> 3 at risk
+    s2 = (((fx * 4) // 6) * 1) // 3
+    assert rows[5] == (3, 2, s2)
+    assert sorted(rows) == [2, 5]
