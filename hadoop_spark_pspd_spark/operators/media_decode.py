@@ -759,3 +759,148 @@ def mm_audio_wht_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return docs.mapInPandas(_wht_energy, schema=WHT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Integral image (summed-area table, Crow 1984 / Viola-Jones 2001 —
+# public) over REAL decoded greyscale PNGs. The SAT is the O(1)
+# box-filter primitive every vision feature pipeline builds first; its
+# entries are exact integer prefix sums, so box sums AND a diagonal
+# checksum of the table itself are oracle-able relationally.
+
+_SAT_MOD = 41
+
+
+def _sat_dims(doc_id: int) -> tuple[int, int]:
+    return 20 + doc_id % 9, 15 + doc_id % 6
+
+
+def _sat_pixels(doc_id: int, width: int, height: int) -> bytes:
+    return bytes(
+        (x * 7 + y * 13 + doc_id * 5) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+
+
+SAT_SCHEMA = (
+    "doc_id bigint, width int, height int, full_sum bigint, "
+    "center_sum bigint, tl_sum bigint, diag_sum bigint"
+)
+
+
+def _sat_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..functions.media_codecs import decode_png, encode_png
+
+    def box(I, x1, y1, x2, y2):  # noqa: ANN001, ANN202 — SAT corner lookup
+        s = int(I[y2, x2])
+        if x1 > 0:
+            s -= int(I[y2, x1 - 1])
+        if y1 > 0:
+            s -= int(I[y1 - 1, x2])
+        if x1 > 0 and y1 > 0:
+            s += int(I[y1 - 1, x1 - 1])
+        return s
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "full_sum", "center_sum",
+            "tl_sum", "diag_sum",
+        )}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            w, h = _sat_dims(doc_id)
+            payload = encode_png(_sat_pixels(doc_id, w, h), w, h, 1)
+            dec = decode_png(payload)  # REAL decode under test
+            px = np.frombuffer(dec["pixels"], dtype=np.uint8).astype(
+                np.int64
+            ).reshape(dec["height"], dec["width"])
+            sat = px.cumsum(axis=0).cumsum(axis=1)  # the integral image
+            W, H = dec["width"], dec["height"]
+            x1, x2 = W // 4, (3 * W) // 4 - 1
+            y1, y2 = H // 4, (3 * H) // 4 - 1
+            md = min(W, H)
+            out["doc_id"].append(doc_id)
+            out["width"].append(W)
+            out["height"].append(H)
+            out["full_sum"].append(box(sat, 0, 0, W - 1, H - 1))
+            out["center_sum"].append(box(sat, x1, y1, x2, y2))
+            out["tl_sum"].append(box(sat, 0, 0, W // 2 - 1, H // 2 - 1))
+            out["diag_sum"].append(int(sat.diagonal()[:md].sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "full_sum": pd.Series(out["full_sum"], dtype="int64"),
+                "center_sum": pd.Series(out["center_sum"], dtype="int64"),
+                "tl_sum": pd.Series(out["tl_sum"], dtype="int64"),
+                "diag_sum": pd.Series(out["diag_sum"], dtype="int64"),
+            }
+        )
+
+
+@register(
+    "mm_image_integral",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CAST(20 + doc_id % 9 AS INTEGER) AS width,
+                   CAST(15 + doc_id % 6 AS INTEGER) AS height
+            FROM documents WHERE doc_id >= 0 AND doc_id % {_SAT_MOD} = 0
+        ), xs AS (
+            SELECT doc_id, width, height, unnest(range(0, width)) AS x
+            FROM docs
+        ), px AS (
+            SELECT doc_id, width, height, x,
+                   unnest(range(0, height)) AS y,
+                   0 AS _pad
+            FROM xs
+        ), v AS (
+            SELECT doc_id, width, height, x, y,
+                   (x*7 + y*13 + doc_id*5) % 256 AS v,
+                   width // 4 AS x1, (3 * width) // 4 - 1 AS x2,
+                   height // 4 AS y1, (3 * height) // 4 - 1 AS y2,
+                   CASE WHEN width < height THEN width ELSE height END
+                       AS md
+            FROM px
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM(v) AS BIGINT) AS full_sum,
+               CAST(SUM(CASE WHEN x BETWEEN x1 AND x2
+                              AND y BETWEEN y1 AND y2
+                             THEN v ELSE 0 END) AS BIGINT) AS center_sum,
+               CAST(SUM(CASE WHEN x < width // 2 AND y < height // 2
+                             THEN v ELSE 0 END) AS BIGINT) AS tl_sum,
+               CAST(SUM(v * (CASE WHEN md - (CASE WHEN x > y THEN x
+                                                  ELSE y END) > 0
+                                  THEN md - (CASE WHEN x > y THEN x
+                                                  ELSE y END)
+                                  ELSE 0 END)) AS BIGINT) AS diag_sum
+        FROM v
+        GROUP BY doc_id, width, height
+    """,
+    doc="Integral image (summed-area table — Crow 1984 / Viola-Jones, "
+        f"public) over REAL decoded greyscale PNGs (doc_id % {_SAT_MOD}"
+        " = 0 cohort): the engine decodes a genuine PNG through the "
+        "stdlib codec, builds the exact int64 SAT with two cumulative "
+        "sums, and answers three box-filter queries by 4-corner lookup "
+        "plus a DIAGONAL checksum of the table itself — sum_i I(i,i) — "
+        "which pins every prefix sum, not just the queried corners. "
+        "The oracle needs no SAT: each pixel contributes to diagonal "
+        "entries i >= max(x,y), so the checksum is sum v * max(0, "
+        "min(w,h) - max(x,y)) evaluated relationally on the formula "
+        "grid. Box bounds use truncating integer division. Same "
+        "per-doc mapInPandas shape as every multimodal query.",
+    tags=("multimodal",),
+)
+def mm_image_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = (
+        t.documents.select("doc_id")
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") % _SAT_MOD == 0))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return docs.mapInPandas(_sat_roundtrip, schema=SAT_SCHEMA)
