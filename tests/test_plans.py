@@ -525,3 +525,38 @@ def test_stateful_streams_use_sized_state_partitions(spark):
     ), ops
     # and the conf is restored afterwards
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_partition_pruning_scan_has_partition_filters(spark):
+    # the static half of q_partition_pruning_scan's claim: a filter on
+    # the Hive partition column must land in PartitionFilters (metadata
+    # pruning), NOT in PushedFilters/post-scan Filter, and the runtime
+    # half (n_part_dirs == 2) must agree
+    import shutil
+    import tempfile
+
+    from hadoop_spark_pspd_spark.operators.sources_roundtrip import (
+        _PRUNE_KEYS,
+        q_partition_pruning_scan,
+    )
+
+    t = Tables(spark, SF_SMOKE)
+    base = tempfile.mkdtemp(prefix="pspd_prune_pin_")
+    try:
+        t.orders.write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(base)
+        rd = spark.read.parquet(base).filter(
+            F.col("o_orderpriority").isin(*_PRUNE_KEYS)
+        )
+        plan = formatted_plan(rd)
+        assert "PartitionFilters" in plan
+        import re
+
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and "o_orderpriority" in pf.group(1), plan
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    rows = q_partition_pruning_scan(spark, SF_SMOKE).collect()
+    assert {r["n_part_dirs"] for r in rows} == {2}
+    assert {r["o_orderpriority"] for r in rows} == set(_PRUNE_KEYS)
