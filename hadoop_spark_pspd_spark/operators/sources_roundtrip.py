@@ -190,3 +190,70 @@ def q_partition_pruning_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<missing>'
+                    ELSE o_orderpriority END AS prio,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_from_v1,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                         AS VARCHAR) AS DOUBLE) AS total_rev
+        FROM orders
+        GROUP BY 1
+    """,
+    doc="Schema evolution across parquet batches, proven end to end: "
+        "batch v1 (even order keys) is written WITHOUT the "
+        "o_orderpriority column, batch v2 (odd keys) WITH it; the "
+        "union is read back through mergeSchema=true and aggregated by "
+        "the evolved column with v1 rows surfacing as '<missing>' via "
+        "coalesce. This is the append-only data-lake lifecycle every "
+        "long-lived 100 TB table goes through — columns arrive "
+        "mid-history and old files must keep reading as NULLs, not "
+        "errors. The oracle reconstructs the same view from the "
+        "original table with a parity CASE. Money follows the "
+        "DECIMAL(18,4) convention; the 6-row aggregate materializes "
+        "before scratch cleanup.",
+    tags=("sources",),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from pathlib import Path
+
+    t = Tables(spark, sf_dir)
+    base = _roundtrip_base(sf_dir)
+    try:
+        v1 = t.orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        v2 = t.orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        v1.write.mode("overwrite").parquet(str(Path(base) / "b1"))
+        v2.write.mode("overwrite").parquet(str(Path(base) / "b2"))
+        rd = spark.read.option("mergeSchema", True).parquet(
+            str(Path(base) / "b1"), str(Path(base) / "b2")
+        )
+        agg = (
+            rd.groupBy(
+                F.coalesce(F.col("o_orderpriority"), F.lit("<missing>"))
+                .alias("prio")
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("o_orderpriority").isNull(), 1)
+                    .otherwise(0)
+                ).cast("bigint").alias("n_from_v1"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_rev"),
+            )
+        )
+        rows = agg.collect()  # <= 6 rows (5 priorities + '<missing>')
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -56,6 +56,9 @@ ALLOWED = {
     # partition-pruning proof: one row per pruned partition (2), must be
     # materialized before the scratch tree is deleted.
     ("operators/sources_roundtrip.py", "q_partition_pruning_scan"),
+    # schema evolution: <= 6-row aggregate (priority dimension + missing),
+    # materialized before scratch cleanup.
+    ("operators/sources_roundtrip.py", "q_schema_evolution"),
 }
 
 # Same discipline for toPandas(): driver-side materialization.
