@@ -401,3 +401,85 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         status.alias("status"),
         funded.cast("double").alias("funded_amt"),
     )
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+        WITH hist AS MATERIALIZED (
+            SELECT l_returnflag AS flag, l_extendedprice AS price,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2
+        ), cum AS (
+            SELECT flag, price, w,
+                   CAST(SUM(w) OVER (PARTITION BY flag ORDER BY price
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                   CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+            FROM hist
+        )
+        SELECT flag AS l_returnflag,
+               max(tw) AS total_weight,
+               min(CASE WHEN 2 * cw >= tw THEN price END) AS median_price
+        FROM cum GROUP BY flag
+    """,
+    doc="Quantity-weighted median extended price per return flag: the "
+        "lower weighted median (smallest price whose inclusive "
+        "cumulative weight reaches half the total, 2*cw >= tw exact "
+        "integer cross-multiplication — no 0.5 anywhere). Engine shape "
+        "is the scale-safe grouped-cumsum composition: the VALUE "
+        "histogram (flag, price) -> one range-partitioned distributed "
+        "running sum over the (flag, price) total order "
+        "(functions/ranking.with_running_sums_dist — no single-task "
+        "global sort), minus per-flag exclusive offsets computed from "
+        "the FLAG-bounded totals with the windowless prefix kernel "
+        "and broadcast back. The emitted median is a raw data double — "
+        "no arithmetic touches it. The oracle can afford the plain "
+        "partitioned window; the engine plan is the one that survives "
+        "3 flags x 33 B rows.",
+    tags=("windows", "stats"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import (
+        ranked_rows,
+        with_running_sums,
+        with_running_sums_dist,
+    )
+
+    t = Tables(spark, sf_dir)
+    hist = t.lineitem.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    cum = with_running_sums_dist(
+        hist, [F.col("flag"), F.col("price")], ["w"], prefix="c"
+    )
+    flag_tot = hist.groupBy("flag").agg(
+        F.sum("w").cast("bigint").alias("tw")
+    )
+    # flag dimension is bounded (3): windowless exclusive prefix of the
+    # flag totals in (flag) order = what the global cumsum counted
+    # before each flag started
+    off = with_running_sums(
+        flag_tot.select("flag", F.col("tw").alias("w0")),
+        "flag",
+        ["w0"],
+        prefix="cum_",
+    ).select(
+        "flag", (F.col("cum_w0") - F.col("w0")).alias("off")
+    )
+    within = (
+        cum.join(F.broadcast(flag_tot), "flag")
+        .join(F.broadcast(off), "flag")
+        .select(
+            "flag", "price", "tw",
+            (F.col("cw") - F.col("off")).alias("cw_in"),
+        )
+    )
+    return within.groupBy("flag").agg(
+        F.max("tw").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cw_in") >= F.col("tw"), F.col("price"))
+        ).alias("median_price"),
+    ).select(
+        F.col("flag").alias("l_returnflag"), "total_weight", "median_price"
+    )
