@@ -1539,3 +1539,213 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.j").cast("bigint").alias("nn_j"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (Winters 1960, public) —
+# completes the classical forecasting family next to ts_ewma_counts
+# (level) and ts_holt_forecast (level+trend): level + trend + a 7-slot
+# additive weekly seasonal state. alpha = 1/2, beta = 1/4, gamma = 1/2
+# (dyadic), state in 2^-20 fixed point, every update an OFFSET-
+# PROTECTED integer division (the round-7 Holt recipe — level, trend
+# and seasonal components all go negative on declining series, and the
+# offset keeps truncate == floor in both engines). Zero seasonal init,
+# level seeded from x_0 — the same defined variant in both engines.
+
+_HW_P = 7  # weekly season
+
+
+def _hw_sprev_spark() -> str:
+    return "element_at(acc.s, CAST(e.step % 7 AS INT) + 1)"
+
+
+def _hw_lp_spark() -> str:
+    return (
+        f"((e.x * {_HOLT_FP} - {_hw_sprev_spark()} + acc.l + acc.b"
+        f" + {_HOLT_OFF}) div 2) - {_HOLT_OFF // 2}"
+    )
+
+
+def _hw_fold_sql(arr: str) -> str:
+    lp = _hw_lp_spark()
+    bp = (
+        f"((({lp}) - acc.l + 3 * acc.b + {_HOLT_OFF}) div 4)"
+        f" - {_HOLT_OFF // 4}"
+    )
+    sp = (
+        f"((e.x * {_HOLT_FP} - ({lp}) + {_hw_sprev_spark()}"
+        f" + {_HOLT_OFF}) div 2) - {_HOLT_OFF // 2}"
+    )
+    return f"""
+        aggregate(
+            {arr},
+            struct(CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+                   array_repeat(CAST(0 AS BIGINT), {_HW_P}) AS s,
+                   false AS started),
+            (acc, e) -> IF(NOT acc.started,
+                struct(CAST(e.x * {_HOLT_FP} AS BIGINT) AS l,
+                       CAST(0 AS BIGINT) AS b, acc.s AS s,
+                       true AS started),
+                struct(
+                    CAST({lp} AS BIGINT) AS l,
+                    CAST({bp} AS BIGINT) AS b,
+                    transform(acc.s,
+                        (v, i) -> IF(i = CAST(e.step % 7 AS INT),
+                                     CAST({sp} AS BIGINT), v)) AS s,
+                    true AS started)))
+    """
+
+
+def _hw_oracle() -> str:
+    sprev = "CASE d.step % 7 " + " ".join(
+        f"WHEN {j} THEN h.s{j}" for j in range(_HW_P)
+    ) + " END"
+    lp = (
+        f"((d.x * {_HOLT_FP} - ({sprev}) + h.l + h.b"
+        f" + {_HOLT_OFF}) // 2) - {_HOLT_OFF // 2}"
+    )
+    bp = (
+        f"((({lp}) - h.l + 3 * h.b + {_HOLT_OFF}) // 4)"
+        f" - {_HOLT_OFF // 4}"
+    )
+    sp = (
+        f"((d.x * {_HOLT_FP} - ({lp}) + ({sprev})"
+        f" + {_HOLT_OFF}) // 2) - {_HOLT_OFF // 2}"
+    )
+    s_cols = ", ".join(
+        f"CASE WHEN d.step % 7 = {j} THEN {sp} ELSE h.s{j} END"
+        for j in range(_HW_P)
+    )
+    def slot(expr: str) -> str:
+        return "CASE (" + expr + ") % 7 " + " ".join(
+            f"WHEN {j} THEN l2.s{j}" for j in range(_HW_P)
+        ) + " END"
+    return f"""
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(floor(epoch(min(ts))) AS BIGINT) // 86400 AS d0,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) // 86400 AS d1
+            FROM events
+        ), spine AS (
+            SELECT CAST(unnest(range(0, d1 - d0 + 1)) AS BIGINT) AS step
+            FROM bounds
+        ), types AS (
+            SELECT DISTINCT event_type FROM events
+        ), raw AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                       - (SELECT d0 FROM bounds) AS step,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), daily AS MATERIALIZED (
+            SELECT t.event_type, s.step, COALESCE(r.x, 0) AS x
+            FROM types t CROSS JOIN spine s
+            LEFT JOIN raw r
+              ON r.event_type = t.event_type AND r.step = s.step
+        ), hw(step, event_type, l, b,
+              {", ".join(f"s{j}" for j in range(_HW_P))}) AS (
+            SELECT step, event_type,
+                   CAST(x * {_HOLT_FP} AS BIGINT), CAST(0 AS BIGINT),
+                   {", ".join(["CAST(0 AS BIGINT)"] * _HW_P)}
+            FROM daily WHERE step = 0
+            UNION ALL
+            SELECT d.step, d.event_type,
+                   {lp}, {bp}, {s_cols}
+            FROM hw h
+            JOIN daily d
+              ON d.event_type = h.event_type AND d.step = h.step + 1
+        ), l2 AS (
+            SELECT h.*
+            FROM hw h
+            JOIN (SELECT event_type, max(step) AS ms FROM hw GROUP BY 1) m
+              ON h.event_type = m.event_type AND h.step = m.ms
+        ), nd AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY 1
+        )
+        SELECT l2.event_type, nd.n_days,
+               CAST(l2.l AS BIGINT) AS level_q,
+               CAST(l2.b AS BIGINT) AS trend_q,
+               CAST({" + ".join(f"l2.s{j}" for j in range(_HW_P))}
+                    AS BIGINT) AS s_checksum,
+               CAST(l2.l + l2.b + ({slot("nd.n_days")})
+                    AS BIGINT) AS fcst_1,
+               CAST(l2.l + 7 * l2.b + ({slot("nd.n_days + 6")})
+                    AS BIGINT) AS fcst_7
+        FROM l2 JOIN nd ON l2.event_type = nd.event_type
+    """
+
+
+@register(
+    "ts_holt_winters",
+    oracle=_hw_oracle(),
+    doc="Holt-Winters additive seasonal forecasting (Winters 1960, "
+        "public) of daily event counts with a 7-day season: level + "
+        "trend + a 7-slot seasonal vector, alpha = 1/2, beta = 1/4, "
+        "gamma = 1/2, state in 2^-20 fixed point with every update an "
+        "offset-protected truncating integer division (all three "
+        "components go negative on declining series — the round-7 "
+        "ts_holt_forecast recipe). Zero seasonal init, level seeded "
+        "from x_0, both engines identical. Emits the final state, a "
+        "seasonal-vector checksum (pins all 7 slots), and 1- and "
+        "7-day-ahead forecasts l + h*b + s[(T+h) mod 7]. Spark folds "
+        "each type's zero-filled daily spine in ONE JVM higher-order "
+        "aggregate (the seasonal vector is an array field of the fold "
+        "struct, updated in place by an indexed transform); the oracle "
+        "replays the recurrence as a recursive CTE carrying the seven "
+        "seasonal columns explicitly.",
+    tags=("timeseries",),
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+    )
+    raw = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("d1") - F.col("d0"))
+        ).alias("step"),
+        "d0",
+    )
+    types = ev.select(F.col("event_type").alias("dim_type")).distinct()
+    daily = (
+        types.crossJoin(F.broadcast(spine))
+        .join(
+            raw,
+            (F.col("day") == F.col("step") + F.col("d0"))
+            & (F.col("event_type") == F.col("dim_type")),
+            "left",
+        )
+        .select(
+            F.col("dim_type").alias("event_type"),
+            "step",
+            F.coalesce(F.col("x"), F.lit(0).cast("bigint")).alias("x"),
+        )
+    )
+    folded = daily.groupBy("event_type").agg(
+        F.expr(
+            _hw_fold_sql("array_sort(collect_list(struct(step, x)))")
+        ).alias("st"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    def slot(expr):  # noqa: ANN001, ANN202 — seasonal slot lookup
+        return F.element_at(
+            F.col("st.s"), (expr % _HW_P).cast("int") + 1
+        )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level_q"),
+        F.col("st.b").alias("trend_q"),
+        F.aggregate(
+            F.col("st.s"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("s_checksum"),
+        (F.col("st.l") + F.col("st.b") + slot(F.col("n_days")))
+        .cast("bigint").alias("fcst_1"),
+        (F.col("st.l") + 7 * F.col("st.b") + slot(F.col("n_days") + 6))
+        .cast("bigint").alias("fcst_7"),
+    )

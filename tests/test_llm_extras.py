@@ -547,3 +547,52 @@ def test_train_mix_budget_boundary_and_contamination(spark, tmp_path):
     from hadoop_spark_pspd_spark.operators.pipeline import TM_EPOCHS
 
     assert total_docs == len(kept) * TM_EPOCHS
+
+
+def test_holt_winters_negative_state_python_reference(spark, tmp_path):
+    """ts_holt_winters on a strictly declining 10-day series: level,
+    trend AND the seasonal slots go negative; every offset-protected
+    division must match a sequential Python reference bit-for-bit, and
+    the engine must hash-match the recursive-CTE oracle."""
+    from hadoop_spark_pspd_spark.operators.timeseries import (
+        _HOLT_FP, _HOLT_OFF,
+    )
+
+    counts = {d: 200 - 19 * d for d in range(10)}  # 200,181,...,29
+    rows = []
+    eid = 0
+    for day, n in counts.items():
+        for i in range(n):
+            rows.append((eid, day * 86400 + i, eid % 7, "click"))
+            eid += 1
+    sf = str(tmp_path / "hw")
+    spark.createDataFrame(
+        [
+            (e, __import__("datetime").datetime.utcfromtimestamp(ts), u, et)
+            for e, ts, u, et in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    def odiv(v, d):
+        return ((v + _HOLT_OFF) // d) - _HOLT_OFF // d
+
+    series = [counts[d] for d in range(10)]
+    level, trend, season = series[0] * _HOLT_FP, 0, [0] * 7
+    for step in range(1, 10):
+        x = series[step]
+        sprev = season[step % 7]
+        lp = odiv(x * _HOLT_FP - sprev + level + trend, 2)
+        trend = odiv(lp - level + 3 * trend, 4)
+        season[step % 7] = odiv(x * _HOLT_FP - lp + sprev, 2)
+        level = lp
+    got = REGISTRY["ts_holt_winters"].fn(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert trend < 0 and min(season) < 0  # negative paths exercised
+    assert (r["level_q"], r["trend_q"]) == (level, trend)
+    assert r["s_checksum"] == sum(season)
+    assert r["fcst_1"] == level + trend + season[10 % 7]
+    assert r["fcst_7"] == level + 7 * trend + season[(10 + 6) % 7]
+    srows, drows = _run_both("ts_holt_winters", spark, sf, ("events",))
+    assert srows == drows
