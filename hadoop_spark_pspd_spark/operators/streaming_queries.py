@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import normalize_event_ts
 from ..registry import register
+from .cdc import _HLL_ALPHA_M2, _HLL_M, _HLL_RHO_CASE
 from ..session import pin_session_conf
 from ..streaming._protobuf_compat import ensure_protobuf
 
@@ -970,4 +971,156 @@ def stream_chained_window_aggs(
         F.col("window.start").alias("day_start"),
         "event_type",
         F.col("n_day"),
+    )
+
+
+@register(
+    "stream_hll_registers",
+    oracle=f"""
+        WITH h AS (
+            SELECT CAST(CAST(('0x' || substr(md5(
+                       CAST(event_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+                       AS BIGINT) AS h
+            FROM events
+        ), rw AS (
+            SELECT h % {_HLL_M} AS j, h // {_HLL_M} AS w FROM h
+        ), regs AS (
+            SELECT j, max({_HLL_RHO_CASE}) AS m_j
+            FROM rw GROUP BY j
+        ), grid AS (
+            SELECT CAST(unnest(range(0, {_HLL_M})) AS BIGINT) AS j
+        ), full_regs AS (
+            SELECT g.j, CAST(coalesce(r.m_j, 0) AS BIGINT) AS m_j
+            FROM grid g LEFT JOIN regs r ON g.j = r.j
+        ), summary AS (
+            SELECT CAST(SUM(CASE WHEN m_j = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v_empty,
+                   SUM(CAST(1 AS DOUBLE)
+                       / CAST(CAST(1 AS BIGINT) << m_j AS DOUBLE)) AS z_sum
+            FROM full_regs
+        ), exact AS (
+            SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+            FROM events
+        )
+        SELECT f.j, f.m_j, s.v_empty, s.z_sum,
+               {_HLL_ALPHA_M2} / s.z_sum AS hll_est,
+               e.n_exact
+        FROM full_regs f CROSS JOIN summary s CROSS JOIN exact e
+    """,
+    doc="STREAMING HyperLogLog: the event stream replays in micro-"
+        "batches through foreachBatch, each batch reduces to its own "
+        "256-register max table, and the running state merges by "
+        "register max into a batch-id-versioned parquet target "
+        "(idempotent under retries, like stream_foreachbatch_merge). "
+        "Because register max is commutative, associative and "
+        "idempotent, the final state is EXACTLY the batch HLL of the "
+        "whole stream — no watermark contract needed; the oracle is "
+        "the plain batch register table over the same rows, so any "
+        "merge-path defect (lost batch, double-applied batch with a "
+        "wrong combine, dropped register) breaks the hash. This is "
+        "the mergeable-sketch pattern that gives streaming distinct "
+        "counts O(m) state at 100 TB instead of a per-key dedup "
+        "store. Constant 256-row state per merge; estimate math "
+        "identical to sketch_hll_registers (exact dyadic harmonic "
+        "sum, literal alpha).",
+    tags=("streaming", "sketch"),
+)
+def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    pin_session_conf(spark)
+    spool = _spool_events(spark, sf_dir)
+    schema = spark.read.parquet(spool).schema
+    run = next(_sink_counter)
+    tmp = Path(tempfile.gettempdir())
+    for stale in tmp.glob("pspd_hll_stream_*"):
+        pid = stale.name.split("_")[3] if stale.name.count("_") >= 3 else ""
+        if pid.isdigit() and not Path(f"/proc/{pid}").exists():
+            shutil.rmtree(stale, ignore_errors=True)
+    base = tmp / f"pspd_hll_stream_{os.getpid()}_{run}"
+    shutil.rmtree(base, ignore_errors=True)
+    base.mkdir(parents=True)
+    state = {"path": None}
+
+    def batch_regs(batch: DataFrame) -> DataFrame:
+        h = batch.select(
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 13),
+                16, 10,
+            ).cast("long").alias("h")
+        )
+        rw = h.select(
+            (F.col("h") % _HLL_M).alias("j"),
+            F.expr(f"h div {_HLL_M}").alias("w"),
+        )
+        return rw.groupBy("j").agg(
+            F.max(F.expr(_HLL_RHO_CASE)).cast("bigint").alias("m_j")
+        )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        regs = batch_regs(batch)
+        if state["path"] is not None:
+            cur = spark.read.parquet(state["path"])
+            t, s = cur.alias("t"), regs.alias("s")
+            regs = t.join(
+                s, F.col("t.j") == F.col("s.j"), "full_outer"
+            ).select(
+                F.coalesce(F.col("t.j"), F.col("s.j")).alias("j"),
+                F.greatest(
+                    F.coalesce(F.col("t.m_j"), F.lit(0).cast("bigint")),
+                    F.coalesce(F.col("s.m_j"), F.lit(0).cast("bigint")),
+                ).alias("m_j"),
+            )
+        new_path = str(base / f"v{batch_id}")
+        regs.coalesce(1).write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(spool)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(base / "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final_path = state["path"]
+    for child in base.iterdir():
+        if str(child) != final_path:
+            shutil.rmtree(child, ignore_errors=True)
+    regs = spark.read.parquet(final_path)
+    from ..catalog import Tables
+
+    t = Tables(spark, sf_dir)
+    grid = spark.range(_HLL_M).select(F.col("id").alias("j"))
+    full_regs = grid.join(F.broadcast(regs), "j", "left").select(
+        "j",
+        F.coalesce(F.col("m_j"), F.lit(0)).cast("bigint").alias("m_j"),
+    )
+    summary = full_regs.agg(
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_empty"),
+        F.sum(
+            F.expr(
+                "CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(m_j AS INT)) AS DOUBLE)"
+            )
+        ).alias("z_sum"),
+    )
+    exact = t.events.agg(
+        F.countDistinct("event_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        full_regs.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "j", "m_j", "v_empty", "z_sum",
+            (F.lit(float(_HLL_ALPHA_M2)) / F.col("z_sum")).alias("hll_est"),
+            "n_exact",
+        )
     )
