@@ -409,3 +409,130 @@ def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("eff_from") <= d)
         & (F.col("eff_to").isNull() | (F.col("eff_to") > d))
     ).select("custkey", "version_key", "totalprice", "eff_from")
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN view (Blakeley et al. 1986 /
+# the DBSP-style bilinear delta rule, public): for V = A JOIN B,
+#   dV = dA JOIN B_old  UNION ALL  A_old JOIN dB  UNION ALL  dA JOIN dB
+# — maintaining a 100 TB join view touches only the delta-sized terms
+# (two delta-broadcast joins and a delta-delta join), never the full
+# A JOIN B recompute. This query PROVES the identity on real data: it
+# emits the incrementally-maintained aggregate next to the full
+# recompute and a per-group equality flag the hash gate checks
+# (decimal sums are exact, so equality is exact).
+
+
+@register(
+    "q_ivm_join_delta",
+    oracle="""
+        WITH a_old AS (
+            SELECT * FROM orders WHERE o_orderkey % 10 <> 9
+        ), a_new AS (
+            SELECT * FROM orders WHERE o_orderkey % 10 = 9
+        ), b_old AS (
+            SELECT * FROM customer WHERE c_custkey % 97 <> 0
+        ), b_new AS (
+            SELECT * FROM customer WHERE c_custkey % 97 = 0
+        ), term AS (
+            SELECT c_mktsegment, 0 AS src, count(*) AS n,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+            FROM a_old JOIN b_old ON o_custkey = c_custkey GROUP BY 1
+            UNION ALL
+            SELECT c_mktsegment, 1, count(*),
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FROM a_new JOIN b_old ON o_custkey = c_custkey GROUP BY 1
+            UNION ALL
+            SELECT c_mktsegment, 2, count(*),
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FROM a_old JOIN b_new ON o_custkey = c_custkey GROUP BY 1
+            UNION ALL
+            SELECT c_mktsegment, 3, count(*),
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FROM a_new JOIN b_new ON o_custkey = c_custkey GROUP BY 1
+        ), incr AS (
+            SELECT c_mktsegment,
+                   CAST(SUM(n) AS BIGINT) AS n_incr,
+                   SUM(rev) AS rev_incr_d,
+                   CAST(SUM(CASE WHEN src = 0 THEN n ELSE 0 END)
+                        AS BIGINT) AS n_old
+            FROM term GROUP BY 1
+        ), full_v AS (
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_full,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_full_d
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        )
+        SELECT i.c_mktsegment, i.n_old, i.n_incr, f.n_full,
+               CAST(CAST(i.rev_incr_d AS VARCHAR) AS DOUBLE) AS rev_incr,
+               CAST(CAST(f.rev_full_d AS VARCHAR) AS DOUBLE) AS rev_full,
+               (i.n_incr = f.n_full
+                AND i.rev_incr_d = f.rev_full_d) AS matches
+        FROM incr i JOIN full_v f USING (c_mktsegment)
+    """,
+    doc="Join-view incremental maintenance, proven: V = orders JOIN "
+        "customer with BOTH sides receiving a delta batch (order keys "
+        "% 10 = 9, customer keys % 97 = 0 stand in for the day's "
+        "arrivals); the view updates by the bilinear delta rule "
+        "dV = dA*B + A*dB + dA*dB (Blakeley 1986, public) and the "
+        "query emits the incrementally-maintained per-segment count "
+        "and revenue NEXT TO the full recompute with an exact-decimal "
+        "equality flag — a wrong delta term breaks the hash. At scale "
+        "the three delta terms are delta-sized joins (the dim side "
+        "broadcasts); the full recompute here is the eval column only. "
+        "Decimal sums make the equality exact, crossing to double "
+        "through the shortest string (oracle) / plain cast (Spark).",
+    tags=("incremental",),
+)
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    a_old = t.orders.filter(F.col("o_orderkey") % 10 != 9)
+    a_new = t.orders.filter(F.col("o_orderkey") % 10 == 9)
+    b_old = t.customer.filter(F.col("c_custkey") % 97 != 0)
+    b_new = t.customer.filter(F.col("c_custkey") % 97 == 0)
+
+    def term(a: DataFrame, b: DataFrame, src: int) -> DataFrame:
+        return (
+            a.join(F.broadcast(b), a["o_custkey"] == b["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(dec("o_totalprice")).alias("rev"),
+            )
+            .select("c_mktsegment", F.lit(src).alias("src"), "n", "rev")
+        )
+
+    terms = (
+        term(a_old, b_old, 0)
+        .unionAll(term(a_new, b_old, 1))
+        .unionAll(term(a_old, b_new, 2))
+        .unionAll(term(a_new, b_new, 3))
+    )
+    incr = terms.groupBy("c_mktsegment").agg(
+        F.sum("n").cast("bigint").alias("n_incr"),
+        F.sum("rev").alias("rev_incr_d"),
+        F.sum(F.when(F.col("src") == 0, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_old"),
+    )
+    full_v = (
+        t.orders.join(
+            F.broadcast(t.customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_full"),
+            F.sum(dec("o_totalprice")).alias("rev_full_d"),
+        )
+    )
+    return incr.join(full_v, "c_mktsegment").select(
+        "c_mktsegment", "n_old", "n_incr", "n_full",
+        F.col("rev_incr_d").cast("double").alias("rev_incr"),
+        F.col("rev_full_d").cast("double").alias("rev_full"),
+        (
+            (F.col("n_incr") == F.col("n_full"))
+            & (F.col("rev_incr_d") == F.col("rev_full_d"))
+        ).alias("matches"),
+    )
