@@ -1212,20 +1212,31 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # robust winnowing: scan each window left->right keeping the
     # minimal hash, replacing on <= so ties land on the RIGHTMOST
     # position (the paper's tie rule; matches the oracle's max(i)).
-    # The gram hash is computed INLINE per (window, offset) — exactly
-    # 4*ng md5 calls — rather than via an intermediate array column:
-    # Catalyst's CollapseProject inlines an array-valued projection
-    # into every element_at reference, re-evaluating the WHOLE gram
-    # array per lookup (measured 7.6 s -> 0.9 s at sf0.01).
-    def gram_hash(i):  # noqa: ANN001, ANN202 — Column -> Column
-        return F.conv(
+    # The gram-hash ARRAY is computed once per doc and pinned behind a
+    # repartition exchange: without the barrier, CollapseProject
+    # inlines the array-valued projection into every element_at
+    # reference and re-evaluates md5 over the whole gram array per
+    # lookup (7.6 s at sf0.01); computing hashes inline per (window,
+    # offset) costs 4-8 md5 calls per gram (19 s at the 10x sim-sf1).
+    # The exchange caps the md5 count at exactly ONE per gram and the
+    # window scan becomes pure array lookups (19.04 s -> ~2 s at 10x).
+    harr = F.transform(
+        F.sequence(F.lit(1).cast("bigint"), F.col("ng")),
+        lambda i: F.conv(
             F.substring(
                 F.md5(F.substring("hx", (i * 2 - 1).cast("int"),
                                   F.lit(2 * _WIN_K))),
                 1, 13,
             ),
             16, 10,
-        ).cast("long")
+        ).cast("long"),
+    )
+    d = d.select("doc_id", "ng", harr.alias("harr")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def gram_hash(i):  # noqa: ANN001, ANN202 — array lookup, not md5
+        return F.element_at(F.col("harr"), i.cast("int"))
 
     zero = F.struct(
         F.lit(_WIN_SENTINEL).cast("long").alias("h"),
