@@ -514,3 +514,85 @@ def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(credit).alias("credit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-pattern matching over per-user event sequences — the
+# MATCH_RECOGNIZE surface Spark SQL lacks, emulated by compiling each
+# user's event stream to an initials string and running regexes over
+# it. Patterns are kept ambiguity-free (char classes + forced suffix,
+# no nested alternation) so Java regex and RE2 scan identically; the
+# repo's BPE pre-tokenizer already pins leftmost-first alternation
+# parity between the two engines (functions/text.py note).
+
+
+@register(
+    "q_event_regex_match",
+    oracle="""
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(strlen(seq) AS BIGINT) AS seq_len,
+               CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_vp,
+               CAST(len(regexp_extract_all(seq, 'v[ces]*p'))
+                    AS BIGINT) AS n_funnel,
+               CAST(coalesce(list_max(list_transform(
+                        regexp_extract_all(seq, 'p+'),
+                        x -> strlen(x))), 0) AS BIGINT) AS max_p_streak
+        FROM seqs
+    """,
+    doc="Row-pattern matching (the SQL:2016 MATCH_RECOGNIZE shape, "
+        "which Spark lacks natively — emulated the scalable way): each "
+        "user's event stream compiles to an initials string in (ts, "
+        "event_id) order via one sort_array fold (sequences are "
+        "user-session-bounded), then funnel patterns run as regexes — "
+        "adjacent view->purchase, view-then-purchase with no "
+        "intervening view/purchase (v[ces]*p), and the longest "
+        "purchase streak (max run of p+). Patterns are "
+        "ambiguity-free, so Java regex (Spark) and RE2 (DuckDB) count "
+        "identical non-overlapping matches — the same parity "
+        "discipline as the BPE pre-tokenizer. One groupBy shuffle; "
+        "regex scanning is per-row JVM work that parallelizes "
+        "perfectly at 100 TB.",
+    tags=("behavioral",),
+)
+def q_event_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    seqs = (
+        t.events.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list("s")), lambda x: x["c"]
+                ),
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.octet_length("seq").cast("bigint").alias("seq_len"),
+        F.expr("regexp_count(seq, 'vp')").cast("bigint").alias("n_vp"),
+        F.expr("regexp_count(seq, 'v[ces]*p')").cast("bigint")
+        .alias("n_funnel"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.expr("regexp_extract_all(seq, 'p+', 0)"),
+                    lambda x: F.octet_length(x).cast("bigint"),
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("max_p_streak"),
+    )

@@ -2755,3 +2755,161 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Caliper matching (Rosenbaum & Rubin 1985, public): the matched-pairs
+# companion to ml_ipw_stratified/ml_att_stratified. Treated and
+# control units pair WITHIN a (segment, balance-bucket) cell by rank
+# alignment — the deterministic stand-in for nearest-neighbor
+# propensity matching; the bucket width is the caliper.
+
+_CM_TREAT_MOD = 7  # c_custkey % 7 = 0 is the treated cohort (~1/7)
+_CM_BUCKET_Q = 1000 * 10000  # 1000-currency-unit caliper in 1e-4 units
+
+
+@register(
+    "ml_caliper_match",
+    oracle=f"""
+        WITH spend AS (
+            SELECT o_custkey AS ck,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+                        AS BIGINT) AS y_q
+            FROM orders GROUP BY 1
+        ), base AS (
+            SELECT c.c_mktsegment AS seg,
+                   CASE WHEN c.c_custkey % {_CM_TREAT_MOD} = 0
+                        THEN 1 ELSE 0 END AS tr,
+                   CAST(CAST(CAST(c.c_acctbal AS VARCHAR)
+                             AS DECIMAL(18,4)) * 10000 AS BIGINT) AS bal_q,
+                   coalesce(s.y_q, 0) AS y_q,
+                   c.c_custkey AS ck
+            FROM customer c LEFT JOIN spend s ON c.c_custkey = s.ck
+        ), ranked AS (
+            SELECT *, bal_q // {_CM_BUCKET_Q} AS bkt,
+                   row_number() OVER (
+                       PARTITION BY seg, bal_q // {_CM_BUCKET_Q}, tr
+                       ORDER BY bal_q, ck) AS rn
+            FROM base
+        ), pairs AS (
+            SELECT t.seg, t.y_q AS yt, c.y_q AS yc,
+                   t.bal_q - c.bal_q AS bal_gap_q
+            FROM ranked t
+            JOIN ranked c
+              ON c.seg = t.seg AND c.bkt = t.bkt AND c.rn = t.rn
+             AND t.tr = 1 AND c.tr = 0
+        ), counts AS (
+            SELECT seg,
+                   CAST(SUM(CASE WHEN tr = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_treated,
+                   CAST(SUM(CASE WHEN tr = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_control
+            FROM ranked GROUP BY seg
+        )
+        SELECT co.seg, co.n_treated, co.n_control,
+               CAST(coalesce(count(p.yt), 0) AS BIGINT) AS n_matched,
+               CAST(coalesce(SUM(p.yt - p.yc), 0) AS BIGINT)
+                   AS diff_sum_q,
+               CAST(coalesce(SUM(abs(p.bal_gap_q)), 0) AS BIGINT)
+                   AS bal_gap_sum_q,
+               CAST(coalesce(SUM(p.yt - p.yc), 0) AS DOUBLE)
+                   / CAST(CASE WHEN count(p.yt) = 0 THEN 1
+                               ELSE count(p.yt) END * 10000 AS DOUBLE)
+                   AS att_matched
+        FROM counts co LEFT JOIN pairs p ON p.seg = co.seg
+        GROUP BY co.seg, co.n_treated, co.n_control
+    """,
+    doc="Caliper matched-pairs treatment effect (Rosenbaum & Rubin "
+        "1985, public): treated customers (c_custkey % 7 = 0) pair "
+        "with controls inside (market segment, 1000-unit account-"
+        "balance bucket) cells by RANK ALIGNMENT — the t-th treated "
+        "by balance matches the t-th control, a deterministic "
+        "nearest-neighbor stand-in whose bucket width is the caliper; "
+        "unmatched treated drop out (counted). Outcome is total order "
+        "spend in exact 1e-4 integer units (the ml_ipw quantization), "
+        "so the matched-pair difference sum and the covariate balance "
+        "gap are exact BIGINTs and the per-segment ATT is one guarded "
+        "division. All windows partition by (segment, bucket, arm); "
+        "the pair join is co-partitioned on the same keys — no global "
+        "sort, no broadcast of the unit table. Negative balances "
+        "bucket by truncation in BOTH engines (Spark div == DuckDB "
+        "//).",
+    tags=("ml",),
+)
+def ml_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    spend = t.orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * 10000)
+        .cast("bigint")
+        .alias("y_q")
+    )
+    base = (
+        t.customer.join(
+            spend, t.customer["c_custkey"] == spend["ck"], "left"
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.when(F.col("c_custkey") % _CM_TREAT_MOD == 0, 1)
+            .otherwise(0)
+            .alias("tr"),
+            (
+                F.col("c_acctbal").cast("string").cast("decimal(18,4)")
+                * 10000
+            ).cast("bigint").alias("bal_q"),
+            F.coalesce(F.col("y_q"), F.lit(0).cast("bigint")).alias("y_q"),
+            F.col("c_custkey").alias("ckey"),
+        )
+        .withColumn("bkt", F.expr(f"bal_q div {_CM_BUCKET_Q}"))
+    )
+    ranked = base.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("seg", "bkt", "tr").orderBy("bal_q", "ckey")
+        ),
+    )
+    tr = ranked.filter(F.col("tr") == 1).alias("t")
+    ct = ranked.filter(F.col("tr") == 0).alias("c")
+    pairs = tr.join(
+        ct,
+        (F.col("c.seg") == F.col("t.seg"))
+        & (F.col("c.bkt") == F.col("t.bkt"))
+        & (F.col("c.rn") == F.col("t.rn")),
+    ).select(
+        F.col("t.seg").alias("seg"),
+        F.col("t.y_q").alias("yt"),
+        F.col("c.y_q").alias("yc"),
+        (F.col("t.bal_q") - F.col("c.bal_q")).alias("bal_gap_q"),
+    )
+    counts = ranked.groupBy("seg").agg(
+        F.sum(F.when(F.col("tr") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treated"),
+        F.sum(F.when(F.col("tr") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_control"),
+    )
+    zl = F.lit(0).cast("bigint")
+    agg = counts.join(pairs, "seg", "left").groupBy(
+        "seg", "n_treated", "n_control"
+    ).agg(
+        F.coalesce(F.count(F.col("yt")), zl).cast("bigint")
+        .alias("n_matched"),
+        F.coalesce(F.sum(F.col("yt") - F.col("yc")), zl)
+        .cast("bigint")
+        .alias("diff_sum_q"),
+        F.coalesce(F.sum(F.abs(F.col("bal_gap_q"))), zl)
+        .cast("bigint")
+        .alias("bal_gap_sum_q"),
+    )
+    n_m = F.col("n_matched")
+    return agg.select(
+        "seg", "n_treated", "n_control", "n_matched", "diff_sum_q",
+        "bal_gap_sum_q",
+        (
+            F.col("diff_sum_q").cast("double")
+            / (F.when(n_m == 0, F.lit(1).cast("bigint")).otherwise(n_m)
+               * 10000).cast("double")
+        ).alias("att_matched"),
+    )

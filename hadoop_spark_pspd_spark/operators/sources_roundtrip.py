@@ -257,3 +257,84 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_CSV_CORRUPT_MOD = 13
+
+
+@register(
+    "q_csv_corrupt_records",
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows_read,
+               CAST(SUM(CASE WHEN o_orderkey % {_CSV_CORRUPT_MOD} <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+               CAST(SUM(CASE WHEN o_orderkey % {_CSV_CORRUPT_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+               CAST(CAST(SUM(CASE WHEN o_orderkey % {_CSV_CORRUPT_MOD}
+                                       <> 0
+                                  THEN CAST(o_totalprice
+                                            AS DECIMAL(18,4)) END)
+                         AS VARCHAR) AS DOUBLE) AS good_rev
+        FROM orders
+    """,
+    doc="Malformed-record handling on a CSV source, proven end to end: "
+        "order rows serialize to CSV lines with every "
+        f"{_CSV_CORRUPT_MOD}th order's price replaced by a non-numeric "
+        "token, and the read-back uses PERMISSIVE mode with "
+        "columnNameOfCorruptRecord — the production posture where bad "
+        "upstream rows must be QUARANTINED and counted, never dropped "
+        "silently or allowed to kill a 100 TB ingest. The corrupt "
+        "cohort must surface exactly (n_corrupt), parse NO price into "
+        "the good aggregate, and leave the good-row revenue "
+        "bit-identical to the parquet original (Spark writes "
+        "shortest-roundtrip doubles and reparses the same bits — the "
+        "q_multiformat_roundtrip convention). Single-row aggregate "
+        "materialized before scratch cleanup.",
+    tags=("sources",),
+)
+def q_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    t = Tables(spark, sf_dir)
+    base = _roundtrip_base(sf_dir)
+    try:
+        price_txt = F.when(
+            F.col("o_orderkey") % _CSV_CORRUPT_MOD == 0, F.lit("oops")
+        ).otherwise(F.col("o_totalprice").cast("string"))
+        lines = t.orders.select(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                price_txt,
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(base)
+        rd = (
+            spark.read.schema(
+                "o_orderkey long, o_custkey long, o_totalprice double, "
+                "_corrupt string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(base)
+        )
+        agg = rd.agg(
+            F.count("*").cast("bigint").alias("n_rows_read"),
+            F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_good"),
+            F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_corrupt"),
+            F.sum(
+                F.when(
+                    F.col("_corrupt").isNull(),
+                    F.col("o_totalprice").cast("decimal(18,4)"),
+                )
+            ).cast("double").alias("good_rev"),
+        )
+        rows = agg.collect()  # single summary row, then rmtree
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

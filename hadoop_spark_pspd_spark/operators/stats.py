@@ -2262,3 +2262,118 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double")
         ).alias("obs_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald's Sequential Probability Ratio Test (Wald 1945, public), replayed
+# deterministically. With the SYMMETRIC hypotheses p0 = 0.45 vs
+# p1 = 0.55 the log-likelihood increments are +-ln(11/9), so the whole
+# LLR path is ln(11/9) * (2*successes_t - t): the boundary crossing is
+# an EXACT INTEGER random-walk test |2*cx - t| >= K with
+# K = ceil(ln((1-beta)/alpha) / ln(11/9)) = 15 at alpha = beta = 0.05 —
+# no per-row transcendental ever evaluates; ln(11/9) appears once as a
+# Python literal multiplying an exact integer in the report.
+
+import math as _math
+
+_SPRT_C1 = repr(_math.log(11.0 / 9.0))
+_SPRT_K = _math.ceil(_math.log(19.0) / _math.log(11.0 / 9.0))  # = 15
+
+
+@register(
+    "ml_sprt_sequential",
+    oracle=f"""
+        WITH trials AS (
+            SELECT ts, event_id,
+                   CASE WHEN value > 35.0 THEN 1 ELSE 0 END AS x
+            FROM events WHERE event_type = 'purchase'
+        ), walkt AS (
+            SELECT CAST(row_number() OVER (ORDER BY ts, event_id)
+                        AS BIGINT) AS t,
+                   CAST(SUM(x) OVER (ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cx
+            FROM trials
+        ), wk AS (
+            SELECT t, cx, 2 * cx - t AS walk FROM walkt
+        ), crossing AS (
+            SELECT t, cx, walk FROM wk
+            WHERE abs(walk) >= {_SPRT_K}
+            ORDER BY t LIMIT 1
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_trials,
+                   CAST(coalesce(SUM(x), 0) AS BIGINT) AS n1_total
+            FROM trials
+        )
+        SELECT tot.n_trials, tot.n1_total,
+               CAST(coalesce(c.t, 0) AS BIGINT) AS t_decide,
+               CAST(coalesce(c.walk, 0) AS BIGINT) AS walk_at_decide,
+               CAST(coalesce(c.cx, 0) AS BIGINT) AS n1_at_decide,
+               CASE WHEN c.walk >= {_SPRT_K} THEN 'accept_h1'
+                    WHEN c.walk <= -{_SPRT_K} THEN 'accept_h0'
+                    ELSE 'continue' END AS decision,
+               {_SPRT_C1} * CAST(coalesce(c.walk, 0) AS DOUBLE)
+                   AS llr_at_decide
+        FROM tot LEFT JOIN crossing c ON true
+    """,
+    doc="Wald SPRT replay over the purchase-event success stream "
+        "(value > 35, (ts, event_id) order): for the symmetric "
+        "hypotheses p0 = 0.45 vs p1 = 0.55 at alpha = beta = 0.05 the "
+        "LLR path collapses to ln(11/9) * (2*successes - t), so the "
+        "sequential boundary is the EXACT INTEGER random-walk test "
+        f"|2*cx - t| >= {_SPRT_K} — no per-row transcendental; ln(11/9) "
+        "is one Python literal multiplying the integer walk in the "
+        "report (transcendental-constant rule). The engine computes "
+        "the cumulative walk with the range-partitioned distributed "
+        "running-sum kernel (no single-task global sort) and finds the "
+        "first crossing with orderBy+limit (TakeOrderedAndProject); "
+        "the oracle affords the plain ordered window. Emits the "
+        "decision, crossing time and state, or 'continue' with zeroed "
+        "crossing fields when the walk never exits.",
+    tags=("ml", "stats"),
+)
+def ml_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import with_running_sums_dist
+
+    t = Tables(spark, sf_dir)
+    trials = t.events.filter(F.col("event_type") == "purchase").select(
+        "ts", "event_id",
+        F.when(F.col("value") > 35.0, 1).otherwise(0)
+        .cast("bigint").alias("x"),
+        F.lit(1).cast("bigint").alias("one"),
+    )
+    cum = with_running_sums_dist(
+        trials, [F.col("ts"), F.col("event_id")], ["x", "one"], prefix="c"
+    )
+    wk = cum.select(
+        F.col("cone").alias("t"),
+        F.col("cx").alias("cx"),
+        (2 * F.col("cx") - F.col("cone")).alias("walk"),
+    )
+    crossing = (
+        wk.filter(F.abs(F.col("walk")) >= _SPRT_K)
+        .orderBy("t")
+        .limit(1)
+        .select(
+            F.col("t").alias("t_c"), F.col("cx").alias("cx_c"),
+            F.col("walk").alias("walk_c"), F.lit(1).alias("k"),
+        )
+    )
+    tot = trials.agg(
+        F.count("*").cast("bigint").alias("n_trials"),
+        F.coalesce(F.sum("x"), F.lit(0)).cast("bigint").alias("n1_total"),
+    ).withColumn("k", F.lit(1))
+    zl = F.lit(0).cast("bigint")
+    out = tot.join(F.broadcast(crossing), "k", "left")
+    return out.select(
+        "n_trials", "n1_total",
+        F.coalesce(F.col("t_c"), zl).alias("t_decide"),
+        F.coalesce(F.col("walk_c"), zl).alias("walk_at_decide"),
+        F.coalesce(F.col("cx_c"), zl).alias("n1_at_decide"),
+        F.when(F.col("walk_c") >= _SPRT_K, "accept_h1")
+        .when(F.col("walk_c") <= -_SPRT_K, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+        (F.lit(float(_SPRT_C1))
+         * F.coalesce(F.col("walk_c"), zl).cast("double"))
+        .alias("llr_at_decide"),
+    )

@@ -59,6 +59,8 @@ ALLOWED = {
     # schema evolution: <= 6-row aggregate (priority dimension + missing),
     # materialized before scratch cleanup.
     ("operators/sources_roundtrip.py", "q_schema_evolution"),
+    # corrupt-record CSV audit: single summary row before scratch cleanup.
+    ("operators/sources_roundtrip.py", "q_csv_corrupt_records"),
 }
 
 # Same discipline for toPandas(): driver-side materialization.
