@@ -2377,3 +2377,218 @@ def ml_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
          * F.coalesce(F.col("walk_c"), zl).cast("double"))
         .alias("llr_at_decide"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995, public)
+# over EXACT permutation p-values — the multiple-testing layer every
+# experimentation platform needs on top of single-test machinery. One
+# hypothesis per event type (even- vs odd-user mean value gap); each
+# p-value is (1 + #extreme)/(B + 1) with B = 64 md5-derandomized sign
+# reassignments, an exact dyadic c/64; the BH step-up rule
+# p_(k) <= k * q / m is evaluated by integer cross-multiplication
+# ((1 + c_k) * 4 * m <= k * 65 at q = 1/4), so the rejection set is
+# bit-deterministic end to end.
+
+_BH_Q_DEN = 4  # FDR level q = 1/4
+
+
+@register(
+    "ml_bh_fdr",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, event_type,
+                   CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+                   CAST(floor(CAST(value AS DOUBLE)
+                              * CAST(1024 AS DOUBLE)) AS BIGINT) AS xq
+            FROM events
+        ), obs AS (
+            SELECT event_type,
+                   CAST(SUM(is_a) AS DECIMAL(38,0)) AS n_a,
+                   CAST(COUNT(*) - SUM(is_a) AS DECIMAL(38,0)) AS n_b,
+                   CAST(SUM(CASE WHEN is_a = 1 THEN xq ELSE 0 END)
+                        AS DECIMAL(38,0)) AS s_a,
+                   CAST(SUM(CASE WHEN is_a = 0 THEN xq ELSE 0 END)
+                        AS DECIMAL(38,0)) AS s_b
+            FROM base GROUP BY event_type
+        ), obs2 AS (
+            SELECT event_type, s_a * n_b - s_b * n_a AS t_obs FROM obs
+        ), reps AS (
+            SELECT base.event_type, r.b, base.xq,
+                   CAST(('0x' || substr(md5(CAST(base.event_id AS VARCHAR)
+                        || ':' || CAST(r.b AS VARCHAR)), 1, 13))
+                        AS UBIGINT) % 2 AS g
+            FROM base, (SELECT unnest(range(0, {_RAND_B})) AS b) r
+        ), rep_stats AS (
+            SELECT event_type, b,
+                   CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)
+                        AS DECIMAL(38,0)) AS na,
+                   CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                        AS DECIMAL(38,0)) AS nb,
+                   CAST(SUM(CASE WHEN g = 0 THEN xq ELSE 0 END)
+                        AS DECIMAL(38,0)) AS sa,
+                   CAST(SUM(CASE WHEN g = 1 THEN xq ELSE 0 END)
+                        AS DECIMAL(38,0)) AS sb
+            FROM reps GROUP BY event_type, b
+        ), pv AS (
+            SELECT o.event_type,
+                   CAST(CAST(o.t_obs AS VARCHAR) AS DOUBLE) AS t_obs,
+                   CAST(1 + SUM(CASE WHEN abs(t.sa * t.nb - t.sb * t.na)
+                                          >= abs(o.t_obs)
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                       AS p_num
+            FROM rep_stats t JOIN obs2 o USING (event_type)
+            GROUP BY o.event_type, o.t_obs
+        ), ranked AS (
+            SELECT *,
+                   CAST(row_number() OVER (ORDER BY p_num, event_type)
+                        AS BIGINT) AS rk,
+                   CAST(count(*) OVER () AS BIGINT) AS m
+            FROM pv
+        ), kmax AS (
+            SELECT CAST(coalesce(max(CASE WHEN
+                       p_num * {_BH_Q_DEN} * m <= rk * {_RAND_B + 1}
+                       THEN rk END), 0) AS BIGINT) AS k_max
+            FROM ranked
+        )
+        SELECT r.event_type, r.t_obs, r.p_num,
+               CAST(r.p_num AS DOUBLE)
+                   / CAST({_RAND_B + 1} AS DOUBLE) AS p_value,
+               r.rk, r.m, k.k_max,
+               r.rk <= k.k_max AS rejected
+        FROM ranked r CROSS JOIN kmax k
+    """,
+    doc="Benjamini-Hochberg FDR control (1995, public) at q = 1/4 over "
+        "EXACT permutation p-values: per event type, the even- vs odd-"
+        "user mean-value gap is tested with 64 md5-derandomized sign "
+        "reassignments (the ml_randomization_test machinery — cross-"
+        "multiplied DECIMAL(38,0) statistics, power-of-two value "
+        "quantization), giving p = (1 + n_extreme)/65 as an exact "
+        "dyadic; the step-up rule p_(k) <= k*q/m is then evaluated by "
+        "INTEGER cross-multiplication over the type-bounded ranked "
+        "p-table (windowless ranked_rows), so the whole rejection set "
+        "is bit-deterministic. Scale shape: one 64x replica explode "
+        "with map-side partial aggregation into (type, b) groups — "
+        "the multiple-testing layer costs the same single shuffle as "
+        "one test.",
+    tags=("ml", "stats"),
+)
+def ml_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import ranked_rows
+
+    t = Tables(spark, sf_dir)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = t.events.select(
+        "event_id", "event_type",
+        (F.col("user_id") % 2 == 0).cast("int").alias("is_a"),
+        F.floor(F.col("value").cast("double") * F.lit(1024.0))
+        .cast("long")
+        .alias("xq"),
+    )
+    obs = (
+        base.groupBy("event_type")
+        .agg(
+            d38(F.sum("is_a")).alias("n_a"),
+            d38(F.count("*") - F.sum("is_a")).alias("n_b"),
+            d38(
+                F.sum(F.when(F.col("is_a") == 1, F.col("xq")).otherwise(0))
+            ).alias("s_a"),
+            d38(
+                F.sum(F.when(F.col("is_a") == 0, F.col("xq")).otherwise(0))
+            ).alias("s_b"),
+        )
+        .select(
+            "event_type",
+            (
+                F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+            ).alias("t_obs"),
+        )
+    )
+    reps = base.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
+        "event_type", "xq",
+        F.explode(F.sequence(F.lit(0), F.lit(_RAND_B - 1))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "event_type", "xq", "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("event_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1, 13,
+                ),
+                16, 10,
+            ).cast("long")
+            % 2
+        ).alias("g"),
+    )
+    rep_stats = reps.groupBy("event_type", "b").agg(
+        d38(F.sum(F.when(F.col("g") == 0, 1).otherwise(0))).alias("na"),
+        d38(F.sum(F.when(F.col("g") == 1, 1).otherwise(0))).alias("nb"),
+        d38(
+            F.sum(F.when(F.col("g") == 0, F.col("xq")).otherwise(0))
+        ).alias("sa"),
+        d38(
+            F.sum(F.when(F.col("g") == 1, F.col("xq")).otherwise(0))
+        ).alias("sb"),
+    )
+    pv = (
+        rep_stats.join(F.broadcast(obs), "event_type")
+        .groupBy("event_type", "t_obs")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        F.abs(
+                            F.col("sa") * F.col("nb")
+                            - F.col("sb") * F.col("na")
+                        )
+                        >= F.abs(F.col("t_obs")),
+                        1,
+                    ).otherwise(0)
+                )
+            ).cast("bigint").alias("p_num")
+        )
+        .select(
+            "event_type",
+            F.col("t_obs").cast("double").alias("t_obs"),
+            "p_num",
+        )
+    )
+    ranked = ranked_rows(
+        pv,
+        [F.col("p_num"), F.col("event_type")],
+        ["event_type", "t_obs", "p_num"],
+        rank_col="rk",
+    ).select("*", F.col("rk").cast("bigint").alias("rkb")).drop("rk")
+    m_cnt = ranked.agg(F.count("*").cast("bigint").alias("m"))
+    ranked = ranked.crossJoin(F.broadcast(m_cnt))
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_num") * _BH_Q_DEN * F.col("m")
+                    <= F.col("rkb") * (_RAND_B + 1),
+                    F.col("rkb"),
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("k_max")
+    )
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        "event_type", "t_obs", "p_num",
+        (F.col("p_num").cast("double") / F.lit(float(_RAND_B + 1)))
+        .alias("p_value"),
+        F.col("rkb").alias("rk"),
+        "m",
+        "k_max",
+        (F.col("rkb") <= F.col("k_max")).alias("rejected"),
+    )

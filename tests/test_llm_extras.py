@@ -596,3 +596,37 @@ def test_holt_winters_negative_state_python_reference(spark, tmp_path):
     assert r["fcst_7"] == level + 7 * trend + season[(10 + 6) % 7]
     srows, drows = _run_both("ts_holt_winters", spark, sf, ("events",))
     assert srows == drows
+
+
+def test_bh_fdr_rejects_genuine_effect(spark, tmp_path):
+    """ml_bh_fdr on a fixture where ONE type's value depends strongly
+    on user parity (the treatment) and two types are pure null: the
+    shifted type must be rejected at q = 1/4 and the null types must
+    survive; both engines must agree exactly."""
+    rows = []
+    eid = 0
+    for ty, shift in (("boost", 50.0), ("nullA", 0.0), ("nullB", 0.0)):
+        for i in range(400):
+            user = i % 20
+            val = 10.0 + (i % 7) + (shift if user % 2 == 0 else 0.0)
+            rows.append((eid, 1000 + i, user, ty, val, "{}"))
+            eid += 1
+    sf = str(tmp_path / "bh")
+    spark.createDataFrame(
+        [
+            (e, __import__("datetime").datetime.utcfromtimestamp(ts),
+             u, ty, v, p)
+            for e, ts, u, ty, v, p in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r["event_type"]: (r["p_num"], r["rejected"])
+        for r in REGISTRY["ml_bh_fdr"].fn(spark, sf).collect()
+    }
+    assert got["boost"][0] == 1  # no permutation beats the true split
+    assert got["boost"][1] is True
+    assert got["nullA"][1] is False and got["nullB"][1] is False
+    srows, drows = _run_both("ml_bh_fdr", spark, sf, ("events",))
+    assert srows == drows
