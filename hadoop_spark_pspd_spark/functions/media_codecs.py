@@ -65,14 +65,25 @@ def encode_png(
     height: int,
     channels: int = 3,
     row_filter=None,
+    palette: bytes | None = None,
 ) -> bytes:
     """Encode row-major 8-bit pixel bytes as a real PNG.
 
     ``row_filter(y) -> 0..4`` selects the scanline filter (default
     ``y % 5`` so every filter type — including Paeth — is exercised by
     any image of >= 5 rows, making a round-trip test meaningful).
+    With ``palette`` (RGB triples, <= 256 entries), ``pixels`` are
+    1-byte palette INDICES and the file is written as color type 3
+    with a PLTE chunk (channels must be 1).
     """
-    if channels not in _COLOR_TYPE_BY_CHANNELS:
+    if palette is not None:
+        if channels != 1:
+            raise ValueError("palette PNGs take 1-byte indices")
+        if len(palette) % 3 != 0 or not 3 <= len(palette) <= 768:
+            raise ValueError("palette must be 1..256 RGB triples")
+        if any(b >= len(palette) // 3 for b in pixels):
+            raise ValueError("palette index out of range")
+    elif channels not in _COLOR_TYPE_BY_CHANNELS:
         raise NotImplementedError(f"channels={channels} not supported")
     if len(pixels) != width * height * channels:
         raise ValueError(
@@ -119,19 +130,22 @@ def encode_png(
         else:
             raise ValueError(f"filter type {ftype} out of range")
         prev = row
+    color_type = 3 if palette is not None else _COLOR_TYPE_BY_CHANNELS[channels]
     ihdr = struct.pack(
         ">IIBBBBB",
         width,
         height,
         8,
-        _COLOR_TYPE_BY_CHANNELS[channels],
+        color_type,
         0,
         0,
         0,
     )
+    plte = _chunk(b"PLTE", palette) if palette is not None else b""
     return (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
+        + plte
         + _chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _chunk(b"IEND", b"")
     )
@@ -142,12 +156,15 @@ def decode_png(payload: bytes) -> dict:
 
     Returns ``{"width", "height", "channels", "pixels"}`` with pixels
     as row-major 8-bit bytes. Supports non-interlaced 8-bit greyscale
-    (color type 0), RGB (2) and RGBA (6).
+    (color type 0), RGB (2), palette (3 — indices dereference through
+    the PLTE chunk to RGB output, plus a "palette_size" key) and
+    RGBA (6).
     """
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos < len(payload):
         if pos + 8 > len(payload):
@@ -164,6 +181,8 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"CRC mismatch in {tag!r} chunk")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = data
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
@@ -174,13 +193,18 @@ def decode_png(payload: bytes) -> dict:
     width, height, depth, color_type, comp, filt, interlace = ihdr
     if depth != 8:
         raise NotImplementedError(f"bit depth {depth} (only 8 supported)")
-    if color_type not in _CHANNELS_BY_COLOR_TYPE:
+    if color_type != 3 and color_type not in _CHANNELS_BY_COLOR_TYPE:
         raise NotImplementedError(f"color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("unknown compression/filter method")
     if interlace != 0:
         raise NotImplementedError("interlaced PNG not supported")
-    channels = _CHANNELS_BY_COLOR_TYPE[color_type]
+    if color_type == 3:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        channels = 1  # 1-byte indices on disk; dereferenced below
+    else:
+        channels = _CHANNELS_BY_COLOR_TYPE[color_type]
     bpp = channels
     stride = width * channels
     raw = zlib.decompress(bytes(idat))
@@ -220,6 +244,22 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"unknown scanline filter {ftype}")
         out[y * stride : (y + 1) * stride] = cur
         prev = bytes(cur)
+    if color_type == 3:
+        n_colors = len(plte) // 3
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            if idx >= n_colors:
+                raise ValueError(
+                    f"palette index {idx} out of range ({n_colors})"
+                )
+            rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+        return {
+            "width": width,
+            "height": height,
+            "channels": 3,
+            "pixels": bytes(rgb),
+            "palette_size": n_colors,
+        }
     return {
         "width": width,
         "height": height,

@@ -371,3 +371,87 @@ def test_bmp_roundtrip_all_pad_residues():
         px = bytes(((i * 37) % 256) for i in range(w * 3 * 3))
         d = decode_bmp(encode_bmp(px, w, 3))
         assert d["pixels"] == px, w
+
+
+# --------------------------------------------------------------------------
+# Palette-PNG spec vectors — hand-assembled color-type-3 files so a
+# symmetric encode/decode bug in the PLTE path cannot hide.
+
+import zlib as _zlib
+
+
+def _png_chunk(tag, data):
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", _zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def test_palette_png_spec_vector():
+    from hadoop_spark_pspd_spark.functions.media_codecs import (
+        PNG_SIGNATURE, decode_png,
+    )
+
+    # 3x1, palette [red, green, blue], indices 2,0,1, filter None
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idat = _zlib.compress(bytes([0, 2, 0, 1]))
+    payload = (
+        PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte) + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    d = decode_png(payload)
+    assert (d["width"], d["height"], d["channels"]) == (3, 1, 3)
+    assert d["palette_size"] == 3
+    assert d["pixels"] == bytes(
+        [0, 0, 255, 255, 0, 0, 0, 255, 0]  # blue, red, green
+    )
+
+
+def test_palette_png_rejects_bad_shapes():
+    import pytest
+
+    from hadoop_spark_pspd_spark.functions.media_codecs import (
+        PNG_SIGNATURE, decode_png, encode_png,
+    )
+
+    # missing PLTE
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    idat = _zlib.compress(bytes([0, 0]))
+    payload = (
+        PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(payload)
+    # index out of palette range
+    plte = bytes([1, 2, 3])  # one color
+    idat = _zlib.compress(bytes([0, 5]))
+    payload = (
+        PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte) + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(payload)
+    # encoder guards
+    with pytest.raises(ValueError, match="indices"):
+        encode_png(b"\x00\x00\x00", 1, 1, channels=3, palette=plte)
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png(b"\x07", 1, 1, channels=1, palette=plte)
+
+
+def test_palette_png_filtered_roundtrip():
+    from hadoop_spark_pspd_spark.functions.media_codecs import (
+        decode_png, encode_png,
+    )
+
+    pal = b"".join(
+        bytes(((j * 7) % 256, (j * 13) % 256, (j * 29) % 256))
+        for j in range(64)
+    )
+    idx = bytes(((x * 3 + y * 5) % 64) for y in range(7) for x in range(9))
+    d = decode_png(encode_png(idx, 9, 7, channels=1, palette=pal))
+    exp = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+    assert d["pixels"] == exp and d["palette_size"] == 64
