@@ -396,3 +396,53 @@ def decode_bmp(payload: bytes) -> dict:
             out[base + 3 * x + 1] = g
             out[base + 3 * x + 2] = b
     return {"width": width, "height": height, "pixels": bytes(out)}
+
+
+# ---------------------------------------------------------------------------
+# PPM (Netpbm P6, binary RGB) — the simplest portable raster format:
+# an ASCII header (magic, dims, maxval) followed by raw RGB bytes.
+# Public spec: the Netpbm format documentation.
+
+
+def encode_ppm(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode row-major RGB bytes as a binary P6 PPM (maxval 255)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels length != width*height*3")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Decode a binary P6 PPM: whitespace/comment-tolerant header parse
+    (per the Netpbm spec: tokens separated by whitespace, '#' comments
+    run to end of line, a single whitespace byte precedes the raster),
+    then raw RGB extraction. Returns {"width", "height", "pixels"}."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (missing P6 magic)")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while payload[pos : pos + 1].isdigit():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        else:
+            raise ValueError(f"unexpected header byte {c!r}")
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError(f"maxval {maxval} (only 255 supported)")
+    if not payload[pos : pos + 1].isspace():
+        raise ValueError("missing single whitespace before raster")
+    pos += 1
+    raster = payload[pos : pos + width * height * 3]
+    if len(raster) != width * height * 3:
+        raise ValueError("truncated PPM raster")
+    return {"width": width, "height": height, "pixels": raster}

@@ -1059,3 +1059,128 @@ def mm_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return docs.mapInPandas(_pal_roundtrip, schema=PAL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PPM (Netpbm P6) — fifth real-decode shape; its header is ASCII with
+# whitespace/comment tolerance, so the parser (not just the raster
+# walk) is under test: the encoder never writes comments, but the
+# spec-vector tests decode commented headers.
+
+_PPM_MOD = 47
+
+
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    return 15 + doc_id % 8, 10 + doc_id % 6
+
+
+def _ppm_pixels(doc_id: int, width: int, height: int) -> bytes:
+    return bytes(
+        (x * 11 + y * 3 + c * 17 + doc_id * 7) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+
+
+def _ppm_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..functions.media_codecs import decode_ppm, encode_ppm
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "r_sum", "g_sum", "b_sum", "wsum"
+        )}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            w, h = _ppm_dims(doc_id)
+            payload = encode_ppm(_ppm_pixels(doc_id, w, h), w, h)
+            dec = decode_ppm(payload)  # REAL decode under test
+            px = np.frombuffer(dec["pixels"], dtype=np.uint8).astype(
+                np.int64
+            ).reshape(dec["height"], dec["width"], 3)
+            ys, xs = np.mgrid[0 : dec["height"], 0 : dec["width"]]
+            pos = 1 + xs + ys * dec["width"]
+            wh = dec["width"] * dec["height"]
+            out["doc_id"].append(doc_id)
+            out["width"].append(dec["width"])
+            out["height"].append(dec["height"])
+            out["r_sum"].append(int(px[:, :, 0].sum()))
+            out["g_sum"].append(int(px[:, :, 1].sum()))
+            out["b_sum"].append(int(px[:, :, 2].sum()))
+            out["wsum"].append(
+                int(
+                    sum(
+                        (px[:, :, c] * (pos + c * wh)).sum()
+                        for c in range(3)
+                    )
+                )
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "r_sum": pd.Series(out["r_sum"], dtype="int64"),
+                "g_sum": pd.Series(out["g_sum"], dtype="int64"),
+                "b_sum": pd.Series(out["b_sum"], dtype="int64"),
+                "wsum": pd.Series(out["wsum"], dtype="int64"),
+            }
+        )
+
+
+@register(
+    "mm_ppm_decode_stats",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CAST(15 + doc_id % 8 AS INTEGER) AS width,
+                   CAST(10 + doc_id % 6 AS INTEGER) AS height
+            FROM documents WHERE doc_id >= 0 AND doc_id % {_PPM_MOD} = 0
+        ), xs AS (
+            SELECT doc_id, width, height, unnest(range(0, width)) AS x
+            FROM docs
+        ), ys AS (
+            SELECT doc_id, width, height, x,
+                   unnest(range(0, height)) AS y
+            FROM xs
+        ), px AS (
+            SELECT doc_id, width, height, x, y,
+                   (x*11 + y*3 + doc_id*7) % 256 AS r,
+                   (x*11 + y*3 + 17 + doc_id*7) % 256 AS g,
+                   (x*11 + y*3 + 34 + doc_id*7) % 256 AS b
+            FROM ys
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM(r) AS BIGINT) AS r_sum,
+               CAST(SUM(g) AS BIGINT) AS g_sum,
+               CAST(SUM(b) AS BIGINT) AS b_sum,
+               CAST(SUM(
+                   r * (1 + x + y*width)
+                   + g * (1 + x + y*width + width*height)
+                   + b * (1 + x + y*width + 2*width*height)
+               ) AS BIGINT) AS wsum
+        FROM px
+        GROUP BY doc_id, width, height
+    """,
+    doc="REAL PPM (Netpbm P6) decode: for each doc in the cohort "
+        f"(doc_id % {_PPM_MOD} = 0) a genuine binary PPM is encoded "
+        "from a deterministic pixel formula and decoded through the "
+        "stdlib parser — a whitespace/comment-tolerant ASCII header "
+        "walk per the Netpbm spec (spec-vector tests feed commented "
+        "headers the encoder never writes) plus the raw RGB raster. "
+        "Exact channel sums and the position-weighted checksum; "
+        "dims come from the PARSED header. Fifth decode format "
+        "(RGB/greyscale PNG, palette PNG, BMP, WAV, PPM), same "
+        "per-doc mapInPandas shape.",
+    tags=("multimodal",),
+)
+def mm_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = (
+        t.documents.select("doc_id")
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") % _PPM_MOD == 0))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return docs.mapInPandas(_ppm_roundtrip, schema=PNG_STATS_SCHEMA)

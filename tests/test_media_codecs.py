@@ -455,3 +455,35 @@ def test_palette_png_filtered_roundtrip():
     d = decode_png(encode_png(idx, 9, 7, channels=1, palette=pal))
     exp = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
     assert d["pixels"] == exp and d["palette_size"] == 64
+
+
+# --------------------------------------------------------------------------
+# PPM spec vectors — commented/whitespace-rich headers the encoder
+# never writes, straight from the Netpbm spec.
+
+
+def test_ppm_commented_header_spec_vector():
+    from hadoop_spark_pspd_spark.functions.media_codecs import decode_ppm
+
+    payload = (b"P6 # magic comment\n# full-line comment\n 2\t1 #dims\n"
+               b"255\n" + bytes([1, 2, 3, 4, 5, 6]))
+    d = decode_ppm(payload)
+    assert (d["width"], d["height"]) == (2, 1)
+    assert d["pixels"] == bytes([1, 2, 3, 4, 5, 6])
+
+
+def test_ppm_rejects_bad_shapes():
+    import pytest
+
+    from hadoop_spark_pspd_spark.functions.media_codecs import (
+        decode_ppm, encode_ppm,
+    )
+
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P3\n1 1\n255\n1 2 3")
+    with pytest.raises(NotImplementedError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        decode_ppm(b"P6\n2 2\n255\n" + bytes(5))
+    roundtrip = decode_ppm(encode_ppm(bytes(range(12)), 2, 2))
+    assert roundtrip["pixels"] == bytes(range(12))
