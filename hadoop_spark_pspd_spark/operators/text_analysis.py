@@ -1150,16 +1150,17 @@ _WIN_SENTINEL = 1 << 62  # > any 52-bit gram hash
                               {2 * _WIN_K})), 1, 13)) AS UBIGINT)
                        AS BIGINT) AS h
             FROM g JOIN d USING (doc_id)
-        ), wins AS (
-            SELECT doc_id, ng,
-                   CAST(unnest(range(1, ng - {_WIN_W - 2})) AS BIGINT) AS j
-            FROM (SELECT DISTINCT doc_id, ng FROM g2)
         ), mw AS MATERIALIZED (
-            SELECT w.doc_id, w.j, min(g.h) AS mh
-            FROM wins w
-            JOIN g2 g ON g.doc_id = w.doc_id
-                     AND g.i BETWEEN w.j AND w.j + {_WIN_W - 1}
-            GROUP BY 1, 2
+            SELECT doc_id, i AS j, mh FROM (
+                SELECT doc_id, i,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS mh,
+                       count(*) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS cnt
+                FROM g2
+            ) WHERE cnt = {_WIN_W}
         ), sel AS (
             SELECT m.doc_id, m.mh AS h, max(g.i) AS i
             FROM mw m
