@@ -642,3 +642,122 @@ def q_percentile_cont_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p90"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# XML ingestion surface (Spark 4 from_xml — the remaining semi-
+# structured codec next to JSON/variant): events serialize to XML
+# elements and parse back through the REAL from_xml path; the oracle
+# reconstructs the same values from the original columns, so a parse
+# or escaping defect breaks the hash. Sampled deterministically (the
+# q_math_exact key-sample rule) to keep the sweep compare-bound low.
+
+_XML_MOD = 11
+
+
+@register(
+    "q_xml_events",
+    oracle=f"""
+        SELECT event_id,
+               CAST(user_id AS BIGINT) AS xml_user,
+               event_type AS xml_type,
+               CAST(floor(CAST(value AS DOUBLE) * 256) AS BIGINT)
+                   AS xml_value_q
+        FROM events
+        WHERE event_id % {_XML_MOD} = 0
+    """,
+    doc="XML roundtrip through Spark 4's REAL from_xml parser: each "
+        f"sampled event (event_id % {_XML_MOD} = 0) serializes to an "
+        "XML element built with concat (attribute + three child "
+        "elements), then parses back through from_xml with an explicit "
+        "schema — covering the semi-structured codec surface next to "
+        "from_json/variant. The oracle reconstructs the same values "
+        "relationally from the source columns, so any escaping or "
+        "type-coercion defect in the XML path breaks the hash; the "
+        "float value crosses as floor(value*256) (exact power-of-two "
+        "quantization). Per-row JVM expressions end to end — one scan, "
+        "zero shuffles.",
+    tags=("functions",),
+)
+def q_xml_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sampled = t.events.filter(F.col("event_id") % _XML_MOD == 0)
+    xml = sampled.select(
+        "event_id",
+        F.concat(
+            F.lit("<event id=\""), F.col("event_id").cast("string"),
+            F.lit("\"><user>"), F.col("user_id").cast("string"),
+            F.lit("</user><type>"), F.col("event_type"),
+            F.lit("</type><vq>"),
+            F.floor(F.col("value").cast("double") * 256)
+            .cast("long").cast("string"),
+            F.lit("</vq></event>"),
+        ).alias("x"),
+    )
+    parsed = xml.select(
+        "event_id",
+        F.from_xml(
+            "x", "struct<user:bigint, type:string, vq:bigint>"
+        ).alias("e"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("e.user").alias("xml_user"),
+        F.col("e.type").alias("xml_type"),
+        F.col("e.vq").alias("xml_value_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL function family (parse_url/url_encode/url_decode): synthetic but
+# well-formed URLs built from document columns run through Spark's
+# REAL URL parser; the oracle extracts the same parts with anchored
+# regexes over the identical constructed string.
+
+
+@register(
+    "q_url_functions",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/docs/'
+                       || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+                       || '&n=' || CAST(n_chars AS VARCHAR) AS url
+            FROM documents
+        )
+        SELECT doc_id, url,
+               regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+               regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang,
+               regexp_extract(url, '\\?(.*)$', 1) AS query_str
+        FROM u
+    """,
+    doc="URL function-family coverage: well-formed URLs constructed "
+        "from document columns run through Spark's REAL parse_url "
+        "(HOST, PATH, QUERY, and the keyed QUERY form) — the log-"
+        "processing surface every clickstream pipeline needs. The "
+        "oracle extracts identical parts with anchored regexes over "
+        "the same constructed string, so the two engines cross-check "
+        "each other's parsing. Per-row expressions, one scan, zero "
+        "shuffles.",
+    tags=("functions",),
+)
+def q_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    u = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
+            F.lit("?lang="), F.col("lang"),
+            F.lit("&n="), F.col("n_chars").cast("string"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id", "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang"))
+        .alias("q_lang"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query_str"),
+    )
