@@ -2913,3 +2913,152 @@ def ml_caliper_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                * 10000).cast("double")
         ).alias("att_matched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form ridge regression (Hoerl & Kennard 1970, public): two
+# features + intercept solved by Cramer's rule over EXACT integer
+# moment sums — the multiple-regression extension of q_linreg_trend.
+# (X^T X + lambda*I) is positive definite for lambda > 0, so the
+# determinant is never zero and no division guard is needed even on a
+# SINGULAR design (constant feature) — ridge's whole point, pinned by
+# fixture. Every moment is a BIGINT, every determinant a DECIMAL(38,0)
+# expansion written in the identical association in both engines
+# (exact integers — association is irrelevant), and the coefficients
+# are single correctly-rounded divisions of shortest-string doubles.
+
+_RIDGE_LAMBDA = 64
+
+
+@register(
+    "ml_ridge_closed_form",
+    oracle=f"""
+        WITH base AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(floor(CAST(l_discount AS DOUBLE) * 100)
+                        AS BIGINT) AS x2,
+                   CAST(floor(CAST(l_extendedprice AS DOUBLE))
+                        AS BIGINT) AS y
+            FROM lineitem
+        ), m AS (
+            SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+                   CAST(SUM(x1) AS DECIMAL(38,0)) AS s1,
+                   CAST(SUM(x2) AS DECIMAL(38,0)) AS s2,
+                   CAST(SUM(x1*x1) AS DECIMAL(38,0)) AS s11,
+                   CAST(SUM(x2*x2) AS DECIMAL(38,0)) AS s22,
+                   CAST(SUM(x1*x2) AS DECIMAL(38,0)) AS s12,
+                   CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+                   CAST(SUM(x1*y) AS DECIMAL(38,0)) AS s1y,
+                   CAST(SUM(x2*y) AS DECIMAL(38,0)) AS s2y
+            FROM base
+        ), a AS (
+            SELECT n + {_RIDGE_LAMBDA} AS a11, s1 AS a12, s2 AS a13,
+                   s1 AS a21, s11 + {_RIDGE_LAMBDA} AS a22, s12 AS a23,
+                   s2 AS a31, s12 AS a32, s22 + {_RIDGE_LAMBDA} AS a33,
+                   sy AS b1, s1y AS b2, s2y AS b3, n
+            FROM m
+        ), dets AS (
+            SELECT n,
+                   a11*(a22*a33 - a23*a32) - a12*(a21*a33 - a23*a31)
+                       + a13*(a21*a32 - a22*a31) AS det_a,
+                   b1*(a22*a33 - a23*a32) - a12*(b2*a33 - a23*b3)
+                       + a13*(b2*a32 - a22*b3) AS det_0,
+                   a11*(b2*a33 - a23*b3) - b1*(a21*a33 - a23*a31)
+                       + a13*(a21*b3 - b2*a31) AS det_1,
+                   a11*(a22*b3 - b2*a32) - a12*(a21*b3 - b2*a31)
+                       + b1*(a21*a32 - a22*a31) AS det_2
+            FROM a
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(CAST(det_a AS VARCHAR) AS DOUBLE) AS det_a,
+               CAST(CAST(det_0 AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(det_a AS VARCHAR) AS DOUBLE) AS beta0,
+               CAST(CAST(det_1 AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(det_a AS VARCHAR) AS DOUBLE) AS beta1,
+               CAST(CAST(det_2 AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(det_a AS VARCHAR) AS DOUBLE) AS beta2
+        FROM dets
+    """,
+    doc="Closed-form ridge regression (Hoerl & Kennard 1970, public) "
+        "of floor(extended price) on quantity and discount-cents with "
+        f"lambda = {_RIDGE_LAMBDA}: one linear pass produces nine exact "
+        "integer moment sums (map-side partial agg, single-row "
+        "shuffle), the 3x3 normal-equation system solves by Cramer's "
+        "rule with determinants expanded identically in both engines "
+        "over DECIMAL(38,0) (exact — association is irrelevant on "
+        "integers; magnitudes stay under 10^33 through 10x data), and "
+        "each coefficient is one correctly-rounded division of "
+        "shortest-string doubles. Ridge's positive-definite shift "
+        "means det > 0 ALWAYS — no zero-division guard even on a "
+        "singular design (constant feature), which the fixture pins. "
+        "At 100 TB this is the canonical 'training on aggregates' "
+        "shape: model fit cost = one aggregation, not a solver job.",
+    tags=("ml",),
+)
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = t.lineitem.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.floor(F.col("l_discount").cast("double") * 100)
+        .cast("bigint").alias("x2"),
+        F.floor(F.col("l_extendedprice").cast("double"))
+        .cast("bigint").alias("y"),
+    )
+    m = base.agg(
+        d38(F.count("*")).alias("n"),
+        d38(F.sum("x1")).alias("s1"),
+        d38(F.sum("x2")).alias("s2"),
+        d38(F.sum(F.col("x1") * F.col("x1"))).alias("s11"),
+        d38(F.sum(F.col("x2") * F.col("x2"))).alias("s22"),
+        d38(F.sum(F.col("x1") * F.col("x2"))).alias("s12"),
+        d38(F.sum("y")).alias("sy"),
+        d38(F.sum(F.col("x1") * F.col("y"))).alias("s1y"),
+        d38(F.sum(F.col("x2") * F.col("y"))).alias("s2y"),
+    )
+    lam = F.lit(_RIDGE_LAMBDA).cast("decimal(38,0)")
+    a = m.select(
+        "n",
+        (F.col("n") + lam).alias("a11"), F.col("s1").alias("a12"),
+        F.col("s2").alias("a13"),
+        F.col("s1").alias("a21"), (F.col("s11") + lam).alias("a22"),
+        F.col("s12").alias("a23"),
+        F.col("s2").alias("a31"), F.col("s12").alias("a32"),
+        (F.col("s22") + lam).alias("a33"),
+        F.col("sy").alias("b1"), F.col("s1y").alias("b2"),
+        F.col("s2y").alias("b3"),
+    )
+    c = F.col
+    det_a = (
+        c("a11") * (c("a22") * c("a33") - c("a23") * c("a32"))
+        - c("a12") * (c("a21") * c("a33") - c("a23") * c("a31"))
+        + c("a13") * (c("a21") * c("a32") - c("a22") * c("a31"))
+    )
+    det_0 = (
+        c("b1") * (c("a22") * c("a33") - c("a23") * c("a32"))
+        - c("a12") * (c("b2") * c("a33") - c("a23") * c("b3"))
+        + c("a13") * (c("b2") * c("a32") - c("a22") * c("b3"))
+    )
+    det_1 = (
+        c("a11") * (c("b2") * c("a33") - c("a23") * c("b3"))
+        - c("b1") * (c("a21") * c("a33") - c("a23") * c("a31"))
+        + c("a13") * (c("a21") * c("b3") - c("b2") * c("a31"))
+    )
+    det_2 = (
+        c("a11") * (c("a22") * c("b3") - c("b2") * c("a32"))
+        - c("a12") * (c("a21") * c("b3") - c("b2") * c("a31"))
+        + c("b1") * (c("a21") * c("a32") - c("a22") * c("a31"))
+    )
+    dets = a.select(
+        "n",
+        det_a.alias("det_a"), det_0.alias("det_0"),
+        det_1.alias("det_1"), det_2.alias("det_2"),
+    )
+    da = c("det_a").cast("double")
+    return dets.select(
+        c("n").cast("bigint").alias("n"),
+        da.alias("det_a"),
+        (c("det_0").cast("double") / da).alias("beta0"),
+        (c("det_1").cast("double") / da).alias("beta1"),
+        (c("det_2").cast("double") / da).alias("beta2"),
+    )

@@ -279,3 +279,37 @@ def test_matrix_profile_constant_and_short_series(spark, mp_fixture_sf):
         "ts_matrix_profile", spark, short_sf, ("events",)
     )
     assert srows == drows == []
+
+
+@pytest.fixture(scope="module")
+def ridge_fixture_sf(tmp_path_factory, spark):
+    d = tmp_path_factory.mktemp("r8s2_ridge_sf")
+    # x2 CONSTANT -> the OLS normal matrix is singular; ridge must
+    # still solve (det > 0) and recover the y = 100*x1 slope closely
+    rows = [
+        (i, 1, 1, 1, float(1 + i % 9), float(100 * (1 + i % 9)),
+         0.05, 0.0, "N", "O", "1996-01-01")
+        for i in range(200)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber "
+        "int, l_quantity double, l_extendedprice double, l_discount "
+        "double, l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    return str(d)
+
+
+def test_ridge_singular_design_parity(spark, ridge_fixture_sf):
+    srows, drows = _run_both(
+        "ml_ridge_closed_form", spark, ridge_fixture_sf, ("lineitem",)
+    )
+    assert srows == drows
+    r = REGISTRY["ml_ridge_closed_form"].fn(
+        spark, ridge_fixture_sf
+    ).collect()[0]
+    assert r["det_a"] > 0  # PD + lambda: solvable despite constant x2
+    # lambda = 64 at n = 200 shrinks the slope noticeably; what matters
+    # is solvability + proximity, not unbiasedness
+    assert abs(r["beta1"] - 100.0) < 10.0
