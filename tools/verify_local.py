@@ -164,12 +164,20 @@ def main() -> int:
         spark.sparkContext.setLogLevel("WARN")
     else:
         spark = get_spark("verify_local")
-    con = duckdb.connect()
-    for tname in TABLES:
-        con.execute(
-            f"CREATE VIEW {tname} AS "
-            f"SELECT * FROM '{sf_dir}/{tname}.parquet'"
-        )
+    def fresh_con():
+        # one connection PER QUERY: a single long-lived connection
+        # accumulates allocator/temp state across ~374 oracles and the
+        # heavy recursive/iterative ones (graph_kcore) intermittently
+        # ran 5-8x slower late in a sweep (5 s standalone, 27-44 s in
+        # situ); views are just file globs, so recreation is free
+        c = duckdb.connect()
+        for tname in TABLES:
+            c.execute(
+                f"CREATE VIEW {tname} AS "
+                f"SELECT * FROM '{sf_dir}/{tname}.parquet'"
+            )
+        return c
+
     n_pass = n_fail = n_weak = 0
     results: dict[str, dict] = {}
     warned: dict[str, list[str]] = {}
@@ -228,6 +236,7 @@ def main() -> int:
             n_weak += 1
             continue
         try:
+            con = fresh_con()
             rel = con.sql(q.oracle)
             duck_cols = rel.columns
             # type-drift audit: DuckDB HUGEINT/DECIMAL/unsigned OUTPUT
@@ -244,6 +253,7 @@ def main() -> int:
             duck_rows = rel.fetchall()
             rec["oracle_rows"] = len(duck_rows)
             rec["oracle_sec"] = round(time.time() - t0 - rec["engine_sec"], 2)
+            con.close()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             rec["err"] = f"duckdb: {e}"[:300]
