@@ -5,8 +5,7 @@ entry(spark)  — flagship query (WordCount over documents, the reference's
 queries()     — every implemented operator from SURVEY.md §2, from the
                 engine registry.
 oracle_sql()  — matching DuckDB SQL per query: ALL registered queries carry
-                one (373 at round 8; run tools/query_inventory.py for the
-                current count)
+                one (run tools/query_inventory.py for the current count)
                 (iterative/approximate ops included, via fixed-point
                 arithmetic + unrolled-CTE replays — since round 5 even
                 the PCA pair, whose deterministic power-iteration fit

@@ -487,7 +487,7 @@ _HLL_RHO_CASE = "CASE " + " ".join(
             FROM lineitem
         )
         SELECT f.j, f.m_j, s.v_empty, s.z_sum,
-               {_HLL_ALPHA_M2} / s.z_sum AS hll_est,
+               CAST('{_HLL_ALPHA_M2}' AS DOUBLE) / s.z_sum AS hll_est,
                e.n_exact
         FROM full_regs f CROSS JOIN summary s CROSS JOIN exact e
     """,

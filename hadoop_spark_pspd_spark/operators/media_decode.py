@@ -53,6 +53,11 @@ PNG_STATS_SCHEMA = (
     "doc_id bigint, width int, height int, r_sum bigint, g_sum bigint, "
     "b_sum bigint, wsum bigint"
 )
+# PPM emits the same per-image RGB stat row ON PURPOSE (both kernels
+# reduce an RGB raster to channel sums + position-weighted checksum);
+# the shared alias makes that coupling intentional rather than a
+# silent schema reuse (ADVICE r8).
+RGB_STATS_SCHEMA = PNG_STATS_SCHEMA
 
 
 def _png_dims(doc_id: int) -> tuple[int, int]:
@@ -1183,4 +1188,4 @@ def mm_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_id") >= 0) & (F.col("doc_id") % _PPM_MOD == 0))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    return docs.mapInPandas(_ppm_roundtrip, schema=PNG_STATS_SCHEMA)
+    return docs.mapInPandas(_ppm_roundtrip, schema=RGB_STATS_SCHEMA)

@@ -2311,7 +2311,8 @@ _SPRT_K = _math.ceil(_math.log(19.0) / _math.log(11.0 / 9.0))  # = 15
                CASE WHEN c.walk >= {_SPRT_K} THEN 'accept_h1'
                     WHEN c.walk <= -{_SPRT_K} THEN 'accept_h0'
                     ELSE 'continue' END AS decision,
-               {_SPRT_C1} * CAST(coalesce(c.walk, 0) AS DOUBLE)
+               CAST('{_SPRT_C1}' AS DOUBLE)
+                   * CAST(coalesce(c.walk, 0) AS DOUBLE)
                    AS llr_at_decide
         FROM tot LEFT JOIN crossing c ON true
     """,

@@ -1003,7 +1003,7 @@ def stream_chained_window_aggs(
             FROM events
         )
         SELECT f.j, f.m_j, s.v_empty, s.z_sum,
-               {_HLL_ALPHA_M2} / s.z_sum AS hll_est,
+               CAST('{_HLL_ALPHA_M2}' AS DOUBLE) / s.z_sum AS hll_est,
                e.n_exact
         FROM full_regs f CROSS JOIN summary s CROSS JOIN exact e
     """,
@@ -1089,9 +1089,23 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     final_path = state["path"]
+    if final_path is None:
+        # zero micro-batches (empty/absent events spool): seed an empty
+        # register table so the grid join below still emits the 256
+        # zero registers the oracle's coalesce(0) path produces
+        final_path = str(base / "v_empty")
+        spark.createDataFrame([], "j BIGINT, m_j BIGINT").coalesce(
+            1
+        ).write.mode("overwrite").parquet(final_path)
     for child in base.iterdir():
         if str(child) != final_path:
             shutil.rmtree(child, ignore_errors=True)
+    # the surviving v{batch_id} dir outlives the query (the returned
+    # DataFrame reads it lazily); reap it at interpreter exit — the
+    # dead-pid sweep above covers crashes
+    import atexit
+
+    atexit.register(shutil.rmtree, str(base), ignore_errors=True)
     regs = spark.read.parquet(final_path)
     from ..catalog import Tables
 

@@ -169,8 +169,14 @@ def main() -> int:
         # accumulates allocator/temp state across ~374 oracles and the
         # heavy recursive/iterative ones (graph_kcore) intermittently
         # ran 5-8x slower late in a sweep (5 s standalone, 27-44 s in
-        # situ); views are just file globs, so recreation is free
-        c = duckdb.connect()
+        # situ); views are just file globs, so recreation is free.
+        # EXPLICIT resource caps (round-8 verdict item 3): without them
+        # DuckDB sizes itself to 80% of RAM / all 32 cores and fights
+        # the resident 16g Spark JVM late in a sweep — the in-situ
+        # degradation per-query connections alone did not remove.
+        c = duckdb.connect(
+            config={"memory_limit": "24GB", "threads": 8}
+        )
         for tname in TABLES:
             c.execute(
                 f"CREATE VIEW {tname} AS "
@@ -235,6 +241,7 @@ def main() -> int:
             )
             n_weak += 1
             continue
+        con = None
         try:
             con = fresh_con()
             rel = con.sql(q.oracle)
@@ -253,13 +260,18 @@ def main() -> int:
             duck_rows = rel.fetchall()
             rec["oracle_rows"] = len(duck_rows)
             rec["oracle_sec"] = round(time.time() - t0 - rec["engine_sec"], 2)
-            con.close()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             rec["err"] = f"duckdb: {e}"[:300]
             rec["wall_sec"] = round(time.time() - t0, 2)
             n_fail += 1
             continue
+        finally:
+            # failed oracles must also release their connection (and its
+            # views) — a leaked connection keeps its allocator state for
+            # the rest of the sweep (ADVICE r8)
+            if con is not None:
+                con.close()
         problems = compare(spark_rows, spark_cols, duck_rows, duck_cols)
         rec["rows_match"] = len(spark_rows) == len(duck_rows)
         rec["schema_match"] = sorted(c.lower() for c in spark_cols) == sorted(
