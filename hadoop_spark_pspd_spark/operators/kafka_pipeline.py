@@ -77,6 +77,72 @@ def _fresh_broker() -> KafkaWireBroker | _ExternalBroker:
     return _BROKER
 
 
+def _warm_datasource_paths(spark, broker) -> "object":
+    """Overlap the Python-DataSource cold start with the produce leg.
+
+    First use of format("kafkawire") pays several one-time worker spawns
+    (driver-side create_data_source/plan_data_source_read planners, the
+    python_streaming_source_runner, executor read workers) — each a fresh
+    interpreter importing pyspark, ~7-10 s serial, and this query is the
+    only DataSource user in a sweep so it pays all of them. The warm
+    thread drives a 1-message batch read AND a 1-message availableNow
+    stream on a throwaway topic so the read/stream paths spawn while the
+    main thread's events scan + produce warms the write path. In-process
+    broker only: an external cluster must not grow junk topics.
+    Returns the thread to join before the real stream starts (None when
+    skipped)."""
+    import threading
+
+    if not isinstance(broker, KafkaWireBroker):
+        return None
+
+    def _warm() -> None:
+        import shutil
+        import tempfile
+
+        from ..sources.kafka_wire import KafkaWireClient
+
+        try:
+            c = KafkaWireClient(broker.bootstrap)
+            try:
+                c.produce("warmup_in", 0, [(0, None, b"w")])
+            finally:
+                c.close()
+            (
+                spark.read.format("kafkawire")
+                .option("bootstrap", broker.bootstrap)
+                .option("subscribe", "warmup_in")
+                .load()
+                .count()
+            )
+            ckpt = tempfile.mkdtemp(prefix="pspd_kafka_warm_")
+            try:
+                q = (
+                    spark.readStream.format("kafkawire")
+                    .option("bootstrap", broker.bootstrap)
+                    .option("subscribe", "warmup_in")
+                    .load()
+                    .select("value")
+                    .writeStream.format("kafkawire")
+                    .option("bootstrap", broker.bootstrap)
+                    .option("topic", "warmup_out")
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                shutil.rmtree(ckpt, ignore_errors=True)
+        except Exception:  # best-effort: the real legs still self-warm
+            pass
+
+    th = threading.Thread(target=_warm, daemon=True)
+    th.start()
+    return th
+
+
+
 _RT_MOD = 5  # deterministic produce cohort: user_id % 5 == 0
 
 
@@ -112,6 +178,7 @@ def stream_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     register_kafka_wire_source(spark)
     broker = _fresh_broker()
+    warm = _warm_datasource_paths(spark, broker)
 
     # 1. producer side: executors push (event_type, event-time ts) messages
     (
@@ -127,6 +194,8 @@ def stream_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 2. the reference pipeline: stream consume -> windowed count -> JSON
+    if warm is not None:
+        warm.join(timeout=120)
     src = kafka_wire_source(spark, broker.bootstrap, INPUT_TOPIC)
     agg = windowed_wordcount(
         src, window_duration="1 hour", watermark_delay="1 hour"

@@ -13,7 +13,12 @@ Scale notes: one Spark input partition per Kafka topic-partition (the
 connector's own parallelism model); producers write from every executor
 task, round-robin over broker partitions; offsets are exactly the
 (start, end] ranges Spark's streaming engine checkpoints, so recovery
-replays precisely the uncommitted range.
+replays precisely the uncommitted range. The Spark<->Python boundary is
+ARROW-BATCHED both ways (round-9): readers yield one pyarrow
+RecordBatch per fetched message run and writers receive RecordBatches
+(DataSourceArrowWriter), so the per-message cost is one tight wire-
+framing loop (kafka_wire.encode/decode_message_set), never a per-row
+pickle hop through Spark's row serializer.
 
 Reference semantics exercised on top: docs/README.md:255-257,265 —
 topics ``canalinput``/``canaloutput``, windowed word count, JSON output.
@@ -21,14 +26,12 @@ topics ``canalinput``/``canaloutput``, windowed word count, JSON output.
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
-
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -39,6 +42,10 @@ SCHEMA = (
     "key binary, value binary, topic string, partition int, "
     "offset bigint, timestamp timestamp"
 )
+
+# one produce request per this many messages: bounds request size while
+# keeping the Python produce loop one call per ~batch, not per message
+_PRODUCE_CHUNK = 16384
 
 
 class _TPRange(InputPartition):
@@ -52,18 +59,30 @@ class _TPRange(InputPartition):
         self.end = end
 
 
-def _rows(client: KafkaWireClient, part: _TPRange):
-    for offset, ts_ms, key, value in client.fetch_all(
-        part.topic, part.partition, part.start, part.end
-    ):
-        yield (
-            key,
-            value,
-            part.topic,
-            part.partition,
-            offset,
-            datetime.fromtimestamp(ts_ms / 1000, tz=timezone.utc),
-        )
+def _arrow_batches(client: KafkaWireClient, part: _TPRange):
+    """Fetch [start, end) and yield ONE Arrow RecordBatch for the run —
+    the columnar hop Spark converts without per-row pickling."""
+    import numpy as np
+    import pyarrow as pa
+
+    msgs = client.fetch_all(part.topic, part.partition, part.start, part.end)
+    if not msgs:
+        return
+    n = len(msgs)
+    offs = np.fromiter((m[0] for m in msgs), dtype=np.int64, count=n)
+    # broker timestamps are ms; Spark's arrow transport wants us
+    ts_us = np.fromiter((m[1] for m in msgs), dtype=np.int64, count=n) * 1000
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array((m[2] for m in msgs), pa.binary(), size=n),
+            pa.array((m[3] for m in msgs), pa.binary(), size=n),
+            pa.array([part.topic] * n, pa.string()),
+            pa.array(np.full(n, part.partition, dtype=np.int32)),
+            pa.array(offs),
+            pa.array(ts_us, type=pa.timestamp("us", tz="UTC")),
+        ],
+        names=["key", "value", "topic", "partition", "offset", "timestamp"],
+    )
 
 
 class _BatchReader(DataSourceReader):
@@ -89,7 +108,7 @@ class _BatchReader(DataSourceReader):
     def read(self, partition: _TPRange):
         client = KafkaWireClient(partition.bootstrap)
         try:
-            yield from _rows(client, partition)
+            yield from _arrow_batches(client, partition)
         finally:
             client.close()
 
@@ -138,7 +157,7 @@ class _StreamReader(DataSourceStreamReader):
     def read(self, partition: _TPRange):
         client = KafkaWireClient(partition.bootstrap)
         try:
-            yield from _rows(client, partition)
+            yield from _arrow_batches(client, partition)
         finally:
             client.close()
 
@@ -150,35 +169,73 @@ class _StreamReader(DataSourceStreamReader):
             self._client.close()
 
 
-def _produce_rows(bootstrap: str, topic: str, iterator) -> int:
-    """Executor-side produce: round-robin batches over broker partitions,
-    preserving a row-supplied event timestamp when present."""
+def _binary_column(col):
+    """Arrow column -> list of bytes|None, casting string columns."""
+    import pyarrow as pa
+
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        col = col.cast(pa.binary())
+    elif pa.types.is_large_binary(t):
+        col = col.cast(pa.binary())
+    return col.to_pylist()
+
+
+def _epoch_ms_column(col) -> list[int]:
+    """Arrow timestamp column -> epoch-ms ints (None -> 0, the same
+    default the row path used for timestamp-less producers)."""
+    import numpy as np
+    import pyarrow as pa
+
+    unit = col.type.unit
+    ints = col.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+    if unit == "s":
+        ints = ints * 1000
+    elif unit == "us":
+        ints = ints // 1000
+    elif unit == "ns":
+        ints = ints // 1_000_000
+    return [int(v) for v in ints]
+
+
+def _produce_arrow_batches(bootstrap: str, topic: str, iterator) -> int:
+    """Executor-side produce over Arrow RecordBatches: one columnar
+    decode + one wire-framing loop per batch (never per-row Row access),
+    round-robin over broker partitions, preserving a row-supplied event
+    timestamp when present."""
+    import pyarrow as pa
     from pyspark import TaskContext
 
     client = KafkaWireClient(bootstrap)
-    task_id = (TaskContext.get().partitionId() if TaskContext.get() else 0)
+    ctx = TaskContext.get()
+    task_id = ctx.partitionId() if ctx else 0
     try:
         n_parts = len(client.metadata([topic])["topics"][topic]) or 1
         target = task_id % n_parts
-        batch: list[tuple[int, bytes | None, bytes | None]] = []
         n = 0
-        for row in iterator:
-            value = row["value"]
-            if isinstance(value, str):
-                value = value.encode("utf-8")
-            key = row["key"] if "key" in row.__fields__ else None
-            if isinstance(key, str):
-                key = key.encode("utf-8")
-            ts = row["timestamp"] if "timestamp" in row.__fields__ else None
-            ts_ms = int(ts.timestamp() * 1000) if ts is not None else 0
-            batch.append((ts_ms, key, value))
-            if len(batch) >= 500:
-                client.produce(topic, target, batch)
-                n += len(batch)
-                batch = []
-        if batch:
-            client.produce(topic, target, batch)
-            n += len(batch)
+        for rb in iterator:
+            if rb.num_rows == 0:
+                continue
+            cols = {
+                name.lower(): rb.column(i)
+                for i, name in enumerate(rb.schema.names)
+            }
+            values = _binary_column(cols["value"])
+            keys = (
+                _binary_column(cols["key"])
+                if "key" in cols
+                else [None] * rb.num_rows
+            )
+            ts_col = cols.get("timestamp")
+            if ts_col is not None and pa.types.is_timestamp(ts_col.type):
+                ts_ms = _epoch_ms_column(ts_col)
+            else:
+                ts_ms = [0] * rb.num_rows
+            msgs = list(zip(ts_ms, keys, values))
+            for i in range(0, len(msgs), _PRODUCE_CHUNK):
+                chunk = msgs[i : i + _PRODUCE_CHUNK]
+                client.produce(topic, target, chunk)
+                n += len(chunk)
         return n
     finally:
         client.close()
@@ -189,14 +246,14 @@ class _ProduceCommit(WriterCommitMessage):
         self.n = n
 
 
-class _BatchWriter(DataSourceWriter):
+class _BatchWriter(DataSourceArrowWriter):
     def __init__(self, options: dict):
         self._bootstrap = options["bootstrap"]
         self._topic = options["topic"]
 
     def write(self, iterator) -> _ProduceCommit:
         return _ProduceCommit(
-            _produce_rows(self._bootstrap, self._topic, iterator)
+            _produce_arrow_batches(self._bootstrap, self._topic, iterator)
         )
 
     def commit(self, messages) -> None:
@@ -206,14 +263,14 @@ class _BatchWriter(DataSourceWriter):
         pass
 
 
-class _StreamWriter(DataSourceStreamWriter):
+class _StreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options: dict):
         self._bootstrap = options["bootstrap"]
         self._topic = options["topic"]
 
     def write(self, iterator) -> _ProduceCommit:
         return _ProduceCommit(
-            _produce_rows(self._bootstrap, self._topic, iterator)
+            _produce_arrow_batches(self._bootstrap, self._topic, iterator)
         )
 
     def commit(self, messages, batchId) -> None:
