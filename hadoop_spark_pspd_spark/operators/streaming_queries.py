@@ -69,7 +69,7 @@ def _events_rows(spark: SparkSession, sf_dir: str) -> int:
     return _events_rows_cache[sf_dir]
 
 
-def sized_state_partitions(spark: SparkSession, sf_dir: str):
+def sized_state_partitions(spark: SparkSession, sf_dir: str, rows=None):
     """Temporarily size spark.sql.shuffle.partitions — which fixes the
     STATE STORE partition count of every stateful operator started
     under it — to the bounded replay's volume instead of the global
@@ -90,13 +90,10 @@ def sized_state_partitions(spark: SparkSession, sf_dir: str):
     @contextmanager
     def _ctx():
         cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        n_rows = _events_rows(spark, sf_dir) if rows is None else rows
         parts = max(
             4,
-            min(
-                cap,
-                _events_rows(spark, sf_dir) // _STATE_ROWS_PER_PARTITION
-                + 1,
-            ),
+            min(cap, n_rows // _STATE_ROWS_PER_PARTITION + 1),
         )
         old = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
@@ -114,11 +111,14 @@ def run_bounded_stream(
     transform,
     output_mode: str = "complete",
     sf_dir: str | None = None,
+    state_rows: int | None = None,
 ) -> DataFrame:
     """Drive a streaming transform over a bounded source to completion,
     collecting results in a memory sink; returns the result as a
     DataFrame. When ``sf_dir`` is given, state-store partitioning is
-    sized to the replay volume (see sized_state_partitions)."""
+    sized to the replay volume (see sized_state_partitions);
+    ``state_rows`` overrides the volume when the transform sees only a
+    cohort of the replay."""
     name = f"pspd_stream_sink_{next(_sink_counter)}"
 
     def _start():
@@ -135,7 +135,7 @@ def run_bounded_stream(
     if sf_dir is None:
         _start()
     else:
-        with sized_state_partitions(spark, sf_dir):
+        with sized_state_partitions(spark, sf_dir, rows=state_rows):
             _start()
     return spark.table(name)
 
@@ -555,14 +555,25 @@ def _tws_runnable(spark: SparkSession) -> bool:
     return _SHIM in jvm_pp or _GAE in jvm_pp
 
 
+# Deterministic cohort for the TWS pair: transformWithStateInPandas pays
+# a Python state-server round per (partition x micro-batch) plus Arrow
+# transfer of every input row, so the TWS surface is exercised on a
+# user_id cohort while the FULL-corpus fold stays hash-checked by the
+# broker-free twins (stream_user_profiles / stream_session_windows) —
+# the same oracle-mirrored-cohort pattern as stream_kafka_roundtrip
+# (round-7 verdict item 5; round-8 item 6 applies it to the TWS pair).
+_TWS_MOD = 4
+
+
 @register(
     "stream_user_profiles_tws",
-    oracle="""
+    oracle=f"""
         WITH seq AS (
             SELECT user_id, ts, value,
                    epoch_us(ts) - lag(epoch_us(ts)) OVER (
                        PARTITION BY user_id ORDER BY ts) AS gap
             FROM events
+            WHERE user_id % {_TWS_MOD} = 0
         )
         SELECT user_id,
                count(*) AS n_events,
@@ -590,7 +601,13 @@ def _tws_runnable(spark: SparkSession) -> bool:
         "AFTER it sets PYTHONPATH), the query falls back to the "
         "applyInPandasWithState implementation: identical semantics, "
         "same oracle, and the TWS path is still exercised by every "
-        "builder sweep (load_all precedes session build there).",
+        "builder sweep (load_all precedes session build there). Runs "
+        f"on the deterministic user_id % {_TWS_MOD} = 0 cohort "
+        "(oracle-mirrored) — the full-corpus fold is hash-checked by "
+        "stream_user_profiles; TWS pays a Python state-server round "
+        "per partition-batch plus Arrow transfer of every input row, "
+        "so the cohort bounds harness volume without narrowing the "
+        "exercised surface.",
     tags=("streaming",),
 )
 def stream_user_profiles_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,12 +622,15 @@ def stream_user_profiles_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         if _tws_runnable(spark)
         else user_profile_stream
     )
-    source = _events_stream(spark, sf_dir)
+    source = _events_stream(spark, sf_dir).filter(
+        F.col("user_id") % _TWS_MOD == 0
+    )
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     old = spark.conf.get(provider_key, None)
     try:
         result = run_bounded_stream(
-            spark, source, transform, "update", sf_dir=sf_dir
+            spark, source, transform, "update", sf_dir=sf_dir,
+            state_rows=_events_rows(spark, sf_dir) // _TWS_MOD,
         )
         # materialized memory sink: one row per user per micro-batch;
         # keep the final (max n_events) emission per user
@@ -629,7 +649,7 @@ def stream_user_profiles_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_timers_tws",
-    oracle="""
+    oracle=f"""
         WITH seq AS (
             SELECT user_id, ts,
                    CASE WHEN lag(ts) OVER w IS NULL
@@ -637,6 +657,7 @@ def stream_user_profiles_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                            > 1800000000
                         THEN 1 ELSE 0 END AS new_s
             FROM events
+            WHERE user_id % {_TWS_MOD} = 0
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), sess AS (
             SELECT user_id, ts,
@@ -649,7 +670,8 @@ def stream_user_profiles_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                    max(ts) AS session_last,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM sess GROUP BY 1, 2
-        ), mx AS (SELECT max(ts) AS max_ts FROM events)
+        ), mx AS (SELECT max(ts) AS max_ts FROM events
+                  WHERE user_id % {_TWS_MOD} = 0)
         SELECT user_id,
                CAST(session_start AS TIMESTAMP) AS session_start,
                CAST(session_last AS TIMESTAMP) AS session_last,
@@ -674,7 +696,11 @@ def stream_user_profiles_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gated too). State is one (start, last, n, timer) tuple per "
         "ACTIVE user — watermark-expired keys are freed by the timer "
         "path, the state-boundedness property gap sessions need at "
-        "100 TB.",
+        f"100 TB. Runs on the deterministic user_id % {_TWS_MOD} = 0 "
+        "cohort (oracle-mirrored, including the watermark's max-ts "
+        "contract) — full-corpus gap sessions are hash-checked by "
+        "stream_session_windows; see stream_user_profiles_tws for the "
+        "cohort rationale.",
     tags=("streaming",),
 )
 def stream_session_timers_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,12 +715,15 @@ def stream_session_timers_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         if _tws_runnable(spark)
         else session_gap_stream_legacy
     )
-    source = _events_stream(spark, sf_dir)
+    source = _events_stream(spark, sf_dir).filter(
+        F.col("user_id") % _TWS_MOD == 0
+    )
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     old = spark.conf.get(provider_key, None)
     try:
         result = run_bounded_stream(
-            spark, source, transform, "append", sf_dir=sf_dir
+            spark, source, transform, "append", sf_dir=sf_dir,
+            state_rows=_events_rows(spark, sf_dir) // _TWS_MOD,
         )
         return result.select(
             "user_id",

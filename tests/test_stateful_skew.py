@@ -204,10 +204,17 @@ def test_tws_query_falls_back_without_protobuf(spark, monkeypatch):
     got = sorted(
         map(tuple, reg["stream_user_profiles_tws"].fn(spark, sf).collect())
     )
+    # the TWS variant runs on the oracle-mirrored user_id cohort; the
+    # full-corpus twin restricted to that cohort must agree exactly
+    from hadoop_spark_pspd_spark.operators.streaming_queries import _TWS_MOD
+
     want = sorted(
-        map(tuple, reg["stream_user_profiles"].fn(spark, sf).collect())
+        tuple(r)
+        for r in reg["stream_user_profiles"].fn(spark, sf).collect()
+        if r["user_id"] % _TWS_MOD == 0
     )
     assert got == want
+    assert got, "cohort must be non-empty at sf0.001"
 
 
 def test_session_timer_tws_and_legacy_agree(spark, monkeypatch):
