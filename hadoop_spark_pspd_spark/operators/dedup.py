@@ -421,22 +421,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_allpairs_prefix",
-    oracle=_JACCARD_ORACLE,
-    doc="Exact Jaccard near-dup pairs via AllPairs/PPJoin PREFIX FILTERING "
-        "(Bayardo et al., WWW'07; public algorithm): order each doc's "
-        "shingles by global rarity (df, s), index only the first "
-        "n - ceil(t*n) + 1 of them - if J(A,B) >= t the two prefixes "
-        "must share a shingle, so joining prefixes instead of full "
-        "postings is lossless while cutting the candidate blow-up on "
-        "common shingles. Candidates are then exact-verified on the "
-        "cached full sets (same as the LSH tier). Same oracle as the "
-        "naive inverted-index query - the point is identical output "
-        "from a plan whose self-join input is ~5x smaller.",
-    bench=True,
-)
-def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _allpairs_prefix_stages(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(doc_sorted CACHED, distinct candidate pairs) — the shared
+    prefix-filter pipeline, exposed so the scale protocol can count
+    candidates vs verified survivors (round-8 verdict item 1)."""
     t = Tables(spark, sf_dir)
     exploded = shingles_exploded(t.documents)
     # global rarity order: (document frequency, shingle) is a total order,
@@ -476,6 +466,27 @@ def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return doc_sorted, candidates
+
+
+
+@register(
+    "dedup_allpairs_prefix",
+    oracle=_JACCARD_ORACLE,
+    doc="Exact Jaccard near-dup pairs via AllPairs/PPJoin PREFIX FILTERING "
+        "(Bayardo et al., WWW'07; public algorithm): order each doc's "
+        "shingles by global rarity (df, s), index only the first "
+        "n - ceil(t*n) + 1 of them - if J(A,B) >= t the two prefixes "
+        "must share a shingle, so joining prefixes instead of full "
+        "postings is lossless while cutting the candidate blow-up on "
+        "common shingles. Candidates are then exact-verified on the "
+        "cached full sets (same as the LSH tier). Same oracle as the "
+        "naive inverted-index query - the point is identical output "
+        "from a plan whose self-join input is ~5x smaller.",
+    bench=True,
+)
+def dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_sorted, candidates = _allpairs_prefix_stages(spark, sf_dir)
     doc_sets = doc_sorted.select(
         "doc_id",
         F.transform("sorted_sh", lambda x: x.s).alias("sh"),

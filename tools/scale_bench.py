@@ -39,9 +39,13 @@ from hadoop_spark_pspd_spark.registry import load_all  # noqa: E402
 from hadoop_spark_pspd_spark.session import get_spark  # noqa: E402
 
 SF_BASE = "/root/testdata/sf0.1"
-SIM_DIR = "/tmp/pspd_sim_sf1"
-COPIES = 10
+COPIES = 10  # overridden by --copies (100 = the round-9 100x protocol)
 OFFSET = 10_000_000
+
+
+def sim_dir() -> str:
+    # legacy name for the 10x replica so existing markers stay valid
+    return "/tmp/pspd_sim_sf1" if COPIES == 10 else f"/tmp/pspd_sim_{COPIES}x"
 
 # id columns to shift per copy so each replica is a disjoint consistent
 # universe (joins match within a copy, never across)
@@ -77,8 +81,8 @@ def _sim_signature() -> str:
 
 
 def build_sim_sf1(spark) -> None:
-    shutil.rmtree(SIM_DIR, ignore_errors=True)
-    Path(SIM_DIR).mkdir(parents=True)
+    shutil.rmtree(sim_dir(), ignore_errors=True)
+    Path(sim_dir()).mkdir(parents=True)
     # events.ts is TIMESTAMP(NANOS): read as long (engine convention,
     # catalog.normalize_event_ts); the replica stores plain INT64 nanos
     # which the same read path handles identically
@@ -94,9 +98,9 @@ def build_sim_sf1(spark) -> None:
         out = copies[0]
         for c in copies[1:]:
             out = out.unionAll(c)
-        out.write.mode("overwrite").parquet(f"{SIM_DIR}/{table}.parquet")
-    (Path(SIM_DIR) / "_MARKER.json").write_text(_sim_signature())
-    print(f"# built {SIM_DIR} ({COPIES}x {SF_BASE})", file=sys.stderr)
+        out.write.mode("overwrite").parquet(f"{sim_dir()}/{table}.parquet")
+    (Path(sim_dir()) / "_MARKER.json").write_text(_sim_signature())
+    print(f"# built {sim_dir()} ({COPIES}x {SF_BASE})", file=sys.stderr)
 
 
 def run_suite(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
@@ -211,8 +215,89 @@ def neardup_uniform_demo(spark) -> dict:
     return results
 
 
+def dedup_ratio_diagnostics(spark, sf_dir: str) -> dict:
+    """Candidate/survivor counts for the two heaviest dedup screens
+    (round-8 verdict item 1): quadratic candidate EXPLOSION would show
+    up here long before a wall-clock blow-up does.
+
+    - allpairs_prefix: distinct prefix-join candidate pairs vs
+      exact-Jaccard-verified pairs.
+    - span_coverage (linear by construction): total fingerprinted
+      windows vs windows whose fingerprint repeats corpus-wide — the
+      'candidate' mass the semi-join ships back.
+    """
+    from pyspark.sql import functions as F
+
+    from hadoop_spark_pspd_spark.operators.dedup import (
+        _SPAN_K,
+        _allpairs_prefix_stages,
+    )
+    from hadoop_spark_pspd_spark.registry import load_all
+
+    reg = load_all()
+    doc_sorted, candidates = _allpairs_prefix_stages(spark, sf_dir)
+    cand = candidates.count()
+    surv = reg["dedup_allpairs_prefix"].fn(spark, sf_dir).count()
+    spark.catalog.clearCache()
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+
+    docs = Tables(spark, sf_dir).documents.select(
+        "doc_id", F.octet_length("text").cast("long").alias("n")
+    ).filter(F.col("n") >= _SPAN_K)
+    total_windows = docs.agg(
+        F.sum(F.col("n") - _SPAN_K + 1).alias("w")
+    ).collect()[0]["w"]
+    hx = F.hex(F.col("text").cast("binary"))
+    wins = Tables(spark, sf_dir).documents.select(
+        F.octet_length("text").cast("long").alias("n"), hx.alias("hx")
+    ).filter(F.col("n") >= _SPAN_K).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - _SPAN_K + 1),
+                lambda i: F.md5(
+                    F.substring(F.col("hx"), i * 2 - 1, 2 * _SPAN_K)
+                ),
+            )
+        ).alias("h")
+    )
+    dup_windows = wins.groupBy("h").agg(
+        F.count("*").alias("c")
+    ).filter(F.col("c") > 1).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("d")
+    ).collect()[0]["d"]
+    spark.catalog.clearCache()
+    return {
+        "allpairs_prefix": {
+            "candidates": int(cand),
+            "survivors": int(surv),
+            "survivor_ratio": round(surv / cand, 4) if cand else None,
+        },
+        "span_coverage": {
+            "total_windows": int(total_windows),
+            "dup_windows": int(dup_windows),
+            "dup_fraction": (
+                round(dup_windows / total_windows, 6) if total_windows else None
+            ),
+        },
+    }
+
+
 def main() -> None:
+    global COPIES
+    if "--copies" in sys.argv:
+        i = sys.argv.index("--copies")
+        COPIES = int(sys.argv[i + 1])
+        del sys.argv[i : i + 2]
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    if mode == "--ratios":
+        sf = sys.argv[2] if len(sys.argv) > 2 else SF_BASE
+        spark = get_spark("pspd_scale_bench")
+        print(json.dumps(
+            {"metric": "dedup_ratios", "sf_dir": sf,
+             **dedup_ratio_diagnostics(spark, sf)}
+        ))
+        return
     if mode == "--neardup-uniform":
         spark = get_spark("pspd_scale_bench")
         print(json.dumps(
@@ -228,7 +313,7 @@ def main() -> None:
     spark = get_spark("pspd_scale_bench")
     out: dict = {"metric": "scale_bench"}
     if mode != "--skew-only":
-        marker = Path(SIM_DIR) / "_MARKER.json"
+        marker = Path(sim_dir()) / "_MARKER.json"
         stale = (
             "--rebuild" in sys.argv
             or not marker.exists()
@@ -237,7 +322,7 @@ def main() -> None:
         if stale:
             build_sim_sf1(spark)
         base = run_suite(spark, SF_BASE, names)
-        sim = run_suite(spark, SIM_DIR, names)
+        sim = run_suite(spark, sim_dir(), names)
         out["sf0_1"] = base
         out["sim_sf1"] = sim
         out["ratio"] = {
