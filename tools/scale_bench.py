@@ -44,8 +44,10 @@ OFFSET = 10_000_000
 
 
 def sim_dir() -> str:
-    # legacy name for the 10x replica so existing markers stay valid
-    return "/tmp/pspd_sim_sf1" if COPIES == 10 else f"/tmp/pspd_sim_{COPIES}x"
+    # legacy name for the plain 10x replica so existing markers stay valid
+    if COPIES == 10 and not SALT:
+        return "/tmp/pspd_sim_sf1"
+    return f"/tmp/pspd_sim_{COPIES}x" + ("_salted" if SALT else "")
 
 # id columns to shift per copy so each replica is a disjoint consistent
 # universe (joins match within a copy, never across)
@@ -75,9 +77,62 @@ def _sim_signature() -> str:
         st = p.stat()
         mt[t] = [int(st.st_mtime), st.st_size]
     return json.dumps(
-        {"copies": COPIES, "offset": OFFSET, "base": SF_BASE, "src": mt},
+        {"copies": COPIES, "offset": OFFSET, "base": SF_BASE, "src": mt,
+         "salt": SALT},
         sort_keys=True,
     )
+
+
+SALT = False  # --salt: per-copy content transform (see _salt_copy)
+
+
+def _salt_copy(table: str, c, k: int):
+    """Per-copy CONTENT salting for corpus-growth modeling (--salt).
+
+    Pure replication models '100 identical crawls': every replicated
+    doc/vector is an exact near-dup of its 99 twins, so near-dup pair
+    OUTPUT grows quadratically in the copy count — at 100x that measures
+    output explosion, not plan behavior (the 10x tables document the
+    caveat per query). Salting keeps WITHIN-copy structure exactly while
+    making cross-copy content disjoint:
+
+      * documents: every whitespace token gets a per-copy suffix, so no
+        shingle/window fingerprint matches across copies while the
+        per-copy shingle-set relationships (and so every Jaccard) are
+        preserved; n_chars is recomputed.
+      * embeddings: a per-copy SIGNED PERMUTATION of the 64 dims — an
+        orthogonal map, so every within-copy cosine is bit-identically
+        preserved (reorder + exact sign flip), while cross-copy cosines
+        of formerly-identical vectors decorrelate to ~N(0, 1/sqrt(d)).
+
+    Copy 0 stays untransformed so per-copy structure equals the base.
+    """
+    if not SALT or k == 0:
+        return c
+    if table == "documents":
+        c = c.withColumn(
+            "text", F.regexp_replace(F.col("text"), r"(\S+)", f"$1x{k}")
+        )
+        return c.withColumn("n_chars", F.length("text").cast("long"))
+    if table == "embeddings":
+        import random
+
+        rng = random.Random(1000 + k)
+        perm = list(range(64))
+        rng.shuffle(perm)
+        signs = [rng.choice((-1.0, 1.0)) for _ in range(64)]
+        return c.withColumn(
+            "embedding",
+            F.array(
+                *[
+                    (F.col("embedding")[perm[i]] * F.lit(signs[i])).cast(
+                        "float"
+                    )
+                    for i in range(64)
+                ]
+            ),
+        )
+    return c
 
 
 def build_sim_sf1(spark) -> None:
@@ -94,11 +149,15 @@ def build_sim_sf1(spark) -> None:
             c = src
             for col in KEY_COLS[table]:
                 c = c.withColumn(col, F.col(col) + F.lit(k * OFFSET))
-            copies.append(c)
-        out = copies[0]
-        for c in copies[1:]:
-            out = out.unionAll(c)
-        out.write.mode("overwrite").parquet(f"{sim_dir()}/{table}.parquet")
+            copies.append(_salt_copy(table, c, k))
+        # append in batches of 10 so a --copies 100 build keeps plans
+        # shallow (100 salted union branches is a needlessly deep tree)
+        dest = f"{sim_dir()}/{table}.parquet"
+        for b in range(0, len(copies), 10):
+            out = copies[b]
+            for c in copies[b + 1 : b + 10]:
+                out = out.unionAll(c)
+            out.write.mode("overwrite" if b == 0 else "append").parquet(dest)
     (Path(sim_dir()) / "_MARKER.json").write_text(_sim_signature())
     print(f"# built {sim_dir()} ({COPIES}x {SF_BASE})", file=sys.stderr)
 
@@ -169,7 +228,9 @@ def skew_demo(spark) -> dict:
     return results
 
 
-def neardup_uniform_demo(spark) -> dict:
+def neardup_uniform_demo(
+    spark, sizes=(2000, 20000), semantic: bool = False
+) -> dict:
     """The exact-recall worst case, measured: ADVERSARIALLY UNIFORM unit
     vectors (no cluster structure, so no cell pair prunes and the blocked
     numpy screen must compare every block pair) at n=2000 and n=20000.
@@ -189,10 +250,18 @@ def neardup_uniform_demo(spark) -> dict:
     rng = np.random.default_rng(11)
     results = {}
     walls = {}
-    for n in (2000, 20000):
+    for n in sizes:
         base = rng.standard_normal((n, DIM))
-        for k in range(16):  # planted near-dups: output stays non-empty
-            base[n - 16 + k] = base[k] + 0.05 * rng.standard_normal(DIM)
+        # planted near-dups scale LINEARLY with n (16 per 2000 vectors),
+        # so output growth at any size ratio is linear by construction —
+        # the real-embedding regime (high dim / high threshold: O(1)
+        # near-dups per doc), which the clustered d=64/0.4 testdata
+        # cannot model past ~10x (cross-copy cosine tails leak pairs)
+        planted = max(16, 16 * n // 2000)
+        for k in range(planted):
+            base[n - planted + k] = base[k % (n - planted)] + (
+                0.05 * rng.standard_normal(DIM)
+            )
         unit = (base / np.linalg.norm(base, axis=1, keepdims=True)).astype(
             np.float32
         )
@@ -200,7 +269,7 @@ def neardup_uniform_demo(spark) -> dict:
         spark.createDataFrame(
             [(i, [float(x) for x in unit[i]], 0) for i in range(n)],
             "vec_id long, embedding array<float>, label int",
-        ).coalesce(8).write.mode("overwrite").parquet(
+        ).coalesce(max(8, n // 10000)).write.mode("overwrite").parquet(
             f"{sf_dir}/embeddings.parquet"
         )
         t0 = time.time()
@@ -211,7 +280,19 @@ def neardup_uniform_demo(spark) -> dict:
         spark.catalog.clearCache()
         print(f"# neardup uniform n={n}: {wall}s {rows} pairs",
               file=sys.stderr)
-    results["ratio_10x"] = round(walls[20000] / walls[2000], 2)
+        if semantic:
+            from hadoop_spark_pspd_spark.registry import load_all
+
+            t0 = time.time()
+            nrows = load_all()["sim_semantic_dedup"].fn(spark, sf_dir).count()
+            wall = round(time.time() - t0, 2)
+            results[f"n{n}"]["semantic_wall_sec"] = wall
+            results[f"n{n}"]["semantic_rows"] = int(nrows)
+            spark.catalog.clearCache()
+            print(f"# semantic_dedup uniform n={n}: {wall}s {nrows} rows",
+                  file=sys.stderr)
+    hi, lo = max(sizes), min(sizes)
+    results[f"ratio_{hi // lo}x"] = round(walls[hi] / walls[lo], 2)
     return results
 
 
@@ -284,11 +365,14 @@ def dedup_ratio_diagnostics(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    global COPIES
+    global COPIES, SALT
     if "--copies" in sys.argv:
         i = sys.argv.index("--copies")
         COPIES = int(sys.argv[i + 1])
         del sys.argv[i : i + 2]
+    if "--salt" in sys.argv:
+        SALT = True
+        sys.argv.remove("--salt")
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "--ratios":
         sf = sys.argv[2] if len(sys.argv) > 2 else SF_BASE
@@ -299,9 +383,14 @@ def main() -> None:
         ))
         return
     if mode == "--neardup-uniform":
+        sizes = (2000, 20000)
+        if len(sys.argv) > 2 and "," in sys.argv[2]:
+            sizes = tuple(int(x) for x in sys.argv[2].split(","))
+        semantic = "--semantic" in sys.argv
         spark = get_spark("pspd_scale_bench")
         print(json.dumps(
-            {"metric": "neardup_uniform", **neardup_uniform_demo(spark)}
+            {"metric": "neardup_uniform",
+             **neardup_uniform_demo(spark, sizes, semantic)}
         ))
         return
     # --queries a,b,c : scale-check an explicit query list instead of the
