@@ -2593,3 +2593,111 @@ def ml_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_max",
         (F.col("rkb") <= F.col("k_max")).alias("rejected"),
     )
+
+
+_ISO_PRICE = 30000  # label threshold: P(extendedprice > 30000 | quantity)
+
+
+@register(
+    "ml_isotonic_calibration",
+    oracle=f"""
+        WITH b AS (
+            SELECT CAST(l_quantity AS BIGINT) AS q,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_extendedprice > {_ISO_PRICE}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+            FROM lineitem GROUP BY 1
+        ), pair AS (
+            SELECT j.q AS jq, k.q AS kq,
+                   CAST(SUM(m.pos) AS BIGINT) AS pos_s,
+                   CAST(SUM(m.n) AS BIGINT) AS n_s
+            FROM b j JOIN b k ON j.q <= k.q
+            JOIN b m ON m.q BETWEEN j.q AND k.q
+            GROUP BY 1, 2
+        ), inner_min AS (
+            SELECT i.q, p.jq,
+                   min(CAST(p.pos_s AS DOUBLE) / CAST(p.n_s AS DOUBLE))
+                       AS m1
+            FROM b i JOIN pair p ON p.jq <= i.q AND p.kq >= i.q
+            GROUP BY 1, 2
+        ), fit AS (
+            SELECT q, max(m1) AS iso_rate FROM inner_min GROUP BY 1
+        )
+        SELECT b.q AS quantity, b.n, b.pos,
+               CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+               f.iso_rate
+        FROM b JOIN fit f ON f.q = b.q
+    """,
+    doc="Isotonic-regression calibration (Zadrozny & Elkan 2002, "
+        "public): fit the best NON-DECREASING rate curve for "
+        f"P(extendedprice > {_ISO_PRICE} | quantity) over the 50 "
+        "quantity buckets — the monotone calibrator a ranking/score "
+        "pipeline applies when raw bucket rates are noisy. Instead of "
+        "the sequential pool-adjacent-violators loop (stateful, "
+        "unfriendly to both engines), it evaluates the CLOSED minimax "
+        "form g(i) = max_{{j<=i}} min_{{k>=i}} mean(y[j..k]) "
+        "(Robertson-Wright-Dykstra): every interval mean is one "
+        "correctly-rounded division of exact integer (pos, n) sums, so "
+        "min/max selections are bit-identical cross-engine — no "
+        "iteration, no unrolled CTEs. Scale: one fact-table shuffle "
+        "into the 50-row bucket table; the O(B^3) minimax grid "
+        "(~22k tiny rows) is domain-bounded, costing the same at any "
+        "corpus size (the 'training on aggregates' shape, like "
+        "ml_ridge_closed_form).",
+    tags=("ml", "stats"),
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    b = (
+        t.lineitem.select(
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.when(F.col("l_extendedprice") > _ISO_PRICE, 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("q")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        .cache()
+    )
+    j = b.select(F.col("q").alias("jq"))
+    k = b.select(F.col("q").alias("kq"))
+    m = b.select(F.col("q").alias("mq"), "n", "pos")
+    pair = (
+        j.crossJoin(k)
+        .filter(F.col("jq") <= F.col("kq"))
+        .join(
+            m,
+            (F.col("mq") >= F.col("jq")) & (F.col("mq") <= F.col("kq")),
+        )
+        .groupBy("jq", "kq")
+        .agg(
+            F.sum("pos").cast("long").alias("pos_s"),
+            F.sum("n").cast("long").alias("n_s"),
+        )
+    )
+    i = b.select(F.col("q").alias("iq"))
+    inner_min = (
+        i.join(
+            pair,
+            (F.col("jq") <= F.col("iq")) & (F.col("kq") >= F.col("iq")),
+        )
+        .groupBy("iq", "jq")
+        .agg(
+            F.min(
+                F.col("pos_s").cast("double") / F.col("n_s").cast("double")
+            ).alias("m1")
+        )
+    )
+    fit = inner_min.groupBy("iq").agg(F.max("m1").alias("iso_rate"))
+    return b.join(fit, b["q"] == fit["iq"]).select(
+        F.col("q").alias("quantity"),
+        "n",
+        "pos",
+        (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+            "raw_rate"
+        ),
+        "iso_rate",
+    )

@@ -1270,3 +1270,113 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_density"
         ),
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+        WITH tf AS (
+            SELECT s AS term, CAST(count(*) AS BIGINT) AS f
+            FROM (
+                SELECT unnest({_SQL_TOKENS}) AS s FROM documents
+            ) GROUP BY 1
+        ), ranked AS (
+            SELECT f, CAST(row_number() OVER (ORDER BY f DESC, term)
+                           AS BIGINT) AS r
+            FROM tf
+        ), buck AS (
+            SELECT CAST(length(bin(r)) - 1 AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(f) AS BIGINT) AS freq_sum
+            FROM ranked GROUP BY 1
+        ), pts AS (
+            SELECT k, n_terms, freq_sum,
+                   CAST(length(bin(freq_sum // n_terms)) - 1 AS BIGINT)
+                       AS log2_mean_f
+            FROM buck
+        ), fit AS (
+            SELECT CAST(count(*) AS BIGINT) AS nb,
+                   CAST(SUM(k) AS BIGINT) AS sx,
+                   CAST(SUM(log2_mean_f) AS BIGINT) AS sy,
+                   CAST(SUM(k * log2_mean_f) AS BIGINT) AS sxy,
+                   CAST(SUM(k * k) AS BIGINT) AS sxx
+            FROM pts
+        )
+        SELECT p.k, p.n_terms, p.freq_sum, p.log2_mean_f,
+               CAST(f.nb * f.sxy - f.sx * f.sy AS DOUBLE)
+                   / CAST(CASE WHEN f.nb * f.sxx - f.sx * f.sx = 0
+                               THEN 1
+                               ELSE f.nb * f.sxx - f.sx * f.sx END
+                          AS DOUBLE) AS zipf_slope
+        FROM pts p CROSS JOIN fit f
+    """,
+    doc="Zipf rank-frequency diagnostic: rank the vocabulary by "
+        "frequency (unique (f desc, term) tie-break), bucket by "
+        "floor(log2(rank)), and OLS-fit log2(mean bucket frequency) "
+        "against the bucket index — the slope is ~-s for a Zipf(s) "
+        "corpus, the standard sanity check that a crawl slice has "
+        "natural-language frequency structure (template spam and "
+        "boilerplate floods flatten it). EXACT cross-engine: the "
+        "global rank uses the distributed two-level kernel (range "
+        "partitioning + per-partition windows + broadcast offsets — "
+        "never an unpartitioned window; DuckDB affords the plain "
+        "row_number), floor(log2(x)) is length(bin(x)) - 1 in BOTH "
+        "engines (string binary repr, no float log), mean bucket "
+        "frequency is exact integer division (Spark div == DuckDB //), "
+        "the OLS moments are integer sums over the ~log2(vocab)-row "
+        "bucket table, and the single slope division is one correctly-"
+        "rounded IEEE op with the zero-denominator guard applied "
+        "identically. Scale: one corpus-tokens shuffle into the term-"
+        "frequency agg, one range shuffle for the rank — the fit "
+        "itself costs nothing at any corpus size.",
+    tags=("text",),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import with_global_rank
+
+    t = Tables(spark, sf_dir)
+    tf = (
+        t.documents.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    ranked = with_global_rank(
+        tf, [F.col("f").desc(), F.col("term")], rank_col="r"
+    )
+    buck = (
+        ranked.select(
+            (F.length(F.bin("r")) - 1).cast("long").alias("k"), "f"
+        )
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("f").cast("long").alias("freq_sum"),
+        )
+    )
+    pts = buck.withColumn(
+        "log2_mean_f",
+        (
+            F.length(F.bin(F.expr("freq_sum div n_terms"))) - 1
+        ).cast("long"),
+    )
+    fit = pts.agg(
+        F.count("*").cast("long").alias("nb"),
+        F.sum("k").cast("long").alias("sx"),
+        F.sum("log2_mean_f").cast("long").alias("sy"),
+        F.sum(F.col("k") * F.col("log2_mean_f")).cast("long").alias("sxy"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("sxx"),
+    )
+    den = F.col("nb") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "k",
+        "n_terms",
+        "freq_sum",
+        "log2_mean_f",
+        (
+            (F.col("nb") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.when(den == 0, F.lit(1).cast("long"))
+            .otherwise(den)
+            .cast("double")
+        ).alias("zipf_slope"),
+    )
