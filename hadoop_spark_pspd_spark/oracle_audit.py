@@ -45,13 +45,18 @@ _DRIFT_PREFIXES = (
 _NONSCALAR_RE = re.compile(r"\[\d*\]$|^(STRUCT|MAP|LIST|ARRAY|UNION)\b")
 
 
-def drifting_oracle_columns(rel) -> list[str]:
-    """Return ``["col: TYPE", ...]`` for output columns of a DuckDB
-    relation whose type would drift or crash under the driver's pandas
-    canonicalizer. Empty list == safe."""
+def drifting_columns(cols, type_strs) -> list[str]:
+    """Return ``["col: TYPE", ...]`` for (column, type-string) pairs whose
+    type would drift or crash under the driver's pandas canonicalizer.
+    Empty list == safe. Takes plain strings so the audit also works on
+    results shipped back from a subprocess oracle runner."""
     bad = []
-    for col, typ in zip(rel.columns, rel.types):
-        t = str(typ)
+    for col, t in zip(cols, type_strs):
         if t.startswith(_DRIFT_PREFIXES) or _NONSCALAR_RE.search(t):
             bad.append(f"{col}: {t}")
     return bad
+
+
+def drifting_oracle_columns(rel) -> list[str]:
+    """drifting_columns over a live DuckDB relation."""
+    return drifting_columns(rel.columns, [str(t) for t in rel.types])

@@ -25,22 +25,44 @@ from __future__ import annotations
 
 import json
 import math
+import pickle
+import subprocess
 import sys
 import time
 from datetime import datetime, timezone
 from decimal import Decimal
 from pathlib import Path
 
-import duckdb
-
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from hadoop_spark_pspd_spark.catalog import TABLES  # noqa: E402
 from hadoop_spark_pspd_spark.oracle_audit import (  # noqa: E402
-    drifting_oracle_columns,
+    drifting_columns,
 )
 from hadoop_spark_pspd_spark.registry import load_all  # noqa: E402
 from hadoop_spark_pspd_spark.session import get_spark  # noqa: E402
+
+# oracle-runner subprocess body: fresh interpreter + capped DuckDB per
+# oracle (see run_oracle below for why in-process connections degrade)
+_ORACLE_WORKER = r"""
+import pickle, sys
+payload = pickle.load(sys.stdin.buffer)
+import duckdb
+con = duckdb.connect(config={"memory_limit": "24GB", "threads": 8})
+# the CLI-style progress bar writes CRs to STDOUT on multi-second
+# queries, corrupting the pickle stream this worker ships back
+con.execute("SET enable_progress_bar = false")
+for t in payload["tables"]:
+    con.execute(
+        "CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'"
+        % (t, payload["sf_dir"], t)
+    )
+rel = con.sql(payload["sql"])
+out = {"cols": rel.columns, "types": [str(t) for t in rel.types]}
+out["rows"] = rel.fetchall()
+con.close()
+pickle.dump(out, sys.stdout.buffer, protocol=pickle.HIGHEST_PROTOCOL)
+"""
 
 
 def _norm(v):
@@ -164,25 +186,29 @@ def main() -> int:
         spark.sparkContext.setLogLevel("WARN")
     else:
         spark = get_spark("verify_local")
-    def fresh_con():
-        # one connection PER QUERY: a single long-lived connection
-        # accumulates allocator/temp state across ~374 oracles and the
-        # heavy recursive/iterative ones (graph_kcore) intermittently
-        # ran 5-8x slower late in a sweep (5 s standalone, 27-44 s in
-        # situ); views are just file globs, so recreation is free.
-        # EXPLICIT resource caps (round-8 verdict item 3): without them
-        # DuckDB sizes itself to 80% of RAM / all 32 cores and fights
-        # the resident 16g Spark JVM late in a sweep — the in-situ
-        # degradation per-query connections alone did not remove.
-        c = duckdb.connect(
-            config={"memory_limit": "24GB", "threads": 8}
+    def run_oracle(sql: str) -> dict:
+        # oracle in a SHORT-LIVED SUBPROCESS (round-8 verdict item 3):
+        # per-query fresh connections (r8) and explicit memory/thread
+        # caps (r9 first attempt) both failed to remove the in-situ
+        # degradation — graph_kcore's recursive-CTE oracle ran 6.6 s
+        # standalone but 28-37 s late in a sweep sharing the process
+        # with the 16g Spark JVM driver. A fresh interpreter per oracle
+        # (~0.3 s each, ~2 min over a full sweep) makes oracle_sec a
+        # trustworthy signal. Caps stay on inside the worker.
+        p = subprocess.run(
+            [sys.executable, "-c", _ORACLE_WORKER],
+            input=pickle.dumps(
+                {"sql": sql, "sf_dir": sf_dir, "tables": list(TABLES)}
+            ),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            timeout=600,
         )
-        for tname in TABLES:
-            c.execute(
-                f"CREATE VIEW {tname} AS "
-                f"SELECT * FROM '{sf_dir}/{tname}.parquet'"
+        if p.returncode != 0:
+            raise RuntimeError(
+                p.stderr.decode("utf-8", "replace").strip()[-300:]
             )
-        return c
+        return pickle.loads(p.stdout)
 
     n_pass = n_fail = n_weak = 0
     results: dict[str, dict] = {}
@@ -241,23 +267,21 @@ def main() -> int:
             )
             n_weak += 1
             continue
-        con = None
         try:
-            con = fresh_con()
-            rel = con.sql(q.oracle)
-            duck_cols = rel.columns
+            payload = run_oracle(q.oracle)
+            duck_cols = payload["cols"]
             # type-drift audit: DuckDB HUGEINT/DECIMAL/unsigned OUTPUT
             # columns pandas-coerce to dtypes Spark never emits, so the
             # driver's pandas canonicalizer hash-mismatches even when the
             # cursor values below compare equal (the invisible-to-three-
             # local-sweeps CORRECTNESS_r03/r04 text_nucleus_filter bug)
-            drift = drifting_oracle_columns(rel)
+            drift = drifting_columns(duck_cols, payload["types"])
             if drift:
                 raise TypeError(
                     "oracle output type would drift under the driver's "
                     f"pandas canonicalizer: {drift}"
                 )
-            duck_rows = rel.fetchall()
+            duck_rows = payload["rows"]
             rec["oracle_rows"] = len(duck_rows)
             rec["oracle_sec"] = round(time.time() - t0 - rec["engine_sec"], 2)
         except Exception as e:  # noqa: BLE001
@@ -266,12 +290,6 @@ def main() -> int:
             rec["wall_sec"] = round(time.time() - t0, 2)
             n_fail += 1
             continue
-        finally:
-            # failed oracles must also release their connection (and its
-            # views) — a leaked connection keeps its allocator state for
-            # the rest of the sweep (ADVICE r8)
-            if con is not None:
-                con.close()
         problems = compare(spark_rows, spark_cols, duck_rows, duck_cols)
         rec["rows_match"] = len(spark_rows) == len(duck_rows)
         rec["schema_match"] = sorted(c.lower() for c in spark_cols) == sorted(
