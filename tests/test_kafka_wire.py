@@ -190,3 +190,53 @@ def test_stream_reads_incrementally_across_batches(spark, broker, tmp_path):
         assert vals == [b"one", b"two"]  # no re-delivery of message one
     finally:
         c.close()
+
+
+def test_arrow_writer_nulls_and_empty_partitions(spark, broker):
+    """The Arrow produce path must frame NULL keys/values as the wire's
+    int32 -1 fields (not crash or coerce to b''), and empty input
+    partitions must produce nothing."""
+    from hadoop_spark_pspd_spark.sources.kafka_datasource import (
+        register_kafka_wire_source,
+    )
+
+    register_kafka_wire_source(spark)
+    df = spark.createDataFrame(
+        [(None, b"v0"), (b"k1", None), (None, None)],
+        "key binary, value binary",
+    ).repartition(6)  # more partitions than rows: empty tasks exist
+    df.write.format("kafkawire").mode("append").option(
+        "bootstrap", broker.bootstrap
+    ).option("topic", "t_nulls").save()
+    c = KafkaWireClient(broker.bootstrap)
+    try:
+        pairs = [
+            (k, v)
+            for p in (0, 1)
+            for _o, _t, k, v in c.fetch_all("t_nulls", p, 0, 100)
+        ]
+        key = lambda kv: (  # noqa: E731 - None-safe sort
+            kv[0] is not None, kv[0] or b"",
+            kv[1] is not None, kv[1] or b"",
+        )
+        assert sorted(pairs, key=key) == sorted(
+            [(None, None), (None, b"v0"), (b"k1", None)], key=key
+        )
+    finally:
+        c.close()
+    back = (
+        spark.read.format("kafkawire")
+        .option("bootstrap", broker.bootstrap)
+        .option("subscribe", "t_nulls")
+        .load()
+        .select("key", "value")
+        .collect()
+    )
+    vals = [
+        (bytes(r["key"]) if r["key"] is not None else None,
+         bytes(r["value"]) if r["value"] is not None else None)
+        for r in back
+    ]
+    assert sorted(vals, key=key) == sorted(
+        [(None, b"v0"), (b"k1", None), (None, None)], key=key
+    )
