@@ -2701,3 +2701,114 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "iso_rate",
     )
+
+
+@register(
+    "q_moments_skew_kurtosis",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   CAST(floor(value * 100.0) AS DECIMAL(38,0)) AS u
+            FROM events
+        ), s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   SUM(u) AS s1d,
+                   SUM(u * u) AS s2d,
+                   SUM(u * u * u) AS s3d,
+                   SUM(u * u * u * u) AS s4d
+            FROM q GROUP BY 1
+        ), d AS (
+            SELECT event_type, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(CAST(s1d AS VARCHAR) AS DOUBLE) AS s1,
+                   CAST(CAST(s2d AS VARCHAR) AS DOUBLE) AS s2,
+                   CAST(CAST(s3d AS VARCHAR) AS DOUBLE) AS s3,
+                   CAST(CAST(s4d AS VARCHAR) AS DOUBLE) AS s4
+            FROM s
+        ), m AS (
+            SELECT event_type, n, s1,
+                   (s1 / nd) AS m1,
+                   ((s2 / nd) - ((s1 / nd) * (s1 / nd))) AS m2,
+                   (((s3 / nd) - ((3.0 * (s1 / nd)) * (s2 / nd)))
+                    + ((2.0 * ((s1 / nd) * (s1 / nd))) * (s1 / nd)))
+                       AS m3c,
+                   ((((s4 / nd) - ((4.0 * (s1 / nd)) * (s3 / nd)))
+                     + ((6.0 * ((s1 / nd) * (s1 / nd))) * (s2 / nd)))
+                    - ((3.0 * ((s1 / nd) * (s1 / nd)))
+                       * ((s1 / nd) * (s1 / nd)))) AS m4c
+            FROM d
+        )
+        SELECT event_type, n, s1 AS units_sum, m1, m2,
+               m3c / (CASE WHEN m2 <= 0.0 THEN 1.0 ELSE m2 END
+                      * sqrt(CASE WHEN m2 <= 0.0 THEN 1.0 ELSE m2 END))
+                   AS skewness,
+               (m4c / (CASE WHEN m2 <= 0.0 THEN 1.0 ELSE m2 END
+                       * CASE WHEN m2 <= 0.0 THEN 1.0 ELSE m2 END))
+                   - 3.0 AS excess_kurtosis
+        FROM m
+    """,
+    doc="Per-event-type skewness and excess kurtosis — the higher-"
+        "moment family Spark's built-in skewness()/kurtosis() compute "
+        "with ORDER-DEPENDENT float sums (non-deterministic across "
+        "partitionings, so unusable under a hash gate). This plan "
+        "instead aggregates EXACT integer power sums of the 1e-2-"
+        "quantized value (floor(value*100): one correctly-rounded "
+        "multiply + floor, identical cross-engine; u^4 sums stay under "
+        "1e31 for 1e12 rows in DECIMAL(38,0)), crosses each sum to "
+        "double once (shortest-string in the oracle, plain decimal "
+        "cast in Spark), and derives central moments through an "
+        "IDENTICALLY-PARENTHESIZED chain of correctly-rounded IEEE ops "
+        "(+,-,*,/,sqrt), the r5 eigendecomposition principle — "
+        "bit-identical in both engines with no fixed-point unrolling. "
+        "Zero-variance groups take the m2<=0 guard branch identically "
+        "(CLAUDE.md rule 5). One partial+final aggregate; moment math "
+        "is per-group O(1) — the canonical training-on-aggregates "
+        "shape at any scale.",
+    tags=("stats",),
+)
+def q_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    u = F.floor(F.col("value") * 100.0).cast("decimal(38,0)")
+    s = (
+        t.events.select("event_type", u.alias("u"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("u").alias("s1d"),
+            F.sum(F.col("u") * F.col("u")).alias("s2d"),
+            F.sum(F.col("u") * F.col("u") * F.col("u")).alias("s3d"),
+            F.sum(
+                F.col("u") * F.col("u") * F.col("u") * F.col("u")
+            ).alias("s4d"),
+        )
+    )
+    d = s.select(
+        "event_type",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("s1d").cast("double").alias("s1"),
+        F.col("s2d").cast("double").alias("s2"),
+        F.col("s3d").cast("double").alias("s3"),
+        F.col("s4d").cast("double").alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("nd")
+    m2 = (F.col("s2") / F.col("nd")) - (m1 * m1)
+    m3c = ((F.col("s3") / F.col("nd")) - ((F.lit(3.0) * m1) * (F.col("s2") / F.col("nd")))) + (
+        (F.lit(2.0) * (m1 * m1)) * m1
+    )
+    m4c = (
+        ((F.col("s4") / F.col("nd")) - ((F.lit(4.0) * m1) * (F.col("s3") / F.col("nd"))))
+        + ((F.lit(6.0) * (m1 * m1)) * (F.col("s2") / F.col("nd")))
+    ) - ((F.lit(3.0) * (m1 * m1)) * (m1 * m1))
+    md = d.select(
+        "event_type", "n", F.col("s1").alias("units_sum"),
+        m1.alias("m1"), m2.alias("m2"),
+        m3c.alias("m3c"), m4c.alias("m4c"),
+    )
+    g = F.when(F.col("m2") <= 0.0, F.lit(1.0)).otherwise(F.col("m2"))
+    return md.select(
+        "event_type", "n", "units_sum", "m1", "m2",
+        (F.col("m3c") / (g * F.sqrt(g))).alias("skewness"),
+        ((F.col("m4c") / (g * g)) - F.lit(3.0)).alias("excess_kurtosis"),
+    )

@@ -188,3 +188,48 @@ def test_isotonic_matches_pav_reference(spark, iso_sf):
     raw = [r["raw_rate"] for r in rows]
     assert any(abs(g - r) > 1e-9 for g, r in zip(got, raw))
     spark.catalog.clearCache()
+
+
+# --- higher moments ---------------------------------------------------
+
+@pytest.fixture(scope="module")
+def const_events_sf(tmp_path_factory, spark):
+    """Events with a CONSTANT value per type: m2 is ~0 (possibly a tiny
+    float residue from the correctly-rounded s1/n), so skew/kurtosis
+    must take the m2<=0 guard branch identically in both engines; a
+    second type carries genuine skew so the non-guard path is also
+    exercised on the same fixture."""
+    d = tmp_path_factory.mktemp("const_events_sf")
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, i % 7, "flat", 12.34, "{}") for i in range(40)
+    ] + [
+        (100 + i, t0, i % 7, "skewed", float(v), "{}")
+        for i, v in enumerate([1, 1, 1, 1, 1, 1, 1, 1, 1, 500])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_moments_guard_and_skew_parity(spark, const_events_sf):
+    srows, drows = _run_both(
+        "q_moments_skew_kurtosis", spark, const_events_sf, ("events",)
+    )
+    assert srows == drows
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["q_moments_skew_kurtosis"]
+        .fn(spark, const_events_sf)
+        .collect()
+    }
+    assert abs(rows["flat"]["m2"]) < 1e-6  # constant -> (near-)zero var
+    assert rows["skewed"]["skewness"] > 2.0  # one huge outlier
+    assert rows["skewed"]["excess_kurtosis"] > 3.0
+    spark.catalog.clearCache()
