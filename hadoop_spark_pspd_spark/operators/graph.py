@@ -1414,3 +1414,156 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(1 << _KATZ_ROUNDS))
         ).alias("katz"),
     )
+
+
+_HITS_FX = 65536  # 2^16 score grid: sums stay far inside BIGINT
+_HITS_ITERS = 3  # authority updates (hub updates interleave)
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS replay: every score is an exact BIGINT on the
+    2^16 grid, every normalization an exact integer division (DuckDB
+    // == Spark div, truncation toward zero on non-negative ints), so
+    the iterative eigen-pair replays bit-identically — the pagerank
+    recipe on the bipartite user->event_type graph."""
+    fx = _HITS_FX
+    parts = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT user_id AS u, event_type AS i,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM events GROUP BY 1, 2
+        ), nu AS MATERIALIZED (
+            SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM e
+        ), h0 AS MATERIALIZED (
+            SELECT u, CAST({fx} // (SELECT n FROM nu) AS BIGINT) AS hx
+            FROM (SELECT DISTINCT u FROM e)
+        )"""]
+    prev_h = "h0"
+    for it in range(1, _HITS_ITERS + 1):
+        parts.append(f""", a{it}r AS MATERIALIZED (
+            SELECT e.i,
+                   CAST(SUM(CAST(e.w AS DECIMAL(38,0)) * {prev_h}.hx)
+                        AS BIGINT) AS raw
+            FROM e JOIN {prev_h} ON e.u = {prev_h}.u
+            GROUP BY e.i
+        ), a{it}t AS MATERIALIZED (
+            SELECT CASE WHEN CAST(SUM(CAST(raw AS DECIMAL(38,0)))
+                             AS BIGINT) = 0 THEN 1
+                        ELSE CAST(SUM(CAST(raw AS DECIMAL(38,0)))
+                             AS BIGINT) END AS t
+            FROM a{it}r
+        ), a{it} AS MATERIALIZED (
+            SELECT i, CAST(raw * {fx} // (SELECT t FROM a{it}t)
+                           AS BIGINT) AS ax
+            FROM a{it}r
+        )""")
+        if it < _HITS_ITERS:
+            parts.append(f""", h{it}r AS MATERIALIZED (
+                SELECT e.u,
+                       CAST(SUM(CAST(e.w AS DECIMAL(38,0)) * a{it}.ax)
+                            AS BIGINT) AS raw
+                FROM e JOIN a{it} ON e.i = a{it}.i
+                GROUP BY e.u
+            ), h{it}t AS MATERIALIZED (
+                SELECT CASE WHEN CAST(SUM(CAST(raw AS DECIMAL(38,0)))
+                                 AS BIGINT) = 0 THEN 1
+                            ELSE CAST(SUM(CAST(raw AS DECIMAL(38,0)))
+                                 AS BIGINT) END AS t
+                FROM h{it}r
+            ), h{it} AS MATERIALIZED (
+                SELECT u, CAST(raw * {fx} // (SELECT t FROM h{it}t)
+                               AS BIGINT) AS hx
+                FROM h{it}r
+            )""")
+            prev_h = f"h{it}"
+    parts.append(f"""
+        SELECT i AS event_type, ax AS auth_fx,
+               CAST(ax AS DOUBLE) / {fx}.0 AS authority
+        FROM a{_HITS_ITERS}
+    """)
+    return "".join(parts)
+
+
+@register(
+    "graph_hits_bipartite",
+    oracle=_hits_oracle(),
+    doc="HITS hubs/authorities (Kleinberg 1999, public) on the DIRECTED "
+        "bipartite user -> event_type interaction graph (the symmetric "
+        "co-occurrence graph pagerank uses would make hubs == "
+        f"authorities). {_HITS_ITERS} authority updates with hub "
+        "updates interleaved; every score lives on an exact 2^16 "
+        "integer grid: per-step mass is SUM(w * score) formed in "
+        "DECIMAL(38,0) then cast to BIGINT (bounded: w*score <= 1e7 "
+        "per edge, fits to ~1e12 edges), and each normalization is "
+        "raw * 2^16 // total — exact truncating integer division in "
+        "BOTH engines (Spark div == DuckDB //), zero-total guarded "
+        "identically (CLAUDE.md rule 5). The authority double is the "
+        "exact dyadic ax/2^16. Scale: per-iteration cost is one "
+        "grouped aggregate over the (user, type) edge table with the "
+        "type-dimension score table BROADCAST — the pagerank loop "
+        "shape on a bipartite graph; no window, no Python.",
+    tags=("graph",),
+)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx = _HITS_FX
+    t = Tables(spark, sf_dir)
+    e = (
+        t.events.groupBy(
+            F.col("user_id").alias("u"), F.col("event_type").alias("i")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+        .cache()
+    )
+    n_users = e.select("u").distinct().count()
+    hubs = e.select("u").distinct().select(
+        "u", F.lit(fx // max(n_users, 1)).cast("long").alias("hx")
+    )
+
+    def _step(edges, scores, key, out_key, score_col, out_col):
+        # pin the raw mass table: BOTH the total aggregate and the
+        # normalize select consume it, and it also truncates the
+        # per-iteration lineage (unpinned, the final plan re-expanded
+        # every step subtree — the LPA compounding-plan-depth trap,
+        # 27.7 s -> ~4 s at sf0.1); node/type-dimension-sized, so the
+        # lazy checkpoint is ~free
+        raw = (
+            edges.join(F.broadcast(scores), key)
+            .groupBy(out_key)
+            .agg(
+                F.sum(
+                    F.col("w").cast("decimal(38,0)") * F.col(score_col)
+                )
+                .cast("bigint")
+                .alias("raw")
+            )
+            .localCheckpoint(eager=False)
+        )
+        tot = raw.agg(
+            F.sum(F.col("raw").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("t")
+        ).select(
+            F.when(F.col("t") == 0, F.lit(1).cast("long"))
+            .otherwise(F.col("t"))
+            .alias("t")
+        )
+        return raw.crossJoin(F.broadcast(tot)).select(
+            out_key,
+            F.expr(f"raw * {fx} div t").cast("long").alias(out_col),
+        )
+
+    auth = None
+    for it in range(1, _HITS_ITERS + 1):
+        # each step nests an aggregate + crossJoin subtree; without a
+        # lineage cut the final plan re-expands all five step subtrees
+        # (the LPA compounding-plan-depth trap: 27.7 s -> ~3 s at
+        # sf0.1). The score tables are node/type-dimension-sized, so
+        # the lazy checkpoint is ~free.
+        auth = _step(e, hubs, "u", "i", "hx", "ax")
+        if it < _HITS_ITERS:
+            hubs = _step(e, auth, "i", "u", "ax", "hx")
+    return auth.select(
+        F.col("i").alias("event_type"),
+        F.col("ax").alias("auth_fx"),
+        (F.col("ax").cast("double") / F.lit(float(fx))).alias("authority"),
+    )

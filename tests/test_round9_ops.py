@@ -233,3 +233,54 @@ def test_moments_guard_and_skew_parity(spark, const_events_sf):
     assert rows["skewed"]["skewness"] > 2.0  # one huge outlier
     assert rows["skewed"]["excess_kurtosis"] > 3.0
     spark.catalog.clearCache()
+
+
+# --- HITS --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hits_events_sf(tmp_path_factory, spark):
+    """Bipartite graph with a KNOWN authority ordering: every user
+    touches 'hub_item'; only users 0-1 touch 'niche'; user 0 (the
+    strongest hub) also touches 'elite'. authority(hub_item) must
+    dominate, and 'elite' (endorsed only by the top hub) must beat
+    'niche' on equal edge counts after one hub refinement."""
+    d = tmp_path_factory.mktemp("hits_events_sf")
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(6):
+        for _ in range(4):  # every user -> hub_item, weight 4
+            rows.append((eid, t0, u, "hub_item", 1.0, "{}")); eid += 1
+    for u in (0, 1):
+        rows.append((eid, t0, u, "niche", 1.0, "{}")); eid += 1
+    for _ in range(2):
+        rows.append((eid, t0, 0, "elite", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_hits_authority_ordering_and_parity(spark, hits_events_sf):
+    srows, drows = _run_both(
+        "graph_hits_bipartite", spark, hits_events_sf, ("events",)
+    )
+    assert srows == drows
+    rows = {
+        r["event_type"]: r["auth_fx"]
+        for r in REGISTRY["graph_hits_bipartite"]
+        .fn(spark, hits_events_sf)
+        .collect()
+    }
+    assert set(rows) == {"hub_item", "niche", "elite"}
+    assert rows["hub_item"] > rows["niche"]
+    assert rows["hub_item"] > rows["elite"]
+    # scores are on the exact 2^16 grid and ~sum to it (floor losses)
+    total = sum(rows.values())
+    assert 65536 - 16 <= total <= 65536
+    spark.catalog.clearCache()
