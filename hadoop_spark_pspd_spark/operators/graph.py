@@ -1432,10 +1432,8 @@ def _hits_oracle() -> str:
             SELECT user_id AS u, event_type AS i,
                    CAST(count(*) AS BIGINT) AS w
             FROM events GROUP BY 1, 2
-        ), nu AS MATERIALIZED (
-            SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM e
         ), h0 AS MATERIALIZED (
-            SELECT u, CAST({fx} // (SELECT n FROM nu) AS BIGINT) AS hx
+            SELECT u, CAST({fx} AS BIGINT) AS hx
             FROM (SELECT DISTINCT u FROM e)
         )"""]
     prev_h = "h0"
@@ -1453,8 +1451,8 @@ def _hits_oracle() -> str:
                              AS BIGINT) END AS t
             FROM a{it}r
         ), a{it} AS MATERIALIZED (
-            SELECT i, CAST(raw * {fx} // (SELECT t FROM a{it}t)
-                           AS BIGINT) AS ax
+            SELECT i, CAST(CAST(raw AS HUGEINT) * {fx}
+                           // (SELECT t FROM a{it}t) AS BIGINT) AS ax
             FROM a{it}r
         )""")
         if it < _HITS_ITERS:
@@ -1471,8 +1469,8 @@ def _hits_oracle() -> str:
                                  AS BIGINT) END AS t
                 FROM h{it}r
             ), h{it} AS MATERIALIZED (
-                SELECT u, CAST(raw * {fx} // (SELECT t FROM h{it}t)
-                               AS BIGINT) AS hx
+                SELECT u, CAST(CAST(raw AS HUGEINT) * {fx}
+                               // (SELECT t FROM h{it}t) AS BIGINT) AS hx
                 FROM h{it}r
             )""")
             prev_h = f"h{it}"
@@ -1494,9 +1492,11 @@ def _hits_oracle() -> str:
         "updates interleaved; every score lives on an exact 2^16 "
         "integer grid: per-step mass is SUM(w * score) formed in "
         "DECIMAL(38,0) then cast to BIGINT (bounded: w*score <= 1e7 "
-        "per edge, fits to ~1e12 edges), and each normalization is "
-        "raw * 2^16 // total — exact truncating integer division in "
-        "BOTH engines (Spark div == DuckDB //), zero-total guarded "
+        "per edge, the SUMS fit to ~1e12 edges), and each "
+        "normalization forms raw * 2^16 in DECIMAL(38,0) / HUGEINT "
+        "(plain BIGINT would overflow past ~2^31 events) before the "
+        "exact truncating integer division — Spark div == DuckDB //, "
+        "zero-total guarded "
         "identically (CLAUDE.md rule 5). The authority double is the "
         "exact dyadic ax/2^16. Scale: per-iteration cost is one "
         "grouped aggregate over the (user, type) edge table with the "
@@ -1514,9 +1514,11 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("w"))
         .cache()
     )
-    n_users = e.select("u").distinct().count()
+    # every hub starts at the FULL grid constant (not fx // n_users,
+    # which is 0 past 2^16 users — silently degenerate); the first
+    # normalization makes the initial scale irrelevant.
     hubs = e.select("u").distinct().select(
-        "u", F.lit(fx // max(n_users, 1)).cast("long").alias("hx")
+        "u", F.lit(fx).cast("long").alias("hx")
     )
 
     def _step(edges, scores, key, out_key, score_col, out_col):
@@ -1547,9 +1549,15 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("t"))
             .alias("t")
         )
+        # the raw * 2^16 product must form in DECIMAL(38,0) (oracle:
+        # HUGEINT): raw can reach total mass ~ n_events * 2^16, so the
+        # plain-BIGINT product overflows past ~2^31 events — DuckDB
+        # errors, non-ANSI Spark wraps silently.
         return raw.crossJoin(F.broadcast(tot)).select(
             out_key,
-            F.expr(f"raw * {fx} div t").cast("long").alias(out_col),
+            F.expr(f"CAST(raw AS DECIMAL(38,0)) * {fx} div t")
+            .cast("long")
+            .alias(out_col),
         )
 
     auth = None

@@ -2602,7 +2602,7 @@ _ISO_PRICE = 30000  # label threshold: P(extendedprice > 30000 | quantity)
     "ml_isotonic_calibration",
     oracle=f"""
         WITH b AS (
-            SELECT CAST(l_quantity AS BIGINT) AS q,
+            SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(SUM(CASE WHEN l_extendedprice > {_ISO_PRICE}
                                  THEN 1 ELSE 0 END) AS BIGINT) AS pos
@@ -2650,7 +2650,9 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     b = (
         t.lineitem.select(
-            F.col("l_quantity").cast("bigint").alias("q"),
+            # floor() both engines: DuckDB double->BIGINT rounds half-even
+            # while Spark cast truncates — divergent on fractional qty.
+            F.floor(F.col("l_quantity")).cast("long").alias("q"),
             F.when(F.col("l_extendedprice") > _ISO_PRICE, 1)
             .otherwise(0)
             .alias("y"),
