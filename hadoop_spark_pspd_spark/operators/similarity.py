@@ -2624,6 +2624,402 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVFADC: residual-encoded IVF,PQ (Jegou/Douze/Schmid TPAMI 2011) -----
+
+_ADC_FX = 1 << 20  # residual grid: r_fx = floor(r * 2^20), exact both ways
+
+
+def _train_residual_codebooks(
+    emb: DataFrame, centroids: np.ndarray
+) -> np.ndarray:
+    """Residual PQ codebooks on the bounded first-256 sample: assign
+    each sample vector to its primary coarse cell (the _IVF_FX
+    fixed-point dot argmax), form r = x - centroid (ONE IEEE
+    subtraction of bit-identical doubles — itself bit-identical
+    cross-engine), land it on the exact 2^-20 grid (floor(r * 2^20):
+    power-of-two scaling is exact), then run a PURE-INTEGER Lloyd per
+    8-dim subspace: assignment is the exact int64 dot argmax
+    (products <= 2^46, sums < 2^49), the update a TRUNCATING integer
+    mean — DuckDB // truncates toward zero on negatives while Python
+    // floors, so trunc is spelled out. No decimal hops anywhere:
+    unlike the raw-coordinate codebooks (whose float32-derived coords
+    fit DECIMAL(27,14) exactly), residuals are full-precision doubles
+    whose 14-digit decimal quantization could round differently
+    cross-engine. Returns int64 (M, K, SUBDIM) codebooks on the grid."""
+    import math
+
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_QUANT_SAMPLE)
+        .collect()
+    )
+    sample = [[float(v) for v in r["embedding"]] for r in rows]
+    rfx = []
+    for x in sample:
+        best, best_d = 0, None
+        for c in range(len(centroids)):
+            d = 0
+            for xi, ci in zip(x, centroids[c]):
+                d += math.floor(xi * ci * _LSH_FP)
+            if best_d is None or d > best_d:
+                best_d, best = d, c
+        cent = centroids[best]
+        rfx.append(
+            [math.floor((xi - ci) * _ADC_FX) for xi, ci in zip(x, cent)]
+        )
+
+    def trunc_div(a: int, b: int) -> int:
+        return a // b if a >= 0 else -((-a) // b)
+
+    books = np.zeros((_PQ_M, _PQ_K, _PQ_SUBDIM), dtype=np.int64)
+    for m in range(_PQ_M):
+        lo = m * _PQ_SUBDIM
+        sub = [r[lo:lo + _PQ_SUBDIM] for r in rfx]
+        cents = [list(sub[i]) for i in range(_PQ_K)]
+        for _ in range(_PQ_ITERS):
+            assign = []
+            for s in sub:
+                best, best_d = 0, None
+                for c, cent in enumerate(cents):
+                    d = sum(si * ci for si, ci in zip(s, cent))
+                    if best_d is None or d > best_d:
+                        best_d, best = d, c
+                assign.append(best)
+            for c in range(_PQ_K):
+                members = [sub[i] for i, a in enumerate(assign) if a == c]
+                if not members:
+                    continue  # keep previous codeword
+                cents[c] = [
+                    trunc_div(sum(mm[j] for mm in members), len(members))
+                    for j in range(_PQ_SUBDIM)
+                ]
+        books[m] = np.array(cents, dtype=np.int64)
+    return books
+
+
+def _ivfadc_oracle() -> str:
+    """Composed replay: the shared coarse-quantizer prefix (pts/smp/
+    q0..q5, verbatim the IVF/IVFPQ oracles'), residual formation on
+    the exact 2^-20 integer grid, per-subspace INTEGER Lloyd codebook
+    training (SUM // count truncates identically in DuckDB and the
+    driver's trunc_div), residual encoding of the corpus, and ADC
+    scoring afx = <q_fx, cent_fx> + sum_m LUT[m, code] — every term an
+    exact int64 product sum, so the candidate ranking replays
+    bit-for-bit. Exact-cosine rerank of the top-32 as in IVF,PQ."""
+    k, nprobe = _IVF_CELLS, _IVF_NPROBE
+    dim, sd, fx = DIM, _PQ_SUBDIM, float(_ADC_FX)
+    parts = []
+    enc_sel, qd_sel = [], []
+    for m in range(_PQ_M):
+        lo = m * sd
+        idot = (
+            f"list_sum(list_transform(range(1, {sd} + 1), "
+            f"j -> s.rfx[{lo} + j] * c.cfx[j]))"
+        )
+        parts.append(f"""
+        rcb{m}_0 AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   list_transform(range(1, {sd} + 1),
+                                  j -> rfx[{lo} + j]) AS cfx
+            FROM (SELECT vec_id, rfx FROM rsmp ORDER BY vec_id
+                  LIMIT {_PQ_K})
+        )""")
+        for i in range(_PQ_ITERS):
+            parts.append(f"""
+        ras{m}_{i} AS MATERIALIZED (
+            SELECT vec_id, rfx, cell FROM (
+                SELECT s.vec_id, s.rfx, c.cell,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY {idot} DESC, c.cell
+                       ) AS rn
+                FROM rsmp s, rcb{m}_{i} c
+            ) WHERE rn = 1
+        ), rcb{m}_{i + 1} AS MATERIALIZED (
+            SELECT c.cell, COALESCE(x.cfx, c.cfx) AS cfx
+            FROM rcb{m}_{i} c LEFT JOIN (
+                SELECT cell, list(v ORDER BY dim) AS cfx
+                FROM (
+                    SELECT a.cell, CAST(d.dim AS INTEGER) AS dim,
+                           CAST(SUM(a.rfx[{lo} + d.dim]) // count(*)
+                                AS BIGINT) AS v
+                    FROM ras{m}_{i} a,
+                         (SELECT unnest(range(1, {sd} + 1)) AS dim) d
+                    GROUP BY a.cell, CAST(d.dim AS INTEGER)
+                ) GROUP BY cell
+            ) x ON x.cell = c.cell
+        )""")
+        parts.append(f"""
+        radc{m} AS MATERIALIZED (
+            SELECT vec_id, cell, code FROM (
+                SELECT s.vec_id, s.cell, c.cell AS code,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY {idot} DESC, c.cell
+                       ) AS rn
+                FROM corpusr s, rcb{m}_{_PQ_ITERS} c
+            ) WHERE rn = 1
+        ), rqd{m} AS MATERIALIZED (
+            SELECT q.query_id, c.cell AS code,
+                   CAST(list_sum(list_transform(range(1, {sd} + 1),
+                       j -> q.qfx[{lo} + j] * c.cfx[j])) AS BIGINT) AS fx
+            FROM qfxt q, rcb{m}_{_PQ_ITERS} c
+        )""")
+        enc_sel.append(f"SELECT {m} AS m, vec_id, cell, code FROM radc{m}")
+        qd_sel.append(f"SELECT {m} AS m, query_id, code, fx FROM rqd{m}")
+    return f"""
+        {_quant_train_prefix(k)},
+        {_q_assign("ranked", "pts", f"q{_QUANT_ITERS}", str(nprobe))},
+        {_q_assign("ssmp", "smp", f"q{_QUANT_ITERS}", "1")},
+        corpusr AS MATERIALIZED (
+            SELECT r.vec_id, r.cell,
+                   list_transform(range(1, {dim} + 1), j ->
+                       CAST(floor((r.emb[j] - c.centroid[j]) * {fx})
+                            AS BIGINT)) AS rfx
+            FROM ranked r JOIN q{_QUANT_ITERS} c ON c.cell = r.cell
+            WHERE r.rn = 1
+        ),
+        rsmp AS MATERIALIZED (
+            SELECT s.vec_id,
+                   list_transform(range(1, {dim} + 1), j ->
+                       CAST(floor((s.emb[j] - c.centroid[j]) * {fx})
+                            AS BIGINT)) AS rfx
+            FROM ssmp s JOIN q{_QUANT_ITERS} c ON c.cell = s.cell
+        ),
+        qprobe AS (
+            SELECT vec_id AS query_id, cell FROM ranked
+            WHERE vec_id < {N_QUERIES}
+        ),
+        qfxt AS MATERIALIZED (
+            SELECT vec_id AS query_id,
+                   list_transform(range(1, {dim} + 1), j ->
+                       CAST(floor(emb[j] * {fx}) AS BIGINT)) AS qfx
+            FROM pts WHERE vec_id < {N_QUERIES}
+        ),
+        centfx AS MATERIALIZED (
+            SELECT cell,
+                   list_transform(range(1, {dim} + 1), j ->
+                       CAST(floor(centroid[j] * {fx}) AS BIGINT)) AS cfx
+            FROM q{_QUANT_ITERS}
+        ),
+        qcofs AS MATERIALIZED (
+            SELECT q.query_id, c.cell,
+                   CAST(list_sum(list_transform(range(1, {dim} + 1),
+                       j -> q.qfx[j] * c.cfx[j])) AS BIGINT) AS qcfx
+            FROM qfxt q, centfx c
+        ),
+        {",".join(parts)},
+        enc_all AS ({" UNION ALL ".join(enc_sel)}),
+        rqd_all AS ({" UNION ALL ".join(qd_sel)}),
+        rsums AS (
+            SELECT qp.query_id, e.vec_id AS candidate_id, e.cell,
+                   CAST(SUM(l.fx) AS BIGINT) AS rsum
+            FROM enc_all e
+            JOIN qprobe qp ON qp.cell = e.cell
+                          AND qp.query_id <> e.vec_id
+            JOIN rqd_all l ON l.m = e.m AND l.code = e.code
+                          AND l.query_id = qp.query_id
+            GROUP BY 1, 2, 3
+        ),
+        approx AS (
+            SELECT r.query_id, r.candidate_id, r.rsum + o.qcfx AS afx
+            FROM rsums r JOIN qcofs o ON o.query_id = r.query_id
+                                     AND o.cell = r.cell
+        ), cand AS (
+            SELECT query_id, candidate_id FROM (
+                SELECT query_id, candidate_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY afx DESC, candidate_id
+                       ) AS arn
+                FROM approx
+            ) WHERE arn <= {_PQ_RERANK}
+        ), scored AS (
+            SELECT cand.query_id, cand.candidate_id, {_COSINE_SQL} AS sim
+            FROM cand
+            JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.candidate_id
+        )
+        SELECT query_id, candidate_id, sim, rk FROM (
+            SELECT query_id, candidate_id, sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, candidate_id
+                   ) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """
+
+
+@register(
+    "sim_ann_ivfadc",
+    oracle=_ivfadc_oracle(),
+    doc="IVFADC — the residual-encoding refinement of IVF,PQ (Jegou, "
+        "Douze & Schmid, 'Product Quantization for Nearest Neighbor "
+        "Search', TPAMI 2011; the FAISS IndexIVFPQ default): corpus "
+        "vectors are PQ-coded on their RESIDUAL x - centroid(cell) "
+        "rather than raw coordinates, so the codebooks spend their 16 "
+        "codewords on the within-cell distribution — and ADC scoring "
+        "adds the per-cell offset <q, centroid> back: afx = "
+        "<q, cent_c> + sum_m LUT[m, code_m] ~ <q, x>. Every quantity "
+        "lives on the exact 2^-20 integer grid (residual floor, query "
+        "floor, integer-Lloyd codebooks with truncating integer means), "
+        "so training, encoding AND scoring replay bit-identically in "
+        "the DuckDB oracle with no decimal machinery. Scale: identical "
+        "two-level cost to sim_ann_ivfpq (probe fraction x ADC scan, "
+        "exact work bounded by the 32-candidate rerank); the index adds "
+        "one broadcast of the 16x64 centroid + 8x16x8 codebook ints per "
+        "executor — bytes, not data.",
+    tags=("similarity",),
+)
+def sim_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    k_cells, nprobe = _IVF_CELLS, _IVF_NPROBE
+    centroids = _train_coarse_quantizer(t.embeddings, k_cells)
+    books = _train_residual_codebooks(t.embeddings, centroids)
+
+    def _cells_and_codes(embs):
+        mat = np.stack(embs.values).astype(np.float64)
+        n = len(mat)
+        prods = np.floor(
+            mat[:, None, :] * centroids[None, :, :] * float(_LSH_FP)
+        ).sum(axis=2)
+        order = np.argsort(-prods, axis=1, kind="stable")
+        cells = order[:, :nprobe]
+        prim = order[:, 0]
+        # residual on the exact 2^-20 grid; int64 matmul (never BLAS)
+        rfx = np.floor(
+            (mat - centroids[prim]) * float(_ADC_FX)
+        ).astype(np.int64)
+        codes = np.empty((n, _PQ_M), dtype=np.int64)
+        for m in range(_PQ_M):
+            lo = m * _PQ_SUBDIM
+            d = rfx[:, lo:lo + _PQ_SUBDIM] @ books[m].T
+            codes[:, m] = np.argsort(-d, axis=1, kind="stable")[:, 0]
+        return pd.DataFrame(
+            {
+                "cells": [r.astype("int32").tolist() for r in cells],
+                "codes": [r.astype("int32").tolist() for r in codes],
+            }
+        )
+
+    _cells_and_codes.__annotations__ = {
+        "embs": pd.Series, "return": pd.DataFrame,
+    }
+    assign = F.pandas_udf(
+        _cells_and_codes, "cells array<int>, codes array<int>"
+    )
+
+    indexed = t.embeddings.select(
+        "vec_id", "embedding", assign(F.col("embedding")).alias("a")
+    ).select("vec_id", "embedding", "a.cells", "a.codes")
+    corpus = indexed.select(
+        "vec_id", F.col("cells").getItem(0).alias("ccell"),
+        F.posexplode("codes").alias("m", "code"),
+    )
+    qprobe = (
+        indexed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode("cells").alias("ccell"),
+        )
+    )
+    # query fixed-point vector (JVM-side HOF; floor of an exact
+    # power-of-two scaling — bit-identical to the oracle's floor)
+    q = t.embeddings.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * float(_ADC_FX))
+            .cast("long"),
+        ).alias("qfx"),
+    )
+
+    # per-cell offset <q_fx, cent_fx> and per-(m, code) residual LUT:
+    # both against bytes-sized literal tables, built as broadcast joins
+    cent_fx_rows = [
+        (c, [int(math.floor(v * _ADC_FX)) for v in centroids[c]])
+        for c in range(k_cells)
+    ]
+    centfx = spark.createDataFrame(cent_fx_rows, "cell int, cfx array<long>")
+    qc = q.crossJoin(F.broadcast(centfx)).select(
+        "query_id",
+        F.col("cell").alias("ccell"),
+        F.aggregate(
+            F.zip_with(F.col("qfx"), F.col("cfx"), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("qcfx"),
+    )
+    cb_rows = [
+        (m, c, [int(v) for v in books[m][c]])
+        for m in range(_PQ_M)
+        for c in range(_PQ_K)
+    ]
+    cb = spark.createDataFrame(cb_rows, "m int, code int, cfx array<long>")
+    qd = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", "m", "code",
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qfx"), F.col("m") * _PQ_SUBDIM + 1,
+                        _PQ_SUBDIM),
+                F.col("cfx"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("fx"),
+    )
+
+    rsums = (
+        corpus.join(F.broadcast(qprobe), "ccell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qd), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("candidate_id"), "ccell")
+        .agg(F.sum("fx").cast("bigint").alias("rsum"))
+    )
+    approx = rsums.join(F.broadcast(qc), ["query_id", "ccell"]).select(
+        "query_id", "candidate_id",
+        (F.col("rsum") + F.col("qcfx")).alias("afx"),
+    )
+    aw = W.partitionBy("query_id").orderBy(
+        F.desc("afx"), F.asc("candidate_id")
+    )
+    cand = (
+        approx.select(
+            "query_id", "candidate_id",
+            F.row_number().over(aw).alias("arn"),
+        )
+        .filter(F.col("arn") <= _PQ_RERANK)
+        .drop("arn")
+    )
+    ce = t.embeddings.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("embedding").alias("ce"),
+    )
+    qe = q.select("query_id", "qe")
+    scored = (
+        ce.join(F.broadcast(cand), "candidate_id")
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id", "candidate_id",
+            F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("candidate_id")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
 # Exponentially-discounted gain weights: position i (1-based) contributes
 # rel_i / 2^(i-1). Every weight and every prefix sum below is an exact
 # dyadic rational on denominator 2^7, so grouped sums are order-free and

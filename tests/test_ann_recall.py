@@ -152,3 +152,50 @@ def test_ivfpq_recall_floor_and_containment(spark):
         for c in cands:
             assert primary[c] in probes[q], (q, c)
     spark.catalog.clearCache()
+
+def test_ivfadc_recall_floor_and_containment(spark):
+    """IVFADC (residual PQ) on the uniform (adversarial) corpus: the
+    residual codebooks model the within-cell distribution, so recall
+    should not trail raw-coordinate IVF,PQ — floor at 0.3 as the
+    composition tripwire, plus the same probe-containment invariant
+    (every hit's primary cell is among the query's nprobe cells)."""
+    import numpy as np
+
+    from hadoop_spark_pspd_spark.catalog import Tables
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        _IVF_CELLS,
+        _IVF_NPROBE,
+        _LSH_FP,
+        _train_coarse_quantizer,
+        sim_ann_ivfadc,
+    )
+
+    bf = _topk(sim_topk_bruteforce(spark, SF_GATE))
+    got = _topk(sim_ann_ivfadc(spark, SF_GATE))
+    recall = sum(
+        len(got.get(q, set()) & bf[q]) / len(bf[q]) for q in bf
+    ) / len(bf)
+    assert recall >= 0.3, f"IVFADC recall@5 collapsed: {recall}"
+
+    t = Tables(spark, SF_GATE)
+    rows = t.embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float32) for r in rows]
+    ).astype(np.float64)
+    cents = _train_coarse_quantizer(t.embeddings, _IVF_CELLS)
+    prods = np.floor(
+        mat[:, None, :] * cents[None, :, :] * float(_LSH_FP)
+    ).sum(axis=2)
+    order = np.argsort(-prods, axis=1, kind="stable")
+    primary = {int(i): int(order[k, 0]) for k, i in enumerate(ids)}
+    probes = {
+        int(i): set(order[k, :_IVF_NPROBE].tolist())
+        for k, i in enumerate(ids)
+    }
+    for q, cands in got.items():
+        assert len(cands) <= 5
+        assert q not in cands
+        for c in cands:
+            assert primary[c] in probes[q], (q, c)
+    spark.catalog.clearCache()

@@ -43,6 +43,8 @@ ALLOWED = {
     ("operators/ml_data.py", "ml_ucb_bandit"),
     # IVF/PQ trainers: .limit(_QUANT_SAMPLE) (constant 256) sample rows.
     ("operators/similarity.py", "_train_coarse_quantizer"),
+    # bounded by _QUANT_SAMPLE=256 (the IVF-sample bounded-collect class)
+    ("operators/similarity.py", "_train_residual_codebooks"),
     ("operators/similarity.py", "_train_pq_codebooks"),
     # int8 recall: d per-dimension min/max rows (d=DIM).
     ("operators/similarity.py", "sim_int8_recall"),
