@@ -929,15 +929,21 @@ def _boot_weight_sql(h: str) -> str:
 @register(
     "ml_poisson_bootstrap",
     oracle=f"""
-        WITH reps AS (
+        WITH hashed AS (
+            -- ONE md5 serves TWO 52-bit draws (chars 1-13 / 14-26 of
+            -- the 32-char digest), and the hash is hoisted into its
+            -- own projection so the CASE chain compares a column, not
+            -- 8 re-evaluations (in-situ: 7.5 s -> ~1.9 s at sf0.1)
             SELECT r.b,
                    CAST(o.o_totalprice AS DECIMAL(18,4)) AS price,
-                   {_boot_weight_sql(
-                       "CAST(('0x' || substr(md5(CAST(o.o_orderkey AS "
-                       "VARCHAR) || ':' || CAST(r.b AS VARCHAR)), 1, 13)) "
-                       "AS UBIGINT)"
-                   )} AS w
+                   CAST(('0x' || substr(
+                       md5(CAST(o.o_orderkey AS VARCHAR) || ':'
+                           || CAST(r.b // 2 AS VARCHAR)),
+                       CAST(1 + 13 * (r.b % 2) AS INTEGER), 13))
+                       AS UBIGINT) AS hv
             FROM orders o, (SELECT unnest(range(0, {_BOOT_B})) AS b) r
+        ), reps AS (
+            SELECT b, price, {_boot_weight_sql("hv")} AS w FROM hashed
         ), ests AS (
             SELECT b,
                    CAST(CAST(CAST(SUM(w * price) AS DECIMAL(38,4))
@@ -968,8 +974,10 @@ def _boot_weight_sql(h: str) -> str:
         "map-side); weighting each row Poisson(1) per replica is "
         "asymptotically equivalent and embarrassingly parallel. Here "
         "the draw is md5-DERANDOMIZED: replica b gives row k the "
-        "weight whose Poisson(1) CDF bucket contains the 52-bit "
-        "md5(orderkey:b) hash — the CDF thresholds are Python-computed "
+        "weight whose Poisson(1) CDF bucket contains a 52-bit slice of "
+        "md5(orderkey:b div 2) (digest chars 1-13 / 14-26 by b % 2 — "
+        "one md5 per TWO replicas, the hot cost both engines pay) "
+        "— the CDF thresholds are Python-computed "
         "integer literals shared by both engines, so e^-1 never has to "
         "reproduce cross-engine. Replica means are exact-decimal sums "
         "over integer weights divided once; the ~95% interval is the "
@@ -993,14 +1001,15 @@ def ml_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     ).withColumn(
-        "w",
+        # one md5 serves two 52-bit draws; hoisted so the CASE chain
+        # compares a column (mirrors the oracle's hashed CTE)
+        "hv",
         F.expr(
-            _boot_weight_sql(
-                "CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), "
-                "':', CAST(b AS STRING))), 1, 13), 16, 10) AS BIGINT)"
-            )
+            "CAST(conv(substr(md5(concat(CAST(o_orderkey AS STRING), "
+            "':', CAST(b div 2 AS STRING))), "
+            "CAST(1 + 13 * (b % 2) AS INT), 13), 16, 10) AS BIGINT)"
         ),
-    )
+    ).withColumn("w", F.expr(_boot_weight_sql("hv")))
     ests = reps.groupBy("b").agg(
         (
             F.sum(F.col("w") * F.col("price"))
