@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bytes-bound Arrow batching: giant-row mapInPandas inputs (the
+        # near-dup screen ships two occupancy-capped vector blocks per
+        # row — ~28 MB/row at d=768) OOM the 16g heap when the default
+        # rows-bound batching (10k rows) builds one batch in memory;
+        # 64 MB bounds the in-flight batch for any row width without
+        # touching normal small-row batching (round-10 d=768 leg)
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 << 20))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

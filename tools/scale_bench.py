@@ -229,7 +229,8 @@ def skew_demo(spark) -> dict:
 
 
 def neardup_uniform_demo(
-    spark, sizes=(2000, 20000), semantic: bool = False
+    spark, sizes=(2000, 20000), semantic: bool = False,
+    dim: int | None = None,
 ) -> dict:
     """The exact-recall worst case, measured: ADVERSARIALLY UNIFORM unit
     vectors (no cluster structure, so no cell pair prunes and the blocked
@@ -247,11 +248,13 @@ def neardup_uniform_demo(
         sim_embedding_neardup,
     )
 
+    if dim is None:
+        dim = DIM
     rng = np.random.default_rng(11)
-    results = {}
+    results = {"dim": dim}
     walls = {}
     for n in sizes:
-        base = rng.standard_normal((n, DIM))
+        base = rng.standard_normal((n, dim))
         # planted near-dups scale LINEARLY with n (16 per 2000 vectors),
         # so output growth at any size ratio is linear by construction —
         # the real-embedding regime (high dim / high threshold: O(1)
@@ -260,18 +263,39 @@ def neardup_uniform_demo(
         planted = max(16, 16 * n // 2000)
         for k in range(planted):
             base[n - planted + k] = base[k % (n - planted)] + (
-                0.05 * rng.standard_normal(DIM)
+                0.05 * rng.standard_normal(dim)
             )
         unit = (base / np.linalg.norm(base, axis=1, keepdims=True)).astype(
             np.float32
         )
-        sf_dir = f"/tmp/pspd_uniform_{n}"
-        spark.createDataFrame(
-            [(i, [float(x) for x in unit[i]], 0) for i in range(n)],
-            "vec_id long, embedding array<float>, label int",
-        ).coalesce(max(8, n // 10000)).write.mode("overwrite").parquet(
-            f"{sf_dir}/embeddings.parquet"
+        sf_dir = f"/tmp/pspd_uniform_{dim}_{n}" if dim != DIM else (
+            f"/tmp/pspd_uniform_{n}"
         )
+        # pyarrow direct write: 200k x 768 floats through
+        # createDataFrame's row pickling takes minutes; arrow seconds
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out_dir = Path(f"{sf_dir}/embeddings.parquet")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        n_files = max(8, n // 10000)
+        bounds = [n * i // n_files for i in range(n_files + 1)]
+        for f in range(n_files):
+            lo, hi = bounds[f], bounds[f + 1]
+            tbl = pa.table(
+                {
+                    "vec_id": pa.array(range(lo, hi), pa.int64()),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(
+                            unit[lo:hi].reshape(-1), pa.float32()
+                        ),
+                        dim,
+                    ).cast(pa.list_(pa.float32())),
+                    "label": pa.array([0] * (hi - lo), pa.int32()),
+                }
+            )
+            pq.write_table(tbl, out_dir / f"part-{f:05d}.parquet")
         t0 = time.time()
         rows = sim_embedding_neardup(spark, sf_dir).count()
         wall = round(time.time() - t0, 2)
@@ -384,13 +408,18 @@ def main() -> None:
         return
     if mode == "--neardup-uniform":
         sizes = (2000, 20000)
+        dim = None
+        if "--dim" in sys.argv:
+            i = sys.argv.index("--dim")
+            dim = int(sys.argv[i + 1])
+            del sys.argv[i:i + 2]
         if len(sys.argv) > 2 and "," in sys.argv[2]:
             sizes = tuple(int(x) for x in sys.argv[2].split(","))
         semantic = "--semantic" in sys.argv
         spark = get_spark("pspd_scale_bench")
         print(json.dumps(
             {"metric": "neardup_uniform",
-             **neardup_uniform_demo(spark, sizes, semantic)}
+             **neardup_uniform_demo(spark, sizes, semantic, dim)}
         ))
         return
     # --queries a,b,c : scale-check an explicit query list instead of the
