@@ -937,9 +937,20 @@ def neardup_candidates(
                     blk_pairs.append(
                         (i, si, j, sj, i == j and si == sj)
                     )
-    pair_df = spark.createDataFrame(
-        blk_pairs, "ci int, si int, cj int, sj int, same boolean"
-    )
+    # two physical shapes for the same screen, chosen by BLOCK BYTES
+    # (cap * dim * 4):
+    #  * narrow vectors (d <= ~256, block <= 4 MB): materialize blocks
+    #    via collect_list and join block pairs — fewest shuffled rows,
+    #    the measured-fastest shape at d=64 (~2 s sf0.1);
+    #  * wide vectors: pair-MEMBERSHIP rows. Joining collect_list'd
+    #    block tables pairs ~28 MB rows at d=768 whose UnsafeRow
+    #    copies inside the sort-merge join OOM'd the 16g heap at
+    #    n=200k (round 10); instead ship each VECTOR (a ~KB row) once
+    #    per pair it participates in via a broadcast membership join
+    #    and regroup by pair id — the shuffle moves the same bytes in
+    #    spillable KB-rows, and no giant row ever exists.
+    dim = centroids.shape[1]
+    wide = cap * dim * 4 > (4 << 20)
     salted = assigned.select(
         "vec_id", "embedding", "cell",
         F.pmod(
@@ -955,57 +966,111 @@ def neardup_candidates(
             ),
         ).cast("int").alias("salt"),
     )
-    blocks = salted.groupBy("cell", "salt").agg(
-        F.collect_list(F.struct("vec_id", "embedding")).alias("members")
-    )
 
     thr = threshold - _SCREEN_MARGIN
+    out_schema = "ida long, ea array<float>, idb long, eb array<float>"
 
-    def _screen(batches):
-        for pdf in batches:
-            out_ida, out_ea, out_idb, out_eb = [], [], [], []
-            for ma, mb, same in zip(pdf["ma"], pdf["mb"], pdf["same"]):
-                ids_a = np.array([m["vec_id"] for m in ma], dtype=np.int64)
-                ids_b = np.array([m["vec_id"] for m in mb], dtype=np.int64)
-                A = np.stack([m["embedding"] for m in ma]).astype(np.float64)
-                B = np.stack([m["embedding"] for m in mb]).astype(np.float64)
-                Au = A / np.linalg.norm(A, axis=1, keepdims=True)
-                Bu = B / np.linalg.norm(B, axis=1, keepdims=True)
-                mask = (Au @ Bu.T) >= thr
-                if same:
-                    mask &= ids_a[:, None] < ids_b[None, :]
-                ia, ib = np.nonzero(mask)
-                out_ida.extend(ids_a[ia])
-                out_ea.extend(ma[x]["embedding"] for x in ia)
-                out_idb.extend(ids_b[ib])
-                out_eb.extend(mb[x]["embedding"] for x in ib)
-            # explicit dtypes: an EMPTY batch would otherwise default to
-            # float64 columns, which Arrow can't convert to list<float>
-            yield pd.DataFrame(
-                {"ida": pd.Series(out_ida, dtype="int64"),
-                 "ea": pd.Series(out_ea, dtype="object"),
-                 "idb": pd.Series(out_idb, dtype="int64"),
-                 "eb": pd.Series(out_eb, dtype="object")}
+    if wide:
+        members = []  # (cell, salt, pair_id, side): 'a'/'b'/'s' (same)
+        for pid, (ci, si, cj, sj, same) in enumerate(blk_pairs):
+            if same:
+                members.append((ci, si, pid, "s"))
+            else:
+                members.append((ci, si, pid, "a"))
+                members.append((cj, sj, pid, "b"))
+        member_df = spark.createDataFrame(
+            members, "cell int, salt int, pair_id int, side string"
+        )
+        stream = salted.join(
+            F.broadcast(member_df), ["cell", "salt"]
+        ).select("pair_id", "side", "vec_id", "embedding")
+
+        def _screen_group(_key, pdf):
+            side = pdf["side"].to_numpy()
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["embedding"].values).astype(np.float64)
+            same = bool((side == "s").any())
+            if same:
+                a_idx = b_idx = np.arange(len(ids))
+            else:
+                a_idx = np.nonzero(side == "a")[0]
+                b_idx = np.nonzero(side == "b")[0]
+            ids_a, ids_b = ids[a_idx], ids[b_idx]
+            A, B = mat[a_idx], mat[b_idx]
+            Au = A / np.linalg.norm(A, axis=1, keepdims=True)
+            Bu = B / np.linalg.norm(B, axis=1, keepdims=True)
+            mask = (Au @ Bu.T) >= thr
+            if same:
+                mask &= ids_a[:, None] < ids_b[None, :]
+            ia, ib = np.nonzero(mask)
+            emb = pdf["embedding"].values
+            # explicit dtypes: an EMPTY result would otherwise default
+            # to float64 columns, which Arrow can't cast to list<float>
+            return pd.DataFrame(
+                {"ida": pd.Series(ids_a[ia], dtype="int64"),
+                 "ea": pd.Series(
+                     [emb[a_idx[x]] for x in ia], dtype="object"),
+                 "idb": pd.Series(ids_b[ib], dtype="int64"),
+                 "eb": pd.Series(
+                     [emb[b_idx[x]] for x in ib], dtype="object")}
             )
 
-    stream = (
-        blocks.select(
-            F.col("cell").alias("ci"), F.col("salt").alias("si"),
-            F.col("members").alias("ma"),
+        screened = stream.groupBy("pair_id").applyInPandas(
+            _screen_group, out_schema
         )
-        .join(F.broadcast(pair_df), ["ci", "si"])
-        .join(
+    else:
+        pair_df = spark.createDataFrame(
+            blk_pairs, "ci int, si int, cj int, sj int, same boolean"
+        )
+        blocks = salted.groupBy("cell", "salt").agg(
+            F.collect_list(F.struct("vec_id", "embedding")).alias("members")
+        )
+
+        def _screen(batches):
+            for pdf in batches:
+                out_ida, out_ea, out_idb, out_eb = [], [], [], []
+                for ma, mb, same in zip(pdf["ma"], pdf["mb"], pdf["same"]):
+                    ids_a = np.array(
+                        [m["vec_id"] for m in ma], dtype=np.int64)
+                    ids_b = np.array(
+                        [m["vec_id"] for m in mb], dtype=np.int64)
+                    A = np.stack(
+                        [m["embedding"] for m in ma]).astype(np.float64)
+                    B = np.stack(
+                        [m["embedding"] for m in mb]).astype(np.float64)
+                    Au = A / np.linalg.norm(A, axis=1, keepdims=True)
+                    Bu = B / np.linalg.norm(B, axis=1, keepdims=True)
+                    mask = (Au @ Bu.T) >= thr
+                    if same:
+                        mask &= ids_a[:, None] < ids_b[None, :]
+                    ia, ib = np.nonzero(mask)
+                    out_ida.extend(ids_a[ia])
+                    out_ea.extend(ma[x]["embedding"] for x in ia)
+                    out_idb.extend(ids_b[ib])
+                    out_eb.extend(mb[x]["embedding"] for x in ib)
+                # explicit dtypes (empty-batch rule, CLAUDE.md r6-5)
+                yield pd.DataFrame(
+                    {"ida": pd.Series(out_ida, dtype="int64"),
+                     "ea": pd.Series(out_ea, dtype="object"),
+                     "idb": pd.Series(out_idb, dtype="int64"),
+                     "eb": pd.Series(out_eb, dtype="object")}
+                )
+
+        stream = (
             blocks.select(
-                F.col("cell").alias("cj"), F.col("salt").alias("sj"),
-                F.col("members").alias("mb"),
-            ),
-            ["cj", "sj"],
+                F.col("cell").alias("ci"), F.col("salt").alias("si"),
+                F.col("members").alias("ma"),
+            )
+            .join(F.broadcast(pair_df), ["ci", "si"])
+            .join(
+                blocks.select(
+                    F.col("cell").alias("cj"), F.col("salt").alias("sj"),
+                    F.col("members").alias("mb"),
+                ),
+                ["cj", "sj"],
+            )
         )
-    )
-    screened = stream.mapInPandas(
-        _screen,
-        "ida long, ea array<float>, idb long, eb array<float>",
-    )
+        screened = stream.mapInPandas(_screen, out_schema)
     # exact verify inputs: same HOF norm on the same float32 arrays as the
     # pre-screen implementation — identical doubles, oracle-hash pinned
     return screened.select(

@@ -1380,3 +1380,104 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         ).alias("zipf_slope"),
     )
+
+
+_BIGRAM_TOKS_SQL = (
+    "list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), "
+    "x -> x <> '')"
+)
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_BIGRAM_TOKS_SQL} AS w
+            FROM documents
+        ), bi AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(w), 1)),
+                       i -> w[i] || ' ' || w[i+1])) AS bg,
+                   unnest(list_transform(
+                       range(1, greatest(len(w), 1)),
+                       i -> w[i])) AS w1
+            FROM toks
+        ), cb AS (
+            SELECT bg, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY bg
+        ), cf AS (
+            SELECT w1, CAST(count(*) AS BIGINT) AS ca FROM bi GROUP BY w1
+        ), scored AS (
+            SELECT bi.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM((length(bin(cb.cab)) - 1)
+                            - (length(bin(cf.ca)) - 1)) AS BIGINT) AS bits
+            FROM bi JOIN cb ON cb.bg = bi.bg JOIN cf ON cf.w1 = bi.w1
+            GROUP BY bi.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(s.bits, 0) AS BIGINT) AS bits_score,
+               CAST(COALESCE(s.bits, 0) AS DOUBLE)
+                   / CASE WHEN COALESCE(s.n_bigrams, 0) = 0 THEN 1
+                          ELSE s.n_bigrams END AS bits_per_bigram
+        FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """,
+    doc="Bigram language-model quality score with EXACT-INTEGER "
+        "log-probabilities — the KenLM-perplexity filter shape (CCNet / "
+        "Wenzek et al. 2020, public) made hash-checkable: per doc, sum "
+        "over its word bigrams of floor(log2 c(w1 w2)) - floor(log2 "
+        "c(w1 .)) — the conditional bigram log-prob in WHOLE BITS, "
+        "where floor(log2 x) is length(bin(x)) - 1, an exact integer "
+        "in both engines (no per-row transcendental ever evaluates; "
+        "the round-8 UCB trick generalized from baked literals to "
+        "data-derived counts). Corpus-fluent docs score near 0 bits/"
+        "bigram, gibberish scores deeply negative — the ranking a "
+        "perplexity filter thresholds on. bits_per_bigram is one "
+        "int/int division (correctly rounded, zero-guarded identically "
+        "per CLAUDE.md rule 5). Scale: one corpus-bigram explode "
+        "feeding two grouped counts, then bounded-fanout joins back on "
+        "bigram / first-word keys (the BM25 inverted-index shape); "
+        "partial aggregation bounds every shuffle by distinct-bigram "
+        "cardinality, never O(corpus^2).",
+    tags=("text", "curation"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_ngrams
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    bi = (
+        docs.select(
+            "doc_id",
+            F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("bg"),
+        )
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .localCheckpoint(eager=False)  # 3 consumers: one corpus scan
+    )
+    cb = bi.groupBy("bg").agg(F.count("*").cast("long").alias("cab"))
+    cf = bi.groupBy("w1").agg(F.count("*").cast("long").alias("ca"))
+    bits = (
+        (F.length(F.bin(F.col("cab"))) - 1)
+        - (F.length(F.bin(F.col("ca"))) - 1)
+    )
+    scored = (
+        bi.join(cb, "bg")
+        .join(cf, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(bits).cast("long").alias("bits"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("bits", F.lit(0)).cast("long").alias("bits_score"),
+        (
+            F.coalesce("bits", F.lit(0)).cast("double")
+            / F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, 1)
+            .otherwise(F.col("n_bigrams"))
+            .cast("double")
+        ).alias("bits_per_bigram"),
+    )
