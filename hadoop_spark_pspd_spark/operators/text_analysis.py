@@ -1411,7 +1411,8 @@ _BIGRAM_TOKS_SQL = (
             SELECT bi.doc_id,
                    CAST(count(*) AS BIGINT) AS n_bigrams,
                    CAST(SUM((length(bin(cb.cab)) - 1)
-                            - (length(bin(cf.ca)) - 1)) AS BIGINT) AS bits
+                            - (length(bin(cf.ca + 16)) - 1))
+                        AS BIGINT) AS bits
             FROM bi JOIN cb ON cb.bg = bi.bg JOIN cf ON cf.w1 = bi.w1
             GROUP BY bi.doc_id
         )
@@ -1427,7 +1428,10 @@ _BIGRAM_TOKS_SQL = (
         "log-probabilities — the KenLM-perplexity filter shape (CCNet / "
         "Wenzek et al. 2020, public) made hash-checkable: per doc, sum "
         "over its word bigrams of floor(log2 c(w1 w2)) - floor(log2 "
-        "c(w1 .)) — the conditional bigram log-prob in WHOLE BITS, "
+        "(c(w1 .) + 16)) — the smoothed conditional bigram log-prob in "
+        "WHOLE BITS (the +16 pseudocount keeps hapax contexts from "
+        "scoring 'perfectly': an unsmoothed self-trained LM gives "
+        "c_ab = c_a = 1 pairs p = 1, so gibberish would score 0), "
         "where floor(log2 x) is length(bin(x)) - 1, an exact integer "
         "in both engines (no per-row transcendental ever evaluates; "
         "the round-8 UCB trick generalized from baked literals to "
@@ -1459,7 +1463,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf = bi.groupBy("w1").agg(F.count("*").cast("long").alias("ca"))
     bits = (
         (F.length(F.bin(F.col("cab"))) - 1)
-        - (F.length(F.bin(F.col("ca"))) - 1)
+        - (F.length(F.bin(F.col("ca") + 16)) - 1)
     )
     scored = (
         bi.join(cb, "bg")

@@ -174,3 +174,54 @@ def test_hits_many_users_parity_and_nondegenerate(spark, many_users_sf):
     assert sum(r["auth_fx"] for r in out) > 0
     top = max(out, key=lambda r: r["auth_fx"])
     assert top["event_type"] == "view"  # half of all users point at it
+
+
+@pytest.fixture(scope="module")
+def lm_fixture_sf(tmp_path_factory, spark):
+    """Corpus where fluent (corpus-common) and gibberish docs separate:
+    docs 0-3 share the same common bigrams; doc 4 is one-of-a-kind;
+    doc 5 is empty and doc 6 single-token (no bigrams — the zero-guard
+    rows); doc 7 has multibyte tokens repeated so unicode bigram keys
+    join correctly."""
+    d = tmp_path_factory.mktemp("r10_lm_sf")
+    rows = [
+        (0, "the cat sat on the mat", "en", "s0"),
+        (1, "the cat sat on the rug", "en", "s0"),
+        (2, "the cat sat on the mat", "en", "s1"),
+        (3, "the cat ran on the mat", "en", "s1"),
+        (4, "zxq qvw jjk pfd", "en", "s2"),        # gibberish
+        (5, "", "en", "s2"),                        # empty
+        (6, "solo", "en", "s2"),                    # one token
+        (7, "漢字 の 漢字 の 漢字", "ja", "s3"),    # multibyte bigrams
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_bigram_lm_score_parity_and_ordering(spark, lm_fixture_sf):
+    srows, drows = _run_both(
+        "text_bigram_lm_score", spark, lm_fixture_sf, ("documents",)
+    )
+    assert srows == drows
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_bigram_lm_score"]
+        .fn(spark, lm_fixture_sf)
+        .collect()
+    }
+    assert set(rows) == set(range(8))
+    # zero-guard rows: no bigrams -> score 0, bpb 0.0
+    for i in (5, 6):
+        assert rows[i]["n_bigrams"] == 0
+        assert rows[i]["bits_score"] == 0
+        assert rows[i]["bits_per_bigram"] == 0.0
+    # gibberish scores strictly below every fluent doc per bigram
+    fluent_bpb = [rows[i]["bits_per_bigram"] for i in (0, 1, 2, 3)]
+    assert rows[4]["bits_per_bigram"] < min(fluent_bpb)
+    # a doc made of corpus-common bigrams scores near 0 (conditional
+    # probability ~1 -> ~0 bits)
+    assert max(fluent_bpb) <= 0.0
+    assert rows[7]["n_bigrams"] == 4  # multibyte keys joined
