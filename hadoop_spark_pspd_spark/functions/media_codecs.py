@@ -7,7 +7,8 @@ this module closes that gap with decoders built ONLY on the Python
 standard library, so the sandbox exercises a genuine bytes-to-pixels /
 bytes-to-samples path end-to-end:
 
-- PNG: 8-bit greyscale/RGB/RGBA, non-interlaced, per the public PNG
+- PNG: 8-bit greyscale/RGB/RGBA/palette, sequential AND Adam7
+  interlaced, per the public PNG
   spec (RFC 2083): chunk framing with CRC-32 verification, zlib
   inflate of the IDAT stream, and full scanline de-filtering (None /
   Sub / Up / Average / Paeth).
@@ -21,9 +22,9 @@ a deterministic pixel/sample formula, decode it back through the full
 inflate + de-filter path, and compare exact integer statistics against
 a DuckDB oracle evaluating the same formula relationally.
 
-Unsupported shapes (interlaced PNG, 16-bit depth, palette images,
-float WAV) raise ``NotImplementedError`` loudly — a real cluster flips
-``PSPD_MEDIA_DECODE=pil`` for the long-tail formats.
+Unsupported shapes (16-bit depth, float WAV) raise
+``NotImplementedError`` loudly — a real cluster flips
+``PSPD_MEDIA_DECODE=pil`` for the remaining long tail.
 """
 
 from __future__ import annotations
@@ -151,11 +152,92 @@ def encode_png(
     )
 
 
+def _defilter(raw: bytes, width: int, height: int, channels: int) -> bytearray:
+    """De-filter a filtered sub-image (one filter byte per scanline,
+    per the PNG spec): None / Sub / Up / Average / Paeth."""
+    bpp = channels
+    stride = width * channels
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        cur = bytearray(stride)
+        if ftype == 0:
+            cur[:] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                cur[i] = (line[i] + (cur[i - bpp] if i >= bpp else 0)) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                cur[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                cur[i] = (
+                    line[i]
+                    + _paeth(
+                        cur[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                ) & 0xFF
+        else:
+            raise ValueError(f"unknown scanline filter {ftype}")
+        out[y * stride:(y + 1) * stride] = cur
+        prev = bytes(cur)
+    return out
+
+
+# Adam7 pass layout (PNG spec 8.2, public): (x0, y0, dx, dy)
+ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(
+    raw: bytes, width: int, height: int, channels: int
+) -> bytearray:
+    """Adam7 deinterlacing: the inflated stream holds 7 independently
+    filtered sub-images (empty passes absent); de-filter each and
+    scatter its pixels to the (x0 + i*dx, y0 + j*dy) grid."""
+    out = bytearray(width * height * channels)
+    pos = 0
+    for x0, y0, dx, dy in ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * channels
+        seg = raw[pos:pos + (stride + 1) * ph]
+        if len(seg) != (stride + 1) * ph:
+            raise ValueError("truncated interlaced pass data")
+        pos += (stride + 1) * ph
+        sub = _defilter(seg, pw, ph, channels)
+        for j in range(ph):
+            y = y0 + j * dy
+            for i in range(pw):
+                x = x0 + i * dx
+                src = (j * pw + i) * channels
+                dst = (y * width + x) * channels
+                out[dst:dst + channels] = sub[src:src + channels]
+    if pos != len(raw):
+        raise ValueError(
+            f"interlaced data has {len(raw) - pos} trailing bytes"
+        )
+    return out
+
+
 def decode_png(payload: bytes) -> dict:
     """Decode a PNG: CRC-checked chunk walk, IDAT inflate, de-filter.
 
     Returns ``{"width", "height", "channels", "pixels"}`` with pixels
-    as row-major 8-bit bytes. Supports non-interlaced 8-bit greyscale
+    as row-major 8-bit bytes. Supports sequential and Adam7-interlaced
+    8-bit greyscale
     (color type 0), RGB (2), palette (3 — indices dereference through
     the PLTE chunk to RGB output, plus a "palette_size" key) and
     RGBA (6).
@@ -197,8 +279,8 @@ def decode_png(payload: bytes) -> dict:
         raise NotImplementedError(f"color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("unknown compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
     if color_type == 3:
         if plte is None or len(plte) % 3 != 0 or not plte:
             raise ValueError("palette PNG without a valid PLTE chunk")
@@ -206,44 +288,16 @@ def decode_png(payload: bytes) -> dict:
     else:
         channels = _CHANNELS_BY_COLOR_TYPE[color_type]
     bpp = channels
-    stride = width * channels
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(
-            f"inflated size {len(raw)} != {(stride + 1) * height}"
-        )
-    out = bytearray(stride * height)
-    prev = bytes(stride)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        cur = bytearray(stride)
-        if ftype == 0:
-            cur[:] = line
-        elif ftype == 1:  # Sub
-            for i in range(stride):
-                cur[i] = (line[i] + (cur[i - bpp] if i >= bpp else 0)) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                cur[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                cur[i] = (
-                    line[i]
-                    + _paeth(
-                        cur[i - bpp] if i >= bpp else 0,
-                        prev[i],
-                        prev[i - bpp] if i >= bpp else 0,
-                    )
-                ) & 0xFF
-        else:
-            raise ValueError(f"unknown scanline filter {ftype}")
-        out[y * stride : (y + 1) * stride] = cur
-        prev = bytes(cur)
+    if interlace == 0:
+        stride = width * channels
+        if len(raw) != (stride + 1) * height:
+            raise ValueError(
+                f"inflated size {len(raw)} != {(stride + 1) * height}"
+            )
+        out = _defilter(raw, width, height, channels)
+    else:
+        out = _deinterlace_adam7(raw, width, height, channels)
     if color_type == 3:
         n_colors = len(plte) // 3
         rgb = bytearray(width * height * 3)

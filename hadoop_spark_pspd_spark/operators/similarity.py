@@ -917,6 +917,27 @@ def neardup_candidates(
     }
     theta_t = math.acos(threshold)
     cc = np.clip(cn @ cn.T, -1.0, 1.0)
+    # two physical shapes for the same screen, chosen by BLOCK BYTES
+    # (cap * dim * 4):
+    #  * narrow vectors (d <= ~256, block <= 4 MB): materialize blocks
+    #    via collect_list and join block pairs — fewest shuffled rows,
+    #    the measured-fastest shape at d=64 (~2 s sf0.1);
+    #  * wide vectors: pair-MEMBERSHIP rows. Joining collect_list'd
+    #    block tables pairs ~28 MB rows at d=768 whose UnsafeRow
+    #    copies inside the sort-merge join OOM'd the 16g heap at
+    #    n=200k (round 10); instead ship each VECTOR (a ~KB row) once
+    #    per pair it participates in via a broadcast membership join
+    #    and regroup by pair id — the shuffle moves the same bytes in
+    #    spillable KB-rows, and no giant row ever exists. Replication
+    #    traffic is n^2 * dim * 4 / cap bytes (each vector copied once
+    #    per participating pair), so the wide cap grows to ~24 MB of
+    #    block bytes — the 4096 cap at d=768/n=200k spilled ~60 GB and
+    #    filled the disk; groups stay fine Python-side (a 2 x cap x
+    #    dim f64 pair is ~100 MB in the worker).
+    dim = centroids.shape[1]
+    wide = cap * dim * 4 > (4 << 20)
+    if wide:
+        cap = max(cap, (24 << 20) // (dim * 4))
     nsplit = {c: -(-cnt // cap) for c, (_, cnt) in stats.items()}
     # surviving cell pairs, expanded over occupancy-salt sub-blocks; each
     # unordered vector pair is covered by exactly one block pair (same
@@ -937,20 +958,6 @@ def neardup_candidates(
                     blk_pairs.append(
                         (i, si, j, sj, i == j and si == sj)
                     )
-    # two physical shapes for the same screen, chosen by BLOCK BYTES
-    # (cap * dim * 4):
-    #  * narrow vectors (d <= ~256, block <= 4 MB): materialize blocks
-    #    via collect_list and join block pairs — fewest shuffled rows,
-    #    the measured-fastest shape at d=64 (~2 s sf0.1);
-    #  * wide vectors: pair-MEMBERSHIP rows. Joining collect_list'd
-    #    block tables pairs ~28 MB rows at d=768 whose UnsafeRow
-    #    copies inside the sort-merge join OOM'd the 16g heap at
-    #    n=200k (round 10); instead ship each VECTOR (a ~KB row) once
-    #    per pair it participates in via a broadcast membership join
-    #    and regroup by pair id — the shuffle moves the same bytes in
-    #    spillable KB-rows, and no giant row ever exists.
-    dim = centroids.shape[1]
-    wide = cap * dim * 4 > (4 << 20)
     salted = assigned.select(
         "vec_id", "embedding", "cell",
         F.pmod(

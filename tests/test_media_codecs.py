@@ -183,7 +183,9 @@ def test_png_bad_signature_rejected():
         decode_png(b"GIF89a" + bytes(40))
 
 
-def test_png_interlace_not_implemented():
+def test_png_interlace_truncated_pass_rejected():
+    # 2x2 gray Adam7 needs 7 bytes of pass data (p1: 2, p6: 2, p7: 3);
+    # 6 zero bytes must be refused loudly, not silently mis-scattered
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # interlace=1
     payload = (
         PNG_SIGNATURE
@@ -191,7 +193,7 @@ def test_png_interlace_not_implemented():
         + _chunk(b"IDAT", zlib.compress(bytes(6)))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(ValueError, match="truncated interlaced"):
         decode_png(payload)
 
 
@@ -487,3 +489,108 @@ def test_ppm_rejects_bad_shapes():
         decode_ppm(b"P6\n2 2\n255\n" + bytes(5))
     roundtrip = decode_ppm(encode_ppm(bytes(range(12)), 2, 2))
     assert roundtrip["pixels"] == bytes(range(12))
+
+
+# ---------------------------------------------------------- Adam7 interlace
+
+
+def _interlaced_png(W, H, CH, px, filt_rot=3):
+    """Hand-BUILD an Adam7-interlaced PNG per spec 8.2 (independent of
+    the decoder under test): per-pass scanlines with rotating
+    None/Sub/Up filters, formula pixels."""
+    import struct
+    import zlib
+
+    from hadoop_spark_pspd_spark.functions.media_codecs import (
+        ADAM7,
+        PNG_SIGNATURE,
+        _chunk,
+    )
+
+    raw = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(ADAM7):
+        pw = (W - x0 + dx - 1) // dx
+        ph = (H - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * CH
+        prev = bytes(stride)
+        for j in range(ph):
+            line = bytes(
+                px(x0 + i * dx, y0 + j * dy, c)
+                for i in range(pw)
+                for c in range(CH)
+            )
+            ft = (pi + j) % filt_rot
+            if ft == 0:
+                enc = line
+            elif ft == 1:  # Sub
+                enc = bytes(
+                    (line[i] - (line[i - CH] if i >= CH else 0)) & 0xFF
+                    for i in range(stride)
+                )
+            else:  # Up
+                enc = bytes(
+                    (line[i] - prev[i]) & 0xFF for i in range(stride)
+                )
+            raw.append(ft)
+            raw.extend(enc)
+            prev = line
+    ct = {1: 0, 3: 2, 4: 6}[CH]
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, ct, 0, 0, 1)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("W,H,CH", [(9, 5, 1), (8, 8, 3), (3, 2, 4), (1, 1, 1)])
+def test_adam7_hand_built_spec_vectors(W, H, CH):
+    """Decode hand-assembled interlaced files (odd dims exercise empty
+    and truncated passes) and compare pixel-exactly to the formula."""
+    def px(x, y, c):
+        return (x * 7 + y * 13 + c * 29) % 256
+
+    d = decode_png(_interlaced_png(W, H, CH, px))
+    exp = bytes(
+        px(x, y, c) for y in range(H) for x in range(W) for c in range(CH)
+    )
+    assert (d["width"], d["height"], d["channels"]) == (W, H, CH)
+    assert d["pixels"] == exp
+
+
+def test_adam7_matches_sequential_roundtrip():
+    """The same image decoded from a sequential encode (our encoder)
+    and from a hand-built interlaced assembly must agree byte-exactly."""
+    from hadoop_spark_pspd_spark.functions.media_codecs import encode_png
+
+    W, H, CH = 13, 7, 3
+
+    def px(x, y, c):
+        return (x * 3 + y * 11 + c * 17) % 256
+
+    flat = bytes(
+        px(x, y, c) for y in range(H) for x in range(W) for c in range(CH)
+    )
+    seq = decode_png(encode_png(flat, W, H, CH))
+    inter = decode_png(_interlaced_png(W, H, CH, px))
+    assert seq["pixels"] == inter["pixels"] == flat
+
+
+def test_external_interlaced_pngtest():
+    """libpng's own canonical pngtest.png is Adam7 RGBA — third-party
+    ground truth for the interlaced path."""
+    try:
+        data = open(
+            "/usr/share/doc/libpng-dev/examples/pngtest.png", "rb"
+        ).read()
+    except OSError:
+        pytest.skip("libpng-dev examples not present")
+    d = decode_png(data)
+    assert (d["width"], d["height"], d["channels"]) == (91, 69, 4)
+    n = d["width"] * d["height"] * d["channels"]
+    assert len(d["pixels"]) == n
+    mean = sum(d["pixels"]) / n
+    assert 10 < mean < 245
