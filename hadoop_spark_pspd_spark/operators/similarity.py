@@ -877,11 +877,29 @@ def neardup_candidates(
 
     t = Tables(spark, sf_dir)
     n = t.embeddings.count()
+    row0 = t.embeddings.select(F.size("embedding").alias("d")).first()
+    dim = int(row0["d"]) if row0 else DIM
+    wide = cap * dim * 4 > (4 << 20)
+    if wide:
+        # replication traffic is ~n * n_blocks * dim * 4 bytes (each
+        # vector ships once per participating block pair); grow the cap
+        # to ~24 MB of block bytes so wide vectors move in fewer,
+        # bigger blocks (Python groups stay ~100 MB f64)
+        cap = max(cap, (24 << 20) // (dim * 4))
     if k_cells is None:
         # ~sqrt(n/8) cells: block-pair count ~n/16 on uniform data while
         # keeping per-cell populations large enough for efficient matmul
         # blocks; capped at the quantizer's 256-row training sample
         k_cells = min(_QUANT_SAMPLE, max(16, math.isqrt(max(n, 1) // 8)))
+        if wide:
+            # cells BOUND block size from below (a block never spans
+            # cells), so fine cells defeat the byte-sized cap: 158
+            # cells at n=200k/d=768 made 1,266-vector blocks and each
+            # vector shipped 158x (~100 GB of spill, disk-filled twice
+            # in round 10). Bound cells so a cell ~ one cap-sized
+            # block; pruning on uniform data was nil anyway, and
+            # clustered corpora still prune at ~25 cells.
+            k_cells = max(16, min(k_cells, -(-n // cap)))
     centroids = _train_coarse_quantizer(t.embeddings, k_cells)
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
@@ -928,16 +946,8 @@ def neardup_candidates(
     #    n=200k (round 10); instead ship each VECTOR (a ~KB row) once
     #    per pair it participates in via a broadcast membership join
     #    and regroup by pair id — the shuffle moves the same bytes in
-    #    spillable KB-rows, and no giant row ever exists. Replication
-    #    traffic is n^2 * dim * 4 / cap bytes (each vector copied once
-    #    per participating pair), so the wide cap grows to ~24 MB of
-    #    block bytes — the 4096 cap at d=768/n=200k spilled ~60 GB and
-    #    filled the disk; groups stay fine Python-side (a 2 x cap x
-    #    dim f64 pair is ~100 MB in the worker).
-    dim = centroids.shape[1]
-    wide = cap * dim * 4 > (4 << 20)
-    if wide:
-        cap = max(cap, (24 << 20) // (dim * 4))
+    #    spillable KB-rows, and no giant row ever exists. (cap and
+    #    k_cells were bytes-adjusted above, before quantizer training.)
     nsplit = {c: -(-cnt // cap) for c, (_, cnt) in stats.items()}
     # surviving cell pairs, expanded over occupancy-salt sub-blocks; each
     # unordered vector pair is covered by exactly one block pair (same
