@@ -498,9 +498,10 @@ def test_poisson_bootstrap_matches_python_replay(spark, sf_dir):
     ]
 
     def weight(key: int, b: int) -> int:
-        h = int(
-            hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:13], 16
-        )
+        # round-10 scheme: one md5 serves TWO 52-bit draws (digest
+        # chars 1-13 / 14-26, keyed by b % 2)
+        hexd = hashlib.md5(f"{key}:{b // 2}".encode()).hexdigest()
+        h = int(hexd[13:26] if b % 2 else hexd[:13], 16)
         for w, thr in enumerate(_POIS_T):
             if h < thr:
                 return w
