@@ -296,7 +296,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
             for c in range(4)
         ],
-    )
+        # 8 consumers (4 band self-joins x 2 sides) otherwise re-run
+        # the full per-token md5 simhash — 8 corpus scans in the plan
+        # (round-7 technique 13); doc-count-sized, so the pin is ~free
+    ).localCheckpoint(eager=False)
     cand = None
     for c in range(4):
         a = chunks.alias("a")
@@ -863,6 +866,12 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p0", "h"),
         )
         .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "h")
+        # two consumers (the dup-hash aggregate and the semi-join back)
+        # otherwise re-run the full per-byte md5 window generation —
+        # Catalyst planned 2 generator scans (round-7 technique 13:
+        # lazy checkpoint pins multi-consumer subtrees); 9.2 -> ~5 s
+        # warm at sf0.1
+        .localCheckpoint(eager=False)
     )
     dup_h = wins.groupBy("h").agg(F.count("*").alias("c")).filter(
         F.col("c") > 1
@@ -1003,9 +1012,14 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
         ), mh AS (
+            -- one md5 serves TWO 52-bit permutation draws (digest
+            -- chars 1-13 / 14-26 by i % 2): halves the dominant
+            -- hashing cost in BOTH engines (the poisson-bootstrap
+            -- round-10 recipe)
             SELECT doc_id, p.i,
                    MIN(CAST(CAST(('0x' || substr(
-                       md5(CAST(p.i AS VARCHAR) || ':' || s), 1, 13))
+                       md5(CAST(p.i // 2 AS VARCHAR) || ':' || s),
+                       CAST(1 + 13 * (p.i % 2) AS INTEGER), 13))
                        AS UBIGINT) AS BIGINT)) AS mh
             FROM sh CROSS JOIN (
                 SELECT CAST(unnest(range(0, {NUM_PERM})) AS BIGINT) AS i) p
@@ -1075,21 +1089,13 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "i",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("i").cast("string"), F.lit(":"), F.col("s")
-                        )
-                    ),
-                    1,
-                    13,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("h"),
+            # one md5 per TWO permutations (chars 1-13 / 14-26 by
+            # i % 2) — mirrors the oracle's mh CTE exactly
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(i div 2 AS STRING), "
+                "':', s)), CAST(1 + 13 * (i % 2) AS INT), 13), 16, 10) "
+                "AS BIGINT)"
+            ).alias("h"),
         )
         .groupBy("doc_id", "i")
         .agg(F.min("h").alias("mh"))
