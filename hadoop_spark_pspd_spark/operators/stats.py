@@ -2823,3 +2823,123 @@ def q_moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m3c") / (g * F.sqrt(g))).alias("skewness"),
         ((F.col("m4c") / (g * g)) - F.lit(3.0)).alias("excess_kurtosis"),
     )
+
+
+_ECE_FX = 1 << 20
+_ECE_PRICE = 150000
+
+
+@register(
+    "ml_calibration_ece",
+    oracle=f"""
+        WITH labeled AS (
+            SELECT o_orderpriority AS bucket,
+                   o_orderkey % 2 = 0 AS is_train,
+                   CASE WHEN CAST(o_totalprice AS DECIMAL(18,4))
+                             > {_ECE_PRICE} THEN 1 ELSE 0 END AS y
+            FROM orders
+        ), tr AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_train,
+                   CAST(SUM(y) AS BIGINT) AS pos_train
+            FROM labeled WHERE is_train GROUP BY bucket
+        ), te AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_test,
+                   CAST(SUM(y) AS BIGINT) AS pos_test
+            FROM labeled WHERE NOT is_train GROUP BY bucket
+        ), rates AS (
+            SELECT tr.bucket, n_train, pos_train, n_test, pos_test,
+                   CAST(pos_train * {_ECE_FX} // n_train AS BIGINT)
+                       AS q_train_fx,
+                   CAST(pos_test * {_ECE_FX} // n_test AS BIGINT)
+                       AS q_test_fx
+            FROM tr JOIN te ON te.bucket = tr.bucket
+        ), gaps AS (
+            SELECT *,
+                   CAST(n_test * abs(q_test_fx - q_train_fx) AS BIGINT)
+                       AS wgap_fx
+            FROM rates
+        ), tot AS (
+            SELECT CAST(SUM(n_test) AS BIGINT) AS nt,
+                   CAST(SUM(wgap_fx) AS BIGINT) AS num
+            FROM gaps
+        )
+        SELECT g.bucket, g.n_train, g.pos_train, g.n_test, g.pos_test,
+               g.q_train_fx, g.q_test_fx, g.wgap_fx,
+               CAST(t.num AS BIGINT) AS ece_num,
+               CAST(t.num AS DOUBLE)
+                   / CAST(t.nt * {_ECE_FX} AS DOUBLE) AS ece
+        FROM gaps g CROSS JOIN tot t
+    """,
+    doc="Expected Calibration Error (Naeini et al. AAAI 2015, public) "
+        "of the frequency model P(totalprice > "
+        f"{_ECE_PRICE} | orderpriority) under a deterministic "
+        "train/test split (orderkey parity): per bucket, train and "
+        "test rates land on the exact 2^20 integer grid via "
+        "truncating integer division (Spark div == DuckDB // on "
+        "non-negative ints), the per-bucket gap is n_test * "
+        "|q_test - q_train| in exact BIGINTs, and ECE is their sum "
+        "over one exact int/int division — the binned calibration "
+        "audit an eval pipeline runs on every scored model, with no "
+        "float rate ever formed before the final ratio. Scale: two "
+        "grouped counts over the fact table into a 5-row priority "
+        "dimension; everything after is dimension-bounded.",
+    tags=("ml", "stats"),
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    labeled = t.orders.select(
+        F.col("o_orderpriority").alias("bucket"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_train"),
+        F.when(
+            F.col("o_totalprice").cast("decimal(18,4)") > _ECE_PRICE, 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    tr = (
+        labeled.filter("is_train")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            F.sum("y").cast("long").alias("pos_train"),
+        )
+    )
+    te = (
+        labeled.filter(~F.col("is_train"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum("y").cast("long").alias("pos_test"),
+        )
+    )
+    rates = tr.join(te, "bucket").select(
+        "bucket", "n_train", "pos_train", "n_test", "pos_test",
+        F.expr(f"pos_train * {_ECE_FX} div n_train")
+        .cast("long")
+        .alias("q_train_fx"),
+        F.expr(f"pos_test * {_ECE_FX} div n_test")
+        .cast("long")
+        .alias("q_test_fx"),
+    )
+    gaps = rates.select(
+        "*",
+        (
+            F.col("n_test")
+            * F.abs(F.col("q_test_fx") - F.col("q_train_fx"))
+        )
+        .cast("long")
+        .alias("wgap_fx"),
+    )
+    tot = gaps.agg(
+        F.sum("n_test").cast("long").alias("nt"),
+        F.sum("wgap_fx").cast("long").alias("num"),
+    )
+    return gaps.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_train", "pos_train", "n_test", "pos_test",
+        "q_train_fx", "q_test_fx", "wgap_fx",
+        F.col("num").cast("long").alias("ece_num"),
+        (
+            F.col("num").cast("double")
+            / (F.col("nt") * _ECE_FX).cast("double")
+        ).alias("ece"),
+    )

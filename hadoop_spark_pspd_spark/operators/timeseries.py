@@ -1749,3 +1749,107 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("st.l") + 7 * F.col("st.b") + slot(F.col("n_days") + 6))
         .cast("bigint").alias("fcst_7"),
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), indexed AS (
+            SELECT event_type, hour, c,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type ORDER BY hour
+                   ) AS BIGINT) AS k,
+                   CAST(SUM(c) OVER (
+                       PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS s_k,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS t_hours,
+                   CAST(SUM(c) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS s_t
+            FROM hourly
+        ), dev AS (
+            SELECT event_type, hour, k, t_hours, s_t,
+                   abs(t_hours * s_k - k * s_t) AS d
+            FROM indexed
+        )
+        SELECT event_type, t_hours, s_t AS n_events,
+               hour AS cp_hour, k AS cp_index,
+               CAST(d AS BIGINT) AS d_max,
+               CAST(d AS DOUBLE)
+                   / CAST(t_hours * s_t AS DOUBLE) AS cusum_stat
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY d DESC, hour
+            ) AS rn
+            FROM dev
+        ) WHERE rn = 1
+    """,
+    doc="Offline CUSUM change-point detection (Page 1954 / the "
+        "max-|CUSUM| estimator, public) over the hourly event-count "
+        "series per event_type: the change point maximizes "
+        "|T*S_k - k*S_T| — the cross-multiplied form of "
+        "|S_k - (k/T)*S_T| that keeps every deviation an EXACT BIGINT "
+        "(T ~ 1e3 hours, S_T ~ 1e8 events: the product stays far "
+        "inside int64; no float CUSUM path ever forms). cusum_stat "
+        "normalizes once as exact-int / exact-int (one correctly-"
+        "rounded double). Unique (d DESC, hour) tie-break. Scale: one "
+        "fact shuffle into the (type, hour) histogram; the windows are "
+        "PARTITIONED by event_type over hour-bounded series, never a "
+        "global sort (the value-histogram rank-statistics rule).",
+    tags=("timeseries",),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w_ord = _W.partitionBy("event_type").orderBy("hour")
+    w_all = _W.partitionBy("event_type")
+    indexed = hourly.select(
+        "event_type",
+        "hour",
+        F.row_number().over(w_ord).cast("long").alias("k"),
+        F.sum("c")
+        .over(w_ord.rowsBetween(_W.unboundedPreceding, _W.currentRow))
+        .cast("long")
+        .alias("s_k"),
+        F.count("*").over(w_all).cast("long").alias("t_hours"),
+        F.sum("c").over(w_all).cast("long").alias("s_t"),
+    )
+    dev = indexed.select(
+        "event_type", "hour", "k", "t_hours", "s_t",
+        F.abs(
+            F.col("t_hours") * F.col("s_k") - F.col("k") * F.col("s_t")
+        ).alias("d"),
+    )
+    w_pick = _W.partitionBy("event_type").orderBy(
+        F.desc("d"), F.asc("hour")
+    )
+    return (
+        dev.select("*", F.row_number().over(w_pick).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "t_hours",
+            F.col("s_t").alias("n_events"),
+            F.col("hour").alias("cp_hour"),
+            F.col("k").alias("cp_index"),
+            F.col("d").cast("long").alias("d_max"),
+            (
+                F.col("d").cast("double")
+                / (F.col("t_hours") * F.col("s_t")).cast("double")
+            ).alias("cusum_stat"),
+        )
+    )
