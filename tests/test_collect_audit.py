@@ -33,6 +33,9 @@ ALLOWED = {
     ("operators/embeddings_linalg.py", "_fit_pca"),
     # BFS root: single MIN() scalar.
     ("operators/graph.py", "graph_bfs_hops"),
+    # 25^2 nation weight matrix + 25-row name map (dimension-bounded
+    # driver fold, the ml_bradley_terry class)
+    ("operators/graph.py", "graph_spectral_partition"),
     # Conformal/boosted-stump training: per-round histograms bounded by
     # (_PCP_DIM+1) x 17 buckets, plus one SSE scalar per round.
     ("operators/inference.py", "_pass"),

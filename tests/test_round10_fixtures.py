@@ -225,3 +225,56 @@ def test_bigram_lm_score_parity_and_ordering(spark, lm_fixture_sf):
     # probability ~1 -> ~0 bits)
     assert max(fluent_bpb) <= 0.0
     assert rows[7]["n_bigrams"] == 4  # multibyte keys joined
+
+
+@pytest.fixture(scope="module")
+def two_clique_sf(tmp_path_factory, spark):
+    """Nation co-occurrence graph = two 4-cliques bridged by one edge:
+    orders 1..12 pair nations within {0..3}, 13..24 within {4..7},
+    order 25 bridges 3-4. The Fiedler bisection must cut the bridge."""
+    d = tmp_path_factory.mktemp("r10_spectral_sf")
+    spark.createDataFrame(
+        [(k, f"NAT{k}", 0, "") for k in range(8)],
+        "n_nationkey long, n_name string, n_regionkey long, "
+        "n_comment string",
+    ).coalesce(1).write.parquet(str(d / "nation.parquet"))
+    spark.createDataFrame(
+        [(k + 1, k) for k in range(8)],
+        "s_suppkey long, s_nationkey long",
+    ).coalesce(1).write.parquet(str(d / "supplier.parquet"))
+    rows, ok = [], 0
+    import itertools
+
+    for grp in (range(0, 4), range(4, 8)):
+        for a, b in itertools.combinations(grp, 2):
+            for _ in range(2):  # weight 2 per clique edge
+                ok += 1
+                rows.append((ok, a + 1))
+                rows.append((ok, b + 1))
+    ok += 1
+    rows.append((ok, 4))  # bridge order: nations 3 and 4 (weight 1)
+    rows.append((ok, 5))
+    spark.createDataFrame(
+        [(o, i + 1, s, 1.0) for i, (o, s) in enumerate(rows)],
+        "l_orderkey long, l_linenumber long, l_suppkey long, "
+        "l_quantity double",
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    return str(d)
+
+
+def test_spectral_partition_cuts_the_bridge(spark, two_clique_sf):
+    srows, drows = _run_both(
+        "graph_spectral_partition", spark, two_clique_sf,
+        ("nation", "supplier", "lineitem"),
+    )
+    assert srows == drows
+    rows = {
+        r["nationkey"]: r
+        for r in REGISTRY["graph_spectral_partition"]
+        .fn(spark, two_clique_sf)
+        .collect()
+    }
+    sides = {k: rows[k]["side"] for k in rows}
+    a = {sides[k] for k in range(0, 4)}
+    b = {sides[k] for k in range(4, 8)}
+    assert len(a) == 1 and len(b) == 1 and a != b, sides
