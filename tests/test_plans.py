@@ -560,3 +560,35 @@ def test_partition_pruning_scan_has_partition_filters(spark):
     rows = q_partition_pruning_scan(spark, SF_SMOKE).collect()
     assert {r["n_part_dirs"] for r in rows} == {2}
     assert {r["o_orderpriority"] for r in rows} == set(_PRUNE_KEYS)
+
+
+def test_neardup_screen_shape_is_bytes_chosen(spark, tmp_path):
+    """The near-dup screen picks its physical shape by block bytes
+    (cap * dim * 4): narrow vectors (d=64 testdata) must keep the
+    block-join + MapInPandas shape (measured fastest), wide vectors
+    (block > 4 MB) must regroup KB-rows by pair id through
+    FlatMapGroupsInPandas — the shape whose UnsafeRows cannot OOM the
+    heap (round-10 d=768 lesson)."""
+    import numpy as np
+
+    from hadoop_spark_pspd_spark.operators.similarity import (
+        neardup_candidates,
+    )
+
+    narrow = formatted_plan(neardup_candidates(spark, SF_SMOKE))
+    assert "MapInPandas" in narrow
+    assert "FlatMapGroupsInPandas" not in narrow
+
+    dim = 272  # 4096 * 272 * 4 = 4.46 MB > the 4 MB narrow ceiling
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.randn(dim).astype(np.float32)], 0)
+        for i in range(40)
+    ]
+    d = tmp_path / "wide_sf"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    wide = formatted_plan(neardup_candidates(spark, str(d)))
+    assert "FlatMapGroupsInPandas" in wide
+    spark.catalog.clearCache()
