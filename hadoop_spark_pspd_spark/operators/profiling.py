@@ -838,3 +838,76 @@ def q_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_deleted").cast("double") / denom.cast("double")
         ).alias("pct_deleted"),
     )
+
+
+_BINOM_BITS = 52  # Binomial(52, 1/2) noise: variance 13 ~ sigma 3.6
+
+
+@register(
+    "privacy_binomial_counts",
+    oracle=f"""
+        WITH per_nation AS (
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS true_count
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT p.c_nationkey, p.true_count,
+               CAST(CAST(bit_count(CAST(('0x' || substr(
+                        md5('binom:' || CAST(p.c_nationkey AS VARCHAR)),
+                        1, 13)) AS UBIGINT)) AS BIGINT)
+                    - {_BINOM_BITS // 2} AS BIGINT) AS noise,
+               CAST(p.true_count
+                    + CAST(bit_count(CAST(('0x' || substr(
+                          md5('binom:' || CAST(p.c_nationkey AS VARCHAR)),
+                          1, 13)) AS UBIGINT)) AS BIGINT)
+                    - {_BINOM_BITS // 2} AS BIGINT) AS noisy_count
+        FROM per_nation p
+    """,
+    doc="Central-DP counting via the BINOMIAL MECHANISM (Dwork, "
+        "Kenthapadi, McSherry, Mironov & Naor, EUROCRYPT 2006, "
+        "public): per-nation customer counts plus centered "
+        f"Binomial({_BINOM_BITS}, 1/2) noise — popcount of the 52-bit "
+        "md5 draw minus 26 — the discrete, finite-precision noise the "
+        "original DP paper analyzed (variance 13, approximating the "
+        "Gaussian mechanism). md5-DERANDOMIZED per the repo sampling "
+        "convention, so this is a deterministic MECHANISM demo whose "
+        "noise column hash-checks (a production run keys the digest "
+        "with a fresh release nonce; determinism here is the testing "
+        "convention, not a privacy claim — the true counts are "
+        "emitted alongside for auditability). Cross-engine: bit_count "
+        "is TINYINT in DuckDB and INT in Spark — outer-cast both "
+        "(CLAUDE.md round-6 rule 6). Scale: one grouped count into "
+        "the 25-row nation dimension; the mechanism is per-group O(1).",
+    tags=("privacy",),
+)
+def privacy_binomial_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    noise = (
+        F.bit_count(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("binom:"),
+                            F.col("c_nationkey").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).cast("long")
+        - F.lit(_BINOM_BITS // 2)
+    )
+    return (
+        t.customer.groupBy("c_nationkey")
+        .agg(F.count("*").cast("long").alias("true_count"))
+        .select(
+            "c_nationkey",
+            "true_count",
+            noise.cast("long").alias("noise"),
+            (F.col("true_count") + noise).cast("long").alias("noisy_count"),
+        )
+    )
