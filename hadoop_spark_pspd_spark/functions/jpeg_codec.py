@@ -215,7 +215,18 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg(payload: bytes) -> dict:
     """Decode a baseline JPEG. Returns ``{"width", "height",
     "channels", "pixels"}`` — pixels row-major 8-bit, 1 channel for
-    grayscale, 3 (RGB) for YCbCr."""
+    grayscale, 3 (RGB) for YCbCr.
+
+    Truncated or internally-inconsistent streams raise ValueError
+    (never a bare IndexError/KeyError/struct.error); unsupported but
+    spec-legal features raise NotImplementedError."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt JPEG ({exc!r})") from exc
+
+
+def _decode_jpeg(payload: bytes) -> dict:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -227,6 +238,10 @@ def decode_jpeg(payload: bytes) -> dict:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker desync at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them (keep one 0xFF as the marker prefix)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         m = payload[pos + 1]
         if m == 0xD9:  # EOI
             break

@@ -1084,8 +1084,16 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
     perms = spark.range(NUM_PERM).select(F.col("id").cast("bigint").alias("i"))
+    # pre-explosion repartition (round-6 technique 2): AQE coalesces the
+    # post-distinct exchange to a handful of partitions at sweep scale,
+    # so the x32 perm explode + md5 hashing would run near-serial;
+    # spreading the shingle rows across the full core count first keeps
+    # the dominant hashing stage parallel (the bootstrap-explode fix,
+    # 18 -> 7.7 s there)
+    n_slices = max(spark.sparkContext.defaultParallelism, 8)
     mh = (
-        sh.crossJoin(perms)
+        sh.repartition(n_slices)
+        .crossJoin(perms)
         .select(
             "doc_id",
             "i",
@@ -1325,4 +1333,353 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id"),
             F.struct((-F.col("n_bytes")).alias("a"), F.col("doc_id").alias("b")),
         ).alias("keep_id"),
+    )
+
+
+_SUB_K = 32  # minimum duplicated-substring length, in BYTES
+
+
+@register(
+    "dedup_substring_exact",
+    oracle=f"""
+        WITH docs AS MATERIALIZED (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   CAST(strlen(text) AS BIGINT) AS n
+            FROM documents
+        ), wins AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   md5(substr(hx, CAST(2 * pos - 1 AS INTEGER),
+                              {2 * _SUB_K})) AS h
+            FROM (
+                SELECT doc_id, hx,
+                       CAST(unnest(range(1, n - {_SUB_K} + 2)) AS BIGINT)
+                           AS pos
+                FROM docs WHERE n >= {_SUB_K}
+            )
+        ), mult AS MATERIALIZED (
+            SELECT h, CAST(COUNT(*) AS BIGINT) AS c
+            FROM wins GROUP BY h HAVING COUNT(*) > 1
+        ), dup_wins AS MATERIALIZED (
+            SELECT w.doc_id, w.pos, m.c
+            FROM wins w JOIN mult m ON w.h = m.h
+        ), flagged AS (
+            SELECT doc_id, pos, c,
+                   CASE WHEN prev_end IS NULL
+                             OR pos > prev_end + 1 THEN 1
+                        ELSE 0 END AS new_span
+            FROM (
+                SELECT doc_id, pos, c,
+                       MAX(pos + {_SUB_K} - 1) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING
+                       ) AS prev_end
+                FROM dup_wins
+            )
+        ), islands AS (
+            SELECT doc_id, pos, c,
+                   SUM(new_span) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {_SUB_K} - 1 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + {_SUB_K} - MIN(pos) AS BIGINT)
+                   AS span_bytes,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(MAX(c) AS BIGINT) AS max_mult
+        FROM islands
+        GROUP BY doc_id, island
+    """,
+    doc="ExactSubstr dedup CUT LIST (Lee et al. 2022, 'Deduplicating "
+        "Training Data Makes Language Models Better' — the "
+        "suffix-array pass, public): per document, the MAXIMAL "
+        f"duplicated spans of length >= {_SUB_K} bytes, i.e. the "
+        "intervals the dedup pass actually removes. Equivalence that "
+        "makes this exact WITHOUT materializing suffix ranks: a "
+        f"substring of length m >= {_SUB_K} repeats in the corpus iff "
+        f"each of its m-{_SUB_K}+1 fixed-width {_SUB_K}-byte windows "
+        "repeats, so the union of duplicated windows equals the union "
+        "of maximal duplicated substrings — the same positional cover "
+        "a suffix array's repeat scan yields, computed as a "
+        "distributed shingle sort over byte offsets (the "
+        "prefix-doubling-free formulation; never a driver-side "
+        "array). Spans report byte offsets (1-based, inclusive), the "
+        "window count and the max global multiplicity of any window "
+        "in the span (the repeat's copy pressure). Windows are "
+        "fingerprinted md5-over-hex-bytes (byte-identical "
+        "cross-engine); interval union is the classic "
+        "running-max-end + island-id window pattern, partitioned by "
+        "doc. Spark plan: one explode to corpus-byte window rows "
+        "(pinned multi-consumer subtree), ONE corpus-scale groupBy "
+        "on fingerprints, a join back carrying multiplicity, and a "
+        "per-doc window — linear in corpus bytes at any scale; "
+        "output is bounded by the duplicated regions, not the "
+        "corpus. Complements dedup_span_coverage (dedup.py:785), "
+        "which reduces the same cover to per-doc byte totals; this "
+        "emits the spans themselves.",
+    tags=("dedup",),
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    t = Tables(spark, sf_dir)
+    k = _SUB_K
+    hx = F.hex(F.col("text").cast("binary"))
+    docs = t.documents.select(
+        "doc_id",
+        hx.alias("hx"),
+        F.octet_length("text").cast("long").alias("n"),
+    )
+    wins = (
+        docs.filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            "hx",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - k + 1),
+                    lambda i: F.md5(
+                        F.substring(F.col("hx"), i * 2 - 1, 2 * k)
+                    ),
+                )
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "h")
+        # two consumers (the multiplicity aggregate and the join back)
+        # would otherwise re-run the per-byte md5 window generation
+        # (round-7 technique 13: lazy checkpoint pins multi-consumer
+        # subtrees — same fix as dedup_span_coverage)
+        .localCheckpoint(eager=False)
+    )
+    mult = (
+        wins.groupBy("h")
+        .agg(F.count("*").cast("long").alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    dup_wins = wins.join(mult, "h").select("doc_id", "pos", "c")
+    w_prev = (
+        _W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    w_run = (
+        _W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    flagged = dup_wins.withColumn(
+        "prev_end", F.max(F.col("pos") + k - 1).over(w_prev)
+    ).withColumn(
+        "new_span",
+        F.when(
+            F.col("prev_end").isNull()
+            | (F.col("pos") > F.col("prev_end") + 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn("island", F.sum("new_span").over(w_run))
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + k - 1).cast("long").alias("span_end"),
+        (F.max("pos") + k - F.min("pos")).cast("long").alias("span_bytes"),
+        F.count("*").cast("long").alias("n_windows"),
+        F.max("c").cast("long").alias("max_mult"),
+    ).drop("island")
+
+
+@register(
+    "text_url_dedup",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   doc_id // 4 AS gid,
+                   doc_id % 4 AS var,
+                   (CASE doc_id % 4 WHEN 1 THEN 'HTTP'
+                                    WHEN 3 THEN 'Http'
+                                    ELSE 'http' END)
+                   || '://'
+                   || (CASE doc_id % 4
+                       WHEN 0 THEN 'www.example.com'
+                       WHEN 1 THEN 'WWW.EXAMPLE.COM:80'
+                       WHEN 2 THEN 'Example.Com'
+                       ELSE 'www.Example.Com' END)
+                   || '/corpus/' || CAST(doc_id // 4 AS VARCHAR)
+                   || (CASE WHEN doc_id % 4 = 2 THEN '/' ELSE '' END)
+                   || '?'
+                   || (CASE doc_id % 4
+                       WHEN 0 THEN 'id=' || CAST(doc_id // 4 AS VARCHAR)
+                                || '&v=1&utm_source=news&fbclid=zzz'
+                       WHEN 1 THEN 'id=' || CAST(doc_id // 4 AS VARCHAR)
+                                || '&v=1'
+                       WHEN 2 THEN 'v=1&id='
+                                || CAST(doc_id // 4 AS VARCHAR)
+                                || '&gclid=123'
+                       ELSE 'v=1&id=' || CAST(doc_id // 4 AS VARCHAR)
+                                || '&utm_campaign=x' END)
+                   || (CASE doc_id % 4 WHEN 1 THEN '#sec2'
+                                       WHEN 3 THEN '#top'
+                                       ELSE '' END) AS url
+            FROM documents
+        ), parts AS (
+            SELECT doc_id, url,
+                   lower(COALESCE(regexp_extract(
+                       url, '^([A-Za-z]+)://', 1), '')) AS scheme_c,
+                   lower(COALESCE(regexp_extract(
+                       url, '^[A-Za-z]+://([^/?#]+)', 1), '')) AS hostport,
+                   COALESCE(regexp_extract(
+                       url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '')
+                       AS path_raw,
+                   COALESCE(regexp_extract(url, '\\?([^#]*)', 1), '')
+                       AS query_raw
+            FROM raw
+        ), canon AS (
+            SELECT doc_id, url, scheme_c,
+                   regexp_replace(
+                       CASE WHEN scheme_c = 'http' THEN
+                                regexp_replace(hostport, ':80$', '')
+                            WHEN scheme_c = 'https' THEN
+                                regexp_replace(hostport, ':443$', '')
+                            ELSE hostport END,
+                       '^www\\.', '') AS host_c,
+                   CASE WHEN regexp_replace(path_raw, '/+$', '') = ''
+                        THEN '/'
+                        ELSE regexp_replace(path_raw, '/+$', '') END
+                       AS path_c,
+                   array_to_string(
+                       list_sort(list_filter(
+                           str_split(query_raw, '&'),
+                           x -> x <> '' AND NOT regexp_matches(
+                               x, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+                       '&') AS params_c
+            FROM parts
+        ), keyed AS (
+            SELECT doc_id, url,
+                   scheme_c || '://' || host_c || path_c
+                   || (CASE WHEN params_c = '' THEN ''
+                            ELSE '?' || params_c END) AS canonical_url
+            FROM canon
+        )
+        SELECT canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id
+        FROM keyed
+        GROUP BY canonical_url
+    """,
+    doc="URL-canonicalization dedup (the CCNet / Common Crawl "
+        "curation step, public): canonicalize each document's URL — "
+        "lowercase scheme+host, strip a 'www.' prefix and the "
+        "scheme's default port, drop the fragment, remove tracking "
+        "parameters (utm_*, fbclid, gclid, ref) and SORT the "
+        "remaining query params, trim trailing slashes (root stays "
+        "'/') — then exact-dedup by the canonical string: n_raw "
+        "copies collapse to one keep_id (min doc_id). The documents "
+        "table carries no URL column, so raw URLs are constructed "
+        "deterministically from doc_id with the messiness the "
+        "canonicalizer must erase (case-mixed schemes/hosts, :80 "
+        "ports, shuffled+tracking-polluted query strings, fragments, "
+        "trailing slashes — four variants per canonical target), and "
+        "both engines parse the IDENTICAL string with anchored "
+        "regexes + per-row list ops, cross-checking each other. "
+        "Spark plan: pure per-row JVM expressions (regexp/filter/"
+        "sort_array/array_join — no UDF), then ONE groupBy on the "
+        "canonical key — the linear exact-dedup shape at any scale.",
+    tags=("dedup", "text"),
+)
+def text_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    gid = F.expr("doc_id div 4").cast("string")
+    var = F.col("doc_id") % 4
+    scheme = (
+        F.when(var == 1, F.lit("HTTP"))
+        .when(var == 3, F.lit("Http"))
+        .otherwise(F.lit("http"))
+    )
+    host = (
+        F.when(var == 0, F.lit("www.example.com"))
+        .when(var == 1, F.lit("WWW.EXAMPLE.COM:80"))
+        .when(var == 2, F.lit("Example.Com"))
+        .otherwise(F.lit("www.Example.Com"))
+    )
+    query = (
+        F.when(
+            var == 0,
+            F.concat(F.lit("id="), gid,
+                     F.lit("&v=1&utm_source=news&fbclid=zzz")),
+        )
+        .when(var == 1, F.concat(F.lit("id="), gid, F.lit("&v=1")))
+        .when(
+            var == 2,
+            F.concat(F.lit("v=1&id="), gid, F.lit("&gclid=123")),
+        )
+        .otherwise(
+            F.concat(F.lit("v=1&id="), gid, F.lit("&utm_campaign=x"))
+        )
+    )
+    frag = (
+        F.when(var == 1, F.lit("#sec2"))
+        .when(var == 3, F.lit("#top"))
+        .otherwise(F.lit(""))
+    )
+    raw = t.documents.select(
+        "doc_id",
+        F.concat(
+            scheme, F.lit("://"), host, F.lit("/corpus/"), gid,
+            F.when(var == 2, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?"), query, frag,
+        ).alias("url"),
+    )
+    parts = raw.select(
+        "doc_id", "url",
+        F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+        .alias("scheme_c"),
+        F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1))
+        .alias("hostport"),
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+        .alias("path_raw"),
+        F.regexp_extract("url", r"\?([^#]*)", 1).alias("query_raw"),
+    )
+    host_c = F.regexp_replace(
+        F.when(
+            F.col("scheme_c") == "http",
+            F.regexp_replace("hostport", r":80$", ""),
+        )
+        .when(
+            F.col("scheme_c") == "https",
+            F.regexp_replace("hostport", r":443$", ""),
+        )
+        .otherwise(F.col("hostport")),
+        r"^www\.", "",
+    )
+    path_stripped = F.regexp_replace("path_raw", r"/+$", "")
+    path_c = F.when(path_stripped == "", F.lit("/")).otherwise(
+        path_stripped
+    )
+    params_c = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split("query_raw", "&"),
+                lambda x: (x != "")
+                & ~x.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
+            )
+        ),
+        "&",
+    )
+    keyed = parts.select(
+        "doc_id", "url",
+        F.concat(
+            F.col("scheme_c"), F.lit("://"), host_c, path_c,
+            F.when(params_c == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), params_c)
+            ),
+        ).alias("canonical_url"),
+    )
+    return keyed.groupBy("canonical_url").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.countDistinct("url").cast("long").alias("n_variants"),
+        F.min("doc_id").cast("long").alias("keep_id"),
     )

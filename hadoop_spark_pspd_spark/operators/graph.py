@@ -1583,10 +1583,16 @@ _SPEC_BITS = 24  # rescale ceiling: |v| kept under 2^24 between rounds
 
 def _spectral_edges_sql() -> str:
     """Shared WITH-body: the weighted nation co-occurrence graph (one
-    count per (order, nation pair) incidence), its degrees, the shift
-    constant c = 2*max_deg + 1 > lambda_max(L), and M = c*I - L."""
+    count per (order, nation pair) incidence) QUANTIZED to a 2^16 grid
+    over the total weight (w * 2^16 // sum(w), trunc division — Spark
+    div == DuckDB //; the ml_bradley_terry scale-invariance recipe),
+    its degrees, the shift constant c = 2*max_deg + 1 > lambda_max(L),
+    and M = c*I - L. Quantizing bounds deg <= 2^17 and c <= 2^18+1, so
+    the per-round product sums stay provably < 2^63 at ANY corpus
+    size (raw counts would push c past 2^28 at large SF and overflow
+    the BIGINT multiply)."""
     return """
-        pairs AS MATERIALIZED (
+        rawpairs AS MATERIALIZED (
             SELECT a.nat AS i, b.nat AS j,
                    CAST(count(*) AS BIGINT) AS w
             FROM (
@@ -1599,6 +1605,15 @@ def _spectral_edges_sql() -> str:
                      ON s.s_suppkey = l.l_suppkey
             ) b ON a.l_orderkey = b.l_orderkey AND a.nat < b.nat
             GROUP BY 1, 2
+        ), wtot AS MATERIALIZED (
+            SELECT CAST(CASE WHEN COALESCE(SUM(w), 0) = 0 THEN 1
+                             ELSE SUM(w) END AS BIGINT) AS tw
+            FROM rawpairs
+        ), pairs AS MATERIALIZED (
+            SELECT i, j,
+                   CAST(w * 65536 // (SELECT tw FROM wtot) AS BIGINT)
+                       AS w
+            FROM rawpairs
         ), edges AS MATERIALIZED (
             SELECT i, j, w FROM pairs
             UNION ALL
@@ -1686,9 +1701,13 @@ def _spectral_oracle() -> str:
         "economics: the 25x25 nation matrix is DIMENSION-bounded, so "
         "iterating it in Python costs nothing at any corpus scale). "
         "side = sign(fiedler) is the bisection a partitioner feeds "
-        "back into placement. Distributed part: one per-order "
-        "distinct-nation pair expansion (<= C(7,2) pairs/order — "
-        "linear in lineitem) into the 25^2-bounded weight matrix.",
+        "back into placement. Edge weights are quantized to a 2^16 "
+        "grid over the total (w * 2^16 // sum(w), trunc division in "
+        "both engines) so c and every product sum are bounded "
+        "independent of corpus size — no int64 ceiling. Distributed "
+        "part: one per-order distinct-nation pair expansion "
+        "(<= C(7,2) pairs/order — linear in lineitem) into the "
+        "25^2-bounded weight matrix.",
     tags=("graph",),
 )
 def graph_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1727,9 +1746,14 @@ def graph_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     idx = {node: k for k, node in enumerate(sorted(nodes))}
     n = len(nodes)
+    # quantize weights to the 2^16 grid over the total (exact trunc
+    # division, matching the oracle's //) so degrees stay <= 2^17 and
+    # every power-iteration product is < 2^63 at any corpus size
+    total_w = sum(int(r["w"]) for r in pairs) or 1
     W = [[0] * n for _ in range(n)]
     for r in pairs:
-        i, j, w = idx[int(r["i"])], idx[int(r["j"])], int(r["w"])
+        i, j = idx[int(r["i"])], idx[int(r["j"])]
+        w = int(r["w"]) * 65536 // total_w
         W[i][j] += w
         W[j][i] += w
     deg = [sum(row) for row in W]

@@ -93,20 +93,42 @@ def prewarm_python_datasource(spark: SparkSession) -> None:
     setup, where bench.py already puts file-index/codegen warmup.
     In-process broker path only; no-op wherever the DataSource is
     unavailable."""
+    import threading
+
     try:
         register_kafka_wire_source(spark)
         broker = KafkaWireBroker(n_partitions=1)
-        try:
-            th = _warm_datasource_paths(spark, broker, batch_write=True)
-            if th is not None:
-                th.join(timeout=120)
-        finally:
+        # handshake so a hung sacrificial stream never has the broker
+        # torn down underneath it (that dumps a noisy background
+        # traceback at session setup): whoever loses the race —
+        # main thread on timeout, warm thread on late finish — leaves
+        # shutdown to the other side. state is lock-guarded so exactly
+        # one side shuts the broker down.
+        state = {"deferred": False, "finished": False}
+        lock = threading.Lock()
+        th = _warm_datasource_paths(
+            spark, broker, batch_write=True,
+            _shutdown_state=(state, lock),
+        )
+        if th is None:
+            broker.shutdown()
+            return
+        th.join(timeout=120)
+        shut_here = False
+        with lock:
+            if state["finished"]:
+                shut_here = True
+            else:
+                state["deferred"] = True  # warm thread will shut down
+        if shut_here:
             broker.shutdown()
     except Exception:  # best-effort: queries still self-warm
         pass
 
 
-def _warm_datasource_paths(spark, broker, batch_write: bool = False) -> "object":
+def _warm_datasource_paths(
+    spark, broker, batch_write: bool = False, _shutdown_state=None
+) -> "object":
     """Overlap the Python-DataSource cold start with the produce leg.
 
     First use of format("kafkawire") pays several one-time worker spawns
@@ -220,6 +242,19 @@ def _warm_datasource_paths(spark, broker, batch_write: bool = False) -> "object"
                 shutil.rmtree(ckpt, ignore_errors=True)
         except Exception:  # best-effort: the real legs still self-warm
             pass
+        finally:
+            if _shutdown_state is not None:
+                state, lock = _shutdown_state
+                with lock:
+                    state["finished"] = True
+                    deferred = state["deferred"]
+                if deferred:
+                    # main thread gave up waiting — the broker is ours
+                    # to tear down now that all warm traffic is done
+                    try:
+                        broker.shutdown()
+                    except Exception:
+                        pass
 
     th = threading.Thread(target=_warm, daemon=True)
     th.start()

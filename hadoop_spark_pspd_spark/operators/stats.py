@@ -2846,13 +2846,24 @@ _ECE_PRICE = 150000
             SELECT bucket, CAST(count(*) AS BIGINT) AS n_test,
                    CAST(SUM(y) AS BIGINT) AS pos_test
             FROM labeled WHERE NOT is_train GROUP BY bucket
+        ), merged AS (
+            SELECT COALESCE(tr.bucket, te.bucket) AS bucket,
+                   COALESCE(n_train, 0) AS n_train,
+                   COALESCE(pos_train, 0) AS pos_train,
+                   COALESCE(n_test, 0) AS n_test,
+                   COALESCE(pos_test, 0) AS pos_test
+            FROM tr FULL OUTER JOIN te ON te.bucket = tr.bucket
         ), rates AS (
-            SELECT tr.bucket, n_train, pos_train, n_test, pos_test,
-                   CAST(pos_train * {_ECE_FX} // n_train AS BIGINT)
+            SELECT bucket, n_train, pos_train, n_test, pos_test,
+                   CAST(pos_train * {_ECE_FX}
+                        // (CASE WHEN n_train = 0 THEN 1
+                                 ELSE n_train END) AS BIGINT)
                        AS q_train_fx,
-                   CAST(pos_test * {_ECE_FX} // n_test AS BIGINT)
+                   CAST(pos_test * {_ECE_FX}
+                        // (CASE WHEN n_test = 0 THEN 1
+                                 ELSE n_test END) AS BIGINT)
                        AS q_test_fx
-            FROM tr JOIN te ON te.bucket = tr.bucket
+            FROM merged
         ), gaps AS (
             SELECT *,
                    CAST(n_test * abs(q_test_fx - q_train_fx) AS BIGINT)
@@ -2867,7 +2878,8 @@ _ECE_PRICE = 150000
                g.q_train_fx, g.q_test_fx, g.wgap_fx,
                CAST(t.num AS BIGINT) AS ece_num,
                CAST(t.num AS DOUBLE)
-                   / CAST(t.nt * {_ECE_FX} AS DOUBLE) AS ece
+                   / CAST((CASE WHEN t.nt = 0 THEN 1 ELSE t.nt END)
+                          * {_ECE_FX} AS DOUBLE) AS ece
         FROM gaps g CROSS JOIN tot t
     """,
     doc="Expected Calibration Error (Naeini et al. AAAI 2015, public) "
@@ -2880,7 +2892,11 @@ _ECE_PRICE = 150000
         "|q_test - q_train| in exact BIGINTs, and ECE is their sum "
         "over one exact int/int division — the binned calibration "
         "audit an eval pipeline runs on every scored model, with no "
-        "float rate ever formed before the final ratio. Scale: two "
+        "float rate ever formed before the final ratio. Buckets seen "
+        "in only one split survive via a full outer join with "
+        "coalesced zero counts and identically zero-guarded divisions "
+        "in both engines, so every bucket's test mass enters the ECE "
+        "denominator. Scale: two "
         "grouped counts over the fact table into a 5-row priority "
         "dimension; everything after is dimension-bounded.",
     tags=("ml", "stats"),
@@ -2912,12 +2928,25 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("long").alias("pos_test"),
         )
     )
-    rates = tr.join(te, "bucket").select(
+    merged = tr.join(te, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_train", F.lit(0)).alias("n_train"),
+        F.coalesce("pos_train", F.lit(0)).alias("pos_train"),
+        F.coalesce("n_test", F.lit(0)).alias("n_test"),
+        F.coalesce("pos_test", F.lit(0)).alias("pos_test"),
+    )
+    rates = merged.select(
         "bucket", "n_train", "pos_train", "n_test", "pos_test",
-        F.expr(f"pos_train * {_ECE_FX} div n_train")
+        F.expr(
+            f"pos_train * {_ECE_FX} div "
+            "(CASE WHEN n_train = 0 THEN 1 ELSE n_train END)"
+        )
         .cast("long")
         .alias("q_train_fx"),
-        F.expr(f"pos_test * {_ECE_FX} div n_test")
+        F.expr(
+            f"pos_test * {_ECE_FX} div "
+            "(CASE WHEN n_test = 0 THEN 1 ELSE n_test END)"
+        )
         .cast("long")
         .alias("q_test_fx"),
     )
@@ -2940,6 +2969,9 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("num").cast("long").alias("ece_num"),
         (
             F.col("num").cast("double")
-            / (F.col("nt") * _ECE_FX).cast("double")
+            / (
+                F.when(F.col("nt") == 0, F.lit(1)).otherwise(F.col("nt"))
+                * _ECE_FX
+            ).cast("double")
         ).alias("ece"),
     )
