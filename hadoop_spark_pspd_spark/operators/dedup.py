@@ -1055,7 +1055,14 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    sh = shingles_exploded(t.documents).distinct().cache()
+    # lazy localCheckpoint, NOT cache: four consumers (sizes, the
+    # pair self-join's two legs, the x32 signature explode) re-read
+    # this subtree inside ONE action, and an explicit cache adds a
+    # materialization barrier (round-6 technique 7 — measured here:
+    # cache 7.6 s warm / 16.5 s cold vs ckpt 3.8 s / 5.8 s at sf0.1)
+    sh = shingles_exploded(t.documents).distinct().localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pair_common = (
@@ -1084,16 +1091,8 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
     perms = spark.range(NUM_PERM).select(F.col("id").cast("bigint").alias("i"))
-    # pre-explosion repartition (round-6 technique 2): AQE coalesces the
-    # post-distinct exchange to a handful of partitions at sweep scale,
-    # so the x32 perm explode + md5 hashing would run near-serial;
-    # spreading the shingle rows across the full core count first keeps
-    # the dominant hashing stage parallel (the bootstrap-explode fix,
-    # 18 -> 7.7 s there)
-    n_slices = max(spark.sparkContext.defaultParallelism, 8)
     mh = (
-        sh.repartition(n_slices)
-        .crossJoin(perms)
+        sh.crossJoin(perms)
         .select(
             "doc_id",
             "i",

