@@ -781,6 +781,28 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_K = 32  # duplicated-span window, in BYTES
 
 
+def _window_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Partition count for per-byte window tables, derived from the
+    documents parquet's ON-DISK size (no scan): ~512 KB of parquet
+    (~1-2 MB of text, so ~1-2M window rows, ~100 MB serialized) per
+    partition. The round-10 subtree pin (lazy localCheckpoint on the
+    exploded window table) is only safe when partitions are bounded —
+    checkpoint blocks are unevictable, and at the 100x protocol scale
+    the unsized explode inherited ~37 input-split partitions of ~6M
+    rows each, starving execution memory in the shared local-mode
+    heap (SparkOutOfMemoryError in the dup-hash aggregate; caught by
+    this round's 100x run). Floor at the core count so small corpora
+    keep full parallelism."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/documents.parquet")
+    n_bytes = p.getFileSystem(conf).getContentSummary(p).getLength()
+    return max(
+        spark.sparkContext.defaultParallelism,
+        int(n_bytes // (512 << 10)),
+    )
+
+
 @register(
     "dedup_span_coverage",
     oracle=f"""
@@ -855,6 +877,10 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wins = (
         docs.filter(F.col("n") >= k)
+        # byte-sized pre-explosion repartition: bounds every window
+        # partition (and therefore every unevictable checkpoint block
+        # below) regardless of corpus size — see _window_partitions
+        .repartition(_window_partitions(spark, sf_dir))
         .select(
             "doc_id",
             "hx",
@@ -1435,6 +1461,9 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wins = (
         docs.filter(F.col("n") >= k)
+        # byte-sized pre-explosion repartition — bounds checkpoint
+        # blocks at any corpus size (see _window_partitions)
+        .repartition(_window_partitions(spark, sf_dir))
         .select(
             "doc_id",
             "hx",
@@ -1681,4 +1710,164 @@ def text_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_raw"),
         F.countDistinct("url").cast("long").alias("n_variants"),
         F.min("doc_id").cast("long").alias("keep_id"),
+    )
+
+
+_BBIT_B = 2                 # bits kept per permutation (Li & Konig)
+_BBIT_C = 1.0 / (1 << _BBIT_B)  # collision floor for a large universe
+
+
+@register(
+    "dedup_minhash_bbit",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(w) - {SHINGLE_N - 1}, 0) + 1),
+                           i -> array_to_string(w[i:i+{SHINGLE_N - 1}], ' ')))
+                           AS s
+                FROM (SELECT doc_id,
+                             list_filter(
+                                 string_split_regex(text,
+                                     '[ \\t\\n\\r\\f]+'),
+                                 x -> x <> '') AS w
+                      FROM documents))
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), pair_common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_a, doc_b,
+                   round(c / (sa.n + sb.n - c), 6) AS jaccard
+            FROM pair_common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+        ), mh AS (
+            SELECT doc_id, p.i,
+                   MIN(CAST(CAST(('0x' || substr(
+                       md5(CAST(p.i // 2 AS VARCHAR) || ':' || s),
+                       CAST(1 + 13 * (p.i % 2) AS INTEGER), 13))
+                       AS UBIGINT) AS BIGINT))
+                   % {1 << _BBIT_B} AS mb
+            FROM sh CROSS JOIN (
+                SELECT CAST(unnest(range(0, {NUM_PERM})) AS BIGINT) AS i) p
+            GROUP BY doc_id, p.i
+        ), matches AS (
+            SELECT pr.doc_a, pr.doc_b,
+                   CAST(SUM(CASE WHEN a.mb = b.mb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bbit_matches
+            FROM pairs pr
+            JOIN mh a ON a.doc_id = pr.doc_a
+            JOIN mh b ON b.doc_id = pr.doc_b AND b.i = a.i
+            GROUP BY 1, 2
+        )
+        SELECT m.doc_a, m.doc_b, m.bbit_matches,
+               (CAST(m.bbit_matches AS DOUBLE) / {NUM_PERM}
+                - {_BBIT_C}) / (1.0 - {_BBIT_C}) AS est_jaccard_bbit,
+               p.jaccard
+        FROM matches m JOIN pairs p USING (doc_a, doc_b)
+    """,
+    doc="b-BIT MINWISE HASHING estimator eval (Li & Konig, WWW 2010 / "
+        "CACM 2011, public): store only the lowest "
+        f"b = {_BBIT_B} bits of each of the {NUM_PERM} permutation "
+        "min-hashes (a 16x signature-memory cut vs 64-bit minhashes — "
+        "the storage trick that makes billion-doc sketch indexes "
+        "fit), and for every TRUE near-dup pair compare the b-bit "
+        "collision count against the exact Jaccard via the unbiased "
+        "estimator (rate - C)/(1 - C) with the large-universe "
+        f"collision floor C = 1/2^b = {_BBIT_C}. The estimate is "
+        "exact-arithmetic clean: matches/32 is dyadic, C is dyadic, "
+        "and the final division is one correctly-rounded IEEE op — "
+        "no transcendental ever forms. Same md5-derandomized "
+        "signature machinery as dedup_minhash_calibration (two 52-bit "
+        "draws per digest), so the oracle replays bit-identically; "
+        "the b-bit truncation is mh % 4 on the non-negative BIGINT "
+        "draw (identical in both engines). Scale: the b-bit table is "
+        "the same one-shuffle signature groupBy, and the pair legs "
+        "join on the banded true-pair set — linear in corpus "
+        "shingles.",
+    tags=("dedup", "eval"),
+)
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    # shared shingle subtree: lazy checkpoint, not cache (see
+    # dedup_minhash_calibration — same four-consumer shape)
+    sh = shingles_exploded(t.documents).distinct().localCheckpoint(
+        eager=False
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pair_common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    pairs = (
+        pair_common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+    perms = spark.range(NUM_PERM).select(F.col("id").cast("bigint").alias("i"))
+    mh = (
+        sh.crossJoin(perms)
+        .select(
+            "doc_id",
+            "i",
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(i div 2 AS STRING), "
+                "':', s)), CAST(1 + 13 * (i % 2) AS INT), 13), 16, 10) "
+                "AS BIGINT)"
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg((F.min("h") % (1 << _BBIT_B)).alias("mb"))
+    )
+    mha = mh.select(
+        F.col("doc_id").alias("doc_a"), "i", F.col("mb").alias("mb_a")
+    )
+    mhb = mh.select(
+        F.col("doc_id").alias("db"),
+        F.col("i").alias("ib"),
+        F.col("mb").alias("mb_b"),
+    )
+    matches = (
+        pairs.join(mha, "doc_a")
+        .join(mhb, (F.col("ib") == F.col("i")) & (F.col("db") == F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mb_a") == F.col("mb_b"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("bbit_matches")
+        )
+    )
+    return matches.join(pairs, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "bbit_matches",
+        (
+            (F.col("bbit_matches").cast("double") / NUM_PERM - _BBIT_C)
+            / (1.0 - _BBIT_C)
+        ).alias("est_jaccard_bbit"),
+        "jaccard",
     )

@@ -911,3 +911,96 @@ def privacy_binomial_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("true_count") + noise).cast("long").alias("noisy_count"),
         )
     )
+
+
+_KANON_K = 5          # the k in k-anonymity
+_KANON_BAND = 50000   # price-band width of the numeric quasi-identifier
+
+
+@register(
+    "privacy_kanonymity_histogram",
+    oracle=f"""
+        WITH qi AS (
+            SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   CAST(floor(o_totalprice / {_KANON_BAND}) AS BIGINT)
+                       AS band
+            FROM orders
+        ), classes AS (
+            SELECT pri, st, yr, mo, band,
+                   CAST(count(*) AS BIGINT) AS k_size
+            FROM qi GROUP BY 1, 2, 3, 4, 5
+        ), by_size AS (
+            SELECT k_size,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(k_size) AS BIGINT) AS n_rows
+            FROM classes GROUP BY k_size
+        ), tot AS (
+            SELECT CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS total
+            FROM by_size
+        )
+        SELECT b.k_size, b.n_classes, b.n_rows,
+               CAST(b.n_rows AS DOUBLE)
+                   / CAST(CASE WHEN t.total = 0 THEN 1
+                               ELSE t.total END AS DOUBLE) AS row_frac,
+               CAST(CASE WHEN b.k_size < {_KANON_K} THEN 1 ELSE 0 END
+                    AS INTEGER) AS violates_k
+        FROM by_size b CROSS JOIN tot t
+    """,
+    doc="k-ANONYMITY class-size HISTOGRAM (Sweeney 2002, public) — the "
+        "complement of q_k_anonymity's violation list (profiling.py:315): "
+        "instead of reporting rare groups, report the full distribution "
+        "of equivalence-class sizes, which is what fixes k itself and "
+        "prices the suppression cost of any candidate k. Classes are "
+        "over the quasi-identifier tuple (priority, status, order "
+        f"year, month, totalprice band of {_KANON_BAND}) and the class-"
+        "size histogram — per distinct class size k, how many classes "
+        "and rows sit there, what fraction of the table that is, and "
+        f"whether k violates the k>={_KANON_K} re-identification "
+        "floor. This is the release-gate audit a privacy pipeline "
+        "runs before publishing any quasi-identified aggregate "
+        "(rows in violating classes must be suppressed or "
+        "generalized). The numeric QI is floor()-bucketed in BOTH "
+        "engines (round-10 rule); the row fraction is an exact "
+        "int/int double with a zero-guarded denominator. Scale: two "
+        "chained grouped counts (QI classes, then the size "
+        "histogram) — partial-agg shapes, linear at any corpus size; "
+        "the histogram is at most a few hundred rows regardless of "
+        "scale.",
+    tags=("privacy", "profiling"),
+)
+def privacy_kanonymity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    qi = t.orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.floor(F.col("o_totalprice") / _KANON_BAND)
+        .cast("long")
+        .alias("band"),
+    )
+    classes = qi.groupBy("pri", "st", "yr", "mo", "band").agg(
+        F.count("*").cast("long").alias("k_size")
+    )
+    by_size = classes.groupBy("k_size").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("k_size").cast("long").alias("n_rows"),
+    )
+    tot = by_size.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("total")
+    )
+    return by_size.crossJoin(F.broadcast(tot)).select(
+        "k_size", "n_classes", "n_rows",
+        (
+            F.col("n_rows").cast("double")
+            / F.when(F.col("total") == 0, F.lit(1))
+            .otherwise(F.col("total"))
+            .cast("double")
+        ).alias("row_frac"),
+        F.when(F.col("k_size") < _KANON_K, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("violates_k"),
+    )

@@ -2975,3 +2975,142 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("ece"),
     )
+
+
+_GH_PRICE = 150000   # label threshold: y = totalprice > _GH_PRICE
+_GH_GRID = 1 << 16   # histogram counts quantized to this grid (scale-free)
+
+
+@register(
+    "ml_gradient_histogram",
+    oracle=f"""
+        WITH labeled AS (
+            SELECT CAST(month(o_orderdate) AS BIGINT) AS mo,
+                   CASE WHEN CAST(o_totalprice AS DECIMAL(18,4))
+                             > {_GH_PRICE} THEN 1 ELSE 0 END AS y
+            FROM orders
+        ), hist AS (
+            SELECT mo, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(SUM(y) AS BIGINT) AS pos
+            FROM labeled GROUP BY mo
+        ), tot AS (
+            SELECT CAST(CASE WHEN COALESCE(SUM(cnt), 0) = 0 THEN 1
+                             ELSE SUM(cnt) END AS BIGINT) AS n
+            FROM hist
+        ), q AS (
+            SELECT mo,
+                   CAST(cnt * {_GH_GRID} // (SELECT n FROM tot)
+                        AS BIGINT) AS cq,
+                   CAST(pos * {_GH_GRID} // (SELECT n FROM tot)
+                        AS BIGINT) AS pq
+            FROM hist
+        ), cum AS (
+            SELECT mo, cq, pq,
+                   CAST(SUM(cq - 4 * pq) OVER (
+                       ORDER BY mo ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS al,
+                   CAST(SUM(3 * cq) OVER (
+                       ORDER BY mo ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS hl,
+                   CAST(SUM(cq - 4 * pq) OVER () AS BIGINT) AS at,
+                   CAST(SUM(3 * cq) OVER () AS BIGINT) AS ht
+            FROM q
+        ), terms AS (
+            SELECT mo, cq, pq,
+                   al, hl + 16 AS bl,
+                   at - al AS ar, ht - hl + 16 AS br,
+                   at, ht + 16 AS bt
+            FROM cum
+        ), frac AS (
+            SELECT mo, cq, pq, al, bl, ar, br,
+                   CAST(al AS DECIMAL(38,0)) * al * br * bt
+                   + CAST(ar AS DECIMAL(38,0)) * ar * bl * bt
+                   - CAST(at AS DECIMAL(38,0)) * at * bl * br AS num,
+                   CAST(bl AS DECIMAL(38,0)) * br * bt AS den
+            FROM terms
+        )
+        SELECT mo AS split_month,
+               cq AS cnt_q, pq AS pos_q,
+               al AS g_left_fx, bl AS h_left_fx,
+               ar AS g_right_fx, br AS h_right_fx,
+               CAST(CAST(num AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS gain
+        FROM frac
+    """,
+    doc="GBDT split-finding GRADIENT HISTOGRAM (the core distributed "
+        "operator of XGBoost/LightGBM — Chen & Guestrin KDD'16, "
+        "public): logloss gradients at a constant prior p0 = 1/4 for "
+        f"the label y = totalprice > {_GH_PRICE}, histogrammed by "
+        "order month, then the exact split-gain scan "
+        "GL^2/(HL+l) + GR^2/(HR+l) - G^2/(H+l) (lambda = 1) over the "
+        "12 candidate thresholds. Determinism recipe: per-month "
+        "(count, positives) are quantized to a 2^16 grid over the "
+        "total (trunc division — the scale-invariance rule, same as "
+        "ml_bradley_terry), making gradients exact ints on the "
+        "{-3, +1}/4 grid and hessians 3/16 per row, so gains are "
+        "single fractions of DECIMAL(38,0) products (provably < 1e38 "
+        "at ANY corpus size) crossed to double via the shortest-"
+        "string hop; lambda keeps every denominator >= 16 with no "
+        "zero guard needed. Spark plan: one grouped count over the "
+        "fact table (partial-agg), then a 12-row windowless HOF "
+        "cumsum (with_running_sums — no WindowExec) — the histogram "
+        "aggregation IS the distributed work, exactly as in a real "
+        "GBDT learner; the split scan is dimension-bounded.",
+    tags=("ml", "stats"),
+)
+def ml_gradient_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import with_running_sums
+
+    t = Tables(spark, sf_dir)
+    labeled = t.orders.select(
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.when(
+            F.col("o_totalprice").cast("decimal(18,4)") > _GH_PRICE, 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    hist = labeled.groupBy("mo").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = hist.agg(
+        F.when(
+            F.coalesce(F.sum("cnt"), F.lit(0)) == 0, F.lit(1)
+        )
+        .otherwise(F.sum("cnt"))
+        .cast("long")
+        .alias("n")
+    )
+    q = hist.crossJoin(F.broadcast(tot)).select(
+        "mo",
+        F.expr(f"cnt * {_GH_GRID} div n").cast("long").alias("cq"),
+        F.expr(f"pos * {_GH_GRID} div n").cast("long").alias("pq"),
+    )
+    qv = q.select(
+        "mo", "cq", "pq",
+        (F.col("cq") - 4 * F.col("pq")).alias("a"),
+        (3 * F.col("cq")).alias("h"),
+    )
+    cum = with_running_sums(
+        qv, "mo", ["cq", "pq", "a", "h"], prefix="c", totals_prefix="t"
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    al, hl = F.col("ca"), F.col("ch")
+    at, ht = F.col("ta"), F.col("th")
+    bl = hl + 16
+    ar = at - al
+    br = ht - hl + 16
+    bt = ht + 16
+    num = d(al) * al * br * bt + d(ar) * ar * bl * bt - d(at) * at * bl * br
+    den = d(bl) * br * bt
+    return cum.select(
+        F.col("mo").alias("split_month"),
+        F.col("cq").alias("cnt_q"),
+        F.col("pq").alias("pos_q"),
+        al.cast("long").alias("g_left_fx"),
+        bl.cast("long").alias("h_left_fx"),
+        ar.cast("long").alias("g_right_fx"),
+        br.cast("long").alias("h_right_fx"),
+        (num.cast("double") / den.cast("double")).alias("gain"),
+    )
