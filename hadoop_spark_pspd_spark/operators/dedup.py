@@ -899,10 +899,20 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         # warm at sf0.1
         .localCheckpoint(eager=False)
     )
-    dup_h = wins.groupBy("h").agg(F.count("*").alias("c")).filter(
+    # carry the byte-derived width through the corpus-scale exchanges:
+    # at the static session shuffle partitions (32), a 100x corpus puts
+    # 2M+ window rows per partition into the fingerprint aggregate /
+    # join build / per-doc window sort — measured Java-heap OOM in the
+    # substring twin's 100x run. repartition-by-key before groupBy/
+    # join/window is exchange-neutral (the consumer reuses it).
+    n_parts = _window_partitions(spark, sf_dir)
+    wins_by_h = wins.repartition(n_parts, "h")
+    dup_h = wins_by_h.groupBy("h").agg(F.count("*").alias("c")).filter(
         F.col("c") > 1
     ).select("h")
-    dup_wins = wins.join(dup_h, "h", "left_semi")
+    dup_wins = wins_by_h.join(dup_h, "h", "left_semi").repartition(
+        n_parts, "doc_id"
+    )
     w_prev = (
         _W.partitionBy("doc_id")
         .orderBy("pos")
@@ -1483,12 +1493,21 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # subtrees — same fix as dedup_span_coverage)
         .localCheckpoint(eager=False)
     )
+    # byte-derived width through every corpus-scale exchange (same
+    # heap-OOM fix as dedup_span_coverage — the 100x protocol killed
+    # this query's fingerprint join at 32 static shuffle partitions)
+    n_parts = _window_partitions(spark, sf_dir)
+    wins_by_h = wins.repartition(n_parts, "h")
     mult = (
-        wins.groupBy("h")
+        wins_by_h.groupBy("h")
         .agg(F.count("*").cast("long").alias("c"))
         .filter(F.col("c") > 1)
     )
-    dup_wins = wins.join(mult, "h").select("doc_id", "pos", "c")
+    dup_wins = (
+        wins_by_h.join(mult, "h")
+        .select("doc_id", "pos", "c")
+        .repartition(n_parts, "doc_id")
+    )
     w_prev = (
         _W.partitionBy("doc_id")
         .orderBy("pos")

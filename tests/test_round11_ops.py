@@ -1,0 +1,172 @@
+"""Hand-computed fixtures for the round-11 operators (beyond the
+oracle-parity gate): exact expected values on corpora small enough to
+fold by hand, plus the degenerate shapes the generated testdata can't
+produce."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_spark_pspd_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+# ------------------------------------------------- gradient histogram
+
+
+@pytest.fixture(scope="module")
+def two_month_orders_sf(tmp_path_factory, spark):
+    """Orders in exactly two months with hand-picked label rates:
+    month 1 = 4 orders, 0 positive; month 2 = 4 orders, 4 positive —
+    the perfect split, so the month-1 threshold must carry the max
+    gain and the degenerate last split must be gain 0."""
+    d = tmp_path_factory.mktemp("r11_gh_sf")
+    rows = []
+    for i in range(4):
+        rows.append((i, f"2024-01-{10 + i:02d}", 100000.0))      # y=0
+    for i in range(4):
+        rows.append((10 + i, f"2024-02-{10 + i:02d}", 200000.0))  # y=1
+    spark.createDataFrame(
+        [
+            (k, ds + " 00:00:00", p)
+            for k, ds, p in rows
+        ],
+        "o_orderkey long, o_orderdate_s string, o_totalprice double",
+    ).selectExpr(
+        "o_orderkey",
+        "CAST(o_orderdate_s AS TIMESTAMP) AS o_orderdate",
+        "o_totalprice",
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    return str(d)
+
+
+def test_gradient_histogram_hand_values(spark, two_month_orders_sf):
+    rows = {
+        r["split_month"]: r
+        for r in REGISTRY["ml_gradient_histogram"]
+        .fn(spark, two_month_orders_sf)
+        .collect()
+    }
+    assert set(rows) == {1, 2}
+    grid = 1 << 16
+    half = 4 * grid // 8  # each month holds half the quantized mass
+    m1, m2 = rows[1], rows[2]
+    # month 1: no positives -> pq 0, G = cq; month 2: all positive ->
+    # G = cq - 4cq = -3cq
+    assert (m1["cnt_q"], m1["pos_q"]) == (half, 0)
+    assert (m2["cnt_q"], m2["pos_q"]) == (half, half)
+    assert m1["g_left_fx"] == half
+    assert m1["h_left_fx"] == 3 * half + 16
+    assert m1["g_right_fx"] == -3 * half
+    assert m1["h_right_fx"] == 3 * half + 16
+    # split after month 1 separates the classes: gain > 0; the
+    # degenerate last split (right side empty) is the -G^2/B_T term
+    # against itself -> strictly less, and its left fraction equals
+    # the total fraction
+    assert m1["gain"] > 0.0
+    assert m2["gain"] < m1["gain"]
+    # hand value: AL=half, AR=-3half, AT=-2half; BL=BR=3half+16,
+    # BT=6half+16
+    al, ar, at = half, -3 * half, -2 * half
+    bl = br = 3 * half + 16
+    bt = 6 * half + 16
+    want = (al * al * br * bt + ar * ar * bl * bt - at * at * bl * br) / (
+        bl * br * bt
+    )
+    assert abs(m1["gain"] - want) < 1e-12 * abs(want)
+
+
+# --------------------------------------------------------- b-bit eval
+
+
+@pytest.fixture(scope="module")
+def twin_docs_sf(tmp_path_factory, spark):
+    """Two identical docs (Jaccard 1.0) plus one unrelated: the b-bit
+    signature must agree on all 32 perms for the twins -> estimator
+    exactly 1.0."""
+    d = tmp_path_factory.mktemp("r11_bbit_sf")
+    twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    spark.createDataFrame(
+        [
+            (0, twin),
+            (1, twin),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_bbit_identical_docs_estimate_one(spark, twin_docs_sf):
+    out = REGISTRY["dedup_minhash_bbit"].fn(spark, twin_docs_sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["bbit_matches"] == 32
+    assert r["est_jaccard_bbit"] == 1.0
+    assert r["jaccard"] == 1.0
+
+
+# ----------------------------------------------------------- URL dedup
+
+
+def test_url_dedup_groups_of_four(spark):
+    """On any documents table, consecutive doc_id quadruples share one
+    canonical URL: every canonical group must have n_raw == the number
+    of its doc_ids present, 4 distinct raw variants when full, and the
+    canonical string must be fully normalized."""
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["text_url_dedup"].fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["canonical_url"].startswith("http://example.com/corpus/")
+        assert "utm_" not in r["canonical_url"]
+        assert "#" not in r["canonical_url"]
+        assert "www." not in r["canonical_url"]
+        assert ":80" not in r["canonical_url"]
+        gid = int(r["canonical_url"].split("/corpus/")[1].split("?")[0])
+        assert r["canonical_url"].endswith(f"?id={gid}&v=1")
+        assert r["keep_id"] == gid * 4
+        assert 1 <= r["n_raw"] <= 4
+        assert r["n_variants"] == r["n_raw"]  # every variant distinct
+
+
+# ----------------------------------------------- k-anonymity histogram
+
+
+@pytest.fixture(scope="module")
+def kanon_orders_sf(tmp_path_factory, spark):
+    """Orders engineered into known class sizes: one QI class of 6
+    rows (safe), two classes of 2 rows (violating k=5)."""
+    d = tmp_path_factory.mktemp("r11_kanon_sf")
+    rows = []
+    for i in range(6):  # class A: same priority/status/month/band
+        rows.append((i, "1-URGENT", "F", "2024-03-05 00:00:00", 10000.0))
+    for i in range(2):  # class B
+        rows.append((10 + i, "2-HIGH", "O", "2024-03-05 00:00:00", 10000.0))
+    for i in range(2):  # class C (different month)
+        rows.append((20 + i, "2-HIGH", "O", "2024-04-05 00:00:00", 10000.0))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_orderstatus string, "
+        "o_orderdate_s string, o_totalprice double",
+    ).selectExpr(
+        "o_orderkey", "o_orderpriority", "o_orderstatus",
+        "CAST(o_orderdate_s AS TIMESTAMP) AS o_orderdate", "o_totalprice",
+    ).coalesce(1).write.parquet(str(d / "orders.parquet"))
+    return str(d)
+
+
+def test_kanonymity_histogram_hand_values(spark, kanon_orders_sf):
+    rows = {
+        r["k_size"]: r
+        for r in REGISTRY["privacy_kanonymity_histogram"]
+        .fn(spark, kanon_orders_sf)
+        .collect()
+    }
+    assert set(rows) == {2, 6}
+    assert rows[2]["n_classes"] == 2 and rows[2]["n_rows"] == 4
+    assert rows[6]["n_classes"] == 1 and rows[6]["n_rows"] == 6
+    assert rows[2]["violates_k"] == 1 and rows[6]["violates_k"] == 0
+    assert rows[2]["row_frac"] == 0.4 and rows[6]["row_frac"] == 0.6
