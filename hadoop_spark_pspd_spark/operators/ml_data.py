@@ -3062,3 +3062,128 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c("det_1").cast("double") / da).alias("beta1"),
         (c("det_2").cast("double") / da).alias("beta2"),
     )
+
+
+_PR_G = 1 << 20  # recall/precision land on this exact integer grid
+
+
+@register(
+    "ml_pr_auc",
+    oracle=f"""
+        WITH scored AS (
+            SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 16.0)
+                        AS BIGINT) AS s,
+                   CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+            FROM embeddings
+        ), grp AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS c,
+                   CAST(SUM(y) AS BIGINT) AS cp
+            FROM scored GROUP BY s
+        ), cum AS (
+            SELECT s, c, cp,
+                   CAST(SUM(c) OVER (
+                       ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS nb,
+                   CAST(SUM(cp) OVER (
+                       ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS tpb
+            FROM grp
+        ), tot AS (
+            SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+                   CAST(count(*) - SUM(y) AS BIGINT) AS n_neg
+            FROM scored
+        ), terms AS (
+            SELECT
+                (tpb * {_PR_G}
+                 // (CASE WHEN t.n_pos = 0 THEN 1 ELSE t.n_pos END)
+                 - (tpb - cp) * {_PR_G}
+                 // (CASE WHEN t.n_pos = 0 THEN 1 ELSE t.n_pos END))
+                * (tpb * {_PR_G} // nb
+                   + CASE WHEN nb - c = 0 THEN {_PR_G}
+                          ELSE (tpb - cp) * {_PR_G} // (nb - c) END)
+                AS term_fx
+            FROM cum CROSS JOIN tot t
+        )
+        SELECT t.n_pos, t.n_neg,
+               CAST(COALESCE(SUM(term_fx), 0) AS BIGINT) AS ap_fx,
+               CASE WHEN t.n_pos > 0
+                    THEN CAST(COALESCE(SUM(term_fx), 0) AS DOUBLE)
+                         / {2.0 * _PR_G * _PR_G}
+                    ELSE CAST(0 AS DOUBLE) END AS pr_auc
+        FROM terms CROSS JOIN tot t
+        GROUP BY t.n_pos, t.n_neg
+    """,
+    doc="Exact trapezoidal PR-AUC (precision-recall curve area — Davis "
+        "& Goadrich ICML 2006, public; the imbalanced-data companion "
+        "to ml_auc_exact, same bucketed score floor(e1*16) and parity "
+        "label): walk the score buckets in descending order, and at "
+        "each boundary quantize recall TP/P and precision TP/N to the "
+        f"exact 2^20 integer grid (truncating integer division — "
+        "Spark div == DuckDB //), so each trapezoid term "
+        "(R_b - R_prev) * (P_b + P_prev) is an exact int64 < 2^41 and "
+        "the bucket sum is ORDER-FREE (the float trapezoid sum would "
+        "be order-sensitive and engine-divergent). pr_auc = "
+        "ap_fx / 2^41 is one exact dyadic division. The curve starts "
+        "at the (R=0, P=1) convention (the empty prefix's precision); "
+        "single-class corpora zero-guard to 0. The previous boundary "
+        "needs no lag: prev_TP = TP - cp, prev_N = N - c. Plan: one "
+        "grouped count per score bucket, one distributed bucket-"
+        "ordered cumsum (with_running_sums_dist — never an "
+        "unpartitioned window), one scalar agg — PR-AUC over 100 TB "
+        "of scores costs one shuffle of the bucket histogram.",
+    tags=("ml", "stats"),
+)
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import with_running_sums_dist
+
+    t = Tables(spark, sf_dir)
+    e1 = F.col("embedding").getItem(0).cast("double")
+    scored = t.embeddings.select(
+        F.floor(e1 * F.lit(16.0)).cast("bigint").alias("s"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("y"),
+    )
+    grp = scored.groupBy("s").agg(
+        F.count("*").alias("c"), F.sum("y").alias("cp")
+    )
+    cum = (
+        with_running_sums_dist(
+            grp, [F.col("s").desc()], ["c", "cp"], prefix="cum_"
+        )
+        .withColumnRenamed("cum_c", "nb")
+        .withColumnRenamed("cum_cp", "tpb")
+    )
+    tot = scored.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    g = _PR_G
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "n_pos",
+        "n_neg",
+        (
+            F.expr(
+                f"tpb * {g} div (CASE WHEN n_pos = 0 THEN 1 ELSE n_pos END)"
+                f" - (tpb - cp) * {g}"
+                f" div (CASE WHEN n_pos = 0 THEN 1 ELSE n_pos END)"
+            )
+            * F.expr(
+                f"tpb * {g} div nb"
+                f" + CASE WHEN nb - c = 0 THEN {g}"
+                f"        ELSE (tpb - cp) * {g} div (nb - c) END"
+            )
+        ).alias("term_fx"),
+    )
+    return terms.groupBy("n_pos", "n_neg").agg(
+        F.coalesce(F.sum("term_fx"), F.lit(0))
+        .cast("long")
+        .alias("ap_fx"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.coalesce(F.sum("term_fx"), F.lit(0)).cast("double")
+            / F.lit(2.0 * g * g),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pr_auc"),
+    )

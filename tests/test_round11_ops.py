@@ -170,3 +170,30 @@ def test_kanonymity_histogram_hand_values(spark, kanon_orders_sf):
     assert rows[6]["n_classes"] == 1 and rows[6]["n_rows"] == 6
     assert rows[2]["violates_k"] == 1 and rows[6]["violates_k"] == 0
     assert rows[2]["row_frac"] == 0.4 and rows[6]["row_frac"] == 0.6
+
+
+# -------------------------------------------------------------- PR-AUC
+
+
+@pytest.fixture(scope="module")
+def separable_embeddings_sf(tmp_path_factory, spark):
+    """Perfectly separable scores: all odd labels (positives) score in
+    bucket 16, all even (negatives) in bucket 0 -> PR-AUC exactly 1."""
+    d = tmp_path_factory.mktemp("r11_prauc_sf")
+    rows = []
+    for i in range(40):
+        y = i % 2
+        e1 = 1.0 if y == 1 else 0.01
+        rows.append((i, [e1] + [0.0] * 7, y))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_pr_auc_perfect_separation(spark, separable_embeddings_sf):
+    out = REGISTRY["ml_pr_auc"].fn(spark, separable_embeddings_sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_pos"], r["n_neg"]) == (20, 20)
+    assert r["pr_auc"] == 1.0
