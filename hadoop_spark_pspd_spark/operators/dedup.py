@@ -1890,3 +1890,140 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_jaccard_bbit"),
         "jaccard",
     )
+
+
+# CCNet-style paragraph dedup (Wenzek et al. 2020): hash each paragraph,
+# keep exactly ONE occurrence corpus-wide (the first by document order),
+# drop every other copy. The synthetic corpus is single-line, so
+# "paragraph" is the deterministic proxy of non-overlapping 16-token
+# chunks (same spirit as Lee et al. span fingerprints; reference analog:
+# the corpus-cleaning stage of cluster/tools/run_fault_tests.py's
+# wordcount input prep has no dedup — this is a driver-contract
+# extension). Winner per chunk hash = min(doc_id, chunk_idx) packed as
+# an exact int64 (doc_id*2^32 + idx; idx < 2^32 by construction, so the
+# pack is collision-free and the min is the lexicographic first
+# occurrence in both engines).
+_PARA_TOK = 16
+
+
+@register(
+    "dedup_paragraph_ccnet",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), tok2 AS (
+            SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) >= 1
+        ), grid AS (
+            SELECT doc_id, w, n,
+                   unnest(range(0, (n + {_PARA_TOK - 1}) // {_PARA_TOK}))
+                       AS idx
+            FROM tok2
+        ), occ AS (
+            SELECT doc_id, idx,
+                   md5(array_to_string(
+                       w[idx*{_PARA_TOK}+1 : idx*{_PARA_TOK}+{_PARA_TOK}],
+                       ' ')) AS h,
+                   least({_PARA_TOK}, n - idx*{_PARA_TOK}) AS ntok,
+                   doc_id * 4294967296 + idx AS okey
+            FROM grid
+        ), win AS (
+            SELECT h, min(okey) AS mink FROM occ GROUP BY h
+        ), per_doc AS (
+            SELECT o.doc_id,
+                   count(*) AS n_chunks,
+                   sum(CASE WHEN o.okey = w.mink THEN 0 ELSE 1 END)
+                       AS n_dup_chunks,
+                   sum(o.ntok) AS tok_total,
+                   sum(CASE WHEN o.okey = w.mink THEN o.ntok ELSE 0 END)
+                       AS tok_retained
+            FROM occ o JOIN win w USING (h)
+            GROUP BY o.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_chunks AS BIGINT) AS n_chunks,
+               CAST(n_dup_chunks AS BIGINT) AS n_dup_chunks,
+               CAST(tok_total AS BIGINT) AS tok_total,
+               CAST(tok_retained AS BIGINT) AS tok_retained,
+               CAST(tok_retained AS DOUBLE) / CAST(tok_total AS BIGINT)
+                   AS retained_ratio
+        FROM per_doc
+    """,
+    doc="CCNet-style cross-document paragraph dedup: md5 per "
+        "non-overlapping 16-token chunk, keep the first occurrence "
+        "corpus-wide (min packed doc_id/idx), report per-doc retained "
+        "token mass. One bounded explode (n/16 fanout), one "
+        "partial-agg-friendly groupBy on the chunk hash, one hash-keyed "
+        "join back, one per-doc aggregate — all linear, no all-pairs "
+        "anywhere; the 100 TB path is identical to dedup_exact's "
+        "hash-groupBy shape.",
+    tags=("dedup", "documents"),
+)
+def dedup_paragraph_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sc = spark.sparkContext
+    P = _PARA_TOK
+    toks = (
+        # pre-explosion repartition: the doc parquet arrives as 1-2
+        # splits; tokenize+chunk is CPU-bound (round-6 pattern)
+        t.documents.repartition(sc.defaultParallelism)
+        .select("doc_id", tokens(F.col("text")).alias("w"))
+        .withColumn("n", F.size("w"))
+        .where(F.col("n") >= 1)
+    )
+    # integer chunk count must be exact — floor-div via DIV, never
+    # double division (CLAUDE.md round-6 (6))
+    occ = (
+        toks.select(
+            "doc_id",
+            "n",
+            "w",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.expr(f"(n + {P - 1}) DIV {P}") - 1,
+                )
+            ).alias("idx"),
+        )
+        .select(
+            "doc_id",
+            "idx",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("w"), F.col("idx") * P + 1, P)
+                )
+            ).alias("h"),
+            F.least(F.lit(P), F.col("n") - F.col("idx") * P)
+            .cast("bigint")
+            .alias("ntok"),
+            (F.col("doc_id") * F.lit(4294967296).cast("bigint")
+             + F.col("idx")).alias("okey"),
+        )
+    )
+    win = occ.groupBy("h").agg(F.min("okey").alias("mink"))
+    retained = F.col("okey") == F.col("mink")
+    per_doc = (
+        occ.join(win, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(retained, 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.sum("ntok").cast("bigint").alias("tok_total"),
+            F.sum(F.when(retained, F.col("ntok")).otherwise(0))
+            .cast("bigint")
+            .alias("tok_retained"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        "tok_total",
+        "tok_retained",
+        (F.col("tok_retained").cast("double") / F.col("tok_total"))
+        .alias("retained_ratio"),
+    )

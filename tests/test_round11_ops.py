@@ -197,3 +197,53 @@ def test_pr_auc_perfect_separation(spark, separable_embeddings_sf):
     r = out[0]
     assert (r["n_pos"], r["n_neg"]) == (20, 20)
     assert r["pr_auc"] == 1.0
+
+
+# ---------------------------------------------- CCNet paragraph dedup
+
+
+@pytest.fixture(scope="module")
+def paragraph_docs_sf(tmp_path_factory, spark):
+    """Three docs built from 16-token chunks A/B/C:
+    doc 0 = A+B (32 tok), doc 1 = B+C (32 tok), doc 2 = A (16 tok),
+    plus doc 3 = 5-token partial chunk duplicated nowhere.
+    Winners: A@doc0, B@doc0, C@doc1, partial@doc3."""
+    d = tmp_path_factory.mktemp("r11_ccnet_sf")
+    A = " ".join(f"a{i}" for i in range(16))
+    B = " ".join(f"b{i}" for i in range(16))
+    C = " ".join(f"c{i}" for i in range(16))
+    P = "p0 p1 p2 p3 p4"
+    rows = [
+        (0, A + " " + B, "en", "s", 0),
+        (1, B + " " + C, "en", "s", 0),
+        (2, A, "en", "s", 0),
+        (3, P, "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_paragraph_ccnet_hand_values(spark, paragraph_docs_sf):
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_paragraph_ccnet"]
+        .fn(spark, paragraph_docs_sf)
+        .collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    # doc 0 owns both its chunks (first occurrence of A and B)
+    assert rows[0]["n_dup_chunks"] == 0
+    assert rows[0]["tok_retained"] == 32 and rows[0]["tok_total"] == 32
+    # doc 1: B is a dup (doc 0 wins), C retained
+    assert rows[1]["n_dup_chunks"] == 1
+    assert rows[1]["tok_retained"] == 16
+    assert rows[1]["retained_ratio"] == 0.5
+    # doc 2: A entirely duplicated
+    assert rows[2]["tok_retained"] == 0 and rows[2]["n_dup_chunks"] == 1
+    assert rows[2]["retained_ratio"] == 0.0
+    # doc 3: unique 5-token partial chunk fully retained
+    assert rows[3]["n_chunks"] == 1 and rows[3]["tok_total"] == 5
+    assert rows[3]["retained_ratio"] == 1.0
