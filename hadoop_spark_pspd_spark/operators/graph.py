@@ -1794,3 +1794,107 @@ def graph_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "nation string, nationkey long, fiedler_fx long, side int"
     )
+
+
+K_TRUSS = 3
+TRUSS_MAX_ITERS = 8
+
+
+def _ktruss_oracle() -> str:
+    """DuckDB SQL reproducing graph_ktruss exactly: the support-peel
+    loop unrolled to TRUSS_MAX_ITERS rounds (the graph_kcore recipe —
+    peeling is monotone and idempotent at the fixpoint, so fixed
+    unrolled rounds == Spark's early-break loop; every round AS
+    MATERIALIZED or DuckDB re-expands the prefix per reference)."""
+    rounds = []
+    for i in range(TRUSS_MAX_ITERS):
+        rounds.append(f"""
+        , b{i} AS MATERIALIZED (
+            SELECT s1 AS u, s2 AS v FROM e{i}
+            UNION ALL
+            SELECT s2, s1 FROM e{i}
+        ), sup{i} AS MATERIALIZED (
+            SELECT x.v AS s1, y.v AS s2, count(*) AS sup
+            FROM b{i} x
+            JOIN b{i} y ON x.u = y.u AND x.v < y.v
+            JOIN e{i} e ON e.s1 = x.v AND e.s2 = y.v
+            GROUP BY 1, 2
+        ), e{i + 1} AS MATERIALIZED (
+            SELECT s.s1, s.s2 FROM sup{i} s
+            WHERE s.sup >= {K_TRUSS - 2}
+        )""")
+    last = TRUSS_MAX_ITERS
+    return _EDGES_ORACLE + f"""
+        , e0 AS MATERIALIZED (SELECT s1, s2 FROM edges)
+        {''.join(rounds)}
+        , bf AS MATERIALIZED (
+            SELECT s1 AS u, s2 AS v FROM e{last}
+            UNION ALL
+            SELECT s2, s1 FROM e{last}
+        )
+        SELECT x.v AS s1, y.v AS s2, CAST(count(*) AS BIGINT) AS support
+        FROM bf x
+        JOIN bf y ON x.u = y.u AND x.v < y.v
+        JOIN e{last} e ON e.s1 = x.v AND e.s2 = y.v
+        GROUP BY 1, 2
+    """
+
+
+def _edge_support(cur: DataFrame) -> DataFrame:
+    """Per-edge triangle support on an s1<s2 edge set: wedges from the
+    both-direction adjacency (u<v neighbor pairs per pivot) inner-joined
+    back to the edge set. Degree is bounded by the mutual-top-{TOP_K}
+    sparsification, so each pivot emits <= C(8,2)=28 wedges — linear in
+    edges at any corpus size."""
+    both = cur.union(
+        cur.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
+    ).select(F.col("s1").alias("u"), F.col("s2").alias("v"))
+    x = both.alias("x")
+    y = both.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")),
+    ).select(F.col("x.v").alias("s1"), F.col("y.v").alias("s2"))
+    return (
+        wedges.join(cur, ["s1", "s2"])
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("sup"))
+    )
+
+
+@register(
+    "graph_ktruss",
+    oracle=_ktruss_oracle(),
+    doc=f"K-truss decomposition (k={K_TRUSS}) of the mutual-top-{TOP_K} "
+        "supplier co-occurrence graph: iteratively drop edges in fewer "
+        f"than {K_TRUSS - 2} triangles until fixpoint (Cohen 2008). Each "
+        "round is one degree-bounded wedge self-join + one edge "
+        "semi-filter; the mutual-top-k sparsification caps degree at "
+        f"{TOP_K}, so wedge count is linear in edges at any scale (the "
+        "q_triangle_count shape iterated). Integer-only -> unique "
+        "fixpoint regardless of peel order; hash-matched by an "
+        "unrolled-MATERIALIZED DuckDB peel. Emits surviving edges with "
+        "their in-truss support.",
+    tags=("graph",),
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = cooccurrence_edges(spark, sf_dir).localCheckpoint()
+    n_edges = cur.count()
+    for _ in range(TRUSS_MAX_ITERS):
+        sup = _edge_support(cur)
+        # sup is edge-sized but shrinks every round; AQE picks the join
+        # strategy. Inner join == the oracle's sup-filter semantics:
+        # an edge in no triangle has no sup row and is dropped.
+        nxt = (
+            sup.where(F.col("sup") >= K_TRUSS - 2)
+            .select("s1", "s2")
+            .localCheckpoint(eager=False)
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return _edge_support(cur).select(
+        "s1", "s2", F.col("sup").cast("bigint").alias("support")
+    )

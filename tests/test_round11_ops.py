@@ -247,3 +247,36 @@ def test_paragraph_ccnet_hand_values(spark, paragraph_docs_sf):
     # doc 3: unique 5-token partial chunk fully retained
     assert rows[3]["n_chunks"] == 1 and rows[3]["tok_total"] == 5
     assert rows[3]["retained_ratio"] == 1.0
+
+
+# ------------------------------------------------------------ k-truss
+
+
+@pytest.fixture(scope="module")
+def triangle_lineitem_sf(tmp_path_factory, spark):
+    """One order with suppliers {1,2,3} (a triangle), one with {4,5}
+    (pendant edge), one with {3,4} (bridge) — the 3-truss must keep
+    exactly the triangle, each edge with support 1."""
+    d = tmp_path_factory.mktemp("r11_truss_sf")
+    rows = []
+    for ok, sups in [(1, [1, 2, 3]), (2, [4, 5]), (3, [3, 4])]:
+        for s in sups:
+            rows.append((ok, s, 1.0, 1.0, "1996-01-01"))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_shipdate_s string",
+    ).selectExpr(
+        "l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "CAST(l_shipdate_s AS DATE) AS l_shipdate"
+    ).coalesce(1).write.parquet(str(d / "lineitem.parquet"))
+    return str(d)
+
+
+def test_ktruss_triangle_only(spark, triangle_lineitem_sf):
+    out = sorted(
+        (r["s1"], r["s2"], r["support"])
+        for r in REGISTRY["graph_ktruss"].fn(spark, triangle_lineitem_sf)
+        .collect()
+    )
+    assert out == [(1, 2, 1), (1, 3, 1), (2, 3, 1)]
