@@ -1004,3 +1004,112 @@ def privacy_kanonymity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("violates_k"),
     )
+
+
+@register(
+    "privacy_tcloseness",
+    oracle="""
+        WITH seg AS (
+            SELECT DISTINCT c_mktsegment AS s FROM customer
+        ), gseg AS (
+            SELECT c_mktsegment AS s, CAST(COUNT(*) AS BIGINT) AS g
+            FROM customer GROUP BY 1
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM customer
+        ), grp AS (
+            SELECT c_nationkey,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2
+        ), cnt AS (
+            SELECT c_nationkey,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+                   c_mktsegment AS s, CAST(COUNT(*) AS BIGINT) AS c
+            FROM customer GROUP BY 1, 2, 3
+        ), terms AS (
+            -- full segment grid per group: an absent segment contributes
+            -- |0*N - g*n| = g*n; products in DECIMAL(38,0) (exact past
+            -- the int64 ceiling, the round-6 moment recipe)
+            SELECT grp.c_nationkey, grp.bal_bucket, grp.n,
+                   abs(CAST(COALESCE(cnt.c, 0) AS DECIMAL(38,0))
+                           * (SELECT nn FROM tot)
+                       - CAST(gseg.g AS DECIMAL(38,0)) * grp.n) AS term
+            FROM grp
+            CROSS JOIN seg
+            JOIN gseg ON gseg.s = seg.s
+            LEFT JOIN cnt ON cnt.c_nationkey = grp.c_nationkey
+                         AND cnt.bal_bucket = grp.bal_bucket
+                         AND cnt.s = seg.s
+        )
+        SELECT c_nationkey, bal_bucket,
+               CAST(n AS BIGINT) AS group_size,
+               CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+                   / (2.0 * n * (SELECT nn FROM tot)) AS t_emd,
+               CAST(5 * SUM(term) >=
+                    CAST(2 AS DECIMAL(38,0)) * n * (SELECT nn FROM tot)
+                    AS BOOLEAN) AS violates
+        FROM terms
+        GROUP BY c_nationkey, bal_bucket, n
+    """,
+    doc="t-closeness audit (Li et al. 2007) — completes the "
+        "k-anonymity / l-diversity release-gate trio: for each "
+        "quasi-identifier group (nation, coarsened balance bucket), the "
+        "variational-distance EMD between the group's sensitive-value "
+        "(market segment) distribution and the global one. All terms "
+        "are cross-multiplied exact integers |c*N - g*n| formed in "
+        "DECIMAL(38,0) (exact to ~1e9 rows); the violates flag at "
+        "t >= 1/5 is the integer compare 5*sum >= 2*n*N, never a float "
+        "threshold. Two aggregations on the QI tuple plus a "
+        "5-segment-bounded grid join — partial-agg friendly, no "
+        "windows, output is group-dimension-sized.",
+    tags=("privacy", "profiling"),
+)
+def privacy_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bal = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+    base = t.customer.select(
+        "c_nationkey", bal.alias("bal_bucket"), "c_mktsegment"
+    )
+    seg = base.select(F.col("c_mktsegment").alias("s")).distinct()
+    glob = base.groupBy(F.col("c_mktsegment").alias("s")).agg(
+        F.count("*").alias("g")
+    )
+    tot = base.agg(F.count("*").alias("nn"))
+    grp = base.groupBy("c_nationkey", "bal_bucket").agg(
+        F.count("*").alias("n")
+    )
+    cnt = base.groupBy(
+        "c_nationkey", "bal_bucket", F.col("c_mktsegment").alias("s")
+    ).agg(F.count("*").alias("c"))
+    d38 = "decimal(38,0)"
+    terms = (
+        grp.crossJoin(F.broadcast(seg.join(glob, "s")))
+        .crossJoin(F.broadcast(tot))
+        .join(cnt, ["c_nationkey", "bal_bucket", "s"], "left")
+        .select(
+            "c_nationkey",
+            "bal_bucket",
+            "n",
+            "nn",
+            F.abs(
+                F.coalesce(F.col("c"), F.lit(0)).cast(d38) * F.col("nn")
+                - F.col("g").cast(d38) * F.col("n")
+            ).alias("term"),
+        )
+    )
+    agg = terms.groupBy("c_nationkey", "bal_bucket", "n", "nn").agg(
+        F.sum("term").cast(d38).alias("emd_num")
+    )
+    return agg.select(
+        "c_nationkey",
+        "bal_bucket",
+        F.col("n").cast("bigint").alias("group_size"),
+        (
+            F.col("emd_num").cast("double")
+            / (F.lit(2.0) * F.col("n") * F.col("nn"))
+        ).alias("t_emd"),
+        (
+            F.lit(5).cast(d38) * F.col("emd_num")
+            >= F.lit(2).cast(d38) * F.col("n") * F.col("nn")
+        ).alias("violates"),
+    )

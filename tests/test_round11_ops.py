@@ -280,3 +280,39 @@ def test_ktruss_triangle_only(spark, triangle_lineitem_sf):
         .collect()
     )
     assert out == [(1, 2, 1), (1, 3, 1), (2, 3, 1)]
+
+
+# -------------------------------------------------------- t-closeness
+
+
+@pytest.fixture(scope="module")
+def skewed_customer_sf(tmp_path_factory, spark):
+    """Global segments: A x6, B x2 (N=8, q = 3/4, 1/4). Group (0,0):
+    4xA -> EMD = (1/2)(|1-3/4| + |0-1/4|) = 1/4 >= 1/5 -> violates.
+    Group (1,0): 2A+2B -> EMD = (1/2)(1/4 + 1/4) = 1/4 -> violates.
+    Verified numerically: group (0,0) terms |4*8-6*4|=8, |0*8-2*4|=8
+    -> sum 16, t = 16/(2*4*8) = 0.25."""
+    d = tmp_path_factory.mktemp("r11_tclose_sf")
+    rows = []
+    cid = 0
+    for seg in ["A"] * 4:
+        rows.append((cid, 0, seg, 100.0)); cid += 1
+    for seg in ["A", "A", "B", "B"]:
+        rows.append((cid, 1, seg, 100.0)); cid += 1
+    spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_mktsegment string, "
+        "c_acctbal double"
+    ).coalesce(1).write.parquet(str(d / "customer.parquet"))
+    return str(d)
+
+
+def test_tcloseness_hand_values(spark, skewed_customer_sf):
+    rows = {
+        (r["c_nationkey"], r["bal_bucket"]): r
+        for r in REGISTRY["privacy_tcloseness"]
+        .fn(spark, skewed_customer_sf)
+        .collect()
+    }
+    assert set(rows) == {(0, 0), (1, 0)}
+    assert rows[(0, 0)]["t_emd"] == 0.25 and rows[(0, 0)]["violates"]
+    assert rows[(1, 0)]["t_emd"] == 0.25 and rows[(1, 0)]["violates"]
