@@ -1340,3 +1340,151 @@ def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return docs.mapInPandas(_jpeg_roundtrip, schema=JPEG_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF decode: genuine LZW-compressed GIF89a files encoded from a
+# deterministic palette-index formula, decoded through the full
+# variable-width LZW path (functions/gif_codec.py — validated against
+# third-party idlelib icon GIFs including interlaced ones). Dims up to
+# 23x15 drive the dictionary past two code-width transitions (7->8->9
+# bits at 64 colors), so the width-growth machinery is exercised
+# observably: any off-by-one in the late width change scrambles every
+# pixel after the boundary and breaks the exact sums.
+
+_GIF_MOD = 47
+_GIF_COLORS = 64
+
+GIF_STATS_SCHEMA = (
+    "doc_id bigint, width int, height int, idx_sum bigint, "
+    "r_sum bigint, g_sum bigint, b_sum bigint, wsum bigint, "
+    "n_colors_used bigint"
+)
+
+
+def _gif_dims(doc_id: int) -> tuple[int, int]:
+    return 11 + doc_id % 13, 7 + doc_id % 9
+
+
+def _gif_palette() -> bytes:
+    return bytes(
+        v
+        for i in range(_GIF_COLORS)
+        for v in (
+            (i * 3 + 5) % 256,
+            (i * 5 + 11) % 256,
+            (i * 7 + 17) % 256,
+        )
+    )
+
+
+def _gif_indices(doc_id: int, width: int, height: int) -> bytes:
+    return bytes(
+        (x * 7 + y * 13 + doc_id * 5) % _GIF_COLORS
+        for y in range(height)
+        for x in range(width)
+    )
+
+
+def _gif_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..functions.gif_codec import decode_gif, encode_gif
+
+    pal = _gif_palette()
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "width", "height", "idx_sum", "r_sum", "g_sum",
+            "b_sum", "wsum", "n_colors_used",
+        )}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            w, h = _gif_dims(doc_id)
+            payload = encode_gif(_gif_indices(doc_id, w, h), w, h, pal)
+            dec = decode_gif(payload)  # the REAL decode under test
+            idx = np.frombuffer(dec["pixels"], dtype=np.uint8).astype(
+                np.int64
+            ).reshape(dec["height"], dec["width"])
+            p = np.frombuffer(dec["palette"], dtype=np.uint8).astype(
+                np.int64
+            ).reshape(-1, 3)
+            ys, xs = np.mgrid[0 : dec["height"], 0 : dec["width"]]
+            pos = 1 + xs + ys * dec["width"]
+            out["doc_id"].append(doc_id)
+            out["width"].append(dec["width"])
+            out["height"].append(dec["height"])
+            out["idx_sum"].append(int(idx.sum()))
+            out["r_sum"].append(int(p[idx, 0].sum()))
+            out["g_sum"].append(int(p[idx, 1].sum()))
+            out["b_sum"].append(int(p[idx, 2].sum()))
+            out["wsum"].append(int((idx * pos).sum()))
+            out["n_colors_used"].append(int(len(np.unique(idx))))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "idx_sum": pd.Series(out["idx_sum"], dtype="int64"),
+                "r_sum": pd.Series(out["r_sum"], dtype="int64"),
+                "g_sum": pd.Series(out["g_sum"], dtype="int64"),
+                "b_sum": pd.Series(out["b_sum"], dtype="int64"),
+                "wsum": pd.Series(out["wsum"], dtype="int64"),
+                "n_colors_used": pd.Series(
+                    out["n_colors_used"], dtype="int64"
+                ),
+            }
+        )
+
+
+@register(
+    "mm_gif_decode_stats",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CAST(11 + doc_id % 13 AS INTEGER) AS width,
+                   CAST(7 + doc_id % 9 AS INTEGER) AS height
+            FROM documents WHERE doc_id >= 0 AND doc_id % {_GIF_MOD} = 0
+        ), xs AS (
+            SELECT doc_id, width, height, unnest(range(0, width)) AS x
+            FROM docs
+        ), ys AS (
+            SELECT doc_id, width, height, x,
+                   unnest(range(0, height)) AS y
+            FROM xs
+        ), px AS (
+            SELECT doc_id, width, height, x, y,
+                   (x*7 + y*13 + doc_id*5) % {_GIF_COLORS} AS i
+            FROM ys
+        )
+        SELECT doc_id, width, height,
+               CAST(SUM(i) AS BIGINT) AS idx_sum,
+               CAST(SUM((i*3 + 5) % 256) AS BIGINT) AS r_sum,
+               CAST(SUM((i*5 + 11) % 256) AS BIGINT) AS g_sum,
+               CAST(SUM((i*7 + 17) % 256) AS BIGINT) AS b_sum,
+               CAST(SUM(i * (1 + x + y*width)) AS BIGINT) AS wsum,
+               CAST(COUNT(DISTINCT i) AS BIGINT) AS n_colors_used
+        FROM px
+        GROUP BY doc_id, width, height
+    """,
+    doc="REAL GIF decode, end to end in the sandbox: for each doc in "
+        f"the cohort (doc_id % {_GIF_MOD} = 0) a genuine "
+        "LZW-compressed GIF89a is encoded from a deterministic "
+        "64-color palette-index formula, then DECODED through the "
+        "full variable-width LZW path (gif_codec.py: LSB-first bit "
+        "unpacking, KwKwK case, late width change, clear handling, "
+        "de-interlacing; validated against 9 third-party idlelib "
+        "GIFs). Exact integer index/channel sums plus the "
+        "position-weighted checksum break the hash on any "
+        "width-transition or packing defect. Same per-doc "
+        "mapInPandas shape as the PNG/BMP/JPEG queries — "
+        "embarrassingly parallel at 100 TB.",
+    tags=("multimodal",),
+)
+def mm_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = (
+        t.documents.select("doc_id")
+        .filter((F.col("doc_id") >= 0) & (F.col("doc_id") % _GIF_MOD == 0))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return docs.mapInPandas(_gif_roundtrip, schema=GIF_STATS_SCHEMA)
