@@ -56,9 +56,16 @@ def _gen_input(input_dir: Path) -> dict[int, dict]:
                     "value": value,
                 }
             )
-        (input_dir / f"events_{k:03d}.json").write_text(
-            "\n".join(json.dumps(r) for r in rows) + "\n"
-        )
+        path = input_dir / f"events_{k:03d}.json"
+        path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        # pin STRICTLY INCREASING mtimes: Spark's FileStreamSource
+        # orders batches by file modification time, and same-tick
+        # writes leave the order to the FS listing — the per-user
+        # ts-ascending arrival contract the gap fold relies on was
+        # otherwise load-dependent (caught by a concurrent full-suite
+        # run: a reordered pair inflated max_gap_s by one hour)
+        mtime = 1_700_000_000 + k
+        os.utime(path, (mtime, mtime))
     truth = {}
     for u, evs in per_user.items():
         n, total, last, gap = 0, 0.0, None, 0
