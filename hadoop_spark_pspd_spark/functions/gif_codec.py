@@ -10,9 +10,9 @@ change at next == 2^width. Reference parity note: the reference repo
 the driver-contract multimodal surface with a third-party-validated
 format (see tests/test_gif_codec.py: idlelib icon GIFs).
 
-Unsupported long-tail features fail LOUDLY (NotImplementedError:
-interlaced images; ValueError: truncated/corrupt streams) — the same
-seam contract as jpeg_codec.py.
+Interlaced images are de-interlaced (4-pass row reorder) and animated
+files decode frame-by-frame (decode_gif_frames). Truncated/corrupt
+streams fail LOUDLY with ValueError — the jpeg_codec.py seam contract.
 """
 
 from __future__ import annotations
@@ -269,5 +269,160 @@ def decode_gif(data: bytes) -> dict:
                 "pixels": pixels[: iw * ih],
                 "palette": pal,
             }
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated GIF: {exc}") from exc
+
+
+# ------------------------------------------------------ animated GIFs
+
+
+def encode_gif_anim(
+    frames: list[dict], screen_w: int, screen_h: int, palette: bytes
+) -> bytes:
+    """Multi-frame GIF89a: one Graphic Control Extension per frame
+    (delay in centiseconds), each frame its own sub-rectangle, all
+    sharing the global color table. ``frames`` entries:
+    {left, top, width, height, delay_cs, pixels}."""
+    n_colors = max(2, len(palette) // 3)
+    gct_bits = max(1, (n_colors - 1).bit_length())
+    gct_size = 1 << gct_bits
+    pal = palette + b"\x00" * (gct_size * 3 - len(palette))
+    min_code_size = max(2, gct_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack(
+        "<HHBBB", screen_w, screen_h, 0x80 | ((gct_bits - 1) & 7), 0, 0
+    )
+    out += pal
+    # Netscape looping extension — real-world animated GIFs carry it,
+    # so the decoder's application-extension skip path is exercised
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        w, h = fr["width"], fr["height"]
+        if len(fr["pixels"]) != w * h:
+            raise ValueError("frame pixels length != width*height")
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", 0x04, fr["delay_cs"], 0
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", fr["left"], fr["top"], w, h, 0
+        )
+        out.append(min_code_size)
+        stream = lzw_encode(fr["pixels"], min_code_size)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> dict:
+    """Decode EVERY frame of a GIF87a/89a file.
+
+    Returns {"screen_width", "screen_height", "palette", "frames":
+    [{left, top, width, height, delay_cs, transparent, pixels}]}.
+    Graphic Control Extensions are attached to the following image;
+    other extensions are skipped; interlaced frames de-interlaced.
+    """
+    try:
+        if data[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF: bad signature")
+        sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+        pos = 13
+        gct = b""
+        if packed & 0x80:
+            n = 1 << ((packed & 7) + 1)
+            gct = data[pos : pos + 3 * n]
+            if len(gct) < 3 * n:
+                raise ValueError("truncated GIF: short global color table")
+            pos += 3 * n
+        frames: list[dict] = []
+        delay_cs = 0
+        transparent: int | None = None
+        while True:
+            if pos >= len(data):
+                raise ValueError("truncated GIF: no trailer")
+            b0 = data[pos]
+            pos += 1
+            if b0 == 0x3B:
+                break
+            if b0 == 0x21:
+                label = data[pos]
+                pos += 1
+                if label == 0xF9 and data[pos] == 4:
+                    gpacked, delay_cs, tidx = struct.unpack(
+                        "<BHB", data[pos + 1 : pos + 5]
+                    )
+                    transparent = tidx if gpacked & 1 else None
+                while True:
+                    sz = data[pos]
+                    pos += 1 + sz
+                    if sz == 0:
+                        break
+                continue
+            if b0 != 0x2C:
+                raise ValueError(f"corrupt GIF: unexpected block 0x{b0:02x}")
+            left, top, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", data[pos : pos + 9]
+            )
+            pos += 9
+            interlaced = bool(ipacked & 0x40)
+            pal = gct
+            if ipacked & 0x80:
+                n = 1 << ((ipacked & 7) + 1)
+                pal = data[pos : pos + 3 * n]
+                pos += 3 * n
+            min_code_size = data[pos]
+            pos += 1
+            stream = bytearray()
+            while True:
+                sz = data[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                chunk = data[pos : pos + sz]
+                if len(chunk) < sz:
+                    raise ValueError("truncated GIF: short data sub-block")
+                stream += chunk
+                pos += sz
+            pixels = lzw_decode(bytes(stream), min_code_size)
+            if len(pixels) < iw * ih:
+                raise ValueError(
+                    f"truncated GIF frame: {len(pixels)} px for {iw}x{ih}"
+                )
+            pixels = pixels[: iw * ih]
+            if interlaced:
+                order = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                rows = [b""] * ih
+                for i, r in enumerate(order):
+                    rows[r] = pixels[i * iw : (i + 1) * iw]
+                pixels = b"".join(rows)
+            frames.append(
+                {
+                    "left": left,
+                    "top": top,
+                    "width": iw,
+                    "height": ih,
+                    "delay_cs": delay_cs,
+                    "transparent": transparent,
+                    "pixels": pixels,
+                }
+            )
+            delay_cs = 0
+            transparent = None
+        if not frames:
+            raise ValueError("GIF contains no image data")
+        return {
+            "screen_width": sw,
+            "screen_height": sh,
+            "palette": gct,
+            "frames": frames,
+        }
     except (IndexError, struct.error) as exc:
         raise ValueError(f"truncated GIF: {exc}") from exc

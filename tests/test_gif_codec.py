@@ -114,3 +114,46 @@ def test_corrupt_signature_and_no_image():
         decode_gif(b"NOTGIF" + b"\x00" * 20)
     with pytest.raises(ValueError, match="truncated"):
         decode_gif(b"GIF89a" + b"\x00" * 4)
+
+
+def test_anim_multiframe_roundtrip():
+    from hadoop_spark_pspd_spark.functions.gif_codec import (
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    frames = []
+    for f in range(3):
+        w, h = 7 + f, 5 + f
+        frames.append(
+            dict(
+                left=f, top=2 * f, width=w, height=h, delay_cs=4 + f,
+                pixels=bytes(
+                    (x * 5 + y * 7 + f * 11) % 64
+                    for y in range(h)
+                    for x in range(w)
+                ),
+            )
+        )
+    g = encode_gif_anim(frames, 16, 14, bytes(range(192)))
+    d = decode_gif_frames(g)
+    assert (d["screen_width"], d["screen_height"]) == (16, 14)
+    assert len(d["frames"]) == 3
+    for fin, fout in zip(frames, d["frames"]):
+        for k in ("left", "top", "width", "height", "delay_cs", "pixels"):
+            assert fin[k] == fout[k]
+    # GCE transparency flag was off in every frame
+    assert all(fr["transparent"] is None for fr in d["frames"])
+
+
+def test_anim_decoder_reads_external_single_frame():
+    from hadoop_spark_pspd_spark.functions.gif_codec import (
+        decode_gif_frames,
+    )
+
+    if not ICONS:
+        pytest.skip("idlelib icons not present")
+    d = decode_gif_frames(open(ICONS[0], "rb").read())
+    assert len(d["frames"]) == 1
+    fr = d["frames"][0]
+    assert len(fr["pixels"]) == fr["width"] * fr["height"]
