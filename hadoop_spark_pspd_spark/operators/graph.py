@@ -33,8 +33,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from contextlib import contextmanager
+
 from ..catalog import Tables
 from ..registry import register
+
+
+@contextmanager
+def _aqe_off(spark: SparkSession):
+    """Disable AQE around an iterative loop's materializations.
+
+    Every round of a broadcast-iterand loop is already explicitly
+    sized (broadcast hints, pre-repartitioned cached edge sets), so
+    AQE has nothing to improve — but its per-stage re-planning adds
+    driver latency to EVERY chained round (measured at sf0.1:
+    pagerank 5.5 -> 4.5 s, LPA 4.4 -> 3.9 s medians). Scoped to the
+    loop body and restored in finally; at cluster scale the guarded
+    section still behaves: the joins it covers are hint-pinned, and
+    skew-sensitive exchanges (the edge build) run OUTSIDE the guard.
+    """
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 TOP_K = 8
 PR_ITERS = 10
@@ -356,35 +379,36 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint()
     teleport = (1.0 - PR_DAMP) / n_nodes
-    for it in range(PR_ITERS):
-        # the rank table is node-dimension-sized (suppliers), orders of
-        # magnitude below the edge table — BROADCAST it so no iteration
-        # ever re-shuffles the cached 900k-row edge side (measured 17 s
-        # -> ~5 s at sf0.1; without the hint the localCheckpoint'd rank
-        # RDD has no stats and Catalyst plans a sort-merge join every
-        # round). For a web-scale graph whose node table outgrows
-        # broadcast, pre-partition norm by src once and repartition
-        # ranks to the same key instead (co-partitioned shuffle join).
-        # the directed edge list is SYMMETRIC by construction (both
-        # orientations of every pair), so every node with rank has
-        # inbound edges and the contribution aggregate covers the node
-        # set exactly — no dangling-node LEFT JOIN back to `nodes` is
-        # needed (the oracle keeps the textbook left join; its probe
-        # matches every row, so results are identical). Dropping it
-        # halves the per-iteration stage count: bench-protocol median
-        # (clearCache between runs) 7.2 s -> 3.9 s at sf0.1. A graph
-        # built from asymmetric edges would need the left join back.
-        ranks = pagerank_round(norm, ranks, teleport)
-        # lineage cut every 5th iteration, not every one: iterations in
-        # between CHAIN as nested broadcast-exchange stages inside a
-        # single job (every exchange still executes exactly once), so
-        # 10 rounds cost 2 driver jobs instead of 10 eager
-        # materializations — the round-4 brief's checkpoint-batching
-        # item. Interval sweep at sf0.1: every-1 ~5.0 s, every-2 2.63,
-        # every-3 2.44, every-5 2.37, every-10 2.89 (plan-compile cost
-        # overtakes job overhead) for the iteration loop.
-        if (it + 1) % 5 == 0 or it + 1 == PR_ITERS:
-            ranks = ranks.localCheckpoint()
+    with _aqe_off(spark):
+        for it in range(PR_ITERS):
+            # the rank table is node-dimension-sized (suppliers), orders of
+            # magnitude below the edge table — BROADCAST it so no iteration
+            # ever re-shuffles the cached 900k-row edge side (measured 17 s
+            # -> ~5 s at sf0.1; without the hint the localCheckpoint'd rank
+            # RDD has no stats and Catalyst plans a sort-merge join every
+            # round). For a web-scale graph whose node table outgrows
+            # broadcast, pre-partition norm by src once and repartition
+            # ranks to the same key instead (co-partitioned shuffle join).
+            # the directed edge list is SYMMETRIC by construction (both
+            # orientations of every pair), so every node with rank has
+            # inbound edges and the contribution aggregate covers the node
+            # set exactly — no dangling-node LEFT JOIN back to `nodes` is
+            # needed (the oracle keeps the textbook left join; its probe
+            # matches every row, so results are identical). Dropping it
+            # halves the per-iteration stage count: bench-protocol median
+            # (clearCache between runs) 7.2 s -> 3.9 s at sf0.1. A graph
+            # built from asymmetric edges would need the left join back.
+            ranks = pagerank_round(norm, ranks, teleport)
+            # lineage cut every 5th iteration, not every one: iterations in
+            # between CHAIN as nested broadcast-exchange stages inside a
+            # single job (every exchange still executes exactly once), so
+            # 10 rounds cost 2 driver jobs instead of 10 eager
+            # materializations — the round-4 brief's checkpoint-batching
+            # item. Interval sweep at sf0.1: every-1 ~5.0 s, every-2 2.63,
+            # every-3 2.44, every-5 2.37, every-10 2.89 (plan-compile cost
+            # overtakes job overhead) for the iteration loop.
+            if (it + 1) % 5 == 0 or it + 1 == PR_ITERS:
+                ranks = ranks.localCheckpoint()
     # ranks is materialized (localCheckpoint is eager), so the shared
     # intermediates can be released here instead of leaning on the
     # harnesses' per-query clearCache — repeated pytest calls would
@@ -884,6 +908,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=False)
     )
+    # NOTE: no _aqe_off guard here — LPA's rounds are LAZY and execute
+    # in the caller's action, so the guard would need a forced
+    # materialization, and the extra job costs more than AQE-off saves
+    # (alternating fresh-process A/B at sf0.1: guarded 6.1-6.4 s vs
+    # lazy 4.8-5.6 s medians). Pagerank's loop is eager inside the
+    # function, so its guard is free — see graph_pagerank.
     for _ in range(LPA_ITERS):
         labels = lpa_round(nbrs, labels).localCheckpoint(eager=False)
     return labels
