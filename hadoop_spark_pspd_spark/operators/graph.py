@@ -350,9 +350,13 @@ def pagerank_round(
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cooccurrence_directed(spark, sf_dir).cache()
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
-    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
-    n_nodes = nodes.count()  # also materializes the edges cache
+    # out_w's group keys ARE the node set (the directed edge list is
+    # symmetric, every node appears as src), so a separate
+    # select(src).distinct() job would be redundant — cache out_w and
+    # read both n_nodes and the initial rank rows off it (one fewer
+    # shuffle job per query)
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out")).cache()
+    n_nodes = out_w.count()  # also materializes the edges cache
     # right-size the cached edge table the 10 iterations rescan: the
     # session's 32 shuffle partitions hold ~30k rows each here — per-
     # iteration stage overhead (32 tasks x 10 rounds x 2 stages) costs
@@ -375,9 +379,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    ranks = nodes.select(
-        "node", F.lit(1.0 / n_nodes).alias("rank")
-    ).localCheckpoint()
+    # lazy: the first loop round's job materializes it (the eager cut
+    # here was one whole extra driver job)
+    ranks = out_w.select(
+        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint(eager=False)
     teleport = (1.0 - PR_DAMP) / n_nodes
     with _aqe_off(spark):
         for it in range(PR_ITERS):
@@ -413,7 +419,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intermediates can be released here instead of leaning on the
     # harnesses' per-query clearCache — repeated pytest calls would
     # otherwise accumulate cached edge/rank DataFrames in executor memory.
-    for cached in (norm, nodes, edges):
+    for cached in (norm, out_w, edges):
         cached.unpersist()
     return (
         ranks.select("node", F.round("rank", 6).alias("rank"))
