@@ -182,3 +182,169 @@ def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total"),
         )
     )
+
+
+# Explicit Bloom filter with MEASURED false-positive rate — the
+# hand-built sibling of the optimizer-injected runtime filter above:
+# m = 2^16 bits, k = 4 hash functions, every position an
+# md5-derandomized draw (two 52-bit draws per digest, chars 1-13 and
+# 14-26 — the round-10 two-draws recipe), so both engines build the
+# IDENTICAL filter and the observed FPR is hash-stable.
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+
+
+def _bloom_positions_sql(col: str) -> list[str]:
+    """The 4 bit positions of a token, DuckDB side."""
+    out = []
+    for d in range(2):  # two digests: md5(tok||'0'), md5(tok||'1')
+        for half in (1, 14):  # two 52-bit draws per digest
+            out.append(
+                f"CAST(CAST(('0x' || substr(md5({col} || '{d}'), {half}, 13)) "
+                f"AS UBIGINT) % {_BLOOM_M} AS BIGINT)"
+            )
+    return out
+
+
+def _bloom_positions(col) -> list:
+    out = []
+    for d in range(2):
+        digest = F.md5(F.concat(col, F.lit(str(d))))
+        for half in (1, 14):
+            out.append(
+                F.conv(F.substring(digest, half, 13), 16, 10)
+                .cast("bigint") % _BLOOM_M
+            )
+    return out
+
+
+@register(
+    "sketch_bloom_fpr",
+    oracle=f"""
+        WITH tok AS (
+            SELECT DISTINCT source, word FROM (
+                SELECT source,
+                       unnest(list_filter(
+                           string_split_regex(lower(text),
+                                              '[ \\t\\n\\r\\f]+'),
+                           x -> x <> '')) AS word
+                FROM documents)
+        ), pos AS (
+            SELECT source, word, unnest([
+                {", ".join(_bloom_positions_sql("word"))}
+            ]) AS p
+            FROM tok
+        ), bits AS MATERIALIZED (
+            SELECT DISTINCT p FROM pos WHERE source = 'src0'
+        ), probe AS (
+            SELECT t.source, t.word,
+                   count(b.p) AS hits,
+                   max(CASE WHEN a.word IS NOT NULL THEN 1 ELSE 0 END)
+                       AS in_a
+            FROM pos t
+            LEFT JOIN bits b ON b.p = t.p
+            LEFT JOIN (SELECT DISTINCT word FROM tok
+                       WHERE source = 'src0') a ON a.word = t.word
+            WHERE t.source <> 'src0'
+            GROUP BY t.source, t.word
+        ), nb AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_probe,
+               CAST(SUM(in_a) AS BIGINT) AS n_present,
+               CAST(SUM(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pass,
+               CAST(SUM(CASE WHEN hits = {_BLOOM_K} AND in_a = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+               CAST(SUM(CASE WHEN hits = {_BLOOM_K} AND in_a = 0
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / (CASE WHEN count(*) - SUM(in_a) = 0 THEN 1
+                           ELSE count(*) - SUM(in_a) END)
+                   AS fpr_observed,
+               (SELECT n_bits_set FROM nb) AS n_bits_set,
+               power(CAST((SELECT n_bits_set FROM nb) AS DOUBLE)
+                     / {_BLOOM_M}, {_BLOOM_K}) AS fpr_analytic
+        FROM probe
+        GROUP BY source
+    """,
+    doc="Explicit Bloom-filter semi-join screen with MEASURED accuracy: "
+        "build an m=2^16-bit, k=4 filter over src0's distinct tokens "
+        "(every bit an md5-derandomized draw, identical cross-engine), "
+        "probe every other source's tokens, and report pass/"
+        "false-positive counts, the observed FPR, and the analytic "
+        "(bits_set/m)^k bound (bits_set/2^16 is an exact dyadic, the "
+        "power three correctly-rounded multiplies). The filter is "
+        "position-set-sized (<= 2^16 rows) so the build broadcasts at "
+        "any corpus scale; probes are one explode (x4) + one broadcast "
+        "join + one aggregate — the hand-built sibling of Spark's "
+        "InjectRuntimeFilter shown in q_runtime_filter_join.",
+    tags=("sketch", "dedup"),
+)
+def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sc = spark.sparkContext
+    tok = (
+        t.documents.repartition(sc.defaultParallelism)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower("text"), "[ \t\n\r\f]+"),
+                        lambda x: x != F.lit(""),
+                    )
+                )
+            ).alias("word"),
+        )
+        .distinct()
+    )
+    pos_arr = F.array(*_bloom_positions(F.col("word")))
+    pos = tok.select("source", "word", F.explode(pos_arr).alias("p"))
+    bits = (
+        pos.where(F.col("source") == "src0").select("p").distinct().cache()
+    )
+    n_bits = bits.count()
+    a_words = (
+        tok.where(F.col("source") == "src0")
+        .select(F.col("word").alias("aw"))
+        .distinct()
+    )
+    probe = (
+        pos.where(F.col("source") != "src0")
+        .join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "p", "left"
+        )
+        .groupBy("source", "word")
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).alias("hits"))
+        .join(
+            F.broadcast(a_words),
+            F.col("word") == F.col("aw"),
+            "left",
+        )
+        .select(
+            "source",
+            "hits",
+            F.when(F.col("aw").isNotNull(), 1).otherwise(0).alias("in_a"),
+        )
+    )
+    passed = F.col("hits") == _BLOOM_K
+    fp = passed & (F.col("in_a") == 0)
+    return probe.groupBy("source").agg(
+        F.count("*").alias("n_probe"),
+        F.sum("in_a").cast("bigint").alias("n_present"),
+        F.sum(F.when(passed, 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        F.sum(F.when(fp, 1).otherwise(0)).cast("bigint").alias("n_false_pos"),
+        (
+            # zero-guard IDENTICALLY cross-engine (round-5 rule 5):
+            # a source fully contained in src0 has no negatives
+            F.sum(F.when(fp, 1).otherwise(0)).cast("double")
+            / F.when(
+                F.count("*") - F.sum("in_a") == 0, F.lit(1)
+            ).otherwise(F.count("*") - F.sum("in_a"))
+        ).alias("fpr_observed"),
+        F.lit(n_bits).cast("bigint").alias("n_bits_set"),
+        F.pow(F.lit(n_bits).cast("double") / _BLOOM_M, _BLOOM_K).alias(
+            "fpr_analytic"
+        ),
+    )

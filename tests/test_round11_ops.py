@@ -316,3 +316,46 @@ def test_tcloseness_hand_values(spark, skewed_customer_sf):
     assert set(rows) == {(0, 0), (1, 0)}
     assert rows[(0, 0)]["t_emd"] == 0.25 and rows[(0, 0)]["violates"]
     assert rows[(1, 0)]["t_emd"] == 0.25 and rows[(1, 0)]["violates"]
+
+
+# --------------------------------------------------------- bloom FPR
+
+
+@pytest.fixture(scope="module")
+def bloom_docs_sf(tmp_path_factory, spark):
+    """src0 vocabulary {a0..a199}; srcX probes with 100 shared + 100
+    disjoint tokens, plus srcY fully contained in src0 (the
+    zero-negatives denominator guard path)."""
+    d = tmp_path_factory.mktemp("r11_bloom_sf")
+    rows = [
+        (0, " ".join(f"a{i}" for i in range(200)), "en", "src0", 0),
+        (1, " ".join([f"a{i}" for i in range(100)]
+                     + [f"z{i}" for i in range(100)]), "en", "srcX", 0),
+        (2, " ".join(f"a{i}" for i in range(50)), "en", "srcY", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_bloom_fpr_semantics(spark, bloom_docs_sf):
+    rows = {
+        r["source"]: r
+        for r in REGISTRY["sketch_bloom_fpr"].fn(spark, bloom_docs_sf)
+        .collect()
+    }
+    assert set(rows) == {"srcX", "srcY"}
+    x = rows["srcX"]
+    assert x["n_probe"] == 200 and x["n_present"] == 100
+    # every truly-present token must pass (no false negatives — the
+    # Bloom guarantee)
+    assert x["n_pass"] >= x["n_present"]
+    assert x["n_false_pos"] == x["n_pass"] - x["n_present"]
+    # at 800 set bits / 65536, analytic FPR ~ 2e-8: expect zero FPs
+    assert x["n_false_pos"] == 0
+    assert x["fpr_observed"] == 0.0
+    y = rows["srcY"]
+    assert y["n_probe"] == 50 and y["n_present"] == 50
+    assert y["n_pass"] == 50 and y["fpr_observed"] == 0.0
