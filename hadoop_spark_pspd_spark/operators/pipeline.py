@@ -384,3 +384,113 @@ def pipeline_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# Composed MULTIMODAL curation: real image decode -> brightness
+# quality gate -> text-dedup winner join, in one oracled query. The
+# stage ordering (gate on DECODED stats, dedup on the paired text) is
+# what the composition pins — each piece alone is already covered
+# (mm_png_decode_stats, dedup_exact).
+_MC_LO, _MC_HI = 126, 129  # mean-channel band, exact integer compare
+
+
+@register(
+    "pipeline_media_curate",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   CAST(16 + doc_id % 13 AS INTEGER) AS width,
+                   CAST(12 + doc_id % 7 AS INTEGER) AS height
+            FROM documents WHERE doc_id >= 0 AND doc_id % 17 = 0
+        ), xs AS (
+            SELECT doc_id, width, height, unnest(range(0, width)) AS x
+            FROM docs
+        ), ys AS (
+            SELECT doc_id, width, height, x,
+                   unnest(range(0, height)) AS y
+            FROM xs
+        ), px AS (
+            SELECT doc_id, width, height,
+                   (x*3 + y*7 + doc_id*13) % 256
+                   + (x*3 + y*7 + 11 + doc_id*13) % 256
+                   + (x*3 + y*7 + 22 + doc_id*13) % 256 AS v
+            FROM ys
+        ), stats AS (
+            SELECT doc_id, width, height,
+                   CAST(SUM(v) AS BIGINT) AS px_total
+            FROM px GROUP BY doc_id, width, height
+        ), winners AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(regexp_replace(lower(trim(text)),
+                                        '[ \\t\\n\\r\\f]+', ' ', 'g'))
+        )
+        SELECT s.doc_id, s.width, s.height, s.px_total,
+               CAST(CASE WHEN s.px_total >= {_MC_LO} * 3 * s.width * s.height
+                          AND s.px_total <  {_MC_HI} * 3 * s.width * s.height
+                         THEN 1 ELSE 0 END AS INTEGER) AS quality_pass,
+               CAST(CASE WHEN w.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS dedup_winner,
+               CAST(CASE WHEN s.px_total >= {_MC_LO} * 3 * s.width * s.height
+                          AND s.px_total <  {_MC_HI} * 3 * s.width * s.height
+                          AND w.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END AS INTEGER) AS curated
+        FROM stats s
+        LEFT JOIN winners w ON w.doc_id = s.doc_id
+    """,
+    doc="Composed multimodal curation manifest: REAL PNG decode "
+        "(mm_png_decode_stats' full encode->stdlib-decode path) feeds "
+        "a brightness quality gate (mean channel in [126,129), the "
+        "cross-multiplied integer compare px_total vs bound*3*w*h — "
+        "never a float mean), joined against the text-side exact-dedup "
+        "winner set; `curated` marks images passing BOTH. Pins the "
+        "pipeline ordering a 100 TB media-curation job runs: decode "
+        "stats are map-only mapInPandas, the gate is a scalar filter, "
+        "the dedup join meets the residue-filtered winner set (AQE broadcast at small scale, shuffle join at corpus scale). "
+        "Reference analog: none (driver-contract extension; the "
+        "text-side composition is pipeline_curate).",
+    tags=("pipeline", "multimodal"),
+)
+def pipeline_media_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .media_decode import mm_png_decode_stats
+
+    t = Tables(spark, sf_dir)
+    stats = mm_png_decode_stats(spark, sf_dir).select(
+        "doc_id",
+        "width",
+        "height",
+        (F.col("r_sum") + F.col("g_sum") + F.col("b_sum")).alias("px_total"),
+    )
+    winners = (
+        t.documents.groupBy(F.md5(normalized_text("text")))
+        .agg(F.min("doc_id").alias("win_id"))
+        .select("win_id")
+        # only cohort ids can match — the residue filter cuts the
+        # winner side 17x before the join (winners is CORPUS-sized, so
+        # no broadcast hint: AQE picks broadcast at test scale and a
+        # shuffle join at 100 TB, both correct)
+        .where((F.col("win_id") % 17 == 0) & (F.col("win_id") >= 0))
+    )
+    lo = F.lit(3 * _MC_LO) * F.col("width") * F.col("height")
+    hi = F.lit(3 * _MC_HI) * F.col("width") * F.col("height")
+    quality = (F.col("px_total") >= lo) & (F.col("px_total") < hi)
+    is_win = F.col("win_id").isNotNull()
+    return (
+        stats.join(
+            winners,
+            F.col("doc_id") == F.col("win_id"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "px_total",
+            F.when(quality, 1).otherwise(0).cast("int").alias("quality_pass"),
+            F.when(is_win, 1).otherwise(0).cast("int").alias("dedup_winner"),
+            F.when(quality & is_win, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("curated"),
+        )
+    )
