@@ -1853,3 +1853,167 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusum_stat"),
         )
     )
+
+
+_LB_MAX_LAG = 12
+
+
+@register(
+    "ts_ljung_box",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), rn AS (
+            SELECT event_type, n,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY hour) AS r
+            FROM hourly
+        ), tot AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS nn,
+                   CAST(SUM(n) AS BIGINT) AS s,
+                   CAST(SUM(n * n) AS BIGINT) AS sxx
+            FROM rn GROUP BY event_type
+        ), lags AS (
+            SELECT CAST(unnest(range(1, {_LB_MAX_LAG} + 1)) AS BIGINT)
+                AS lag
+        ), pairs AS (
+            SELECT a.event_type, l.lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+                   CAST(SUM(a.n) AS BIGINT) AS px,
+                   CAST(SUM(b.n) AS BIGINT) AS py
+            FROM rn a
+            CROSS JOIN lags l
+            JOIN rn b ON b.event_type = a.event_type
+                     AND b.r = a.r + l.lag
+            GROUP BY a.event_type, l.lag
+        ), ck AS (
+            -- scaled covariances C_k = N^2*Sxy - N*S*(px+py) + (N-k)*S^2
+            -- formed in DECIMAL(38,0) (exact far past int64; never
+            -- squared — r_k is a double DIVISION of two hopped exacts,
+            -- so no 1e51 intermediates at any corpus scale)
+            SELECT p.event_type, p.lag, t.nn,
+                   CAST(t.nn AS DECIMAL(38,0)) * t.nn * p.sxy
+                   - CAST(t.nn AS DECIMAL(38,0)) * t.s * (p.px + p.py)
+                   + (CAST(t.nn AS DECIMAL(38,0)) - p.lag) * t.s * t.s
+                       AS c_k,
+                   CAST(t.nn AS DECIMAL(38,0)) * t.nn * t.sxx
+                   - CAST(t.nn AS DECIMAL(38,0)) * t.s * t.s AS c_0
+            FROM pairs p JOIN tot t USING (event_type)
+        ), rk AS (
+            SELECT event_type, lag, nn,
+                   CASE WHEN c_0 = 0 THEN CAST(0 AS DOUBLE)
+                        ELSE CAST(CAST(c_k AS VARCHAR) AS DOUBLE)
+                             / CAST(CAST(c_0 AS VARCHAR) AS DOUBLE)
+                   END AS r_k
+            FROM ck
+        )
+        SELECT event_type, CAST(lag AS INTEGER) AS lag,
+               CAST(nn AS BIGINT) AS n_buckets,
+               r_k,
+               SUM(((r_k * r_k) * nn * (nn + 2.0)) / (nn - lag))
+                   OVER (PARTITION BY event_type ORDER BY lag
+                         ROWS UNBOUNDED PRECEDING) AS lb_q
+        FROM rk
+    """,
+    doc="Ljung-Box portmanteau white-noise test over the per-type "
+        f"hourly count series, lags 1..{_LB_MAX_LAG}: Q(m) = N(N+2) "
+        "sum r_k^2/(N-k), emitted as a per-lag running statistic so "
+        "every prefix Q is available. The autocovariances are the "
+        "EXACT scaled integers C_k = N^2*Sxy - N*S*(px+py) + "
+        "(N-k)*S^2 in DECIMAL(38,0) (never squared — r_k crosses to "
+        "double by one hopped division, overflow-free at any corpus "
+        "scale), and the running Q accumulates in deterministic lag "
+        "order inside a per-type window. Series = consecutive "
+        "non-empty hour buckets (the ts_autocorr_lag convention). "
+        "One partial-agg shuffle to hourly, one self-join on the "
+        "bucket index bounded by 12 lags, dimension-sized output.",
+    tags=("timeseries", "stats"),
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    t = Tables(spark, sf_dir)
+    hourly = (
+        t.events.select(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+    rn = hourly.select(
+        "event_type",
+        "n",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("hour"))
+        .alias("r"),
+    ).localCheckpoint(eager=False)  # two consumers: totals + pair join
+    tot = rn.groupBy("event_type").agg(
+        F.count("*").alias("nn"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    lags = spark.range(1, _LB_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = rn.alias("a")
+    b = rn.select(
+        F.col("event_type").alias("bt"),
+        F.col("n").alias("bn"),
+        F.col("r").alias("br"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("bt") == F.col("a.event_type"))
+            & (F.col("br") == F.col("a.r") + F.col("lag")),
+        )
+        .groupBy("a.event_type", "lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("a.n") * F.col("bn")).alias("sxy"),
+            F.sum("a.n").alias("px"),
+            F.sum("bn").alias("py"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    nn38 = F.col("nn").cast(d38)
+    ck = pairs.join(tot, "event_type").select(
+        "event_type",
+        "lag",
+        "nn",
+        (
+            nn38 * F.col("nn") * F.col("sxy")
+            - nn38 * F.col("s") * (F.col("px") + F.col("py"))
+            + (nn38 - F.col("lag")) * F.col("s") * F.col("s")
+        ).alias("c_k"),
+        (nn38 * F.col("nn") * F.col("sxx") - nn38 * F.col("s") * F.col("s"))
+        .alias("c_0"),
+    )
+    r_k = F.when(F.col("c_0") == 0, F.lit(0.0)).otherwise(
+        F.col("c_k").cast("double") / F.col("c_0").cast("double")
+    )
+    rk = ck.select(
+        "event_type", "lag", "nn", r_k.alias("r_k")
+    )
+    nnd = F.col("nn").cast("double")
+    term = ((F.col("r_k") * F.col("r_k")) * F.col("nn") * (nnd + 2.0)) / (
+        nnd - F.col("lag")
+    )
+    win = (
+        W.partitionBy("event_type")
+        .orderBy("lag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return rk.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("nn").cast("bigint").alias("n_buckets"),
+        "r_k",
+        F.sum(term).over(win).alias("lb_q"),
+    )

@@ -359,3 +359,56 @@ def test_bloom_fpr_semantics(spark, bloom_docs_sf):
     y = rows["srcY"]
     assert y["n_probe"] == 50 and y["n_present"] == 50
     assert y["n_pass"] == 50 and y["fpr_observed"] == 0.0
+
+
+# ---------------------------------------------------------- Ljung-Box
+
+
+@pytest.fixture(scope="module")
+def alternating_events_sf(tmp_path_factory, spark):
+    """One event type whose hourly counts alternate 1,3,1,3,... over 40
+    hours: a perfectly anti-correlated series, r_1 must be strongly
+    negative and Q must grow with every lag; plus a constant type
+    (c_0 = 0 -> all r_k exactly 0, Q exactly 0)."""
+    d = tmp_path_factory.mktemp("r11_lb_sf")
+    rows = []
+    eid = 0
+    base = 1_700_000_000_000_000
+    for h in range(40):
+        for i in range(1 if h % 2 == 0 else 3):
+            rows.append((eid, 7, "alt", base + h * 3_600_000_000, 1.0))
+            eid += 1
+        rows.append((eid, 8, "const", base + h * 3_600_000_000, 1.0))
+        eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "ts_us long, value double"
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "timestamp_micros(ts_us) AS ts", "value"
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+def test_ljung_box_hand_series(spark, alternating_events_sf):
+    rows = [
+        r.asDict()
+        for r in REGISTRY["ts_ljung_box"].fn(spark, alternating_events_sf)
+        .collect()
+    ]
+    alt = sorted(
+        (r for r in rows if r["event_type"] == "alt"),
+        key=lambda r: r["lag"],
+    )
+    const = [r for r in rows if r["event_type"] == "const"]
+    assert len(alt) == 12 and len(const) == 12
+    assert all(r["n_buckets"] == 40 for r in alt)
+    # alternating series: r_1 ~ -1 (slightly above due to edge terms),
+    # r_2 ~ +1, and Q is monotone nondecreasing in the lag
+    assert alt[0]["r_k"] < -0.9
+    assert alt[1]["r_k"] > 0.9
+    qs = [r["lb_q"] for r in alt]
+    assert all(b >= a for a, b in zip(qs, qs[1:]))
+    assert qs[0] > 30  # N(N+2)r^2/(N-1) ~ 40*42*0.95^2/39
+    # constant series: zero-guarded exactly
+    assert all(r["r_k"] == 0.0 and r["lb_q"] == 0.0 for r in const)
