@@ -648,6 +648,70 @@ def stream_user_profiles_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_type_counts_tws",
+    oracle=f"""
+        SELECT user_id, event_type,
+               count(*) AS n_events,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(value ORDER BY ts)),
+                   (a, b) -> a + b) AS total_value
+        FROM events
+        WHERE user_id % {_TWS_MOD} = 0
+        GROUP BY user_id, event_type
+    """,
+    doc="MapState on transformWithStateInPandas — the remaining typed "
+        "TWS state family after ValueState (stream_user_profiles_tws) "
+        "and timers (stream_session_timers_tws): one per-user map "
+        "keyed by event_type holding (count, value_sum), updated per "
+        "micro-batch, emitted per touched key in sorted order "
+        "(map-iteration order is not contractual). Same RocksDB "
+        "provider pin + protobuf-fallback contract as the other TWS "
+        "queries; the fallback lifts the map key into the grouping "
+        "key (composite (user, type) ValueState) with identical rows. "
+        f"Deterministic user_id % {_TWS_MOD} = 0 cohort, oracle = "
+        "per-(user,type) count + ts-ordered list_reduce sum.",
+    tags=("streaming",),
+)
+def stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    from ..streaming.stateful import (
+        type_counts_stream,
+        type_counts_stream_tws,
+    )
+
+    transform = (
+        type_counts_stream_tws
+        if _tws_runnable(spark)
+        else type_counts_stream
+    )
+    source = _events_stream(spark, sf_dir).filter(
+        F.col("user_id") % _TWS_MOD == 0
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    try:
+        result = run_bounded_stream(
+            spark, source, transform, "update", sf_dir=sf_dir,
+            state_rows=_events_rows(spark, sf_dir) // _TWS_MOD,
+        )
+        # keep the final (max n_events) emission per (user, type)
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.desc("n_events")
+        )
+        return (
+            result.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "event_type", "n_events", "total_value")
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+
+@register(
     "stream_session_timers_tws",
     oracle=f"""
         WITH seq AS (

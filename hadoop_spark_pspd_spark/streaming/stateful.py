@@ -306,3 +306,119 @@ def session_gap_stream_legacy(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MapState on transformWithStateInPandas: per-user map keyed by
+# event_type holding (count, value_sum) — the remaining typed-state
+# family after ValueState (UserProfileProcessor) and timers
+# (SessionTimerProcessor). Fallback for JVMs without a reachable
+# protobuf runtime: the identical fold on applyInPandasWithState with
+# the map key lifted into the grouping key (composite (user, type)
+# ValueState) — same rows, same oracle.
+# ---------------------------------------------------------------------------
+
+TYPE_COUNTS_OUT_SCHEMA = (
+    "user_id bigint, event_type string, n_events bigint, "
+    "total_value double"
+)
+TYPE_COUNTS_STATE_SCHEMA = "n bigint, total double"
+
+
+class TypeCountsProcessor(StatefulProcessor):
+    """MapState-backed fold: event_type -> (n, total) per user."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._m = handle.getMapState(
+            "type_counts", "event_type string", TYPE_COUNTS_STATE_SCHEMA
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+        touched: set[str] = set()
+        for pdf in rows:
+            pdf = pdf.sort_values("ts")
+            for et, value in zip(pdf["event_type"], pdf["value"]):
+                et = str(et)
+                if self._m.containsKey((et,)):
+                    n, total = self._m.getValue((et,))
+                else:
+                    n, total = 0, 0.0
+                self._m.updateValue((et,), (n + 1, total + float(value)))
+                touched.add(et)
+        out = sorted(touched)  # map-iteration order is not contractual
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([uid] * len(out), dtype="int64"),
+                "event_type": pd.Series(out, dtype="object"),
+                "n_events": pd.Series(
+                    [self._m.getValue((et,))[0] for et in out],
+                    dtype="int64",
+                ),
+                "total_value": pd.Series(
+                    [self._m.getValue((et,))[1] for et in out],
+                    dtype="float64",
+                ),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def type_counts_stream_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas with a per-user MapState (RocksDB
+    provider required for column families, as the other TWS streams)."""
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state"
+        ".RocksDBStateStoreProvider",
+    )
+    return (
+        events.select("user_id", "event_type", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TypeCountsProcessor(),
+            outputStructType=TYPE_COUNTS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def _update_type_counts(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for value in pdf["value"]:
+            n += 1
+            total += float(value)
+    state.update((n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_type": [key[1]],
+            "n_events": [n],
+            "total_value": [total],
+        }
+    )
+
+
+def type_counts_stream(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState fallback: map key lifted into the group."""
+    return (
+        events.select("user_id", "event_type", "ts", "value")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _update_type_counts,
+            outputStructType=TYPE_COUNTS_OUT_SCHEMA,
+            stateStructType=TYPE_COUNTS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

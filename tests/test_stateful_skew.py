@@ -234,3 +234,22 @@ def test_session_timer_tws_and_legacy_agree(spark, monkeypatch):
     )
     assert tws_rows == legacy_rows
     assert tws_rows, "fixture data must produce at least one closed session"
+
+
+def test_type_counts_tws_and_fallback_agree(spark, monkeypatch):
+    """The MapState lane and its composite-key applyInPandasWithState
+    fallback must emit identical (user, type) totals."""
+    from hadoop_spark_pspd_spark.registry import load_all
+    from hadoop_spark_pspd_spark.streaming import stateful
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    tws = sorted(
+        map(tuple, reg["stream_type_counts_tws"].fn(spark, sf).collect())
+    )
+    monkeypatch.setattr(stateful, "_HAS_TWS", False)
+    fb = sorted(
+        map(tuple, reg["stream_type_counts_tws"].fn(spark, sf).collect())
+    )
+    assert tws == fb
+    assert tws, "cohort must be non-empty at sf0.001"
