@@ -712,6 +712,83 @@ def stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_recent_window_tws",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   list(value ORDER BY ts) AS lv,
+                   list(CAST(epoch_us(ts) AS BIGINT) ORDER BY ts) AS lt,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            WHERE user_id % {_TWS_MOD} = 0
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               least(n, 8) AS n_window,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                lv[greatest(n - 7, 1):]),
+                   (a, b) -> a + b) AS window_value,
+               lt[n] AS last_us,
+               lt[greatest(n - 7, 1)] AS first_us
+        FROM per_user
+    """,
+    doc="ListState on transformWithStateInPandas — completes the typed "
+        "TWS state quartet (ValueState, MapState, timers, ListState): "
+        "a per-user sliding window of the last K=8 events kept in "
+        "ListState (put() truncation each batch), emitting the window "
+        "count, ts-ordered value fold, and first/last event times. "
+        "Same RocksDB pin + protobuf fallback contract (fallback "
+        "flattens the list into a fixed 2K-slot ValueState row — "
+        "identical rows, parity-tested). Deterministic cohort; oracle "
+        "slices the ts-ordered per-user list to its last 8 elements "
+        "and folds in the same order.",
+    tags=("streaming",),
+)
+def stream_recent_window_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    from ..streaming.stateful import (
+        recent_window_stream,
+        recent_window_stream_tws,
+    )
+
+    transform = (
+        recent_window_stream_tws
+        if _tws_runnable(spark)
+        else recent_window_stream
+    )
+    source = _events_stream(spark, sf_dir).filter(
+        F.col("user_id") % _TWS_MOD == 0
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    try:
+        result = run_bounded_stream(
+            spark, source, transform, "update", sf_dir=sf_dir,
+            state_rows=_events_rows(spark, sf_dir) // _TWS_MOD,
+        )
+        # final state per user: the emission with the greatest
+        # last-event time (strictly grows for a ts-ordered arrival),
+        # n_window breaking pre-saturation ties
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("last_us"), F.desc("n_window")
+        )
+        return (
+            result.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id", "n_window", "window_value", "last_us",
+                "first_us",
+            )
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+
+
+@register(
     "stream_session_timers_tws",
     oracle=f"""
         WITH seq AS (

@@ -422,3 +422,143 @@ def type_counts_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ListState on transformWithStateInPandas: per-user sliding window of
+# the last K events — with MapState (TypeCountsProcessor), ValueState
+# (UserProfileProcessor) and timers (SessionTimerProcessor) this
+# completes the typed-state quartet. State is the ts-ordered event
+# list, truncated to K via put() each batch (per-user arrival is
+# ts-ordered for the bounded file stream, so append order == ts
+# order; the processor still re-sorts defensively before truncating).
+# ---------------------------------------------------------------------------
+
+RECENT_K = 8
+RECENT_OUT_SCHEMA = (
+    "user_id bigint, n_window bigint, window_value double, "
+    "last_us bigint, first_us bigint"
+)
+RECENT_ROW_SCHEMA = "ts_us bigint, value double"
+
+
+class RecentWindowProcessor(StatefulProcessor):
+    """ListState-backed last-K window per user."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._l = handle.getListState("recent", RECENT_ROW_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+        cur: list[tuple[int, float]] = (
+            [tuple(r) for r in self._l.get()] if self._l.exists() else []
+        )
+        for pdf in rows:
+            pdf = pdf.sort_values("ts")
+            cur.extend(
+                (int(ts_us), float(v))
+                for ts_us, v in zip(
+                    pdf["ts"].astype("int64") // 1000, pdf["value"]
+                )
+            )
+        cur.sort(key=lambda r: r[0])
+        cur = cur[-RECENT_K:]
+        self._l.put(cur)
+        # window sum folded in ts order (deterministic, <= K terms)
+        total = 0.0
+        for _, v in cur:
+            total += v
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([uid], dtype="int64"),
+                "n_window": pd.Series([len(cur)], dtype="int64"),
+                "window_value": pd.Series([total], dtype="float64"),
+                "last_us": pd.Series([cur[-1][0]], dtype="int64"),
+                "first_us": pd.Series([cur[0][0]], dtype="int64"),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def recent_window_stream_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas with per-user ListState (RocksDB)."""
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state"
+        ".RocksDBStateStoreProvider",
+    )
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RecentWindowProcessor(),
+            outputStructType=RECENT_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def _update_recent_window(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fallback: the same last-K fold with the list flattened into a
+    fixed-width ValueState row (2K scalar slots)."""
+    if state.exists:
+        flat = list(state.get)
+    else:
+        flat = [None] * (2 * RECENT_K)
+    cur = [
+        (int(flat[2 * i]), float(flat[2 * i + 1]))
+        for i in range(RECENT_K)
+        if flat[2 * i] is not None
+    ]
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        cur.extend(
+            (int(ts_us), float(v))
+            for ts_us, v in zip(
+                pdf["ts"].astype("int64") // 1000, pdf["value"]
+            )
+        )
+    cur.sort(key=lambda r: r[0])
+    cur = cur[-RECENT_K:]
+    flat = []
+    for ts_us, v in cur:
+        flat += [ts_us, v]
+    flat += [None] * (2 * RECENT_K - len(flat))
+    state.update(tuple(flat))
+    total = 0.0
+    for _, v in cur:
+        total += v
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_window": [len(cur)],
+            "window_value": [total],
+            "last_us": [cur[-1][0]],
+            "first_us": [cur[0][0]],
+        }
+    )
+
+
+_RECENT_STATE_SCHEMA = ", ".join(
+    f"t{i} bigint, v{i} double" for i in range(RECENT_K)
+)
+
+
+def recent_window_stream(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState fallback for the last-K window."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_recent_window,
+            outputStructType=RECENT_OUT_SCHEMA,
+            stateStructType=_RECENT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -253,3 +253,26 @@ def test_type_counts_tws_and_fallback_agree(spark, monkeypatch):
     )
     assert tws == fb
     assert tws, "cohort must be non-empty at sf0.001"
+
+
+def test_recent_window_tws_and_fallback_agree(spark, monkeypatch):
+    """The ListState lane and its flattened-ValueState fallback must
+    emit identical last-K windows."""
+    from hadoop_spark_pspd_spark.registry import load_all
+    from hadoop_spark_pspd_spark.streaming import stateful
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    tws = sorted(
+        map(tuple, reg["stream_recent_window_tws"].fn(spark, sf).collect())
+    )
+    monkeypatch.setattr(stateful, "_HAS_TWS", False)
+    fb = sorted(
+        map(tuple, reg["stream_recent_window_tws"].fn(spark, sf).collect())
+    )
+    assert tws == fb
+    assert tws, "cohort must be non-empty at sf0.001"
+    # every window is bounded by K and time-ordered
+    for _, n_window, _, last_us, first_us in tws:
+        assert 1 <= n_window <= stateful.RECENT_K
+        assert first_us <= last_us
