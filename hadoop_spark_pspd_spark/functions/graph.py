@@ -165,7 +165,14 @@ def star_contraction_components(edges: DataFrame) -> DataFrame:
     # remember every node ever seen so the final labeling covers them
     all_nodes = edges.select(F.col("u").alias("node")).distinct() \
         .localCheckpoint()
-    cur = canonical(edges).localCheckpoint()
+    # lazy cut + count(): ONE job materializes the round's edge set AND
+    # answers the convergence check (the BFS pattern, CLAUDE.md r7 §5);
+    # the eager per-round localCheckpoints + a recount of the PREVIOUS
+    # round's already-known cardinality cost ~4 driver jobs per round
+    # (measured: dedup_clusters_starcc 6.7 s in-sweep at sf0.1, round
+    # overhead dominating the shrinking edge set)
+    cur = canonical(edges).localCheckpoint(eager=False)
+    n_cur = cur.count()
     while True:
         both = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")) \
             .union(cur.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
@@ -177,7 +184,9 @@ def star_contraction_components(edges: DataFrame) -> DataFrame:
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        after_large = canonical(large).localCheckpoint()
+        # lazy: materialized (and persisted) by the new.count() job below;
+        # both2's two union branches read the same checkpointed RDD
+        after_large = canonical(large).localCheckpoint(eager=False)
         both2 = after_large.select(
             F.col("hi").alias("u"), F.col("lo").alias("v")
         ).union(after_large.select(
@@ -193,18 +202,19 @@ def star_contraction_components(edges: DataFrame) -> DataFrame:
             .toDF("u", "v")
             .union(m2.select(F.col("u"), F.col("m").alias("v")))
         )
-        new = canonical(small).localCheckpoint()
+        new = canonical(small).localCheckpoint(eager=False)
         # convergence test: the edge count shrinks monotonically toward
         # one star per component, so a cheap count inequality proves
         # non-convergence most rounds; only count-equal rounds pay the
         # exact (exceptAll) set comparison
-        if new.count() == cur.count():
+        n_new = new.count()
+        if n_new == n_cur:
             delta = (
                 new.exceptAll(cur).count() + cur.exceptAll(new).count()
             )
         else:
             delta = 1
-        cur = new
+        cur, n_cur = new, n_new
         if delta == 0:
             break
     # fixpoint: every component is a star centered at its minimum

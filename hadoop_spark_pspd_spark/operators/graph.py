@@ -546,6 +546,56 @@ _BFS_ORACLE = _EDGES_ORACLE.replace("WITH pairs", "WITH RECURSIVE pairs", 1) + f
         FROM walk GROUP BY node
 """
 
+# max edge rows resolved by the single-task BFS kernel: ~64 MB of int64
+# pairs, <=20 O(E) vectorized sweeps (~0.3 s) — same bound as
+# functions/graph._LOCAL_CC_EDGE_CAP
+_BFS_LOCAL_EDGE_CAP = 4_000_000
+
+
+def _bfs_kernel(batches):
+    """Exact radius-bounded BFS over one partition's (u, v) edge rows
+    (both orientations present). Root = the minimum node id (== the
+    loop path's both.agg(min(u)) because the edge list is symmetric).
+    Emits (node, hops) for every node reached within _BFS_MAX_HOPS —
+    row-identical to the distributed frontier loop (hop distances are
+    exact integers; no float order sensitivity)."""
+    import numpy as np
+    import pandas as pd
+
+    us, vs = [], []
+    for pdf in batches:
+        us.append(pdf["u"].to_numpy(dtype=np.int64))
+        vs.append(pdf["v"].to_numpy(dtype=np.int64))
+    if not us or not sum(len(a) for a in us):
+        yield pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"),
+             "hops": pd.Series([], dtype="int64")}
+        )
+        return
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    n = len(nodes)
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[0] = 0  # np.unique sorts ascending -> index 0 IS the min node
+    frontier = np.zeros(n, dtype=bool)
+    frontier[0] = True
+    for d in range(1, _BFS_MAX_HOPS + 1):
+        cand = vi[frontier[ui]]
+        cand = cand[dist[cand] < 0]
+        if cand.size == 0:
+            break
+        cand = np.unique(cand)
+        dist[cand] = d
+        frontier[:] = False
+        frontier[cand] = True
+    reached = dist >= 0
+    yield pd.DataFrame(
+        {"node": pd.Series(nodes[reached], dtype="int64"),
+         "hops": pd.Series(dist[reached], dtype="int64")}
+    )
+
 
 @register(
     "graph_bfs_hops",
@@ -565,8 +615,23 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = (
         edges.select(F.col("s1").alias("u"), F.col("s2").alias("v"))
         .union(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
-        .localCheckpoint()
+        # lazy: the count below materializes AND persists it in one job
+        .localCheckpoint(eager=False)
     )
+    n_both = both.count()
+    # single-task exact kernel when the sparsified edge set fits one
+    # task (the min_label_components pattern, CLAUDE.md r6 §1, applied
+    # to traversal): a Spark BFS pays one driver job per ROUND — up to
+    # _BFS_MAX_HOPS jobs whose per-round stage wall dwarfs the ~V*8-row
+    # data work at any local scale (measured 7.4 s in-sweep at sf0.1) —
+    # while the vectorized numpy kernel resolves all rounds in one
+    # mapInPandas task. Hop distances are exact integers, so kernel and
+    # loop emit IDENTICAL rows; the distributed frontier loop below
+    # remains the at-scale path (edge sets past the cap).
+    if n_both <= _BFS_LOCAL_EDGE_CAP:
+        return both.coalesce(1).mapInPandas(
+            _bfs_kernel, "node long, hops long"
+        )
     # right-size the edge list every round rescans (the pagerank
     # treatment): mutual-top-8 sparsification bounds it at V*8 rows, so
     # session-default partitioning holds ~250 rows per task here — pure
@@ -577,7 +642,6 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — upstream cluster-sized shuffle.partitions governs the upper
     # bound, and a coalesce there would silently cap parallelism (a
     # repartition+re-checkpoint costs ~1.2 s, more than it saves here).
-    n_both = both.count()
     target = max(4, int(n_both // 2_000_000) + 1)
     if target < both.rdd.getNumPartitions():
         both = both.coalesce(target)

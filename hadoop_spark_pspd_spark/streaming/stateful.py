@@ -335,29 +335,40 @@ class TypeCountsProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         uid = key[0]
-        touched: set[str] = set()
+        # buffer the fold locally: every MapState call is a Python<->
+        # state-server ROUND TRIP, and the original per-row
+        # containsKey/getValue/updateValue triple made this processor
+        # per-row-bound (~3 round trips x every cohort event; measured
+        # 14.9 s in-sweep at sf0.1, ~3x the other TWS queries). One
+        # getValue per touched key on first touch + one updateValue per
+        # touched key after the batch loop performs the IDENTICAL
+        # arithmetic in the identical ts order — (n, total) evolve
+        # bit-identically — with O(distinct types) state calls instead
+        # of O(rows).
+        acc: dict[str, tuple[int, float]] = {}
         for pdf in rows:
             pdf = pdf.sort_values("ts")
             for et, value in zip(pdf["event_type"], pdf["value"]):
                 et = str(et)
-                if self._m.containsKey((et,)):
+                if et in acc:
+                    n, total = acc[et]
+                elif self._m.containsKey((et,)):
                     n, total = self._m.getValue((et,))
                 else:
                     n, total = 0, 0.0
-                self._m.updateValue((et,), (n + 1, total + float(value)))
-                touched.add(et)
-        out = sorted(touched)  # map-iteration order is not contractual
+                acc[et] = (n + 1, total + float(value))
+        out = sorted(acc)  # map-iteration order is not contractual
+        for et in out:
+            self._m.updateValue((et,), acc[et])
         yield pd.DataFrame(
             {
                 "user_id": pd.Series([uid] * len(out), dtype="int64"),
                 "event_type": pd.Series(out, dtype="object"),
                 "n_events": pd.Series(
-                    [self._m.getValue((et,))[0] for et in out],
-                    dtype="int64",
+                    [acc[et][0] for et in out], dtype="int64",
                 ),
                 "total_value": pd.Series(
-                    [self._m.getValue((et,))[1] for et in out],
-                    dtype="float64",
+                    [acc[et][1] for et in out], dtype="float64",
                 ),
             }
         )

@@ -335,3 +335,61 @@ def test_min_label_components_degenerate_edges(spark):
     finally:
         G._LOCAL_CC_EDGE_CAP = old
     assert got2 == got and got3 == got
+
+
+def test_bfs_kernel_matches_loop_and_reference(spark, monkeypatch):
+    """graph_bfs_hops' single-task numpy kernel (round-11 optimization)
+    must emit exactly the rows of (a) a driver-side reference BFS and
+    (b) the distributed frontier-loop fallback path, on adversarial
+    topologies: a chain longer than _BFS_MAX_HOPS (hop bound binds), a
+    clique bridged to the chain, and an unreachable component (must be
+    absent from the output)."""
+    import pandas as pd
+
+    from hadoop_spark_pspd_spark.operators import graph as G
+
+    # node 0 is the min -> BFS root. Chain 0..30 (len > 20-hop bound),
+    # clique {2, 40, 41, 42}, island {100, 101} unreachable from 0.
+    und = [(i, i + 1) for i in range(30)]
+    und += [(a, b) for a in (2, 40, 41) for b in (40, 41, 42) if a < b]
+    und += [(100, 101)]
+    both = und + [(b, a) for a, b in und]
+
+    # driver-side reference BFS with the same hop bound
+    adj: dict[int, set[int]] = {}
+    for a, b in both:
+        adj.setdefault(a, set()).add(b)
+    want, frontier = {0: 0}, {0}
+    for d in range(1, G._BFS_MAX_HOPS + 1):
+        nxt = {
+            v for u in frontier for v in adj.get(u, ()) if v not in want
+        }
+        for v in nxt:
+            want[v] = d
+        frontier = nxt
+
+    # (a) the kernel directly
+    pdf = pd.DataFrame(both, columns=["u", "v"])
+    [out] = list(G._bfs_kernel(iter([pdf])))
+    got_kernel = dict(zip(out["node"], out["hops"]))
+    assert got_kernel == want
+
+    # (b) kernel path vs loop path of the full operator must agree
+    df = spark.createDataFrame(both, "u long, v long")
+
+    def run():
+        return {
+            r.node: r.hops
+            for r in G.graph_bfs_hops(spark, SF_SMOKE).collect()
+        }
+
+    monkeypatch.setattr(
+        G, "cooccurrence_edges",
+        lambda *_: df.filter(F.col("u") < F.col("v")).select(
+            F.col("u").alias("s1"), F.col("v").alias("s2")
+        ),
+    )
+    kernel_rows = run()
+    monkeypatch.setattr(G, "_BFS_LOCAL_EDGE_CAP", 0)  # force the loop
+    loop_rows = run()
+    assert kernel_rows == loop_rows == want
