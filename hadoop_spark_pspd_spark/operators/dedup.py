@@ -596,13 +596,20 @@ _CONTAIN_MAX_DF = 100
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    exploded = shingles_exploded(t.documents).cache()
+    # lazy checkpoints, not cache: each shared subtree has 2-3 consumers
+    # and the fwd/rev union below references the WHOLE scored lineage
+    # twice — with cache() the logical plan kept every re-expansion (the
+    # before-plan carried 65 parquet scans of documents,
+    # plans/r11/dedup_containment_before.txt) and Catalyst re-analyzed
+    # the full tree per reference; the checkpoint truncates lineage to a
+    # Scan ExistingRDD (round-7 §13)
+    exploded = shingles_exploded(t.documents).localCheckpoint(eager=False)
     dfreq = exploded.groupBy("s").agg(F.count("*").alias("df"))
     sh_r = (
         exploded.join(
             dfreq.filter(F.col("df") <= _CONTAIN_MAX_DF).select("s"), "s"
         )
-    ).cache()
+    ).localCheckpoint(eager=False)
     sizes = sh_r.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh_r.alias("a"), sh_r.alias("b")
     common = (
@@ -625,6 +632,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
             "doc_b",
         )
+        # two consumers (fwd and rev): the expensive inverted-index
+        # self-join must run once, not once per direction
+        .localCheckpoint(eager=False)
     )
     fwd = scored.filter(F.col("c") / F.col("na") >= _CONTAIN_T).select(
         F.col("doc_a").alias("src_doc"),
@@ -1844,10 +1854,25 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        # three consumers (pair-doc set below, matches join, final
+        # join): pin so the shingle self-join runs once
+        .localCheckpoint(eager=False)
     )
+    # signatures are only ever consumed joined to `pairs` — semi-join
+    # the shingle table to the near-dup doc set BEFORE the xNUM_PERM
+    # hash explode (guide §3.2: pre-filter the big side before the
+    # expensive expansion). The doc set is near-dup-bounded (orders of
+    # magnitude below the corpus), so it broadcasts; per-doc signature
+    # values are unchanged, and non-pair docs never reached the output.
+    pair_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b")))
+        .distinct()
+    )
+    sh_pairs = sh.join(F.broadcast(pair_docs), "doc_id", "left_semi")
     perms = spark.range(NUM_PERM).select(F.col("id").cast("bigint").alias("i"))
     mh = (
-        sh.crossJoin(perms)
+        sh_pairs.crossJoin(perms)
         .select(
             "doc_id",
             "i",

@@ -1463,6 +1463,49 @@ def _katz_oracle() -> str:
     """
 
 
+def _katz_kernel(batches):
+    """Exact truncated-Katz walk counts over one partition's directed
+    (u, v) edge rows (both orientations present): c_k(v) = sum over
+    edges u->v of c_{k-1}(u), katz_q = sum_k c_k * 2^(ROUNDS-k) — all
+    int64 (degree^k <= 8^6 per node on the mutual-top-8 graph), and the
+    katz double is the exact dyadic katz_q / 2^ROUNDS. Row-identical to
+    the DataFrame join loop."""
+    import numpy as np
+    import pandas as pd
+
+    us, vs = [], []
+    for pdf in batches:
+        us.append(pdf["u"].to_numpy(dtype=np.int64))
+        vs.append(pdf["v"].to_numpy(dtype=np.int64))
+    if not us or not sum(len(a) for a in us):
+        yield pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"),
+             "katz_q": pd.Series([], dtype="int64"),
+             "katz": pd.Series([], dtype="float64")}
+        )
+        return
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    n = len(nodes)
+    c = np.ones(n, dtype=np.int64)
+    acc = np.zeros(n, dtype=np.int64)
+    for k in range(1, _KATZ_ROUNDS + 1):
+        nc = np.zeros(n, dtype=np.int64)
+        np.add.at(nc, vi, c[ui])
+        c = nc
+        acc += c << (_KATZ_ROUNDS - k)
+    yield pd.DataFrame(
+        {"node": pd.Series(nodes, dtype="int64"),
+         "katz_q": pd.Series(acc, dtype="int64"),
+         "katz": pd.Series(
+             acc.astype(np.float64) / float(1 << _KATZ_ROUNDS),
+             dtype="float64",
+         )}
+    )
+
+
 @register(
     "graph_katz_centrality",
     oracle=_EDGES_ORACLE + _katz_oracle(),
@@ -1487,6 +1530,17 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
         .localCheckpoint(eager=False)
     )
+    # single-task exact kernel under the cap (the BFS treatment,
+    # _bfs_kernel above): walk counts are exact int64 matrix-vector
+    # products, so the 6 join+groupBy rounds (12 lazy checkpoints, the
+    # dominating stage overhead at any local scale — 6.4 s median at
+    # sf0.1) collapse into one vectorized mapInPandas task with
+    # row-identical output; the DataFrame loop below stays the at-scale
+    # path for edge sets past the cap.
+    if bidir.count() <= _BFS_LOCAL_EDGE_CAP:
+        return bidir.coalesce(1).mapInPandas(
+            _katz_kernel, "node long, katz_q long, katz double"
+        )
     p = (
         bidir.select(F.col("u").alias("node"))
         .distinct()

@@ -1671,6 +1671,49 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CF_TOPN = 5  # neighbors kept per item
 
 
+def _basket_items(spark: SparkSession, t: Tables) -> DataFrame:
+    """One row per order: the DISTINCT item set as an array, grouped in
+    a single keyed aggregation. collect_set subsumes the oracle's
+    `SELECT DISTINCT l_orderkey, l_partkey` (set semantics per order),
+    so the basket self-join the CF family used to run — two shuffles of
+    the fact slice plus the join — collapses to ONE collect_set shuffle,
+    with the pair expansion running map-side as a HOF product (the
+    cooccurrence_directed pattern, graph.py:107). Keyed pre-repartition
+    for the same reason as there: the fact parquet arrives as 1-2 input
+    splits and the partial aggregate would otherwise run near-serial."""
+    return (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+    )
+
+
+def _basket_pair_counts(per_order: DataFrame, symmetric: bool) -> DataFrame:
+    """(item, nbr, c_ab) basket co-occurrence counts from the per-order
+    item-set table. Basket size is bounded (~7 lineitems per order), so
+    the within-order pair product is a bounded map-side explode —
+    per distinct pair this emits exactly the rows of the oracle's
+    a.l_partkey < b.l_partkey self-join (and its swap when
+    ``symmetric``), because collect_set already deduplicated per order."""
+    cond = (lambda x, y: x != y) if symmetric else (lambda x, y: x < y)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x: F.transform(
+                F.filter(F.col("items"), lambda y: cond(x, y)),
+                lambda y: F.struct(x.alias("item"), y.alias("nbr")),
+            ),
+        )
+    )
+    return (
+        per_order.select(F.explode(pair_arr).alias("p"))
+        .select("p.item", "p.nbr")
+        .groupBy("item", "nbr")
+        .agg(F.count("*").alias("c_ab"))
+    )
+
+
 @register(
     "ml_item_cf",
     oracle=f"""
@@ -1725,27 +1768,20 @@ def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     t = Tables(spark, sf_dir)
-    baskets = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-    item_n = baskets.groupBy(
-        F.col("l_partkey").alias("item")
-    ).agg(F.count("*").alias("c"))
-    a, b = baskets.alias("a"), baskets.alias("b")
-    # both orientations emitted by the JOIN (!=, not <) so ONE
-    # aggregation produces the symmetric neighbor table — the union of
-    # a <-trimmed pair table duplicated the whole basket-join lineage
-    # (11 shuffles -> 8; same rows, since (a,b) and (b,a) counts match)
-    sym = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("item"),
-            F.col("b.l_partkey").alias("nbr"),
-        )
-        .agg(F.count("*").alias("c_ab"))
+    # one fact aggregation feeds BOTH the pair counts and the per-item
+    # basket counts — lazy checkpoint so the two consumers read it once
+    # (round-7 §13; was: distinct + self-join + separate groupBy = three
+    # fact-scale shuffles, bench median 3.98 s at sf0.1)
+    per_order = _basket_items(spark, t).localCheckpoint(eager=False)
+    item_n = (
+        per_order.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("c"))
     )
+    # both orientations emitted by the expansion (!=, not <) so ONE
+    # aggregation produces the symmetric neighbor table — the union of
+    # a <-trimmed pair table duplicated the whole lineage
+    sym = _basket_pair_counts(per_order, symmetric=True)
     scored = (
         sym.filter(F.col("c_ab") >= 2)
         .join(item_n.select(F.col("item"), F.col("c").alias("ca")), "item")
@@ -1821,22 +1857,17 @@ def ml_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ml_cf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    baskets = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-    item_n = baskets.groupBy(
-        F.col("l_partkey").alias("item")
-    ).agg(F.count("*").alias("c"))
-    a, b = baskets.alias("a"), baskets.alias("b")
+    # shared per-order item sets (see ml_item_cf) — one fact aggregation
+    # for both the item counts and the a<b pair counts
+    per_order = _basket_items(spark, t).localCheckpoint(eager=False)
+    item_n = (
+        per_order.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("c"))
+    )
     pair_c = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("item_a"),
-            F.col("b.l_partkey").alias("item_b"),
-        )
-        .agg(F.count("*").alias("c_ab"))
+        _basket_pair_counts(per_order, symmetric=False)
+        .toDF("item_a", "item_b", "c_ab")
         .filter(F.col("c_ab") >= 2)
     )
     covered = (
@@ -2361,8 +2392,17 @@ def ml_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda e: F.floor(e.cast("double") * _MMD_QF).cast("long"),
     )
-    ex = t.embeddings.select(
-        (F.col("vec_id") % 2).alias("c"), qarr.alias("qarr")
+    ex = (
+        t.embeddings.select(
+            (F.col("vec_id") % 2).alias("c"), qarr.alias("qarr")
+        )
+        # pre-explosion repartition (r6 §2): the embeddings parquet is
+        # 1-2 input splits, so the d x d pair explode below would run
+        # near-serial; checkpoint because dims/pairs/cnt are three
+        # consumers of the same quantized table (was 6 parquet scans,
+        # plans/r11/ml_mmd_drift_before.txt)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
     )
     dims = ex.select(
         "c", F.posexplode("qarr").alias("a0", "q")
@@ -2399,10 +2439,11 @@ def ml_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.coalesce(F.sum(F.when(F.col("c") == 1, F.col("p"))), z))
         .alias("g1"),
     )
-    cnt = t.embeddings.agg(
-        F.coalesce(F.sum(F.when(F.col("vec_id") % 2 == 0, 1)), F.lit(0))
+    # counts off the pinned table (third consumer) — no extra corpus scan
+    cnt = ex.agg(
+        F.coalesce(F.sum(F.when(F.col("c") == 0, 1)), F.lit(0))
         .cast("bigint").alias("m"),
-        F.coalesce(F.sum(F.when(F.col("vec_id") % 2 == 1, 1)), F.lit(0))
+        F.coalesce(F.sum(F.when(F.col("c") == 1, 1)), F.lit(0))
         .cast("bigint").alias("n"),
     )
     vred = vsum.agg(

@@ -1676,6 +1676,11 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("h"),
         )
+        # two consumers (pred, resid) and resid re-references it through
+        # the broadcast join — unpinned, the orders x customer join
+        # lineage re-expanded 16 parquet scans into one plan
+        # (plans/r11/ml_conformal_interval_before.txt); round-7 §13
+        .localCheckpoint(eager=False)
     )
     pred = (
         hashed.filter(F.col("h") < _CF_TRAIN)
@@ -1699,6 +1704,8 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rq"),
         )
+        # two consumers (calibration histogram, test slice)
+        .localCheckpoint(eager=False)
     )
     hist = (
         resid.filter(F.col("h") < _CF_CAL)

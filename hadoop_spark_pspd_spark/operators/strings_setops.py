@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import Tables
@@ -104,18 +104,31 @@ def q_fuzzy_nearest_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = t.customer.filter(F.col("c_custkey") < 100).select(
         F.col("c_custkey").alias("qk"), F.col("c_name").alias("qn")
     )
-    pairs = t.customer.join(
-        F.broadcast(q), F.col("c_custkey") != F.col("qk")
-    ).select(
-        "qk",
-        F.col("c_custkey").alias("ck"),
-        F.levenshtein("qn", "c_name").cast("long").alias("d"),
+    pairs = (
+        # pre-explosion repartition (CLAUDE.md r6 §2): the customer
+        # parquet arrives as ONE input split, so the broadcast
+        # nested-loop join — and with it every levenshtein evaluation
+        # (|q| x |customer| of them, the real cost of this query) —
+        # would run on a single task
+        t.customer.select("c_custkey", "c_name")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(q), F.col("c_custkey") != F.col("qk"))
+        .select(
+            "qk",
+            F.col("c_custkey").alias("ck"),
+            F.levenshtein("qn", "c_name").cast("long").alias("d"),
+        )
     )
-    w = Window.partitionBy("qk").orderBy(F.asc("d"), F.asc("ck"))
+    # argmin per query key as a MIN over the lexicographic (d, ck)
+    # struct: identical row to row_number(ORDER BY d, ck) = 1 (both
+    # integers, ck unique), but the aggregate does map-side partial
+    # reduction — the exchange carries ~|q| rows instead of shuffling
+    # and sorting the full |q| x |customer| pair stream under a window
+    # (guide §2.3 "aggregate before you shuffle")
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("qk", "ck", "d")
+        pairs.groupBy("qk")
+        .agg(F.min(F.struct("d", "ck")).alias("m"))
+        .select("qk", F.col("m.ck").alias("ck"), F.col("m.d").alias("d"))
     )
 
 

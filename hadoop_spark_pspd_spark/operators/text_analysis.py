@@ -925,19 +925,28 @@ _COLL_TOPK = 50
     tags=("text",),
 )
 def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import word_ngrams, words_exploded
+    from ..functions.text import word_ngrams
 
     t = Tables(spark, sf_dir)
-    toks = tokens(F.lower(F.col("text")))
-    bg = t.documents.select(
-        F.explode(word_ngrams(toks, 2)).alias("bigram")
+    # pin the token arrays behind a lazy checkpoint: word_ngrams
+    # references its input array several times (size, sequence bound,
+    # slice) and the bigram and unigram branches are separate consumers
+    # — CollapseProject otherwise inlines the lower+split into every
+    # reference, re-tokenizing the corpus per use (the round-8 §1 trap;
+    # the before-plan showed SIX parquet scans of documents for this
+    # one query, plans/r11/text_collocations_before.txt)
+    tok_df = t.documents.select(
+        tokens(F.lower(F.col("text"))).alias("ws")
+    ).localCheckpoint(eager=False)
+    bg = tok_df.select(
+        F.explode(word_ngrams(F.col("ws"), 2)).alias("bigram")
     ).select(
         F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
     )
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
     uni = (
-        t.documents.select(words_exploded(F.lower(F.col("text"))))
+        tok_df.select(F.explode("ws").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("c"))
     )

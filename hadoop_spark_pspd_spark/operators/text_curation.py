@@ -121,6 +121,12 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    # NOT pinned despite two consumers (round-11 A/B): the branches
+    # carry DISJOINT pushed-down doc_id predicates (< vs >= BENCH_DOCS),
+    # so the two "duplicate" pipelines scan disjoint slices ~ one full
+    # scan total; a localCheckpoint here materializes the WHOLE shingle
+    # table first and loses the pushdown (measured 5.1 -> 6.5 s at
+    # sf0.1, reverted)
     sh = t.documents.select(
         "doc_id",
         F.explode(

@@ -393,3 +393,49 @@ def test_bfs_kernel_matches_loop_and_reference(spark, monkeypatch):
     monkeypatch.setattr(G, "_BFS_LOCAL_EDGE_CAP", 0)  # force the loop
     loop_rows = run()
     assert kernel_rows == loop_rows == want
+
+
+def test_katz_kernel_matches_loop(spark, monkeypatch):
+    """graph_katz_centrality's single-task walk-count kernel (round-11
+    optimization) must emit exactly the rows of the DataFrame join-loop
+    path and of a driver-side reference recursion, including on a
+    chain (asymmetric degrees) plus a clique."""
+    from hadoop_spark_pspd_spark.operators import graph as G
+
+    und = [(i, i + 1) for i in range(12)]
+    und += [(a, b) for a in (3, 50, 51) for b in (50, 51, 52) if a < b]
+    both = und + [(b, a) for a, b in und]
+
+    # driver-side reference: c_k(v) = sum_{u->v} c_{k-1}(u)
+    nodes = sorted({x for e in both for x in e})
+    c = {x: 1 for x in nodes}
+    acc = {x: 0 for x in nodes}
+    for k in range(1, G._KATZ_ROUNDS + 1):
+        nc = {x: 0 for x in nodes}
+        for u, v in both:
+            nc[v] += c[u]
+        c = nc
+        for x in nodes:
+            acc[x] += c[x] * (1 << (G._KATZ_ROUNDS - k))
+    want = {
+        x: (acc[x], acc[x] / float(1 << G._KATZ_ROUNDS)) for x in nodes
+    }
+
+    df = spark.createDataFrame(both, "u long, v long")
+    monkeypatch.setattr(
+        G, "cooccurrence_edges",
+        lambda *_: df.filter(F.col("u") < F.col("v")).select(
+            F.col("u").alias("s1"), F.col("v").alias("s2")
+        ),
+    )
+
+    def run():
+        return {
+            r.node: (r.katz_q, r.katz)
+            for r in G.graph_katz_centrality(spark, SF_SMOKE).collect()
+        }
+
+    kernel_rows = run()
+    monkeypatch.setattr(G, "_BFS_LOCAL_EDGE_CAP", 0)  # force the loop
+    loop_rows = run()
+    assert kernel_rows == loop_rows == want
