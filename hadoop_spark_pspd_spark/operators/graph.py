@@ -150,12 +150,88 @@ def cooccurrence_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# max directed co-occurrence rows resolved by the single-task
+# sparsification kernel (same bound as the BFS/katz/pagerank kernels)
+_CO_EDGES_LOCAL_CAP = 4_000_000
+
+
+def _topk_mutual_kernel(batches):
+    """Exact single-task mutual-top-K sparsification over one
+    partition's (src, dst, w) directed co-occurrence rows: per src keep
+    the top-K neighbors by (w desc, dst asc) — identical to the
+    row_number window — then keep pairs present in BOTH directions,
+    emitting (s1, s2) with s1 < s2. Pure integer selection/dedup ops,
+    row-identical to the DataFrame path."""
+    import numpy as np
+    import pandas as pd
+
+    ss, ds, ws = [], [], []
+    for pdf in batches:
+        ss.append(pdf["src"].to_numpy(dtype=np.int64))
+        ds.append(pdf["dst"].to_numpy(dtype=np.int64))
+        ws.append(pdf["w"].to_numpy(dtype=np.int64))
+    if not ss or not sum(len(a) for a in ss):
+        yield pd.DataFrame(
+            {"s1": pd.Series([], dtype="int64"),
+             "s2": pd.Series([], dtype="int64")}
+        )
+        return
+    s = np.concatenate(ss)
+    d = np.concatenate(ds)
+    w = np.concatenate(ws)
+    nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    si, di = inv[: len(s)], inv[len(s):]
+    n = len(nodes)
+    # rank within src by (w desc, dst asc): lexsort is stable, last key
+    # is primary
+    order = np.lexsort((di, -w, si))
+    gs = si[order]
+    starts = np.empty(len(gs), dtype=bool)
+    starts[0] = True
+    starts[1:] = gs[1:] != gs[:-1]
+    group_start = np.maximum.accumulate(
+        np.where(starts, np.arange(len(gs)), 0)
+    )
+    rank = np.arange(len(gs)) - group_start
+    keep = order[rank < TOP_K]
+    ka, kb = si[keep], di[keep]
+    # mutual: (a, b) kept AND (b, a) kept — membership via sorted packed keys
+    pack = ka * n + kb
+    pack_sorted = np.sort(pack)
+    swapped = kb * n + ka
+    pos = np.searchsorted(pack_sorted, swapped)
+    pos = np.minimum(pos, len(pack_sorted) - 1)
+    mutual = pack_sorted[pos] == swapped
+    m = (ka < kb) & mutual
+    yield pd.DataFrame(
+        {"s1": pd.Series(nodes[ka[m]], dtype="int64"),
+         "s2": pd.Series(nodes[kb[m]], dtype="int64")}
+    )
+
+
 def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual-top-8 sparsified supplier co-occurrence edges (s1 < s2)."""
+    """Mutual-top-8 sparsified supplier co-occurrence edges (s1 < s2).
+
+    Round-11: under _CO_EDGES_LOCAL_CAP the partitioned top-k window +
+    mutual self-join (two exchanges + a sort, paid by every one of the
+    ~12 graph consumers) run as one vectorized single-task kernel over
+    the checkpointed directed table; the DataFrame path below is the
+    at-scale fallback, row-identical (exact integer selection)."""
     directed = cooccurrence_directed(spark, sf_dir)
+    pinned = directed.localCheckpoint(eager=False)
+    if pinned.count() <= _CO_EDGES_LOCAL_CAP:
+        # the result must be pinned too: consumers reference the edge
+        # set several times (adjacency unions, wedge joins, membership
+        # anti-joins) and mapInPandas is NOT an Exchange — without the
+        # checkpoint ReuseExchange cannot dedup it and the kernel
+        # re-executes per reference (measured: clustering_coefficient
+        # 3.4 -> 7.8 s before this pin)
+        return pinned.coalesce(1).mapInPandas(
+            _topk_mutual_kernel, "s1 long, s2 long"
+        ).localCheckpoint(eager=False)
     win = W.partitionBy("src").orderBy(F.col("w").desc(), "dst")
     topk = (
-        directed.withColumn("rn", F.row_number().over(win))
+        pinned.withColumn("rn", F.row_number().over(win))
         .where(F.col("rn") <= TOP_K)
         .select("src", "dst")
     )
@@ -301,6 +377,60 @@ def _pagerank_oracle() -> str:
     """
 
 
+# max edge rows for the single-task pagerank kernel (the BFS/katz/CC
+# cap): ~96 MB of (src, dst, w) int64 triples, 10 O(E) vectorized
+# sweeps
+_PR_LOCAL_EDGE_CAP = 4_000_000
+
+
+def _pagerank_kernel(batches):
+    """Exact single-task replay of the pagerank loop over one
+    partition's (src, dst, w) directed edge rows. Bit-identical to the
+    distributed path by the same argument that licenses the DuckDB
+    oracle: the per-iteration contribution sum is exact int64 in 2^-40
+    fixed point (order-free), and every float step — p = w/w_out,
+    floor((rank*p)*2^40), teleport + 0.85*(fx/2^40) — is the identical
+    sequence of correctly-rounded IEEE ops in numpy and the JVM
+    (CLAUDE.md round-5 §2). Emits (node, rank) for every node."""
+    import numpy as np
+    import pandas as pd
+
+    ss, ds, ws = [], [], []
+    for pdf in batches:
+        ss.append(pdf["src"].to_numpy(dtype=np.int64))
+        ds.append(pdf["dst"].to_numpy(dtype=np.int64))
+        ws.append(pdf["w"].to_numpy(dtype=np.int64))
+    if not ss or not sum(len(a) for a in ss):
+        yield pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="float64")}
+        )
+        return
+    s = np.concatenate(ss)
+    d = np.concatenate(ds)
+    w = np.concatenate(ws)
+    # the directed edge list is symmetric, so unique(src) == the node set
+    nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    ui, vi = inv[: len(s)], inv[len(s):]
+    n = len(nodes)
+    w_out = np.zeros(n, dtype=np.int64)
+    np.add.at(w_out, ui, w)
+    # identical float64 division sequence to the Spark projection
+    p = w.astype(np.float64) / w_out[ui].astype(np.float64)
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    teleport = (1.0 - PR_DAMP) / n
+    fp = float(PR_FP)
+    for _ in range(PR_ITERS):
+        contrib = np.floor((rank[ui] * p) * fp).astype(np.int64)
+        fx = np.zeros(n, dtype=np.int64)
+        np.add.at(fx, vi, contrib)
+        rank = teleport + PR_DAMP * (fx.astype(np.float64) / fp)
+    yield pd.DataFrame(
+        {"node": pd.Series(nodes, dtype="int64"),
+         "rank": pd.Series(rank, dtype="float64")}
+    )
+
+
 def pagerank_round(
     norm: DataFrame, ranks: DataFrame, teleport: float
 ) -> DataFrame:
@@ -349,7 +479,27 @@ def pagerank_round(
     tags=("graph",),
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = cooccurrence_directed(spark, sf_dir).cache()
+    edges = cooccurrence_directed(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    n_edges = edges.count()
+    # single-task exact kernel under the cap (the BFS/katz treatment):
+    # the 2^-40 fixed-point design makes every rank double bit-identical
+    # at ANY parallelism — including one task — so when the edge set
+    # fits, the 10-round broadcast loop (2 jobs per 5 rounds plus
+    # out_w/norm materializations; bench median 8.2 s at sf0.1 under
+    # ambient load) collapses into one vectorized mapInPandas pass. The
+    # distributed loop below is unchanged as the at-scale path.
+    if n_edges <= _PR_LOCAL_EDGE_CAP:
+        ranks = edges.coalesce(1).mapInPandas(
+            _pagerank_kernel, "node long, rank double"
+        )
+        return (
+            ranks.select("node", F.round("rank", 6).alias("rank"))
+            .orderBy(F.col("rank").desc(), "node")
+            .limit(20)
+        )
+    edges = edges.cache()
     # out_w's group keys ARE the node set (the directed edge list is
     # symmetric, every node appears as src), so a separate
     # select(src).distinct() job would be redundant — cache out_w and
@@ -362,9 +512,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration stage overhead (32 tasks x 10 rounds x 2 stages) costs
     # more than the scan itself (measured 5.0 s -> 2.6 s for the
     # iteration loop at sf0.1). ~2M rows per partition keeps the same
-    # repartition correct at 1000x the edges; the count is free on the
-    # just-materialized cache.
-    n_edges = edges.count()
+    # repartition correct at 1000x the edges; the count above is free
+    # on the just-materialized checkpoint.
     n_parts = max(4, int(n_edges // 2_000_000) + 1)
     norm = (
         # out_w is node-dimension-sized: broadcast so normalizing the
@@ -960,11 +1109,24 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join falls back to the pagerank co-partitioned shuffle pattern
     # (graph.py:314-320).
     edges = cooccurrence_edges(spark, sf_dir)
-    nbrs = (
+    both = (
         edges.select(F.col("s1").alias("node"), F.col("s2").alias("nbr"))
         .unionAll(
             edges.select(F.col("s2").alias("node"), F.col("s1").alias("nbr"))
         )
+        .localCheckpoint(eager=False)
+    )
+    # single-task exact kernel under the cap (the pagerank/BFS/katz
+    # treatment): labels are integers and the mode-with-min-tie rule is
+    # order-free given the full neighbor multiset, so the vectorized
+    # run-length kernel replays the 5 synchronous rounds row-identically
+    # in one task; the broadcast-loop below stays the at-scale path.
+    if both.count() <= _BFS_LOCAL_EDGE_CAP:
+        return both.coalesce(1).mapInPandas(
+            _lpa_kernel, "node long, label long"
+        )
+    nbrs = (
+        both
         # partition ONCE by the join key: the cache preserves the
         # partitioning, so every round's label join shuffles only the
         # node-sized label table, never the edges — and no per-round
@@ -987,6 +1149,58 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(LPA_ITERS):
         labels = lpa_round(nbrs, labels).localCheckpoint(eager=False)
     return labels
+
+
+def _lpa_kernel(batches):
+    """Exact single-task replay of the LPA loop over one partition's
+    (node, nbr) rows (both orientations present): LPA_ITERS synchronous
+    rounds, each assigning every node the MODE of its neighbors' labels
+    with ties to the smallest label — exactly _mode_sorted's
+    strictly-longer-run rule over the ascending label list. All labels
+    are node ids (int64), so kernel and DataFrame loop emit identical
+    rows."""
+    import numpy as np
+    import pandas as pd
+
+    us, vs = [], []
+    for pdf in batches:
+        us.append(pdf["node"].to_numpy(dtype=np.int64))
+        vs.append(pdf["nbr"].to_numpy(dtype=np.int64))
+    if not us or not sum(len(a) for a in us):
+        yield pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"),
+             "label": pd.Series([], dtype="int64")}
+        )
+        return
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    lab = nodes.copy()  # initial label = own node id
+    for _ in range(LPA_ITERS):
+        nl = lab[vi]  # neighbor labels per (node, nbr) row
+        order = np.lexsort((nl, ui))
+        gu, gl = ui[order], nl[order]
+        # run-length encode (node, label) groups; labels ascend per node
+        new_run = np.empty(len(gu), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (gu[1:] != gu[:-1]) | (gl[1:] != gl[:-1])
+        counts = np.diff(np.append(np.flatnonzero(new_run), len(gu)))
+        run_node = gu[new_run]
+        run_label = gl[new_run]
+        # per node: max count, ties -> smallest label (== first max of
+        # the ascending-label fold)
+        sel_order = np.lexsort((run_label, -counts, run_node))
+        rn = run_node[sel_order]
+        first = np.empty(len(rn), dtype=bool)
+        first[0] = True
+        first[1:] = rn[1:] != rn[:-1]
+        lab = lab.copy()
+        lab[rn[first]] = run_label[sel_order][first]
+    yield pd.DataFrame(
+        {"node": pd.Series(nodes, dtype="int64"),
+         "label": pd.Series(lab, dtype="int64")}
+    )
 
 
 _LPA_ACC_T = "struct<bv:bigint,bl:int,cv:bigint,cl:int>"

@@ -439,3 +439,85 @@ def test_katz_kernel_matches_loop(spark, monkeypatch):
     monkeypatch.setattr(G, "_BFS_LOCAL_EDGE_CAP", 0)  # force the loop
     loop_rows = run()
     assert kernel_rows == loop_rows == want
+
+
+def test_pagerank_and_lpa_kernels_match_loops(spark, monkeypatch):
+    """The round-11 single-task kernels for graph_pagerank and
+    graph_label_propagation must emit BIT-identical rows to the
+    distributed loop paths on an asymmetric-degree graph (chain + hub +
+    clique) — the fixed-point / integer-mode designs are what license
+    this, so any drift here is a determinism regression."""
+    from hadoop_spark_pspd_spark.operators import graph as G
+
+    und = [(i, i + 1) for i in range(10)]
+    und += [(0, j) for j in range(2, 8)]          # hub with parallel paths
+    und += [(a, b) for a in (5, 30, 31) for b in (30, 31, 32) if a < b]
+    pairs = sorted(set(und))
+
+    # directed co-occurrence analog: both orientations, weight = 1 + (u+v) % 3
+    directed = [(a, b, 1 + (a + b) % 3) for a, b in pairs]
+    directed += [(b, a, w) for a, b, w in directed]
+    ddf = spark.createDataFrame(directed, "src long, dst long, w long")
+    monkeypatch.setattr(G, "cooccurrence_directed", lambda *_: ddf)
+
+    def run_pr():
+        return [
+            (r.node, r.rank)
+            for r in G.graph_pagerank(spark, SF_SMOKE).collect()
+        ]
+
+    pr_kernel = run_pr()
+    monkeypatch.setattr(G, "_PR_LOCAL_EDGE_CAP", 0)  # force the loop
+    pr_loop = run_pr()
+    assert pr_kernel == pr_loop  # bit-identical doubles, same order
+
+    edf = spark.createDataFrame(pairs, "s1 long, s2 long")
+    monkeypatch.setattr(G, "cooccurrence_edges", lambda *_: edf)
+
+    def run_lpa():
+        return {
+            r.node: r.label
+            for r in G.graph_label_propagation(spark, SF_SMOKE).collect()
+        }
+
+    lpa_kernel = run_lpa()
+    monkeypatch.setattr(G, "_BFS_LOCAL_EDGE_CAP", 0)  # force the loop
+    lpa_loop = run_lpa()
+    assert lpa_kernel == lpa_loop
+
+
+def test_topk_mutual_kernel_matches_window_join(spark, monkeypatch):
+    """cooccurrence_edges' single-task sparsification kernel (round-11)
+    must emit exactly the mutual-top-K edge set of the window+self-join
+    path, including on weight TIES (dst tie-break) and one-directional
+    top-K membership (a in top-8 of b but not vice versa)."""
+    from hadoop_spark_pspd_spark.operators import graph as G
+
+    rows = []
+    # node 0 co-occurs with 1..12: weights force top-8 selection with
+    # ties (w = 5 for dst 4..9 -> dst tie-break decides the cut)
+    for j in range(1, 13):
+        w = 9 if j < 4 else 5
+        rows += [(0, j, w), (j, 0, w)]
+    # clique 20..24 all weight 1 (all mutual)
+    for a in range(20, 25):
+        for b in range(20, 25):
+            if a != b:
+                rows.append((a, b, 1))
+    # 1..12 also co-occur among themselves lightly so node 0 falls OUT
+    # of some of their top-8 lists (asymmetric membership)
+    for j in range(1, 12):
+        rows += [(j, j + 1, 7), (j + 1, j, 7)]
+    ddf = spark.createDataFrame(rows, "src long, dst long, w long")
+    monkeypatch.setattr(G, "cooccurrence_directed", lambda *_: ddf)
+
+    def run():
+        return sorted(
+            (r.s1, r.s2)
+            for r in G.cooccurrence_edges(spark, SF_SMOKE).collect()
+        )
+
+    kernel_rows = run()
+    monkeypatch.setattr(G, "_CO_EDGES_LOCAL_CAP", 0)  # force the window
+    loop_rows = run()
+    assert kernel_rows == loop_rows and len(kernel_rows) > 0
