@@ -399,16 +399,27 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     per = sh.groupBy("source").agg(F.count("*").cast("bigint").alias("ng"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # per-gram source-set expansion instead of the gram self-join (the
+    # basket-pair pattern, ml_data._basket_pair_counts): sources are a
+    # bounded dimension (<=45 ordered pairs per gram), so one groupBy(g)
+    # + a map-side pair explode emits exactly the self-join's
+    # (a.g == b.g AND a.source < b.source) rows while shuffling the
+    # gram table once instead of twice-plus-join
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x: F.transform(
+                F.filter(F.col("ss"), lambda y: x < y),
+                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+            ),
+        )
+    )
     pr = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
-        )
+        sh.groupBy("g")
+        .agg(F.collect_set("source").alias("ss"))
+        .select(F.explode(pair_arr).alias("p"))
+        .select("p.s1", "p.s2")
+        .groupBy("s1", "s2")
         .agg(F.count("*").cast("bigint").alias("shared"))
     )
     p1 = per.select(F.col("source").alias("s1"), F.col("ng").alias("grams_s1"))

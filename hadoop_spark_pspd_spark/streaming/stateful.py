@@ -97,8 +97,11 @@ class UserProfileProcessor(StatefulProcessor):
         )
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        if self._state.exists():
-            n, total, last_us, max_gap_us = self._state.get()
+        # ValueState.get() returns None when unset — one state-server
+        # round trip instead of the exists()+get() pair per key per batch
+        cur = self._state.get()
+        if cur is not None:
+            n, total, last_us, max_gap_us = cur
         else:
             n, total, last_us, max_gap_us = 0, 0.0, None, 0
         for pdf in rows:
@@ -193,8 +196,10 @@ class SessionTimerProcessor(StatefulProcessor):
         self._state = handle.getValueState("sess", SESSION_STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        if self._state.exists():
-            start, last, n, timer = self._state.get()
+        # one get() round trip (None when unset) instead of exists()+get()
+        cur = self._state.get()
+        if cur is not None:
+            start, last, n, timer = cur
         else:
             start = last = n = timer = None
         closed: list[tuple] = []
@@ -220,8 +225,9 @@ class SessionTimerProcessor(StatefulProcessor):
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         out: list[tuple] = []
-        if self._state.exists():
-            start, last, n, timer = self._state.get()
+        cur = self._state.get()  # None when unset: one round trip
+        if cur is not None:
+            start, last, n, timer = cur
             if timer == expiredTimerInfo.getExpiryTimeInMs():
                 out.append((key[0], start, last, n))
                 self._state.clear()
