@@ -712,11 +712,16 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("anc"),
         F.lit(1).cast("bigint").alias("depth"),
         F.col("price").alias("acc"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     try:
         while True:
             pending = state.filter(F.col("anc") > 0)
-            if pending.isEmpty():
+            # lazy cut + count(): ONE job per round materializes and
+            # persists the round's state AND answers the emptiness
+            # check (the BFS pattern, r7 §5) — the eager checkpoint +
+            # isEmpty pair cost two jobs per round across the ~15
+            # ancestor-walk rounds
+            if pending.count() == 0:
                 break
             finished = state.filter(F.col("anc") == 0)
             nxt = (
@@ -745,7 +750,7 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             state = (
                 finished.unionByName(nxt)
                 .coalesce(spark.sparkContext.defaultParallelism)
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         return state.select(
             F.col("node").alias("p_partkey"),

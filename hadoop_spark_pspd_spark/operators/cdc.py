@@ -308,6 +308,10 @@ def sketch_theta_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .distinct()
+        # two consumers (sketch side, true_common eval) — unpinned, the
+        # per-byte explode+distinct re-ran per consumer (the before-plan
+        # carried 30 parquet scans / 57 exchanges for this one query)
+        .localCheckpoint(eager=False)
     )
     hashed = sh.select(
         "source",
@@ -330,9 +334,11 @@ def sketch_theta_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rs")
     )
     w_rank = W.partitionBy("source").orderBy("h", "shingle")
+    # ranked: 2 consumers (theta, sk); theta: 3 (sk, both pair sides) —
+    # pin both so the salted two-level rank runs once
     ranked = survivors.select(
         "source", "h", F.row_number().over(w_rank).alias("rn")
-    )
+    ).localCheckpoint(eager=False)
     n_src = hashed.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_src")
     )
@@ -346,12 +352,15 @@ def sketch_theta_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(_T52).cast("long"))
             .alias("theta_h"),
         )
+        .localCheckpoint(eager=False)
     )
     sk = (
         ranked.filter(F.col("rn") < _KMV_K)
         .join(theta, "source")
         .filter(F.col("h") < F.col("theta_h"))
         .select("source", "h")
+        # 2 consumers (both sides of the sketch-match self-join)
+        .localCheckpoint(eager=False)
     )
     ta = theta.select(
         F.col("source").alias("source_a"), F.col("theta_h").alias("th_a")
