@@ -163,38 +163,23 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = joined.filter(jac >= JACCARD_THRESHOLD).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b"), F.col("doc_a"))
-    ).toDF("u", "v").cache()
-    labels = (
-        edges.select(F.col("u").alias("doc_id")).distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+    ).toDF("u", "v").localCheckpoint(eager=False)
+    # ^ pinned BEFORE min_label_components (the dedup_clusters calling
+    # convention): its count materializes the whole curation upstream
+    # once and the single-task CC kernel reads persisted partitions —
+    # unpinned, the coalesce(1) kernel re-ran the upstream serially
+    # (measured 4.7 -> 7.6 s before this pin)
+    # round-11: the original per-round min-label join loop (eager
+    # checkpoint + changed-count join = 2+ driver jobs per round,
+    # diameter rounds) predated functions/graph.min_label_components,
+    # which computes the IDENTICAL (node, component-min) labeling in 2
+    # jobs via partition-local contraction kernels — the dedup_clusters
+    # path reused here
+    from ..functions.graph import min_label_components
+
+    labels = min_label_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
-    while True:
-        nbr = (
-            edges.join(labels, edges["v"] == labels["doc_id"])
-            .groupBy("u")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, labels["doc_id"] == nbr["u"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
     dropped = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )

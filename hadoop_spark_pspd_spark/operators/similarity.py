@@ -2431,6 +2431,97 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KC_K = 8
 _KC_SEED = 0
 
+# max embedding rows for the single-task Gonzalez kernel: ~256 MB of
+# f32 vectors at d=64; past it the distributed per-round argmax below
+# is the path (the graph-kernel cap pattern applied to vectors)
+_KC_LOCAL_VEC_CAP = 1_000_000
+
+
+def _kcenter_kernel(batches):
+    """Exact single-task replay of the Gonzalez farthest-point loop.
+    Bit-identical to the distributed path: the cosine fold is the same
+    left-to-right sequence of correctly-rounded IEEE ops (vectorized
+    across rows, SEQUENTIAL across dims — exactly functions/vectors.dot),
+    and Spark's round(x, 6) (BigDecimal HALF_UP on the exact binary
+    value) is replayed per candidate with Python Decimal quantize, which
+    has identical semantics. Yields the same (rank, vec_id, min_dist)
+    rows, NULL min_dist for the seed."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    ids_l, embs_l = [], []
+    for pdf in batches:
+        ids_l.append(pdf["vec_id"].to_numpy(dtype=np.int64))
+        embs_l.append(
+            np.stack([np.asarray(e, dtype=np.float32) for e in pdf["embedding"]])
+            if len(pdf)
+            else np.zeros((0, 0), dtype=np.float32)
+        )
+    ids = np.concatenate(ids_l) if ids_l else np.zeros(0, dtype=np.int64)
+    if not ids.size:
+        yield pd.DataFrame(
+            {"rank": pd.Series([], dtype="int32"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "min_dist": pd.Series([], dtype="Float64")}
+        )
+        return
+    X = np.vstack([e for e in embs_l if e.size])
+    n, d = X.shape
+    X64 = X.astype(np.float64)
+
+    def seq_dot(a64, b64):
+        # left-to-right fold: acc starts 0.0, one add per dim — matches
+        # F.aggregate(zip_with(...), 0.0, acc + v) exactly
+        acc = np.zeros(a64.shape[0], dtype=np.float64) \
+            if a64.ndim == 2 else np.float64(0.0)
+        for j in range(d):
+            acc = acc + (
+                (a64[:, j] if a64.ndim == 2 else a64[j])
+                * (b64[j] if b64.ndim == 1 else b64[:, j])
+            )
+        return acc
+
+    norms = np.sqrt(seq_dot(X64, X64))
+    q6 = Decimal("0.000001")
+
+    def round6(vals):
+        return np.fromiter(
+            (
+                float(Decimal(v).quantize(q6, rounding=ROUND_HALF_UP))
+                for v in vals.tolist()
+            ),
+            dtype=np.float64,
+            count=len(vals),
+        )
+
+    seed_pos = int(np.flatnonzero(ids == _KC_SEED)[0])
+    sel = [seed_pos]
+    out_rank, out_id, out_dist = [1], [int(ids[seed_pos])], [None]
+    mind = np.full(n, np.inf)
+    for k in range(2, _KC_K + 1):
+        c64 = X64[sel[-1]]
+        cnorm = np.sqrt(seq_dot(c64, c64))
+        cos = seq_dot(X64, c64) / (cnorm * norms)
+        dist = 1.0 - round6(cos)
+        mind = np.minimum(mind, dist)
+        cand = np.ones(n, dtype=bool)
+        cand[sel] = False
+        best = np.flatnonzero(cand & (mind == mind[cand].max()))
+        pick = best[np.argmin(ids[best])]
+        sel.append(int(pick))
+        out_rank.append(k)
+        out_id.append(int(ids[pick]))
+        out_dist.append(float(mind[pick]))
+    yield pd.DataFrame(
+        {
+            "rank": pd.Series(out_rank, dtype="int32"),
+            "vec_id": pd.Series(out_id, dtype="int64"),
+            "min_dist": pd.Series(out_dist, dtype="Float64"),
+        }
+    )
+
 
 def _kcenter_oracle() -> str:
     steps = []
@@ -2481,7 +2572,20 @@ def _kcenter_oracle() -> str:
 )
 def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", "embedding").cache()
+    emb = t.embeddings.select("vec_id", "embedding").localCheckpoint(
+        eager=False
+    )
+    # single-task exact kernel under the vector cap (the graph-kernel
+    # pattern): the k-1 sequential distributed argmax rounds each cost a
+    # driver job + per-round Catalyst analysis of a fresh literal-center
+    # expression tree — the dominant wall at any local scale (measured
+    # ~5 s at sf0.1). The kernel replays the identical fold/round/argmax
+    # sequence in one task; the loop below stays the at-scale path.
+    if emb.count() <= _KC_LOCAL_VEC_CAP:
+        return emb.coalesce(1).mapInPandas(
+            _kcenter_kernel, "rank int, vec_id long, min_dist double"
+        )
+    emb = emb.cache()
     seed = emb.filter(F.col("vec_id") == _KC_SEED).collect()[0]
     selected = [(int(seed["vec_id"]), list(seed["embedding"]))]
     out = [(1, int(seed["vec_id"]), None)]

@@ -319,3 +319,30 @@ def test_kcenter_min_dist_non_increasing(spark):
     assert all(a >= b for a, b in zip(dists, dists[1:])), dists
     ids = [r["vec_id"] for r in rows]
     assert len(set(ids)) == len(ids)
+
+
+def test_kcenter_kernel_matches_distributed_loop(spark):
+    """sim_kcenter_coreset's single-task Gonzalez kernel (round-11
+    optimization) must emit BIT-identical rows to the distributed
+    per-round argmax loop — same vec_ids, same min_dist doubles, NULL
+    seed distance — since both replay the identical cosine fold +
+    BigDecimal-HALF_UP round-6 sequence."""
+    from hadoop_spark_pspd_spark.operators import similarity as S
+
+    def run():
+        return [
+            (r.rank, r.vec_id, r.min_dist)
+            for r in S.sim_kcenter_coreset(spark, SF_SMOKE)
+            .orderBy("rank")
+            .collect()
+        ]
+
+    kernel_rows = run()
+    old = S._KC_LOCAL_VEC_CAP
+    try:
+        S._KC_LOCAL_VEC_CAP = 0  # force the distributed loop
+        loop_rows = run()
+    finally:
+        S._KC_LOCAL_VEC_CAP = old
+    assert kernel_rows == loop_rows
+    assert kernel_rows[0][2] is None and len(kernel_rows) == S._KC_K
