@@ -1602,9 +1602,11 @@ def graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("d"))
     )
     ks = spark.createDataFrame([(k,) for k in _RICH_KS], "k int")
+    # three consumers (nk + both ek join sides) — pin so the degree
+    # aggregation + k-grid cross runs once (round-7 §13)
     rich = deg.crossJoin(F.broadcast(ks)).filter(
         F.col("d") > F.col("k")
-    ).select("k", "node")
+    ).select("k", "node").localCheckpoint(eager=False)
     nk = rich.groupBy("k").agg(F.count("*").alias("n_rich"))
     ek = (
         edges.join(
@@ -1798,6 +1800,72 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HITS_FX = 65536  # 2^16 score grid: sums stay far inside BIGINT
 _HITS_ITERS = 3  # authority updates (hub updates interleave)
 
+# single-task HITS kernel gates: edge rows (one per (user, type) pair)
+# AND total event mass — sum(w * score) must stay inside int64, so the
+# kernel only engages when fx * sum(w) < 2^61 (sum(w) < 2^45); the
+# normalization product raw * fx (up to 2^77) is formed in exact
+# Python ints either way
+_HITS_LOCAL_EDGE_CAP = 4_000_000
+_HITS_LOCAL_MASS_CAP = 1 << 45
+
+
+def _hits_kernel(batches):
+    """Exact single-task replay of the HITS loop over one partition's
+    (u, i, w) bipartite edge rows. Every score lives on the exact 2^16
+    integer grid: mass sums are int64-safe under _HITS_LOCAL_MASS_CAP,
+    and each normalization raw * 2^16 // t is computed in Python ints
+    (arbitrary precision — the kernel analog of the DECIMAL(38,0)
+    product), with // == Spark's div on non-negative operands. Emits
+    (event_type, auth_fx, authority) row-identical to the loop."""
+    import numpy as np
+    import pandas as pd
+
+    us, is_, ws = [], [], []
+    for pdf in batches:
+        us.append(pdf["u"].to_numpy(dtype=np.int64))
+        is_.append(pdf["i"].to_numpy(dtype=object))
+        ws.append(pdf["w"].to_numpy(dtype=np.int64))
+    if not us or not sum(len(a) for a in us):
+        yield pd.DataFrame(
+            {"event_type": pd.Series([], dtype="object"),
+             "auth_fx": pd.Series([], dtype="int64"),
+             "authority": pd.Series([], dtype="float64")}
+        )
+        return
+    u = np.concatenate(us)
+    i = np.concatenate(is_)
+    w = np.concatenate(ws)
+    users, ui = np.unique(u, return_inverse=True)
+    types, ti = np.unique(i, return_inverse=True)
+    fx = _HITS_FX
+
+    def normalize(raw):
+        t = int(raw.sum())
+        t = 1 if t == 0 else t
+        return np.fromiter(
+            (int(r) * fx // t for r in raw.tolist()),
+            dtype=np.int64,
+            count=len(raw),
+        )
+
+    hx = np.full(len(users), fx, dtype=np.int64)
+    ax = None
+    for it in range(1, _HITS_ITERS + 1):
+        raw_a = np.zeros(len(types), dtype=np.int64)
+        np.add.at(raw_a, ti, w * hx[ui])
+        ax = normalize(raw_a)
+        if it < _HITS_ITERS:
+            raw_h = np.zeros(len(users), dtype=np.int64)
+            np.add.at(raw_h, ui, w * ax[ti])
+            hx = normalize(raw_h)
+    yield pd.DataFrame(
+        {"event_type": pd.Series(types, dtype="object"),
+         "auth_fx": pd.Series(ax, dtype="int64"),
+         "authority": pd.Series(
+             ax.astype(np.float64) / float(fx), dtype="float64"
+         )}
+    )
+
 
 def _hits_oracle() -> str:
     """Unrolled HITS replay: every score is an exact BIGINT on the
@@ -1891,8 +1959,24 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("u"), F.col("event_type").alias("i")
         )
         .agg(F.count("*").cast("long").alias("w"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
+    # single-task exact kernel under the caps (the pagerank pattern on
+    # the bipartite graph): the 2^16-grid integer design is
+    # parallelism-invariant, so the 5 aggregate+normalize half-steps
+    # (each a checkpointed subtree + scalar-total crossJoin) collapse
+    # into one task when the aggregated edge table fits and total mass
+    # keeps int64 exact; the loop below stays the at-scale path.
+    # Bounded collect: ONE 2-column stats row off the aggregated table.
+    n_rows, total_w = e.groupBy().agg(
+        F.count("*"), F.coalesce(F.sum("w"), F.lit(0))
+    ).collect()[0]
+    if n_rows <= _HITS_LOCAL_EDGE_CAP and total_w <= _HITS_LOCAL_MASS_CAP:
+        return e.coalesce(1).mapInPandas(
+            _hits_kernel,
+            "event_type string, auth_fx long, authority double",
+        )
+    e = e.cache()
     # every hub starts at the FULL grid constant (not fx // n_users,
     # which is 0 past 2^16 users — silently degenerate); the first
     # normalization makes the initial scale irrelevant.

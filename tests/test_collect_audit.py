@@ -33,6 +33,9 @@ ALLOWED = {
     ("operators/embeddings_linalg.py", "_fit_pca"),
     # BFS root: single MIN() scalar.
     ("operators/graph.py", "graph_bfs_hops"),
+    # HITS kernel gate: ONE (count, sum) stats row off the aggregated
+    # bipartite edge table.
+    ("operators/graph.py", "graph_hits_bipartite"),
     # 25^2 nation weight matrix + 25-row name map (dimension-bounded
     # driver fold, the ml_bradley_terry class)
     ("operators/graph.py", "graph_spectral_partition"),

@@ -521,3 +521,22 @@ def test_topk_mutual_kernel_matches_window_join(spark, monkeypatch):
     monkeypatch.setattr(G, "_CO_EDGES_LOCAL_CAP", 0)  # force the window
     loop_rows = run()
     assert kernel_rows == loop_rows and len(kernel_rows) > 0
+
+
+def test_hits_kernel_matches_loop(spark, monkeypatch):
+    """graph_hits_bipartite's single-task kernel must emit exactly the
+    distributed loop's rows — the 2^16-grid integer design makes both
+    parallelism-invariant, including the zero-mass guard and trunc
+    division."""
+    from hadoop_spark_pspd_spark.operators import graph as G
+
+    def run():
+        return sorted(
+            (r.event_type, r.auth_fx, r.authority)
+            for r in G.graph_hits_bipartite(spark, SF_SMOKE).collect()
+        )
+
+    kernel_rows = run()
+    monkeypatch.setattr(G, "_HITS_LOCAL_EDGE_CAP", 0)  # force the loop
+    loop_rows = run()
+    assert kernel_rows == loop_rows and len(kernel_rows) > 0
