@@ -155,13 +155,40 @@ def cooccurrence_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CO_EDGES_LOCAL_CAP = 4_000_000
 
 
-def _topk_mutual_kernel(batches):
-    """Exact single-task mutual-top-K sparsification over one
-    partition's (src, dst, w) directed co-occurrence rows: per src keep
-    the top-K neighbors by (w desc, dst asc) — identical to the
-    row_number window — then keep pairs present in BOTH directions,
-    emitting (s1, s2) with s1 < s2. Pure integer selection/dedup ops,
-    row-identical to the DataFrame path."""
+def _directed_pinned(spark, sf_dir):
+    """(lazily checkpointed directed co-occurrence table, row count) —
+    the shared cap-gate read for the kernel family; the count is also
+    the materialization job for the checkpoint."""
+    pinned = cooccurrence_directed(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    return pinned, pinned.count()
+
+
+def _mutual_prefiltered(pinned):
+    """Two-stage kernel input shape (round-12): the parallel per-batch
+    local top-K prefilter runs across all partitions of the
+    materialized checkpoint, and the repartition(1) exchange funnels
+    only the ~K-per-(batch, src) survivors into the single merge task —
+    vs coalesce(1), which would collapse the prefilter itself into the
+    serial task. The repartition("src") exchange makes each task's rows
+    complete per src, so the prefilter emits the EXACT global per-src
+    top-K — cutting the serial Arrow transfer from |directed| rows to
+    <= K per src (measured 907k -> ~8k at sf0.1). A/B note: a per-batch
+    prefilter WITHOUT the src exchange only cut 907k -> 697k (srcs here
+    average ~900 neighbors spread across batches) and was a wash."""
+    return pinned.repartition("src").mapInPandas(
+        _local_topk_prefilter, "src long, dst long, w long"
+    ).repartition(1)
+
+
+def _local_topk_prefilter(batches):
+    """Parallel stage-1 of the two-stage mutual-top-K kernel: per TASK
+    (the caller partitions by src, so each src's rows are complete
+    here), keep each src's top-K rows by (w desc, dst asc) — the EXACT
+    global per-src top-K, computed in parallel across partitions. The
+    single merge task downstream then ships <= K rows per src instead
+    of the full directed table (measured 907k -> ~8k at sf0.1)."""
     import numpy as np
     import pandas as pd
 
@@ -171,11 +198,44 @@ def _topk_mutual_kernel(batches):
         ds.append(pdf["dst"].to_numpy(dtype=np.int64))
         ws.append(pdf["w"].to_numpy(dtype=np.int64))
     if not ss or not sum(len(a) for a in ss):
-        yield pd.DataFrame(
-            {"s1": pd.Series([], dtype="int64"),
-             "s2": pd.Series([], dtype="int64")}
-        )
         return
+    s = np.concatenate(ss)
+    d = np.concatenate(ds)
+    w = np.concatenate(ws)
+    order = np.lexsort((d, -w, s))
+    gs = s[order]
+    starts = np.empty(len(gs), dtype=bool)
+    starts[0] = True
+    starts[1:] = gs[1:] != gs[:-1]
+    group_start = np.maximum.accumulate(
+        np.where(starts, np.arange(len(gs)), 0)
+    )
+    rank = np.arange(len(gs)) - group_start
+    keep = order[rank < TOP_K]
+    yield pd.DataFrame(
+        {"src": pd.Series(s[keep], dtype="int64"),
+         "dst": pd.Series(d[keep], dtype="int64"),
+         "w": pd.Series(w[keep], dtype="int64")}
+    )
+
+
+def _topk_mutual_ids(batches):
+    """Exact mutual-top-K sparsification over one task's (src, dst, w)
+    directed co-occurrence rows: per src keep the top-K neighbors by
+    (w desc, dst asc) — identical to the row_number window — then keep
+    pairs present in BOTH directions. Returns (s1_ids, s2_ids) numpy
+    arrays with s1 < s2 (empty on empty input). Pure integer
+    selection/dedup ops, row-identical to the DataFrame path."""
+    import numpy as np
+
+    ss, ds, ws = [], [], []
+    for pdf in batches:
+        ss.append(pdf["src"].to_numpy(dtype=np.int64))
+        ds.append(pdf["dst"].to_numpy(dtype=np.int64))
+        ws.append(pdf["w"].to_numpy(dtype=np.int64))
+    if not ss or not sum(len(a) for a in ss):
+        empty = np.zeros(0, dtype=np.int64)
+        return empty, empty
     s = np.concatenate(ss)
     d = np.concatenate(ds)
     w = np.concatenate(ws)
@@ -203,9 +263,18 @@ def _topk_mutual_kernel(batches):
     pos = np.minimum(pos, len(pack_sorted) - 1)
     mutual = pack_sorted[pos] == swapped
     m = (ka < kb) & mutual
+    return nodes[ka[m]], nodes[kb[m]]
+
+
+def _topk_mutual_kernel(batches):
+    """mapInPandas wrapper over _topk_mutual_ids: emits the mutual
+    edge rows (s1, s2) with s1 < s2."""
+    import pandas as pd
+
+    s1, s2 = _topk_mutual_ids(batches)
     yield pd.DataFrame(
-        {"s1": pd.Series(nodes[ka[m]], dtype="int64"),
-         "s2": pd.Series(nodes[kb[m]], dtype="int64")}
+        {"s1": pd.Series(s1, dtype="int64"),
+         "s2": pd.Series(s2, dtype="int64")}
     )
 
 
@@ -217,16 +286,22 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~12 graph consumers) run as one vectorized single-task kernel over
     the checkpointed directed table; the DataFrame path below is the
     at-scale fallback, row-identical (exact integer selection)."""
-    directed = cooccurrence_directed(spark, sf_dir)
-    pinned = directed.localCheckpoint(eager=False)
-    if pinned.count() <= _CO_EDGES_LOCAL_CAP:
+    pinned, n_directed = _directed_pinned(spark, sf_dir)
+    return _edges_from_directed(pinned, n_directed)
+
+
+def _edges_from_directed(pinned, n_directed) -> DataFrame:
+    """Mutual-top-8 edge set from an already-pinned directed table —
+    factored out so fused consumers (LPA, triangle) can fall back
+    WITHOUT rebuilding the directed table past the cap."""
+    if n_directed <= _CO_EDGES_LOCAL_CAP:
         # the result must be pinned too: consumers reference the edge
         # set several times (adjacency unions, wedge joins, membership
         # anti-joins) and mapInPandas is NOT an Exchange — without the
         # checkpoint ReuseExchange cannot dedup it and the kernel
         # re-executes per reference (measured: clustering_coefficient
         # 3.4 -> 7.8 s before this pin)
-        return pinned.coalesce(1).mapInPandas(
+        return _mutual_prefiltered(pinned).mapInPandas(
             _topk_mutual_kernel, "s1 long, s2 long"
         ).localCheckpoint(eager=False)
     win = W.partitionBy("src").orderBy(F.col("w").desc(), "dst")
@@ -248,6 +323,44 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _triangle_kernel(batches):
+    """Fused single-task kernel: mutual-top-K edges, then ordered-wedge
+    triangle enumeration — for each edge pair (a,b),(b,c) check (a,c)
+    membership, exactly the e1/e2/e3 join. Degree <= TOP_K bounds the
+    wedge expansion at TOP_K * E rows. Always emits exactly ONE
+    (n_edges, n_triangles) row (0, 0 on an empty graph), matching the
+    count-aggregate crossJoin of the DataFrame path."""
+    import numpy as np
+    import pandas as pd
+
+    s1, s2 = _topk_mutual_ids(batches)
+    n_edges = len(s1)
+    n_tri = 0
+    if n_edges:
+        nodes, inv = np.unique(np.concatenate([s1, s2]),
+                               return_inverse=True)
+        ka, kb = inv[:n_edges], inv[n_edges:]
+        n = len(nodes)
+        order = np.lexsort((kb, ka))
+        ea, eb = ka[order], kb[order]
+        pack_sorted = ea * n + eb  # ascending: sorted by (ea, eb)
+        starts = np.searchsorted(ea, np.arange(n), side="left")
+        ends = np.searchsorted(ea, np.arange(n), side="right")
+        cnt = ends[eb] - starts[eb]  # wedge continuations per edge
+        offsets = np.concatenate(([0], np.cumsum(cnt)))
+        rep_edge = np.repeat(np.arange(n_edges), cnt)
+        within = np.arange(offsets[-1]) - offsets[rep_edge]
+        second = starts[eb[rep_edge]] + within
+        key = ea[rep_edge] * n + eb[second]  # (a, c) candidate edge
+        pos = np.searchsorted(pack_sorted, key)
+        pos = np.minimum(pos, n_edges - 1)
+        n_tri = int(np.sum(pack_sorted[pos] == key))
+    yield pd.DataFrame(
+        {"n_edges": pd.Series([n_edges], dtype="int64"),
+         "n_triangles": pd.Series([n_tri], dtype="int64")}
+    )
+
+
 @register(
     "q_triangle_count",
     oracle=_EDGES_ORACLE + """
@@ -266,13 +379,23 @@ def cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",),
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-12: under the kernel cap, triangle counting fuses into the
+    # mutual-top-8 merge task itself (exact integer wedge enumeration
+    # over the degree-<=8 edge set) — one job instead of kernel +
+    # cache + three broadcast joins + two aggregations. The join
+    # formulation below stays the at-scale path, row-identical.
+    pinned, n_directed = _directed_pinned(spark, sf_dir)
+    if n_directed <= _CO_EDGES_LOCAL_CAP:
+        return _mutual_prefiltered(pinned).mapInPandas(
+            _triangle_kernel, "n_edges long, n_triangles long"
+        )
     # .cache() (not eager localCheckpoint): the returned DataFrame must
     # stay lazy with full lineage so plan audits see the edge-building
     # stages. The cache is released by the harnesses' per-query
     # clearCache (verify_local, bench) — the repo-wide convention for
     # shared intermediates, restated in tests/test_graph_behavioral.py
     # for contexts that call operators directly.
-    edges = cooccurrence_edges(spark, sf_dir).cache()
+    edges = _edges_from_directed(pinned, n_directed).cache()
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -1108,7 +1231,21 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tie rule). If node count outgrew broadcast on a real cluster, the
     # join falls back to the pagerank co-partitioned shuffle pattern
     # (graph.py:314-320).
-    edges = cooccurrence_edges(spark, sf_dir)
+    # single-task exact kernel under the cap (the pagerank/BFS/katz
+    # treatment): labels are integers and the mode-with-min-tie rule is
+    # order-free given the full neighbor multiset, so the vectorized
+    # run-length kernel replays the 5 synchronous rounds row-identically
+    # in one task. Round-12: the sparsification fuses INTO that task
+    # (mutual edges <= directed rows, so the directed-row gate is
+    # strictly safer than the old 2x-edges gate), skipping the
+    # intermediate edge kernel + union + count jobs; the broadcast-loop
+    # below stays the at-scale path.
+    pinned, n_directed = _directed_pinned(spark, sf_dir)
+    if n_directed <= _CO_EDGES_LOCAL_CAP:
+        return _mutual_prefiltered(pinned).mapInPandas(
+            _lpa_fused_kernel, "node long, label long"
+        )
+    edges = _edges_from_directed(pinned, n_directed)
     both = (
         edges.select(F.col("s1").alias("node"), F.col("s2").alias("nbr"))
         .unionAll(
@@ -1116,11 +1253,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    # single-task exact kernel under the cap (the pagerank/BFS/katz
-    # treatment): labels are integers and the mode-with-min-tie rule is
-    # order-free given the full neighbor multiset, so the vectorized
-    # run-length kernel replays the 5 synchronous rounds row-identically
-    # in one task; the broadcast-loop below stays the at-scale path.
     if both.count() <= _BFS_LOCAL_EDGE_CAP:
         return both.coalesce(1).mapInPandas(
             _lpa_kernel, "node long, label long"
@@ -1174,6 +1306,34 @@ def _lpa_kernel(batches):
         return
     u = np.concatenate(us)
     v = np.concatenate(vs)
+    yield _lpa_np(u, v)
+
+
+def _lpa_fused_kernel(batches):
+    """Fused single-task kernel (round-12): mutual-top-K edges then the
+    LPA rounds, skipping the intermediate edge materialization + union
+    jobs of the shared-kernel path. Row-identical to _lpa_kernel over
+    cooccurrence_edges' both-orientations table."""
+    import numpy as np
+    import pandas as pd
+
+    s1, s2 = _topk_mutual_ids(batches)
+    if not len(s1):
+        yield pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"),
+             "label": pd.Series([], dtype="int64")}
+        )
+        return
+    yield _lpa_np(np.concatenate([s1, s2]), np.concatenate([s2, s1]))
+
+
+def _lpa_np(u, v):
+    """LPA_ITERS synchronous mode-with-min-tie rounds over (u, v) edge
+    id arrays (both orientations present); returns the (node, label)
+    pandas frame."""
+    import numpy as np
+    import pandas as pd
+
     nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
     ui, vi = inv[: len(u)], inv[len(u):]
     lab = nodes.copy()  # initial label = own node id
@@ -1197,7 +1357,7 @@ def _lpa_kernel(batches):
         first[1:] = rn[1:] != rn[:-1]
         lab = lab.copy()
         lab[rn[first]] = run_label[sel_order][first]
-    yield pd.DataFrame(
+    return pd.DataFrame(
         {"node": pd.Series(nodes, dtype="int64"),
          "label": pd.Series(lab, dtype="int64")}
     )

@@ -471,19 +471,49 @@ def test_pagerank_and_lpa_kernels_match_loops(spark, monkeypatch):
     pr_loop = run_pr()
     assert pr_kernel == pr_loop  # bit-identical doubles, same order
 
-    edf = spark.createDataFrame(pairs, "s1 long, s2 long")
-    monkeypatch.setattr(G, "cooccurrence_edges", lambda *_: edf)
-
     def run_lpa():
         return {
             r.node: r.label
             for r in G.graph_label_propagation(spark, SF_SMOKE).collect()
         }
 
+    # every node's degree is <= 8 here, so mutual-top-8(ddf) == pairs
+    # and all three paths must agree on the SAME graph
+    lpa_fused = run_lpa()
+    # force the intermediate path: window-join edge build + both-table
+    # LPA kernel (the pre-round-12 shape)
+    monkeypatch.setattr(G, "_CO_EDGES_LOCAL_CAP", 0)
     lpa_kernel = run_lpa()
     monkeypatch.setattr(G, "_BFS_LOCAL_EDGE_CAP", 0)  # force the loop
     lpa_loop = run_lpa()
-    assert lpa_kernel == lpa_loop
+    assert lpa_fused == lpa_kernel == lpa_loop
+
+
+def test_triangle_fused_kernel_matches_join_path(spark, monkeypatch):
+    """q_triangle_count's fused kernel (round-12: mutual-top-8 + wedge
+    enumeration in one task) must emit the identical single
+    (n_edges, n_triangles) row as the join formulation, on a graph with
+    triangles inside and ACROSS top-8 boundaries."""
+    from hadoop_spark_pspd_spark.operators import graph as G
+
+    und = [(i, i + 1) for i in range(10)] + [(0, 2), (1, 3), (0, 3)]
+    und += [(a, b) for a in range(20, 25) for b in range(20, 25) if a < b]
+    directed = [(a, b, 1 + (a * 7 + b) % 4) for a, b in sorted(set(und))]
+    directed += [(b, a, w) for a, b, w in directed]
+    ddf = spark.createDataFrame(directed, "src long, dst long, w long")
+    monkeypatch.setattr(G, "cooccurrence_directed", lambda *_: ddf)
+
+    def run():
+        return [
+            (r.n_edges, r.n_triangles)
+            for r in G.q_triangle_count(spark, SF_SMOKE).collect()
+        ]
+
+    fused = run()
+    monkeypatch.setattr(G, "_CO_EDGES_LOCAL_CAP", 0)  # force the joins
+    joined = run()
+    assert fused == joined and len(fused) == 1
+    assert fused[0][1] > 0  # the fixture actually contains triangles
 
 
 def test_topk_mutual_kernel_matches_window_join(spark, monkeypatch):

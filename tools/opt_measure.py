@@ -58,7 +58,7 @@ def main() -> int:
     ).collect()
 
     out: dict[str, dict] = {}
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r11"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
     for pass_no in range(runs):
         for name in names:
             q = reg[name]
