@@ -70,6 +70,30 @@ _JACCARD_ORACLE = f"""
 """
 
 
+def doc_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): each doc's DISTINCT word-3-gram shingle array,
+    computed entirely MAP-SIDE (no explode + groupBy + collect_set
+    round trip — guide §2.4), cached. Shingle-less docs are dropped by
+    testing the TOKEN count BEFORE the projection: a filter on
+    size(sh) pushes below the Project and re-evaluates the whole
+    shingle build per row (the round-8 CollapseProject trap; measured
+    0.8 -> 4.5 s at sf0.1). Array order is first-occurrence (vs
+    collect_set's arbitrary order): every consumer must be
+    order-invariant over the array (min-of-transform signatures,
+    array_intersect/size)."""
+    sc = docs.sparkSession.sparkContext
+    toks = tokens(F.col("text"))
+    return (
+        docs.repartition(sc.defaultParallelism)
+        .filter(F.size(toks) >= SHINGLE_N)
+        .select(
+            "doc_id",
+            word_shingles(toks, SHINGLE_N).alias("sh"),
+        )
+        .cache()
+    )
+
+
 def shingles_exploded(docs: DataFrame) -> DataFrame:
     """(doc_id, s): one row per distinct word-3-gram shingle per document.
 
@@ -168,18 +192,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    # ONE shuffle total for sketch + verify state: collect each doc's
-    # shingle set (needed by exact verification anyway), then derive the
-    # MinHash signature map-side from the array. The banding self-join and
-    # the pair-verification joins run off this single cached relation; at
-    # scale the tiny candidate-pair list broadcasts, so verification adds
-    # no extra shuffle of the corpus.
-    doc_sets = (
-        shingles_exploded(t.documents)
-        .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("sh"))
-        .cache()
-    )
+    # ZERO corpus shuffles for sketch + verify state (round-12): each
+    # doc's distinct shingle set comes straight from word_shingles'
+    # array — entirely map-side — instead of the explode + groupBy +
+    # collect_set round trip, which shuffled every shingle string just
+    # to rebuild the per-doc array (guide §2.4: remove shuffles
+    # outright). Every consumer (array_min-of-transform signatures,
+    # array_intersect/size verification) is ORDER-INVARIANT over the
+    # array, so dropping collect_set's arbitrary order changes nothing.
+    # The size>0 filter mirrors the old explode-drop of shingle-less
+    # docs. The banding self-join and the pair-verification joins run
+    # off this single cached relation; at scale the tiny candidate-pair
+    # list broadcasts, so verification adds no extra shuffle of the
+    # corpus. (The shingle-less-doc drop mirrors the old explode-drop;
+    # load-bearing at scale — empty signatures would all band together
+    # quadratically.)
+    doc_sets = doc_shingle_sets(t.documents)
     sig = doc_sets.select(
         "doc_id", *minhash_components_from_set(F.col("sh"), NUM_PERM)
     )
@@ -431,7 +459,14 @@ def _allpairs_prefix_stages(
     prefix-filter pipeline, exposed so the scale protocol can count
     candidates vs verified survivors (round-8 verdict item 1)."""
     t = Tables(spark, sf_dir)
-    exploded = shingles_exploded(t.documents)
+    # round-12: both explode consumers (the df aggregation and the
+    # df-attach join) read the CACHED map-side shingle-array table —
+    # before, the uncached tokenize+shingle+explode subtree ran twice
+    # (two full corpus passes, visible as two Scan parquet + Generate
+    # branches in plans/r12/dedup_allpairs_prefix_before.txt).
+    exploded = doc_shingle_sets(t.documents).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
     # global rarity order: (document frequency, shingle) is a total order,
     # no materialized rank needed
     df_tbl = exploded.groupBy("s").agg(F.count("*").alias("df"))
@@ -704,12 +739,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     is_batch = F.col("doc_id") % 5 == 4
-    doc_sets = (
-        shingles_exploded(t.documents)
-        .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("sh"))
-        .cache()
-    )
+    # map-side shingle arrays (round-12, see doc_shingle_sets): no
+    # explode + collect_set corpus shuffle; all consumers below are
+    # order-invariant over the array
+    doc_sets = doc_shingle_sets(t.documents)
     sig = doc_sets.select(
         "doc_id", *minhash_components_from_set(F.col("sh"), NUM_PERM)
     )
@@ -1105,10 +1138,12 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair self-join's two legs, the x32 signature explode) re-read
     # this subtree inside ONE action, and an explicit cache adds a
     # materialization barrier (round-6 technique 7 — measured here:
-    # cache 7.6 s warm / 16.5 s cold vs ckpt 3.8 s / 5.8 s at sf0.1)
-    sh = shingles_exploded(t.documents).distinct().localCheckpoint(
-        eager=False
-    )
+    # cache 7.6 s warm / 16.5 s cold vs ckpt 3.8 s / 5.8 s at sf0.1).
+    # No .distinct(): word_shingles is array_distinct per doc and
+    # doc_id is unique, so (doc_id, s) rows are already globally
+    # distinct — the old distinct() was a full corpus exchange for
+    # nothing (round-12, guide §2.4).
+    sh = shingles_exploded(t.documents).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pair_common = (
@@ -1824,10 +1859,9 @@ _BBIT_C = 1.0 / (1 << _BBIT_B)  # collision floor for a large universe
 def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     # shared shingle subtree: lazy checkpoint, not cache (see
-    # dedup_minhash_calibration — same four-consumer shape)
-    sh = shingles_exploded(t.documents).distinct().localCheckpoint(
-        eager=False
-    )
+    # dedup_minhash_calibration — same four-consumer shape; no
+    # .distinct() — already distinct, see there)
+    sh = shingles_exploded(t.documents).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pair_common = (

@@ -1996,7 +1996,11 @@ def _hits_kernel(batches):
     i = np.concatenate(is_)
     w = np.concatenate(ws)
     users, ui = np.unique(u, return_inverse=True)
-    types, ti = np.unique(i, return_inverse=True)
+    # event_type can be NULL on dirty data: np.unique would TypeError
+    # sorting a None/str object array and kill the task, while the
+    # distributed groupBy tolerates a NULL key — factorize keeps NA as
+    # its own group (emitted as NULL via Arrow), matching the loop.
+    ti, types = pd.factorize(i, use_na_sentinel=False)
     fx = _HITS_FX
 
     def normalize(raw):

@@ -118,16 +118,17 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn", "stop_hits")
         .cache()
     )
-    # near-dup components among survivors (single-shuffle LSH, dedup.py)
+    # near-dup components among survivors (zero-shuffle LSH state,
+    # dedup.py round-12): per-doc distinct shingle arrays map-side —
+    # no explode + collect_set round trip; all consumers are
+    # order-invariant over the array. (Survivors have n_tokens >= 10,
+    # so no shingle-less docs exist here either way.)
     doc_sets = (
         surv.repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id",
-            F.explode(word_shingles(tokens(F.col("text")), SHINGLE_N))
-            .alias("s"),
+            word_shingles(tokens(F.col("text")), SHINGLE_N).alias("sh"),
         )
-        .groupBy("doc_id")
-        .agg(F.collect_set("s").alias("sh"))
         .cache()
     )
     sig = doc_sets.select(

@@ -158,7 +158,15 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def transform(df: DataFrame) -> DataFrame:
         return df.groupBy(F.window("ts", "1 hour"), "event_type").count()
 
-    result = run_bounded_stream(spark, source, transform, "complete", sf_dir=sf_dir)
+    # state rows = DISTINCT GROUPS (hours x event types), dimension-
+    # bounded at ~10k regardless of corpus size — not the input row
+    # count the default would use. Fewer state partitions = fewer
+    # per-micro-batch store setups (round-8 §1); the r11 8v32 scaling
+    # ratio of 0.78 was exactly this overhead growing with cores.
+    result = run_bounded_stream(
+        spark, source, transform, "complete", sf_dir=sf_dir,
+        state_rows=10_000,
+    )
     return result.select(
         F.col("window.start").alias("window_start"),
         "event_type",
@@ -193,6 +201,8 @@ def stream_windowed_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "complete",
         sf_dir=sf_dir,
+        # dimension-bounded state (hours x words) — see stream_hourly_counts
+        state_rows=10_000,
     )
     return result.select(
         F.col("window.start").alias("window_start"),

@@ -346,3 +346,40 @@ def test_kcenter_kernel_matches_distributed_loop(spark):
         S._KC_LOCAL_VEC_CAP = old
     assert kernel_rows == loop_rows
     assert kernel_rows[0][2] is None and len(kernel_rows) == S._KC_K
+
+
+def test_kcenter_zero_norm_embedding_parity(spark, monkeypatch):
+    """A zero-norm embedding divides by zero in the cosine: Spark yields
+    NULL (candidate sorts last, never picked) while naive numpy yields
+    NaN that poisons np.minimum and crashes the task. Kernel and loop
+    must emit IDENTICAL rows on a corpus containing a zero vector
+    (ADVICE r11 / r5 identical-denominator-guard rule)."""
+    from types import SimpleNamespace
+
+    from hadoop_spark_pspd_spark.operators import similarity as S
+
+    rows = [
+        (int(i), [float((i * 7 + j * 3) % 11 - 5) for j in range(4)])
+        for i in range(20)
+    ]
+    rows[7] = (7, [0.0, 0.0, 0.0, 0.0])  # zero-norm, non-seed
+    edf = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    monkeypatch.setattr(
+        S, "Tables", lambda *_: SimpleNamespace(embeddings=edf)
+    )
+
+    def run():
+        return [
+            (r.rank, r.vec_id, r.min_dist)
+            for r in S.sim_kcenter_coreset(spark, SF_SMOKE)
+            .orderBy("rank")
+            .collect()
+        ]
+
+    kernel_rows = run()
+    monkeypatch.setattr(S, "_KC_LOCAL_VEC_CAP", 0)  # force the loop
+    loop_rows = run()
+    assert kernel_rows == loop_rows
+    assert all(vid != 7 for _, vid, _ in kernel_rows)

@@ -553,6 +553,38 @@ def test_topk_mutual_kernel_matches_window_join(spark, monkeypatch):
     assert kernel_rows == loop_rows and len(kernel_rows) > 0
 
 
+def test_hits_kernel_tolerates_null_event_type(spark, monkeypatch):
+    """A NULL event_type (dirty events data) must not kill the kernel
+    task: np.unique on a None/str object array raises TypeError, while
+    the distributed groupBy keeps a NULL group — kernel and loop must
+    emit the SAME rows including the NULL-keyed one (ADVICE r11)."""
+    from types import SimpleNamespace
+
+    from hadoop_spark_pspd_spark.operators import graph as G
+
+    rows = [(1, "view"), (1, None), (2, "view"), (2, "buy"), (3, None),
+            (3, "buy"), (4, "view"), (4, None), (4, "buy")]
+    edf = spark.createDataFrame(rows, "user_id long, event_type string")
+    monkeypatch.setattr(
+        G, "Tables", lambda *_: SimpleNamespace(events=edf)
+    )
+
+    def run():
+        return sorted(
+            (
+                (r.event_type, r.auth_fx, r.authority)
+                for r in G.graph_hits_bipartite(spark, SF_SMOKE).collect()
+            ),
+            key=lambda x: (x[0] is not None, x),
+        )
+
+    kernel_rows = run()
+    monkeypatch.setattr(G, "_HITS_LOCAL_EDGE_CAP", 0)  # force the loop
+    loop_rows = run()
+    assert kernel_rows == loop_rows
+    assert any(et is None for et, _, _ in kernel_rows)
+
+
 def test_hits_kernel_matches_loop(spark, monkeypatch):
     """graph_hits_bipartite's single-task kernel must emit exactly the
     distributed loop's rows — the 2^16-grid integer design makes both
