@@ -826,11 +826,7 @@ _BFS_LOCAL_EDGE_CAP = 4_000_000
 
 def _bfs_kernel(batches):
     """Exact radius-bounded BFS over one partition's (u, v) edge rows
-    (both orientations present). Root = the minimum node id (== the
-    loop path's both.agg(min(u)) because the edge list is symmetric).
-    Emits (node, hops) for every node reached within _BFS_MAX_HOPS —
-    row-identical to the distributed frontier loop (hop distances are
-    exact integers; no float order sensitivity)."""
+    (both orientations present) — thin wrapper over _bfs_np."""
     import numpy as np
     import pandas as pd
 
@@ -844,8 +840,37 @@ def _bfs_kernel(batches):
              "hops": pd.Series([], dtype="int64")}
         )
         return
-    u = np.concatenate(us)
-    v = np.concatenate(vs)
+    yield _bfs_np(np.concatenate(us), np.concatenate(vs))
+
+
+def _bfs_fused_kernel(batches):
+    """Fused single-task kernel (round-12, the LPA/triangle treatment):
+    mutual-top-K edges then the BFS rounds, skipping the intermediate
+    edge materialization + union + count jobs. Row-identical to
+    _bfs_kernel over cooccurrence_edges' both-orientations table."""
+    import numpy as np
+    import pandas as pd
+
+    s1, s2 = _topk_mutual_ids(batches)
+    if not len(s1):
+        yield pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"),
+             "hops": pd.Series([], dtype="int64")}
+        )
+        return
+    yield _bfs_np(np.concatenate([s1, s2]), np.concatenate([s2, s1]))
+
+
+def _bfs_np(u, v):
+    """Radius-bounded BFS core over (u, v) edge id arrays (both
+    orientations present). Root = the minimum node id (== the loop
+    path's both.agg(min(u)) because the edge list is symmetric).
+    Returns the (node, hops) pandas frame for every node reached within
+    _BFS_MAX_HOPS — row-identical to the distributed frontier loop (hop
+    distances are exact integers; no float order sensitivity)."""
+    import numpy as np
+    import pandas as pd
+
     nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
     ui, vi = inv[: len(u)], inv[len(u):]
     n = len(nodes)
@@ -863,7 +888,7 @@ def _bfs_kernel(batches):
         frontier[:] = False
         frontier[cand] = True
     reached = dist >= 0
-    yield pd.DataFrame(
+    return pd.DataFrame(
         {"node": pd.Series(nodes[reached], dtype="int64"),
          "hops": pd.Series(dist[reached], dtype="int64")}
     )
@@ -883,7 +908,18 @@ def _bfs_kernel(batches):
         "filters; oracle = recursive-CTE reachability with depth bound.",
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = cooccurrence_edges(spark, sf_dir)
+    # round-12: the sparsification fuses INTO the kernel task (the LPA/
+    # triangle treatment — mutual edges <= directed rows makes the
+    # directed-row gate strictly safer than the old 2x-edges gate),
+    # skipping the intermediate edge kernel + union + count jobs; the
+    # both-table kernel and the distributed frontier loop below stay as
+    # the fallback ladder for data past each cap.
+    pinned, n_directed = _directed_pinned(spark, sf_dir)
+    if n_directed <= _CO_EDGES_LOCAL_CAP:
+        return _mutual_prefiltered(pinned).mapInPandas(
+            _bfs_fused_kernel, "node long, hops long"
+        )
+    edges = _edges_from_directed(pinned, n_directed)
     both = (
         edges.select(F.col("s1").alias("u"), F.col("s2").alias("v"))
         .union(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
@@ -1841,11 +1877,8 @@ def _katz_oracle() -> str:
 
 def _katz_kernel(batches):
     """Exact truncated-Katz walk counts over one partition's directed
-    (u, v) edge rows (both orientations present): c_k(v) = sum over
-    edges u->v of c_{k-1}(u), katz_q = sum_k c_k * 2^(ROUNDS-k) — all
-    int64 (degree^k <= 8^6 per node on the mutual-top-8 graph), and the
-    katz double is the exact dyadic katz_q / 2^ROUNDS. Row-identical to
-    the DataFrame join loop."""
+    (u, v) edge rows (both orientations present) — thin wrapper over
+    _katz_np."""
     import numpy as np
     import pandas as pd
 
@@ -1854,14 +1887,45 @@ def _katz_kernel(batches):
         us.append(pdf["u"].to_numpy(dtype=np.int64))
         vs.append(pdf["v"].to_numpy(dtype=np.int64))
     if not us or not sum(len(a) for a in us):
-        yield pd.DataFrame(
-            {"node": pd.Series([], dtype="int64"),
-             "katz_q": pd.Series([], dtype="int64"),
-             "katz": pd.Series([], dtype="float64")}
-        )
+        yield _katz_empty(pd)
         return
-    u = np.concatenate(us)
-    v = np.concatenate(vs)
+    yield _katz_np(np.concatenate(us), np.concatenate(vs))
+
+
+def _katz_fused_kernel(batches):
+    """Fused single-task kernel (round-12, the LPA/triangle treatment):
+    mutual-top-K edges then the walk-count rounds, skipping the
+    intermediate edge materialization + union + count jobs.
+    Row-identical to _katz_kernel over cooccurrence_edges'
+    both-orientations table."""
+    import numpy as np
+    import pandas as pd
+
+    s1, s2 = _topk_mutual_ids(batches)
+    if not len(s1):
+        yield _katz_empty(pd)
+        return
+    yield _katz_np(np.concatenate([s1, s2]), np.concatenate([s2, s1]))
+
+
+def _katz_empty(pd):
+    return pd.DataFrame(
+        {"node": pd.Series([], dtype="int64"),
+         "katz_q": pd.Series([], dtype="int64"),
+         "katz": pd.Series([], dtype="float64")}
+    )
+
+
+def _katz_np(u, v):
+    """Truncated-Katz core over (u, v) edge id arrays (both
+    orientations present): c_k(v) = sum over edges u->v of c_{k-1}(u),
+    katz_q = sum_k c_k * 2^(ROUNDS-k) — all int64 (degree^k <= 8^6 per
+    node on the mutual-top-8 graph), and the katz double is the exact
+    dyadic katz_q / 2^ROUNDS. Row-identical to the DataFrame join
+    loop."""
+    import numpy as np
+    import pandas as pd
+
     nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
     ui, vi = inv[: len(u)], inv[len(u):]
     n = len(nodes)
@@ -1872,7 +1936,7 @@ def _katz_kernel(batches):
         np.add.at(nc, vi, c[ui])
         c = nc
         acc += c << (_KATZ_ROUNDS - k)
-    yield pd.DataFrame(
+    return pd.DataFrame(
         {"node": pd.Series(nodes, dtype="int64"),
          "katz_q": pd.Series(acc, dtype="int64"),
          "katz": pd.Series(
@@ -1900,7 +1964,15 @@ def _katz_kernel(batches):
     tags=("graph",),
 )
 def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = cooccurrence_edges(spark, sf_dir)
+    # round-12: sparsification fused into the kernel task (the LPA/BFS/
+    # triangle treatment; directed-row gate is strictly safer than the
+    # old 2x-edges gate), skipping the edge kernel + union + count jobs.
+    pinned, n_directed = _directed_pinned(spark, sf_dir)
+    if n_directed <= _CO_EDGES_LOCAL_CAP:
+        return _mutual_prefiltered(pinned).mapInPandas(
+            _katz_fused_kernel, "node long, katz_q long, katz double"
+        )
+    edges = _edges_from_directed(pinned, n_directed)
     bidir = (
         edges.select(F.col("s1").alias("u"), F.col("s2").alias("v"))
         .union(edges.select(F.col("s2").alias("u"), F.col("s1").alias("v")))

@@ -828,6 +828,86 @@ _NEARDUP_PAIRS_SQL = f"""
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = 0.4
+    # single-task screen+verify kernel under the vector cap (round-12,
+    # the kcenter treatment): the distributed shape costs ~6 sequential
+    # driver jobs (count, dim probe, quantizer training, cell stats,
+    # screen+verify) — at any local scale that orchestration dwarfs the
+    # data work (2000 vectors at sf0.1). The kernel does one blocked
+    # f64-GEMM screen with the same slack margin, then re-derives every
+    # emitted double through the EXACT HOF op sequence (_seq_dot_np
+    # fold, guarded division, _round6_np) — row-identical to the
+    # distributed path, which remains the at-scale path.
+    t = Tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding").localCheckpoint(
+        eager=False
+    )
+    if emb.count() <= _ND_LOCAL_VEC_CAP:
+        def _nd_kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            ids_l, embs_l = [], []
+            for pdf in batches:
+                ids_l.append(pdf["vec_id"].to_numpy(dtype=np.int64))
+                embs_l.append(
+                    np.stack(
+                        [np.asarray(e, dtype=np.float32)
+                         for e in pdf["embedding"]]
+                    )
+                    if len(pdf)
+                    else np.zeros((0, 0), dtype=np.float32)
+                )
+            ids = (np.concatenate(ids_l)
+                   if ids_l else np.zeros(0, dtype=np.int64))
+            empty = pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64"),
+                 "sim": pd.Series([], dtype="float64")}
+            )
+            if not ids.size:
+                yield empty
+                return
+            X64 = np.vstack([e for e in embs_l if e.size]).astype(
+                np.float64
+            )
+            norms = np.sqrt(_seq_dot_np(X64, X64))
+            ok = norms > 0.0  # zero-norm: Spark sim is NULL, never kept
+            U = np.where(ok[:, None], X64, 0.0) / np.where(
+                ok, norms, 1.0
+            )[:, None]
+            thr = threshold - _SCREEN_MARGIN
+            out_frames = []
+            n = len(ids)
+            blk = 2048  # bounds the screen slab at ~blk*n*8 bytes
+            for lo in range(0, n, blk):
+                hi = min(lo + blk, n)
+                g = U[lo:hi] @ U.T
+                mask = (g >= thr) & (ids[lo:hi, None] < ids[None, :])
+                mask &= ok[lo:hi, None] & ok[None, :]
+                ia, ib = np.nonzero(mask)
+                if not len(ia):
+                    continue
+                ia = ia + lo
+                # exact verify: identical op sequence to the HOF
+                # expressions (fold, na*nb product, one division)
+                sim = _seq_dot_np(X64[ia], X64[ib]) / (
+                    norms[ia] * norms[ib]
+                )
+                keep = sim >= threshold
+                if not keep.any():
+                    continue
+                out_frames.append(pd.DataFrame(
+                    {"vec_a": pd.Series(ids[ia[keep]], dtype="int64"),
+                     "vec_b": pd.Series(ids[ib[keep]], dtype="int64"),
+                     "sim": pd.Series(
+                         _round6_np(sim[keep]), dtype="float64")}
+                ))
+            yield (pd.concat(out_frames, ignore_index=True)
+                   if out_frames else empty)
+
+        return emb.coalesce(1).mapInPandas(
+            _nd_kernel, "vec_a long, vec_b long, sim double"
+        )
     cand = neardup_candidates(spark, sf_dir, threshold)
     # zip_with/aggregate cosine is numerically symmetric (per-index products
     # commute, accumulation order is index order), so least/greatest
@@ -846,6 +926,10 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # occupancy cap per block: bounds mapInPandas task pair-work at cap^2
 # (~16M dots, ~0.2 s of f64 matmul) and block bytes at cap*DIM*4 (~1 MB)
 _NEARDUP_CAP = 4096
+# max vectors for the SINGLE-TASK screen+verify kernel (the kcenter cap
+# pattern): 8192^2 pair dots ~ 4 Gflop of blocked f64 GEMM, well under
+# a second serial; past it the distributed cell/block screen runs
+_ND_LOCAL_VEC_CAP = 8192
 # screen slack: exact_sim >= t implies gemm_sim >= t - margin, since
 # |gemm - exact| <= d*eps/(1-d*eps) ~ 7.1e-15 for unit vectors (Higham
 # 3.5); 1e-6 leaves 8 orders of magnitude of headroom
@@ -2437,17 +2521,61 @@ _KC_SEED = 0
 _KC_LOCAL_VEC_CAP = 1_000_000
 
 
+def _seq_dot_np(a64, b64):
+    """Left-to-right per-dimension fold: acc starts 0.0, one add per
+    dim — matches F.aggregate(zip_with(...), 0.0, acc + v) exactly
+    (vectorized across rows, SEQUENTIAL across dims — exactly
+    functions/vectors.dot). Accepts (2D, 1D), (1D, 1D) or (2D, 2D)."""
+    import numpy as np
+
+    d = a64.shape[-1]
+    acc = np.zeros(a64.shape[0], dtype=np.float64) \
+        if a64.ndim == 2 else np.float64(0.0)
+    for j in range(d):
+        acc = acc + (
+            (a64[:, j] if a64.ndim == 2 else a64[j])
+            * (b64[j] if b64.ndim == 1 else b64[:, j])
+        )
+    return acc
+
+
+def _round6_np(vals):
+    """Spark's round(x, 6) == BigDecimal.valueOf(x).setScale(6,
+    HALF_UP) — HALF_UP on the SHORTEST-STRING decimal repr of the
+    double (Double.toString == Python repr), NOT on its exact binary
+    expansion. Vectorized fast path: scale by 1e6 and round
+    half-away-from-zero in float64; the float product can only
+    disagree with the decimal-string path when the scaled fractional
+    part lands within ~1e-10 of a tie, so route everything within 1e-6
+    of .5 (measure-~2e-6 of inputs) through the exact Decimal(repr(v))
+    slow path. Replaces the round-11 per-element Decimal loop (O(k*n)
+    interpreter-speed ops near the 1M-vector cap — VERDICT r11 #4)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    q6 = Decimal("0.000001")
+    a = np.abs(vals)
+    scaled = a * 1e6
+    frac = scaled - np.floor(scaled)
+    out = np.copysign(np.floor(scaled + 0.5), vals) / 1e6
+    near_tie = np.flatnonzero(np.abs(frac - 0.5) < 1e-6)
+    for j in near_tie:
+        out[j] = float(
+            Decimal(repr(float(vals[j]))).quantize(
+                q6, rounding=ROUND_HALF_UP
+            )
+        )
+    return out
+
+
 def _kcenter_kernel(batches):
     """Exact single-task replay of the Gonzalez farthest-point loop.
     Bit-identical to the distributed path: the cosine fold is the same
-    left-to-right sequence of correctly-rounded IEEE ops (vectorized
-    across rows, SEQUENTIAL across dims — exactly functions/vectors.dot),
-    and Spark's round(x, 6) (BigDecimal HALF_UP on the exact binary
-    value) is replayed per candidate with Python Decimal quantize, which
-    has identical semantics. Yields the same (rank, vec_id, min_dist)
-    rows, NULL min_dist for the seed."""
-    from decimal import ROUND_HALF_UP, Decimal
-
+    left-to-right sequence of correctly-rounded IEEE ops
+    (_seq_dot_np == functions/vectors.dot) and round-6 mirrors Spark's
+    BigDecimal.valueOf HALF_UP exactly (_round6_np). Yields the same
+    (rank, vec_id, min_dist) rows, NULL min_dist for the seed."""
     import numpy as np
     import pandas as pd
 
@@ -2470,47 +2598,9 @@ def _kcenter_kernel(batches):
     X = np.vstack([e for e in embs_l if e.size])
     n, d = X.shape
     X64 = X.astype(np.float64)
-
-    def seq_dot(a64, b64):
-        # left-to-right fold: acc starts 0.0, one add per dim — matches
-        # F.aggregate(zip_with(...), 0.0, acc + v) exactly
-        acc = np.zeros(a64.shape[0], dtype=np.float64) \
-            if a64.ndim == 2 else np.float64(0.0)
-        for j in range(d):
-            acc = acc + (
-                (a64[:, j] if a64.ndim == 2 else a64[j])
-                * (b64[j] if b64.ndim == 1 else b64[:, j])
-            )
-        return acc
-
+    seq_dot = _seq_dot_np
+    round6 = _round6_np
     norms = np.sqrt(seq_dot(X64, X64))
-    q6 = Decimal("0.000001")
-
-    def round6(vals):
-        # Spark's round(x, 6) is BigDecimal.valueOf(x).setScale(6,
-        # HALF_UP) — HALF_UP on the SHORTEST-STRING decimal repr of the
-        # double (Double.toString == Python repr), NOT on its exact
-        # binary expansion. Vectorized fast path: scale by 1e6 and
-        # round half-away-from-zero in float64; the float product can
-        # only disagree with the decimal-string path when the scaled
-        # fractional part lands within ~1e-10 of a tie, so route
-        # everything within 1e-6 of .5 (measure-~2e-6 of inputs)
-        # through the exact Decimal(repr(v)) slow path. Replaces the
-        # round-11 per-element Decimal loop (O(k*n) interpreter-speed
-        # ops near the 1M-vector cap — VERDICT r11 item 4).
-        a = np.abs(vals)
-        scaled = a * 1e6
-        frac = scaled - np.floor(scaled)
-        out = np.copysign(np.floor(scaled + 0.5), vals) / 1e6
-        near_tie = np.flatnonzero(np.abs(frac - 0.5) < 1e-6)
-        for j in near_tie:
-            out[j] = float(
-                Decimal(repr(float(vals[j]))).quantize(
-                    q6, rounding=ROUND_HALF_UP
-                )
-            )
-        return out
-
     seed_pos = int(np.flatnonzero(ids == _KC_SEED)[0])
     sel = [seed_pos]
     out_rank, out_id, out_dist = [1], [int(ids[seed_pos])], [None]

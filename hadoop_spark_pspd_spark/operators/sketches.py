@@ -69,12 +69,27 @@ _TOKS_ORACLE = """
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    toks = t.documents.select(words_exploded(F.lower("text")))
-    toks_pid = t.documents.select(
+    # round-12: ONE corpus pass. The old shape re-tokenized the corpus
+    # three times (candidate pass, grand-total pass, exact-recount
+    # pass); every downstream number is derivable from the exact
+    # per-(pid, word) local counts alone: n(word) = sum_p c_p and
+    # grand_total = sum_p N_p, so phases 2 and 3 aggregate the
+    # vocabulary-sized `local` table instead of rescanning documents.
+    # The pre-explosion repartition parallelizes tokenize off the 1-2
+    # input splits (shingles_exploded rationale); output is invariant
+    # to the partitioning because candidates are a pigeonhole-complete
+    # SUPERSET at any partitioning and the final filter is exact.
+    toks_pid = t.documents.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         F.spark_partition_id().alias("pid"),
         words_exploded(F.lower("text")),
     )
-    local = toks_pid.groupBy("pid", "word").agg(F.count("*").alias("c"))
+    # lazy pin: three consumers (ptot, cands, the exact recount) would
+    # otherwise re-run the tokenize+aggregate subtree per reference
+    local = toks_pid.groupBy("pid", "word").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=False)
     # per-partition token totals N_p, recovered from the local counts
     # themselves (no second scan); #partitions rows — broadcast.
     ptot = local.groupBy("pid").agg(F.sum("c").alias("np"))
@@ -84,11 +99,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word")
         .distinct()
     )
-    total = toks.agg(F.count("*").alias("grand_total"))
+    total = ptot.agg(F.sum("np").alias("grand_total"))
     return (
-        toks.join(F.broadcast(cands), "word")
+        local.join(F.broadcast(cands), "word")
         .groupBy("word")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("c").alias("n"))
         .join(F.broadcast(total))
         .where(F.col("n") * HH_K >= F.col("grand_total"))
         .select("word", "n")

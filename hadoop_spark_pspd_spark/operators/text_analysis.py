@@ -1465,22 +1465,30 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("bg"),
         )
-        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
-        .localCheckpoint(eager=False)  # 3 consumers: one corpus scan
+        .localCheckpoint(eager=False)  # 2 consumers: one corpus scan
     )
     cb = bi.groupBy("bg").agg(F.count("*").cast("long").alias("cab"))
-    cf = bi.groupBy("w1").agg(F.count("*").cast("long").alias("ca"))
+    # round-12 (guide §2.3): everything downstream of cb is VOCABULARY-
+    # sized, not corpus-sized. ca (bigrams starting with w1) is the sum
+    # of cab over that w1 — derived from cb instead of re-shuffling the
+    # full bigram stream by w1; bits is a per-DISTINCT-bigram value, so
+    # it joins back to the stream once (by bg) instead of dragging the
+    # stream through a second corpus-scale join by w1. Old shape: 5
+    # corpus-scale exchanges; new: 3 (cb agg, the bits join, the
+    # per-doc aggregation) — identical integers throughout.
+    bgt = cb.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+    cf = bgt.groupBy("w1").agg(F.sum("cab").cast("long").alias("ca"))
     bits = (
         (F.length(F.bin(F.col("cab"))) - 1)
         - (F.length(F.bin(F.col("ca") + 16)) - 1)
     )
+    per_bg = bgt.join(cf, "w1").select("bg", bits.alias("bg_bits"))
     scored = (
-        bi.join(cb, "bg")
-        .join(cf, "w1")
+        bi.join(per_bg, "bg")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_bigrams"),
-            F.sum(bits).cast("long").alias("bits"),
+            F.sum("bg_bits").cast("long").alias("bits"),
         )
     )
     return docs.select("doc_id").join(scored, "doc_id", "left").select(

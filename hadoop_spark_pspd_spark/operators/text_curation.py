@@ -67,20 +67,60 @@ _SHINGLE_SQL = """
         "duplication threshold. Exact integer counts, one division.",
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-12 (guide §2.4): the statistic is entirely PER-DOCUMENT, so
+    # the explode -> groupBy(doc_id, s) -> groupBy(doc_id) round trip
+    # (two corpus-scale exchanges) is replaced by ONE map-side fold
+    # over the doc's sorted gram array: a single aggregate() pass
+    # yields (total, distinct, max run) — run lengths of the sorted
+    # array ARE the per-gram counts. The gram expression is referenced
+    # exactly once (inside sort_array), so CollapseProject cannot
+    # re-evaluate the tokenize per output column (the round-8 trap).
+    # The token-count pre-filter mirrors the old explode-drop of docs
+    # with no 2-grams. Zero exchanges, zero joins.
     t = Tables(spark, sf_dir)
-    per = (
-        t.documents.select(
-            "doc_id",
-            F.explode(word_ngrams(tokens(F.col("text")), REP_N)).alias("s"),
+    toks = tokens(F.col("text"))
+    acc_t = "struct<n:bigint,d:bigint,best:bigint,cur:bigint,prev:string>"
+    init = F.lit(None).cast(acc_t)
+
+    def step(acc, x):
+        new_run = acc.isNull() | (x != acc["prev"])
+        cur = F.when(new_run, F.lit(1).cast("bigint")).otherwise(
+            acc["cur"] + 1
         )
-        .groupBy("doc_id", "s")
-        .agg(F.count("*").alias("c"))
+        return F.struct(
+            (F.coalesce(acc["n"], F.lit(0).cast("bigint")) + 1).alias("n"),
+            (
+                F.coalesce(acc["d"], F.lit(0).cast("bigint"))
+                + F.when(new_run, 1).otherwise(0)
+            ).alias("d"),
+            F.greatest(
+                F.coalesce(acc["best"], F.lit(0).cast("bigint")), cur
+            ).alias("best"),
+            cur.alias("cur"),
+            x.alias("prev"),
+        )
+
+    stats = F.aggregate(
+        F.sort_array(word_ngrams(toks, REP_N)),
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["n"].alias("n2g"),
+            acc["d"].alias("d2g"),
+            acc["best"].alias("maxc"),
+        ),
     )
-    n2g = F.sum("c").alias("n2g")
-    agg = per.groupBy("doc_id").agg(
-        n2g,
-        F.count("*").alias("d2g"),
-        F.max("c").alias("maxc"),
+    agg = (
+        t.documents
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(toks) >= REP_N)
+        .select("doc_id", stats.alias("st"))
+        .select(
+            "doc_id",
+            F.col("st.n2g").alias("n2g"),
+            F.col("st.d2g").alias("d2g"),
+            F.col("st.maxc").alias("maxc"),
+        )
     )
     dup = (F.col("n2g") - F.col("d2g")) / F.col("n2g")
     return agg.select(

@@ -348,6 +348,25 @@ def test_kcenter_kernel_matches_distributed_loop(spark):
     assert kernel_rows[0][2] is None and len(kernel_rows) == S._KC_K
 
 
+def test_neardup_kernel_matches_distributed_screen(spark, monkeypatch):
+    """sim_embedding_neardup's single-task kernel (round-12) must emit
+    BIT-identical rows to the distributed cell/block screen — same
+    (vec_a, vec_b) set, same round-6 sim doubles — since both derive
+    every emitted double from the identical exact op sequence."""
+    from hadoop_spark_pspd_spark.operators import similarity as S
+
+    def run():
+        return sorted(
+            (r.vec_a, r.vec_b, r.sim)
+            for r in S.sim_embedding_neardup(spark, SF_SMOKE).collect()
+        )
+
+    kernel_rows = run()
+    monkeypatch.setattr(S, "_ND_LOCAL_VEC_CAP", 0)  # force distributed
+    dist_rows = run()
+    assert kernel_rows == dist_rows and len(kernel_rows) > 0
+
+
 def test_kcenter_zero_norm_embedding_parity(spark, monkeypatch):
     """A zero-norm embedding divides by zero in the cosine: Spark yields
     NULL (candidate sorts last, never picked) while naive numpy yields

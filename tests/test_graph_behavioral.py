@@ -374,8 +374,12 @@ def test_bfs_kernel_matches_loop_and_reference(spark, monkeypatch):
     got_kernel = dict(zip(out["node"], out["hops"]))
     assert got_kernel == want
 
-    # (b) kernel path vs loop path of the full operator must agree
-    df = spark.createDataFrame(both, "u long, v long")
+    # (b) all three operator paths must agree: fused kernel (round-12),
+    # window-join edges + both-table kernel, distributed frontier loop.
+    # Every degree here is <= 8 so mutual-top-8(directed) == und.
+    directed = [(a, b, 1) for a, b in both]
+    ddf = spark.createDataFrame(directed, "src long, dst long, w long")
+    monkeypatch.setattr(G, "cooccurrence_directed", lambda *_: ddf)
 
     def run():
         return {
@@ -383,16 +387,12 @@ def test_bfs_kernel_matches_loop_and_reference(spark, monkeypatch):
             for r in G.graph_bfs_hops(spark, SF_SMOKE).collect()
         }
 
-    monkeypatch.setattr(
-        G, "cooccurrence_edges",
-        lambda *_: df.filter(F.col("u") < F.col("v")).select(
-            F.col("u").alias("s1"), F.col("v").alias("s2")
-        ),
-    )
+    fused_rows = run()
+    monkeypatch.setattr(G, "_CO_EDGES_LOCAL_CAP", 0)  # force edge joins
     kernel_rows = run()
     monkeypatch.setattr(G, "_BFS_LOCAL_EDGE_CAP", 0)  # force the loop
     loop_rows = run()
-    assert kernel_rows == loop_rows == want
+    assert fused_rows == kernel_rows == loop_rows == want
 
 
 def test_katz_kernel_matches_loop(spark, monkeypatch):
@@ -421,13 +421,12 @@ def test_katz_kernel_matches_loop(spark, monkeypatch):
         x: (acc[x], acc[x] / float(1 << G._KATZ_ROUNDS)) for x in nodes
     }
 
-    df = spark.createDataFrame(both, "u long, v long")
-    monkeypatch.setattr(
-        G, "cooccurrence_edges",
-        lambda *_: df.filter(F.col("u") < F.col("v")).select(
-            F.col("u").alias("s1"), F.col("v").alias("s2")
-        ),
-    )
+    # all degrees <= 8 -> mutual-top-8(directed) == und; all three
+    # operator paths (fused kernel / edge joins + both-table kernel /
+    # DataFrame loop) must agree with the reference
+    directed = [(a, b, 1) for a, b in both]
+    ddf = spark.createDataFrame(directed, "src long, dst long, w long")
+    monkeypatch.setattr(G, "cooccurrence_directed", lambda *_: ddf)
 
     def run():
         return {
@@ -435,10 +434,12 @@ def test_katz_kernel_matches_loop(spark, monkeypatch):
             for r in G.graph_katz_centrality(spark, SF_SMOKE).collect()
         }
 
+    fused_rows = run()
+    monkeypatch.setattr(G, "_CO_EDGES_LOCAL_CAP", 0)  # force edge joins
     kernel_rows = run()
     monkeypatch.setattr(G, "_BFS_LOCAL_EDGE_CAP", 0)  # force the loop
     loop_rows = run()
-    assert kernel_rows == loop_rows == want
+    assert fused_rows == kernel_rows == loop_rows == want
 
 
 def test_pagerank_and_lpa_kernels_match_loops(spark, monkeypatch):
